@@ -1,0 +1,114 @@
+"""Scalar-function layer (reference operators X1-X9, N1-N6, D1).
+
+The reference implements every one of these as a row-wise pandas
+`.apply` lambda or `.str` method chain (e.g. `clean_team_name` at
+`scr/Transform.py:237-242`, `convert_season` at `scr/Transform.py:711-719`,
+normalization at `scr/Transform.py:395-404`). Row-at-a-time Python is
+the slow path on Spark, so all of these are pure Column expressions:
+they stay inside whole-stage codegen on the JVM, vectorize, and cost
+nothing extra at 100 TB. None of them requires a UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_str(c: Column | str) -> Column:
+    """X1 — trim + lowercase, the reference's pre-join normalization
+    (`scr/Transform.py:395-404`)."""
+    return F.lower(F.trim(F.col(c) if isinstance(c, str) else c))
+
+
+def strip_tokens(c: Column | str, tokens: Iterable[str]) -> Column:
+    """X2 — remove literal tokens (the reference strips `F.C.`/`AFC`
+    suffixes and `Q` id prefixes, `scr/Transform.py:235-242,260`).
+
+    Tokens are applied in the given order — the reference's replace
+    chains are order-sensitive, so parity demands a deterministic
+    sequence of `regexp_replace` calls.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    for t in tokens:
+        # escape regex metacharacters: the reference removes literal substrings
+        escaped = "".join("\\" + ch if ch in r"\.^$*+?()[]{}|" else ch for ch in t)
+        col = F.regexp_replace(col, escaped, "")
+    return F.trim(col)
+
+
+def canonicalize_via_map(
+    df: DataFrame,
+    col_name: str,
+    mapping: Mapping[str, str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """X3 — dictionary-based value canonicalization.
+
+    The reference hardcodes dict replaces (`scr/Transform.py:176-221,
+    245-257`). A chained `when/otherwise` works for tiny maps but
+    produces an O(|map|)-deep expression tree; the scale-friendly form
+    is a broadcast left join against a mapping table with
+    `coalesce(mapped, original)` — constant plan depth, and the map
+    ships once per executor as a broadcast, not once per task.
+    """
+    out_col = out_col or col_name
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(
+        [(k, v) for k, v in mapping.items()], schema=f"__map_key string, __map_val string"
+    )
+    joined = df.join(F.broadcast(map_df), df[col_name] == map_df["__map_key"], "left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("__map_val"), F.col(col_name))
+    ).drop("__map_key", "__map_val")
+
+
+def split_two(c: Column | str, sep: str) -> tuple[Column, Column]:
+    """X5 — split one column into two (the reference's `GF:GA` →
+    GF, GA, `scr/Transform.py:788-790`)."""
+    col = F.col(c) if isinstance(c, str) else c
+    parts = F.split(col, sep)
+    return parts.getItem(0), parts.getItem(1)
+
+
+def zero_pad(c: Column | str, width: int = 2) -> Column:
+    """X6 — `str.zfill` equivalent (`scr/Transform.py:482`)."""
+    return F.lpad(F.col(c) if isinstance(c, str) else c, width, "0")
+
+
+def encode_season(c: Column | str) -> Column:
+    """X7 — season string encode: `"2024-2025"` → 2425
+    (`scr/Transform.py:711-725`). Last two digits of each year,
+    concatenated, cast to int; malformed input → NULL (the reference
+    returns None on ValueError)."""
+    col = F.col(c) if isinstance(c, str) else c
+    y0 = F.substring(F.split(col, "-").getItem(0), 3, 2)
+    y1 = F.substring(F.split(col, "-").getItem(1), 3, 2)
+    return F.concat(y0, y1).try_cast("int")
+
+
+def lenient_long(c: Column | str) -> Column:
+    """N1 — lenient numeric parse, invalid → NULL
+    (`pd.to_numeric(errors='coerce')`, `scr/Transform.py:122` et al.).
+    `try_cast` gives exactly these semantics under ANSI mode (Spark 4
+    default), where a plain cast would throw on malformed input."""
+    return (F.col(c) if isinstance(c, str) else c).try_cast("long")
+
+
+def div0(num: Column, den: Column) -> Column:
+    """N3 — zero-guarded division, `x / NULLIF(y, 0)`
+    (`scr/ui.py:227,245,263`)."""
+    return num / F.when(den == 0, F.lit(None)).otherwise(den)
+
+
+def dec(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Cast to decimal for cross-engine-exact aggregation.
+
+    Summing doubles is order-dependent in a distributed reduction;
+    decimal arithmetic is exact, so Spark and the DuckDB oracle agree
+    bit-for-bit regardless of partitioning. Used by every money/
+    quantity aggregate in the plan layer.
+    """
+    return (F.col(c) if isinstance(c, str) else c).cast(f"decimal({precision},{scale})")

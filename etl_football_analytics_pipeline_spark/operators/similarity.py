@@ -1,0 +1,232 @@
+"""Similarity search over embedding columns (array<float>).
+
+Driver-mandated extension (BASELINE.json north star): nearest-neighbor
+and near-duplicate search over `embeddings.parquet`.
+
+Design: dense vector math is the one place where built-in Column
+expressions lose badly — Catalyst's higher-order functions (zip_with/
+aggregate) are interpreted per element, ~100× slower than BLAS. So the
+kernels here are Arrow-vectorized `mapInPandas` batches doing numpy
+matrix products against a broadcast query/corpus matrix, which is the
+idiomatic PySpark fast path. The *orchestration* stays relational:
+
+- brute-force top-k: corpus scanned once, never shuffled; the small
+  query set ships as a broadcast variable; each batch emits its local
+  top-k per query under the exact global ordering key, so the global
+  window top-k over (batches × k × |Q|) rows is provably identical to
+  a full sort — a distributed TakeOrdered.
+- all-pairs near-dup: corpus matrix broadcast, batches emit only pairs
+  above threshold. O(n²) compute but O(matches) shuffle. At 100 TB
+  this brute-force tier is replaced by the hyperplane-LSH bucketed
+  join below — same kernels, candidates restricted to equal buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side collect of a SMALL vector set (query set / broadcast
+    corpus). The big side always streams through mapInPandas."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return ids, _unit_rows(mat)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query vector, self-matches excluded.
+    Returns (query_id, neighbor_id, cosine, rank).
+
+    Each corpus batch computes a (batch × |Q|) cosine matrix in BLAS
+    and emits its top-k per query under the exact global order key
+    (rounded cosine desc, neighbor_id asc) — the global window then
+    merges per-batch winners. Since the order key is total (ids
+    unique), per-batch pruning cannot change the global result.
+    """
+    spark = corpus.sparkSession
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            cos = np.round(c_mat @ q_mat.T, round_to)  # B × Q
+            frames = []
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                mask = c_ids != qid
+                ids_j, cos_j = c_ids[mask], col[mask]
+                if len(ids_j) > k:
+                    # exact global order: (-cosine, neighbor_id)
+                    order = np.lexsort((ids_j, -cos_j))[:k]
+                    ids_j, cos_j = ids_j[order], cos_j[order]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids_j, "cosine": cos_j}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def all_pairs_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — the embedding
+    near-duplicate detector. Corpus matrix broadcast; each batch emits
+    only its above-threshold pairs, so shuffle volume is O(matches).
+
+    Brute-force tier: correct at any size, economical up to corpora
+    whose matrix fits the broadcast (~10M×64 floats ≈ 2.5 GB). Beyond
+    that, bucket with hyperplane_signatures first and run this within
+    buckets.
+    """
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf[id_col].to_numpy()
+            b_mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            cos = np.round(b_mat @ all_mat.T, round_to)  # B × N
+            rows, cols = np.nonzero((cos >= threshold) & (b_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": b_ids[rows],
+                    "id_b": all_ids[cols],
+                    "cosine": cos[rows, cols],
+                }
+            )
+
+    return df.mapInPandas(pairs, "id_a long, id_b long, cosine double")
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    seed: int = 42,
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket key: sign bits of dot products with
+    `n_planes` seeded pseudorandom hyperplanes, packed into a long.
+    Deterministic across runs/partitionings (fixed RNG seed, exact sign
+    tests). Vectorized: one (batch × planes) matrix product per batch.
+    """
+    spark = df.sparkSession
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bp = spark.sparkContext.broadcast(planes)
+    out_schema = f"{id_col} long, {vec_col} array<float>, {out} long"
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        weights = (1 << np.arange(pl.shape[0], dtype=np.int64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ pl.T) >= 0  # B × planes
+            bucket = (bits.astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), vec_col: pdf[vec_col], out: bucket}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(sign, out_schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    hyperplane bucket, exact ranking within the bucket.
+
+    The scale path: corpus bucket assignment is a narrow map, the
+    candidate join is an equi-join on the bucket key (hash-partitioned,
+    AQE-skew-safe) — no nested loop over the full corpus. Recall is
+    tuned by n_planes; tests/test_similarity.py measures it against
+    brute force."""
+    cb = hyperplane_signatures(corpus, id_col, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "bucket"
+    )
+    qb = hyperplane_signatures(queries, id_col, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"), "bucket"
+    )
+    pairs = cb.join(F.broadcast(qb), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = _unit_rows(np.stack(pdf["__qvec"].to_numpy()).astype(np.float64))
+            b = _unit_rows(np.stack(pdf["__cvec"].to_numpy()).astype(np.float64))
+            cos = np.round(np.einsum("ij,ij->i", a, b), round_to)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    scored = pairs.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for the documents table (driver-mandated
+extension; generalizes the reference's string layer X1/X2,
+`scr/Transform.py:395-404,235-242`).
+
+All pure Column expressions — language ID, quality scoring, token
+counting, and fingerprinting run inside whole-stage codegen with zero
+Python in the hot path, so they cost one scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+# Tiny per-language stopword sets for the n-gram/stopword-ratio
+# language heuristic. Deliberately small and public-knowledge: the
+# point is the plan shape (vectorized set-membership scoring), not
+# lexical coverage.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "en"],
+}
+
+
+def _words(text_col: str) -> F.Column:
+    return F.split(normalized_text(text_col), " ")
+
+
+def _stopword_hits(words: F.Column, stopwords: list[str]) -> F.Column:
+    return F.size(F.filter(words, lambda w: w.isin(stopwords)))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts over the
+    word bag; predicted language = argmax (ties broken by language code
+    order, deterministic). Returns (id, per-language hit counts,
+    predicted_lang)."""
+    words = _words(text_col)
+    hits = {
+        lang: _stopword_hits(words, sws).alias(f"hits_{lang}")
+        for lang, sws in STOPWORDS.items()
+    }
+    out = df.select(F.col(id_col), *hits.values())
+    # argmax via greatest + chained when (first language in sorted order wins ties)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = None
+    for l in langs:
+        cond = F.col(f"hits_{l}") == best
+        pred = F.when(cond, F.lit(l)) if pred is None else pred.when(cond, F.lit(l))
+    return out.withColumn("predicted_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document quality signals: length, word count, mean word length,
+    punctuation ratio, stopword ratio, and a composite score — the
+    standard cheap pre-filters of an LLM data pipeline."""
+    words = _words(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"]", ""))
+    en_hits = _stopword_hits(words, STOPWORDS["en"])
+    avg_word_len = F.round(
+        (F.length(F.concat_ws("", words)) / F.greatest(n_words, F.lit(1))).cast("double"), 4
+    )
+    punct_ratio = F.round((n_punct / F.greatest(n_chars, F.lit(1))).cast("double"), 4)
+    stop_ratio = F.round((en_hits / F.greatest(n_words, F.lit(1))).cast("double"), 4)
+    # Composite: reward stopword presence (naturalness), penalize
+    # extreme punctuation; clamp to [0, 1].
+    score = F.round(
+        F.least(
+            F.greatest(
+                stop_ratio * 2 + F.lit(0.5) - punct_ratio * 5, F.lit(0.0)
+            ),
+            F.lit(1.0),
+        ),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_measured"),
+        n_words.cast("long").alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    tokenization (letter runs / digit runs / single non-space symbols)
+    — the cheap proxy for LLM token budgeting."""
+    ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe_ish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return df.select(
+        F.col(id_col),
+        ws_tokens.cast("long").alias("ws_tokens"),
+        bpe_ish.cast("long").alias("regex_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact-dup key)
+    plus a 64-bit xxhash (cheap join/shard key)."""
+    norm = normalized_text(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("md5_fingerprint"),
+        F.xxhash64(norm).alias("xxh64_fingerprint"),
+    )

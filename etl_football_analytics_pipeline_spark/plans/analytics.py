@@ -1,0 +1,224 @@
+"""Analytics query layer — the dashboard surface + native window upgrades.
+
+The reference dashboard issues ~15 SQL queries to PostgreSQL
+(`scr/ui.py:44-314`); §2.10 of SURVEY.md mandates native window
+implementations of the semantics the reference scrapes as data
+(standings rank, recent form). These run here as Spark window plans
+over the synthetic star schema, plus the event-stream batch analogs
+(tumbling windows, sessionization, JSON extraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import dec
+from ..sources.registry import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "w1_rank_standings",
+    oracle="""
+    SELECT c_nationkey,
+           c_custkey,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+           RANK()       OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_dense_rank,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_row_number
+    FROM customer
+    WHERE c_custkey <= 1500
+    """,
+)
+def w1_rank_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 standings semantics — league-table ranking
+    (`scr/ui.py:53-71` orders by Rank the reference scraped as data;
+    here rank is computed: rank/dense_rank/row_number over
+    partitionBy(group).orderBy(desc(metric), tiebreak))."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1500)
+    bal = dec("c_acctbal")
+    w = Window.partitionBy("c_nationkey").orderBy(bal.desc(), F.asc("c_custkey"))
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        bal.alias("acctbal"),
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.row_number().over(w).cast("long").alias("bal_row_number"),
+    )
+
+
+@query(
+    "w2_rolling_recent_form",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rolling_5_spend,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_5_n
+    FROM orders WHERE o_custkey <= 300
+    """,
+)
+def w2_rolling_recent_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 recent-form semantics — last-5 rolling frame
+    (`rowsBetween(-4, 0)`; reference scrapes `Recent_Form` as data at
+    `scr/Extract.py:166-174`, dashboard reads last-5 at
+    `scr/ui.py:272-292`)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-4, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(18,2)").alias("rolling_5_spend"),
+        F.count(F.lit(1)).over(w).alias("rolling_5_n"),
+    )
+
+
+@query(
+    "dash_season_summary",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS season_year,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / NULLIF(COUNT(DISTINCT o_orderkey), 0) AS DOUBLE), 2) AS avg_value_per_order
+    FROM orders
+    WHERE LOWER(o_orderstatus) IN ('o', 'f')
+    GROUP BY YEAR(o_orderdate)
+    """,
+)
+def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard per-season summary (`scr/ui.py:258-267`: count distinct
+    matches, sum goals, avg per match, LOWER() predicate X9)."""
+    orders = _t(spark, sf_dir, "orders")
+    filtered = orders.filter(F.lower(F.col("o_orderstatus")).isin("o", "f"))
+    agg = filtered.groupBy(F.year("o_orderdate").cast("long").alias("season_year")).agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("total_value"),
+    )
+    return agg.withColumn(
+        "avg_value_per_order",
+        F.round(
+            F.col("total_value").cast("double")
+            / F.when(F.col("n_orders") == 0, F.lit(None)).otherwise(F.col("n_orders")),
+            2,
+        ),
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate over the event stream (batch form).
+
+    The reference has no streaming (SURVEY.md §2.10); this is the
+    driver-mandated extension. The same logical plan runs unchanged as
+    a Structured Streaming query with `readStream` + `withWatermark` —
+    see streaming.windowed.tumbling_counts (tested in
+    tests/test_streaming.py). `window(ts, '1 hour').start ≡
+    date_trunc('hour', ts)` for tumbling windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag → new-session
+    flag → running sum as session id → per-session aggregate.
+
+    Batch form of the streaming `session_window(ts, gap)` operator
+    (streaming.windowed.sessionized_counts). Partition-parallel by
+    user_id — the per-user window never crosses executors."""
+    ev = _t(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w_order)
+    # microsecond-exact gap comparison (a seconds-floor cast would
+    # disagree with the oracle's INTERVAL comparison on sub-second gaps)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new_session", is_new).withColumn(
+        "session_id",
+        F.sum("is_new_session").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(dec("value")).cast("decimal(18,2)").alias("session_value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE event_id <= 2000
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the event props JSON column —
+    `get_json_object` stays JVM-side (no UDF). The reference has no
+    JSON columns; this covers the extension tables' `props` field."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )

@@ -1,0 +1,286 @@
+"""LLM-data-pipeline operators as named queries (driver-mandated
+extensions; BASELINE.json north star).
+
+Dedup, similarity search, and text analysis over the `documents` /
+`embeddings` tables. Exact variants carry full DuckDB oracles; the
+probabilistic variants (MinHash/SimHash/hyperplane LSH) hash with
+Spark's xxhash64, which DuckDB cannot reproduce, so they are
+registered without oracles — the driver records rows-only checks, and
+tests/test_dedup.py verifies them against the exact operators instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from ..operators.similarity import all_pairs_cosine, brute_force_topk, lsh_topk
+from ..operators.text import STOPWORDS, fingerprints, language_id, quality_scores, token_counts
+from ..sources.registry import load_table
+from .registry import query
+
+# DuckDB equivalent of operators.dedup.normalized_text — note the 'g'
+# flag: DuckDB's regexp_replace is first-match-only by default, Spark's
+# replaces all.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_duplicates
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5 of normalized text, keep lowest
+    doc_id (operators.dedup.exact_dedup). One shuffle keyed on the
+    fingerprint — the always-first pass of a 100 TB dedup pipeline."""
+    return exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM docs
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(sh / CAST(sa.sz + sb.sz - sh AS DOUBLE), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(sh / CAST(sa.sz + sb.sz - sh AS DOUBLE), 4) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs ≥ 0.2
+    (operators.dedup.ngram_jaccard_pairs). Relational formulation —
+    explode grams, join on gram, count — so Spark partitions the
+    quadratic work by gram; at scale this runs on LSH candidates only,
+    here it is the exact baseline the probabilistic ops are judged
+    against."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=2, threshold=0.2)
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based → no cross-engine oracle (rows-only)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4 rows) near-dup candidates with
+    estimated Jaccard ≥ 0.2 (operators.dedup.minhash_dedup_pairs).
+    Banding keeps candidate generation bucket-local — the scale path
+    that replaces the all-pairs join. Verified against the exact
+    n-gram Jaccard in tests/test_dedup.py."""
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        num_hashes=64, num_bands=16, shingle_n=2, threshold=0.2,
+    )
+
+
+@query("dedup_simhash")  # xxhash64-based → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs with hamming ≤ 12
+    (operators.dedup.simhash + simhash_near_pairs); candidates via
+    16-bit chunk banding — same bucketed-join shape as LSH."""
+    sigs = simhash(_docs(spark, sf_dir), "doc_id", "text")
+    return simhash_near_pairs(sigs, "doc_id", max_hamming=12)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ 0.95
+    (operators.similarity.all_pairs_cosine — broadcast corpus matrix,
+    BLAS batches, O(matches) shuffle). The 100 TB path buckets by
+    hyperplane signature first (ann_lsh_topk's machinery)."""
+    return all_pairs_cosine(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_cosine_similarity(qv, cv), 4) AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors
+    (operators.similarity.brute_force_topk): queries broadcast, corpus
+    scanned once and never shuffled; dot products are codegen'd
+    zip_with/aggregate folds (deterministic summation order — matches
+    the oracle bit-for-bit before rounding)."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+@query("ann_lsh_topk")  # plan-identical check impossible in SQL (pseudorandom planes) → rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (operators.similarity.lsh_topk):
+    hyperplane sign buckets → in-bucket exact ranking. The 100 TB
+    plan: equi-join on bucket key instead of a nested loop. Recall vs
+    brute force is measured in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, "vec_id", "embedding", k=5, dim=64, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('de')}, w))) AS INT) AS hits_de,
+             CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('en')}, w))) AS INT) AS hits_en,
+             CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('es')}, w))) AS INT) AS hits_es,
+             CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('fr')}, w))) AS INT) AS hits_fr
+      FROM documents
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit scoring (operators.text.language_id)
+    — vectorized set-membership counts, argmax with deterministic tie
+    order."""
+    return language_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_measured,
+             CAST(len({_WORDS}) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(length(array_to_string({_WORDS}, '')) AS BIGINT) AS total_word_chars,
+             CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('en')}, w))) AS BIGINT) AS en_hits
+      FROM documents
+    )
+    SELECT doc_id, n_chars_measured, n_words,
+           ROUND(CAST(total_word_chars AS DOUBLE) / GREATEST(n_words, 1), 4) AS avg_word_len,
+           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars_measured, 1), 4) AS punct_ratio,
+           ROUND(CAST(en_hits AS DOUBLE) / GREATEST(n_words, 1), 4) AS stopword_ratio,
+           ROUND(LEAST(GREATEST(
+             ROUND(CAST(en_hits AS DOUBLE) / GREATEST(n_words, 1), 4) * 2 + 0.5
+             - ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars_measured, 1), 4) * 5,
+             0.0), 1.0), 4) AS quality_score
+    FROM base
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (operators.text.quality_scores):
+    length / word stats / punctuation & stopword ratios / composite
+    score — the cheap pre-filters of an LLM data pipeline."""
+    return quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (operators.text.token_counts): whitespace tokens
+    + BPE-ish regex tokens, both JVM-side regex — no Python."""
+    return token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS md5_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (operators.text.fingerprints). The
+    xxhash64 shard key is Spark-specific, so the oracle checks the md5
+    column only; the full operator (with xxh64) is exercised in
+    tests/test_text.py."""
+    return fingerprints(_docs(spark, sf_dir), "doc_id", "text").select(
+        "doc_id", "md5_fingerprint"
+    )
