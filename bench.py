@@ -35,8 +35,21 @@ def main() -> int:
         sf = None
 
     spark = get_spark(app_name="bench")
-    # warmup: touch the parquet reader + codegen paths once
+    # warmup: touch the parquet reader + codegen paths, and fork the
+    # python workers (numpy/pandas import) once, so one-time process
+    # costs are not charged to the first queries measured
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    def _noop(batches):
+        import numpy  # noqa: F401 — preload in workers
+
+        yield from batches
+
+    (
+        spark.range(0, 1000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(_noop, "id long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in names:

@@ -22,8 +22,15 @@ Spark's built-in xxhash64 (deterministic across runs/partitionings).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..utils import spread
 
 
 def normalized_text(c: F.Column | str) -> F.Column:
@@ -59,7 +66,8 @@ def word_ngrams(words_col_name: str, n: int) -> F.Column:
 def _with_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """id + exploded distinct word n-grams."""
     return (
-        df.withColumn("__words", F.split(normalized_text(text_col), " "))
+        spread(df)
+        .withColumn("__words", F.split(normalized_text(text_col), " "))
         .select(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(word_ngrams("__words", n))).alias("gram"),
@@ -116,6 +124,100 @@ def ngram_jaccard_pairs(
     return jac
 
 
+def ngram_jaccard_pairs_blas(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold, dense-kernel tier.
+
+    Same results as `ngram_jaccard_pairs`, different physical strategy:
+    build the (docs × vocab) boolean gram-incidence matrix, broadcast
+    it, and let each Arrow batch compute its block of shared-gram
+    counts as one BLAS matmul, emitting only above-threshold pairs —
+    O(n²) FLOPs but O(matches) shuffle, the same shape as
+    operators.similarity.all_pairs_cosine.
+
+    When to use which: on corpora whose pairwise-candidate set is dense
+    (small shared vocabulary — here 5,000 synthetic docs share 931
+    bigrams, so ~all 12.5M pairs are join candidates and the relational
+    gram-join materializes 36M rows), the matmul wins by >10×. It is
+    bounded by the broadcast matrix (docs × vocab bits); past that, run
+    the relational form — or this form per LSH bucket, which is the
+    100 TB path (bucket-local docs × bucket-local vocab).
+    """
+    spark = df.sparkSession
+    # collect (id, xxhash64(gram) array): int arrays move through Arrow
+    # much faster than raw gram strings, and the vocabulary builds off
+    # 8-byte keys (collision odds ~|vocab|²/2^65 — negligible here,
+    # documented bound of this tier)
+    grams_df = (
+        spread(df)
+        .withColumn("__words", F.split(normalized_text(text_col), " "))
+        .withColumn("__grams", F.array_distinct(word_ngrams("__words", n)))
+        .filter(F.size("__grams") > 0)
+        .select(F.col(id_col), F.expr("transform(__grams, g -> xxhash64(g))").alias("__gh"))
+    )
+    pdf = grams_df.toPandas()
+    vocab: dict[int, int] = {}
+    for grams in pdf["__gh"]:
+        for g in grams:
+            if g not in vocab:
+                vocab[g] = len(vocab)
+    ids = pdf[id_col].to_numpy()
+    mat = np.zeros((len(pdf), len(vocab)), dtype=np.float32)
+    for i, grams in enumerate(pdf["__gh"]):
+        mat[i, [vocab[g] for g in grams]] = 1.0
+    sizes = mat.sum(axis=1, dtype=np.float32)
+    bc = spark.sparkContext.broadcast((ids, mat, sizes))
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    b_idx = spark.sparkContext.broadcast(id_to_row)
+    # Host-calibrated kernel: BLAS matmuls and comparisons are fast,
+    # but plain numpy elementwise arithmetic over O(B×N) arrays is
+    # ~350ns/element on this machine — so the block phase uses ONLY
+    # matmuls and comparisons. jac >= t ⟺ shared >= t/(1+t)·(sz_a+sz_b),
+    # and the bound itself is a rank-2 matmul. The threshold is relaxed
+    # by 1e-4 because the final 4dp rounding can pull a value that far
+    # below t over it (f32 slack rides inside the same margin); exact
+    # division + rounding then run on survivors only.
+    t_relaxed = threshold - 1e-4
+    k = t_relaxed / (1.0 + t_relaxed)
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat, all_sz = bc.value
+        row_of = b_idx.value
+        n_docs = all_mat.shape[0]
+        rhs = np.vstack([np.ones((1, n_docs), dtype=np.float32), all_sz[None, :]])
+        for bdf in batches:
+            if bdf.empty:
+                continue
+            rows = np.array([row_of[int(v)] for v in bdf[id_col]])
+            shared = all_mat[rows] @ all_mat.T  # B × N, exact ints in f32
+            lhs = np.empty((len(rows), 2), dtype=np.float32)
+            lhs[:, 0] = k * all_sz[rows]
+            lhs[:, 1] = k
+            bound = lhs @ rhs  # k·sz_a + k·sz_b via BLAS
+            ok = (shared >= bound) & (all_ids[rows][:, None] < all_ids[None, :])
+            r, c = np.nonzero(ok)
+            s = shared[r, c].astype(np.float64)
+            union = all_sz[rows][r].astype(np.float64) + all_sz[c].astype(np.float64) - s
+            jac = np.round(s / union, 4)
+            keep = jac >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": all_ids[rows][r[keep]],
+                    "id_b": all_ids[c[keep]],
+                    "jaccard": jac[keep],
+                }
+            )
+
+    # grams_df is already spread across cores; each python worker runs
+    # 1 BLAS thread — parallelism comes from partitions
+    return grams_df.select(id_col).mapInPandas(pairs, "id_a long, id_b long, jaccard double")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -126,25 +228,42 @@ def minhash_signatures(
     """MinHash signatures: for each of `num_hashes` hash functions h_i,
     sig[i] = min over shingles of xxhash64(i, shingle).
 
-    Computed entirely per-row with higher-order array functions — the
-    document's shingles never leave their row, so signature generation
-    is a map-only stage with ZERO shuffle (the explode+groupBy
-    formulation shuffles every shingle and pays a 64-aggregate codegen
-    blowup; at 100 TB that shuffle is the pipeline's biggest cost).
-    Returns (id, signature array<long>).
+    Map-only, ZERO shuffle — the document's shingles never leave their
+    row (the explode+groupBy formulation shuffles every shingle and
+    pays a 64-aggregate codegen blowup; at 100 TB that shuffle is the
+    pipeline's biggest cost). Work is split by strength: the JVM
+    computes ONE xxhash64 per shingle (codegen), then an Arrow-batched
+    numpy kernel derives the `num_hashes` permutations with a seeded
+    universal-hash family (sig[i] = min over shingles of
+    a_i * h + b_i mod 2^64, odd a_i — Broder-style) and takes the
+    column-wise min. Interpreted higher-order folds for the same math
+    measured ~4× slower. Returns (id, signature array<long>).
     """
-    sig = F.expr(
-        f"""
-        transform(sequence(0, {num_hashes - 1}), i ->
-          array_min(transform(__grams, g -> xxhash64(i, g))))
-        """
-    )
-    return (
-        df.withColumn("__words", F.split(normalized_text(text_col), " "))
+    rng = np.random.default_rng(0xC0FFEE)
+    a_co = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b_co = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+
+    hashed = (
+        spread(df)
+        .withColumn("__words", F.split(normalized_text(text_col), " "))
         .withColumn("__grams", F.array_distinct(word_ngrams("__words", shingle_n)))
         .filter(F.size("__grams") > 0)
-        .select(F.col(id_col), sig.alias("signature"))
+        .select(F.col(id_col), F.expr("transform(__grams, g -> xxhash64(g))").alias("__h"))
     )
+
+    def minsig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sigs = []
+            for h in pdf["__h"]:
+                hu = np.asarray(h, dtype=np.int64).view(np.uint64)
+                # (num_hashes × grams) permuted hashes, wraparound mod 2^64
+                perm = a_co[:, None] * hu[None, :] + b_co[:, None]
+                sigs.append(perm.min(axis=1).view(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+
+    return hashed.mapInPandas(minsig, f"{id_col} long, signature array<long>")
 
 
 def minhash_lsh_candidates(
@@ -214,35 +333,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over the word bag: each word votes its hash bits
     ±1; the signature is the sign vector packed into a long.
 
-    Computed per-row with higher-order array functions: hash each word
-    once, fold the hashes into a 64-counter vote array, pack the sign
-    vector. Map-only, ZERO shuffle (the explode → 64-conditional-sum
-    groupBy formulation shuffles every word occurrence and JIT-compiles
-    a 64-aggregate monster — measured 75× slower at sf0.01). Returns
-    (id, simhash long).
+    Map-only, ZERO shuffle (the explode → 64-conditional-sum groupBy
+    formulation shuffles every word occurrence and JIT-compiles a
+    64-aggregate monster — measured 75× slower at sf0.01). The JVM
+    computes one xxhash64 per word occurrence (codegen); an
+    Arrow-batched numpy kernel unpacks the 64 bit-planes, sums the
+    ±1 votes and packs the sign vector — dense bit math is where
+    interpreted higher-order folds lose ~10×. Returns (id, simhash
+    long).
     """
-    votes = F.expr(
-        """
-        aggregate(
-          transform(__words, w -> xxhash64(w)),
-          array_repeat(cast(0 as int), 64),
-          (acc, h) -> zip_with(acc, sequence(0, 63),
-                               (a, i) -> a + if(((h >> i) & 1) = 1, 1, -1)))
-        """
+    hashed = (
+        spread(df)
+        .withColumn("__words", F.split(normalized_text(text_col), " "))
+        .select(F.col(id_col), F.expr("transform(__words, w -> xxhash64(w))").alias("__h"))
     )
-    packed = F.expr(
-        """
-        aggregate(
-          zip_with(__votes, sequence(0, 63),
-                   (v, i) -> if(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-          cast(0 as bigint), (p, x) -> p | x)
-        """
-    )
-    return (
-        df.withColumn("__words", F.split(normalized_text(text_col), " "))
-        .withColumn("__votes", votes)
-        .select(F.col(id_col), packed.alias("simhash"))
-    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = np.empty(len(pdf), dtype=np.uint64)
+            for i, h in enumerate(pdf["__h"]):
+                hu = np.asarray(h, dtype=np.int64).view(np.uint64)
+                bits = (hu[:, None] >> shifts[None, :]) & np.uint64(1)  # words × 64
+                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(hu)
+                out[i] = np.bitwise_or.reduce((votes > 0).astype(np.uint64) << shifts)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out.view(np.int64)})
+
+    return hashed.mapInPandas(pack, f"{id_col} long, simhash long")
 
 
 def simhash_near_pairs(
@@ -258,7 +377,10 @@ def simhash_near_pairs(
         F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
         for i in range(4)
     ]
-    with_chunks = sim.select(F.col(id_col).alias("__id"), F.col("simhash"), *chunks)
+    # cached: the 4 banded self-joins reference this plan 8 times, and
+    # without a persist each reference recomputes the full signature
+    # lineage (scan → hash → numpy kernel)
+    with_chunks = sim.select(F.col(id_col).alias("__id"), F.col("simhash"), *chunks).cache()
     pieces = []
     for i in range(4):
         a = with_chunks.select(

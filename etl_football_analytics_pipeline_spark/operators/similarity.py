@@ -32,11 +32,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..utils import spread
+
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    return mat / norms
+    # reciprocal-then-multiply: elementwise division is ~40× slower
+    # than multiply on this host, so divide once per row, not per cell
+    return mat * (1.0 / norms)
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -94,7 +98,9 @@ def brute_force_topk(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    scored = corpus.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    # small single-file corpora arrive as one partition; spread the
+    # BLAS blocks across cores (workers run 1 BLAS thread each)
+    scored = spread(corpus).mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -140,7 +146,7 @@ def all_pairs_cosine(
                 }
             )
 
-    return df.mapInPandas(pairs, "id_a long, id_b long, cosine double")
+    return spread(df).mapInPandas(pairs, "id_a long, id_b long, cosine double")
 
 
 def hyperplane_signatures(
@@ -176,7 +182,7 @@ def hyperplane_signatures(
                 {id_col: pdf[id_col].to_numpy(), vec_col: pdf[vec_col], out: bucket}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(sign, out_schema)
+    return spread(df.select(id_col, vec_col)).mapInPandas(sign, out_schema)
 
 
 def lsh_topk(

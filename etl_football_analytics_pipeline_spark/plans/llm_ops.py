@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
-    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_blas,
     simhash,
     simhash_near_pairs,
 )
@@ -89,13 +89,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard near-dup pairs ≥ 0.2
-    (operators.dedup.ngram_jaccard_pairs). Relational formulation —
-    explode grams, join on gram, count — so Spark partitions the
-    quadratic work by gram; at scale this runs on LSH candidates only,
-    here it is the exact baseline the probabilistic ops are judged
-    against."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=2, threshold=0.2)
+    """Exact word-bigram Jaccard near-dup pairs ≥ 0.2. Dense-kernel
+    tier (operators.dedup.ngram_jaccard_pairs_blas): broadcast gram
+    bitmap, per-batch BLAS block matmul, O(matches) shuffle — chosen
+    because this corpus's shared vocabulary makes ~all pairs join
+    candidates, where the relational gram-join tier
+    (operators.dedup.ngram_jaccard_pairs, the unbounded-scale path)
+    materializes 36M intermediate rows. Equality of the two tiers is
+    property-tested in tests/test_dedup.py; this is the exact baseline
+    the probabilistic ops are judged against."""
+    return ngram_jaccard_pairs_blas(_docs(spark, sf_dir), "doc_id", "text", n=2, threshold=0.2)
 
 
 @query("dedup_minhash_lsh")  # xxhash64-based → no cross-engine oracle (rows-only)
