@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import dec
 from ..sources.registry import load_table
+from ..streaming.windowed import session_agg, sliding_agg, tumbling_agg
 from .registry import query
 
 
@@ -121,6 +122,7 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_tumbling_window",
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
@@ -134,20 +136,11 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no streaming (SURVEY.md §2.10); this is the
     driver-mandated extension. The same logical plan runs unchanged as
     a Structured Streaming query with `readStream` + `withWatermark` —
-    see streaming.windowed.tumbling_counts (tested in
-    tests/test_streaming.py). `window(ts, '1 hour').start ≡
-    date_trunc('hour', ts)` for tumbling windows."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("decimal(18,2)").alias("total_value"),
-        )
-    )
+    see streaming.windowed.tumbling_agg (the SAME function body runs
+    as an incremental readStream query in tests/test_streaming.py).
+    `window(ts, '1 hour').start ≡ date_trunc('hour', ts)` for tumbling
+    windows."""
+    return tumbling_agg(_t(spark, sf_dir, "events"), "1 hour")
 
 
 @query(
@@ -203,6 +196,68 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(dec("value")).cast("decimal(18,2)").alias("session_value"),
     )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH hopped AS (
+      SELECT e.event_type,
+             CAST(to_timestamp((FLOOR(epoch(e.ts) / 1800) - k.k) * 1800) AS TIMESTAMP) AS window_start
+      FROM events e CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM hopped
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate — width 1h, slide 30min, so
+    each event lands in two windows (streaming.windowed.sliding_agg;
+    same body runs incrementally under readStream + watermark). The
+    oracle enumerates the two hops per event explicitly; Spark's
+    `window(ts, w, s)` enumerates identically, epoch-aligned."""
+    return sliding_agg(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` gap sessionization (30-min gap) —
+    streaming.windowed.session_agg, the streaming-capable twin of
+    events_sessionize's lag/running-sum form. Spark defines session
+    end = last event + gap; the oracle states `MAX(ts) + INTERVAL`.
+    Edge semantics: Spark merges only on strict window overlap, so an
+    event exactly `gap` after its predecessor starts a NEW session —
+    hence the oracle's `>= INTERVAL 30 MINUTE` new-session test."""
+    return session_agg(_t(spark, sf_dir, "events"), "30 minutes")
 
 
 @query(

@@ -1,0 +1,173 @@
+"""Windowed / stateful streaming operators.
+
+Every aggregation here is written against a plain DataFrame, so the
+SAME function body serves both engines: applied to `load_table(...)`
+it is a batch query (verified against a DuckDB oracle via the plan
+registry), applied to `stream_events(...)` it is an incremental
+Structured Streaming query (verified end-to-end in
+tests/test_streaming.py with `trigger(availableNow=True)`). That
+batch/stream plan unification is the Spark-idiomatic replacement for
+the reference's hand-rolled incremental batch (`scr/Extract.py:
+222-248`).
+
+Scale notes: streaming state (windows, session state, dedup keys) is
+partitioned by the grouping key across executors; watermarks bound
+state size, so none of these operators accumulate unbounded state at
+100 TB/day rates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.merge import merge_replace
+from ..sources.registry import TABLES
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str | None = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """`readStream` source over the events parquet.
+
+    The driver ships `events.parquet` as a single file, so the file
+    source points at the directory with a glob filter. The file was
+    written with TIMESTAMP(NANOS), which Spark's reader only accepts
+    as long (`nanosAsLong`); the ns→µs conversion matches
+    sources.registry.load_table exactly, so batch and stream plans see
+    identical rows.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in TABLES["events"].fields
+        ]
+    )
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return df
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event_type — batch & stream.
+
+    `window(ts, w).start` on a tumbling window ≡ `date_trunc` to the
+    window width, which is how the DuckDB oracle states it.
+    """
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window (hopping) count per event_type — each event lands
+    in width/slide windows; Spark enumerates them, state is bounded by
+    the watermark."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user via the native
+    `session_window` operator (the streaming-capable form of the
+    lag/running-sum sessionization in plans.analytics.events_sessionize).
+    Session end = last event + gap, per Spark's definition — the oracle
+    states `max(ts) + INTERVAL gap`."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: Sequence[str] = ("event_id",)) -> DataFrame:
+    """Exactly-once-by-key over a stream: `dropDuplicates` keyed state,
+    bounded by the event-time watermark (`dropDuplicatesWithinWatermark`
+    when a watermark is set on a streaming frame). The streaming form of
+    the reference's raw-layer key dedup (`scr/Extract.py:285-299`)."""
+    if events.isStreaming:
+        return events.dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))
+
+
+def merge_sink(
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    spark: SparkSession | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """`foreachBatch` sink: keyed MERGE (new-wins) of each micro-batch
+    into a parquet target — the reference's incremental upsert
+    (`scr/Extract.py:262-303`) as a streaming sink. Replays of a batch
+    after a failure re-merge the same keys, so the sink is idempotent
+    (effectively exactly-once by key).
+
+    Usage:
+        q = (stream.writeStream.foreachBatch(merge_sink(path, keys, ckpt))
+             .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    """
+    keys = list(keys)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        s = spark or batch.sparkSession
+        import os
+
+        if os.path.isdir(target_path):
+            old = s.read.parquet(target_path)
+            merged = merge_replace(old, batch, keys)
+        else:
+            merged = batch
+        # not atomic over plain parquet (documented SURVEY.md §7 risk);
+        # stage-then-rename keeps the window small
+        tmp = target_path + f".__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = s.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(target_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return apply

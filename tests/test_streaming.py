@@ -1,0 +1,150 @@
+"""End-to-end Structured Streaming tests.
+
+Each test runs a real `readStream` over the events parquet with
+`trigger(availableNow=True)` and compares the streamed result with the
+batch plan of the SAME function body — the engine's batch/stream
+unification contract (streaming/windowed.py docstring).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.sources.registry import load_table
+from etl_football_analytics_pipeline_spark.streaming.windowed import (
+    dedup_within_watermark,
+    merge_sink,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in row) for row in df.select(*cols).collect())
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@pytest.fixture()
+def events_stream(spark):
+    return stream_events(spark, SF, watermark="2 hours")
+
+
+def test_stream_source_rows_match_batch(spark, events_stream):
+    """The readStream source must see exactly the batch rows (incl. the
+    ns→µs timestamp conversion)."""
+    tmp = tempfile.mkdtemp(prefix="stream_rows_")
+    try:
+        q = (
+            events_stream.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(f"{tmp}/out")
+        batch = load_table(spark, SF, "events")
+        assert streamed.count() == batch.count()
+        a = sorted(streamed.select("event_id", "ts").collect())
+        b = sorted(batch.select("event_id", "ts").collect())
+        assert a == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream):
+    streamed = _run_stream_to_memory(
+        spark, tumbling_agg(events_stream, "1 hour"), "tumbling_mem"
+    )
+    batch = tumbling_agg(load_table(spark, SF, "events"), "1 hour")
+    assert _canon(streamed) == _canon(batch)
+
+
+def test_sliding_stream_equals_batch(spark, events_stream):
+    streamed = _run_stream_to_memory(
+        spark, sliding_agg(events_stream, "1 hour", "30 minutes"), "sliding_mem"
+    )
+    batch = sliding_agg(load_table(spark, SF, "events"), "1 hour", "30 minutes")
+    assert _canon(streamed) == _canon(batch)
+
+
+def test_session_stream_equals_batch(spark, events_stream):
+    streamed = _run_stream_to_memory(
+        spark, session_agg(events_stream, "30 minutes"), "session_mem"
+    )
+    batch = session_agg(load_table(spark, SF, "events"), "30 minutes")
+    assert _canon(streamed) == _canon(batch)
+
+
+def test_stream_dedup_drops_duplicate_keys(spark):
+    """A stream carrying each event twice must come out with each key
+    exactly once."""
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        batch = load_table(spark, SF, "events").limit(500)
+        doubled = batch.unionByName(batch)
+        doubled.write.mode("overwrite").parquet(f"{tmp}/in")
+        sdf = (
+            spark.readStream.schema(doubled.schema).parquet(f"{tmp}/in")
+            .withWatermark("ts", "10 minutes")
+        )
+        deduped = dedup_within_watermark(sdf, ["event_id"])
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{tmp}/out")
+        assert out.count() == 500
+        assert out.select("event_id").distinct().count() == 500
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_foreach_batch_merge_sink_idempotent_by_key(spark):
+    """The foreachBatch MERGE sink must upsert by key: streaming the
+    same data into the target twice leaves exactly one row per key
+    (the reference's `scr/Extract.py:262-303` semantics)."""
+    tmp = tempfile.mkdtemp(prefix="stream_merge_")
+    try:
+        src = load_table(spark, SF, "events").limit(200)
+        src.write.mode("overwrite").parquet(f"{tmp}/in")
+        target = f"{tmp}/target"
+        for run in range(2):
+            sdf = spark.readStream.schema(src.schema).parquet(f"{tmp}/in")
+            q = (
+                sdf.writeStream.foreachBatch(merge_sink(target, ["event_id"], f"{tmp}/ckpt{run}"))
+                .option("checkpointLocation", f"{tmp}/ckpt{run}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        out = spark.read.parquet(target)
+        assert out.count() == 200
+        assert out.select("event_id").distinct().count() == 200
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
