@@ -192,26 +192,61 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     round_to: int = 4,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
-    hyperplane bucket, exact ranking within the bucket.
+    hyperplane buckets, exact ranking within them.
 
-    The scale path: corpus bucket assignment is a narrow map, the
-    candidate join is an equi-join on the bucket key (hash-partitioned,
-    AQE-skew-safe) — no nested loop over the full corpus. Recall is
-    tuned by n_planes; tests/test_similarity.py measures it against
-    brute force."""
-    cb = hyperplane_signatures(corpus, id_col, vec_col, dim, n_planes, seed).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "bucket"
-    )
-    qb = hyperplane_signatures(queries, id_col, vec_col, dim, n_planes, seed).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"), "bucket"
-    )
-    pairs = cb.join(F.broadcast(qb), "bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    OR-amplified LSH: `n_tables` independent plane sets; a candidate
+    qualifies if it shares a bucket with the query in ANY table
+    (P[found] = 1-(1-p^planes)^tables where p = 1-θ/π — single-table
+    sign-LSH misses moderately-similar neighbors badly). The scale
+    path: bucket assignment is a narrow map over the corpus, the
+    candidate join is an equi-join on (table, bucket) — hash-
+    partitioned, AQE-skew-safe, no nested loop over the full corpus.
+    Recall vs brute force is measured in tests/test_similarity.py."""
+
+    spark = corpus.sparkSession
+    rng = np.random.default_rng(seed)
+    # (tables × planes × dim), all tables signed in ONE corpus pass
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    bp = spark.sparkContext.broadcast(planes)
+
+    def buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        out_schema = f"{id_alias} long, {vec_alias} array<float>, table int, bucket long"
+
+        def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pl = bp.value
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                bits = (mat @ pl.T) >= 0  # B × (tables·planes)
+                per_table = bits.reshape(len(pdf), n_tables, n_planes)
+                bucket = (per_table.astype(np.int64) * weights).sum(axis=2)  # B × T
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_alias: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                        vec_alias: pdf[vec_col].iloc[np.repeat(np.arange(n), n_tables)].to_numpy(),
+                        "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                        "bucket": bucket.reshape(-1),
+                    }
+                )
+
+        return spread(df.select(id_col, vec_col)).mapInPandas(sign, out_schema)
+
+    cb = buckets(corpus, "neighbor_id", "__cvec")
+    qb = buckets(queries, "query_id", "__qvec")
+    pairs = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4,5 +4,6 @@ from .registry import ORACLES, QUERIES, query
 from . import relational  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import coverage  # noqa: E402,F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]

@@ -1,0 +1,83 @@
+"""Dedup-operator tests: tier equality (BLAS vs relational exact
+Jaccard), probabilistic-operator quality vs the exact baseline, and
+signature determinism under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_blas,
+    simhash,
+    simhash_near_pairs,
+)
+from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_blas_tier_equals_relational_tier(spark, docs):
+    """The two physical strategies of exact n-gram Jaccard must agree
+    exactly (same pairs, same 4dp values)."""
+    rel = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
+    blas = ngram_jaccard_pairs_blas(docs, "doc_id", "text", n=2, threshold=0.2)
+    a = sorted(tuple(r) for r in rel.collect())
+    b = sorted(tuple(r) for r in blas.collect())
+    assert a == b
+
+
+def test_minhash_recall_against_exact(spark, docs):
+    """MinHash-LSH at threshold 0.2 must recover most truly-similar
+    pairs (Jaccard ≥ 0.35 ⇒ detection probability ≥ ~96% with 16
+    bands × 4 rows) and not hallucinate high-estimate pairs that are
+    fully dissimilar."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_blas(docs, "doc_id", "text", n=2, threshold=0.2).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", num_hashes=64, num_bands=16, shingle_n=2, threshold=0.2
+        ).collect()
+    }
+    strong_truth = {p for p, j in exact.items() if j >= 0.35}
+    if strong_truth:
+        recall = len(strong_truth & set(approx)) / len(strong_truth)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(strong_truth)} strong pairs"
+    # estimated-similar pairs should mostly be at least weakly similar
+    if approx:
+        confirmed = sum(1 for p in approx if p in exact)
+        assert confirmed / len(approx) >= 0.5
+
+
+def test_exact_dedup_covers_all_docs(spark, docs):
+    total = docs.count()
+    agg = exact_dedup(docs, "doc_id", "text").agg(F.sum("n_duplicates")).collect()[0][0]
+    assert agg == total
+
+
+def test_simhash_deterministic_under_repartition(spark, docs):
+    one = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    other = {
+        r.doc_id: r.simhash
+        for r in simhash(docs.repartition(7), "doc_id", "text").collect()
+    }
+    assert one == other
+
+
+def test_simhash_near_pairs_hamming_bound(spark, docs):
+    sigs = simhash(docs, "doc_id", "text")
+    pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=8).collect()
+    assert all(0 <= r.hamming <= 8 for r in pairs)
+    assert all(r.id_a < r.id_b for r in pairs)

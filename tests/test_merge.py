@@ -1,0 +1,60 @@
+"""MERGE library property tests (SURVEY.md §5: idempotency is the
+invariant the reference claims for its incremental loads)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.merge import (
+    insert_if_absent,
+    merge_replace,
+    merge_replace_with_audit,
+)
+from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_merge_replace_idempotent(spark):
+    old = load_table(spark, SF, "supplier")
+    new = old.filter(F.col("s_suppkey") % 7 == 0).withColumn(
+        "s_name", F.concat(F.col("s_name"), F.lit("+delta"))
+    )
+    once = merge_replace(old, new, ["s_suppkey"])
+    twice = merge_replace(once, new, ["s_suppkey"])
+    assert _canon(once) == _canon(twice)
+
+
+def test_merge_replace_new_wins(spark):
+    old = load_table(spark, SF, "supplier")
+    new = old.filter(F.col("s_suppkey") == 0).withColumn("s_name", F.lit("REPLACED"))
+    merged = merge_replace(old, new, ["s_suppkey"])
+    assert merged.count() == old.count()
+    assert merged.filter(F.col("s_suppkey") == 0).collect()[0].s_name == "REPLACED"
+
+
+def test_insert_if_absent_old_wins_and_idempotent(spark):
+    target = load_table(spark, SF, "supplier")
+    conflicting = target.limit(5).withColumn("s_name", F.lit("SHOULD_NOT_APPEAR"))
+    fresh = target.limit(3).withColumn("s_suppkey", F.col("s_suppkey") + 10_000)
+    src = conflicting.unionByName(fresh)
+    once = insert_if_absent(target, src, ["s_suppkey"])
+    assert once.count() == target.count() + 3
+    assert once.filter(F.col("s_name") == "SHOULD_NOT_APPEAR").count() == 0
+    twice = insert_if_absent(once, src, ["s_suppkey"])
+    assert _canon(once) == _canon(twice)
+
+
+def test_merge_audit_counts(spark):
+    old = load_table(spark, SF, "supplier").cache()
+    new = old.limit(10).withColumn("s_name", F.lit("v2")).cache()
+    merged, audit = merge_replace_with_audit(old, new, ["s_suppkey"])
+    assert audit.target_rows == old.count()
+    assert audit.source_rows == 10
+    assert audit.result_rows == old.count()  # pure update, no inserts
+    assert audit.replaced_or_skipped == 10

@@ -1,0 +1,60 @@
+"""Similarity-search tests: LSH recall vs brute force, determinism of
+hyperplane bucketing, and top-k ordering invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_signatures,
+    lsh_topk,
+)
+from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_brute_force_topk_ordering(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        ranked = sorted(rows, key=lambda r: r.rank)
+        # cosine non-increasing with rank; no self-matches
+        for a, b in zip(ranked, ranked[1:]):
+            assert (a.cosine, -a.neighbor_id) >= (b.cosine, -b.neighbor_id)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=1).filter(F.col("rank") == 1).collect()
+    approx = lsh_topk(emb, queries, k=5, dim=64, n_planes=4).collect()
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # the true nearest neighbor should land in the query's bucket for
+    # most queries with only 4 planes (same-sign probability is high
+    # for near-identical vectors)
+    hits = sum(1 for r in exact if r.neighbor_id in approx_by_q.get(r.query_id, set()))
+    assert hits / len(exact) >= 0.6, f"top-1 recall {hits}/{len(exact)}"
+
+
+def test_hyperplane_buckets_deterministic(spark, emb):
+    a = {r.vec_id: r.bucket for r in hyperplane_signatures(emb, n_planes=8).collect()}
+    b = {
+        r.vec_id: r.bucket
+        for r in hyperplane_signatures(emb.repartition(5), n_planes=8).collect()
+    }
+    assert a == b
