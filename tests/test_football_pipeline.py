@@ -1,0 +1,199 @@
+"""Golden-file parity: the Spark pipeline replays the reference's
+`data_raw → data_processed` transformation and must reproduce the
+committed outputs (SURVEY.md §5 — the reference's own regression
+fixtures are the strongest available ground truth).
+
+Sources available in the snapshot: fbref_fact_team_match,
+fbref_fact_player_season_stats, dim_team. The raw player-MATCH stats
+and standings files were stripped (`.MISSING_LARGE_BLOBS`), so
+dim_player is verified as a golden SUBSET and fact_team_point /
+dim_stadium are covered by synthetic unit tests instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.pipeline.football import (
+    build_dim_match,
+    build_dim_player,
+    build_dim_season,
+    build_dim_stadium,
+    build_dim_team,
+    build_fact_team_match,
+    build_fact_team_point,
+    read_csv_with_order,
+)
+
+RAW = "/root/reference/data_raw"
+GOLD = "/root/reference/data_processed"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RAW), reason="reference snapshot not available"
+)
+
+
+@pytest.fixture(scope="module")
+def raw_team_match(spark):
+    return read_csv_with_order(spark, f"{RAW}/fbref_fact_team_match.csv").cache()
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    def load(name: str):
+        return (
+            spark.read.option("header", "true")
+            .csv(f"{GOLD}/{name}.csv")
+        )
+
+    return load
+
+
+def _rows(df, cols):
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_dim_match_matches_golden_exactly(spark, raw_team_match, golden):
+    ours = build_dim_match(raw_team_match)
+    gold = golden("dim_match").select(
+        F.col("game_id").cast("long"),
+        "game",
+        F.to_date("date").alias("date"),
+        "round",
+        "day",
+    )
+    assert ours.count() == gold.count() == 2293
+    assert _rows(ours, ours.columns) == _rows(gold, ours.columns)
+
+
+def test_dim_team_matches_golden_exactly(spark, golden):
+    raw = read_csv_with_order(spark, f"{RAW}/dim_team.csv")
+    ours = build_dim_team(raw)
+    gold = golden("dim_team").select(
+        F.col("team_id").cast("long"),
+        "team_name",
+        F.col("founded_year").cast("long"),
+        F.col("stadium_id").cast("long"),
+        "short_name",
+    )
+    assert _rows(ours, ours.columns) == _rows(gold, ours.columns)
+
+
+def test_dim_season_generated_matches_golden_seed(spark, raw_team_match, golden):
+    """SURVEY §1.4: the reference's static seed must be derivable from
+    data — and it is, exactly."""
+    ours = build_dim_season(raw_team_match)
+    gold = golden("dim_season").select(
+        F.col("season_id").cast("long"),
+        "season_name",
+        F.col("start_year").cast("long"),
+        F.col("end_year").cast("long"),
+        F.to_date("actual_start_date").alias("actual_start_date"),
+        F.to_date("actual_end_date").alias("actual_end_date"),
+    )
+    assert _rows(ours, ours.columns) == _rows(gold, ours.columns)
+
+
+def test_dim_player_is_golden_subset(spark, golden):
+    """The raw player-match source is missing from the snapshot, so our
+    season-only rebuild must be an attribute-exact subset of the golden
+    (ids shift, attributes don't)."""
+    season = read_csv_with_order(spark, f"{RAW}/fbref_fact_player_season_stats.csv")
+    ours = build_dim_player(season, match_stats=None)
+    gold = golden("dim_player")
+    attr = ["player", "pos", "nation", "born"]
+    ours_rows = set(_rows(ours.withColumn("born", F.col("born").cast("string")), attr))
+    gold_rows = set(
+        _rows(gold.withColumn("born", F.col("born").cast("long").cast("string")), attr)
+    )
+    assert ours_rows <= gold_rows
+    # season stats cover the large majority of the golden player dim
+    assert len(ours_rows) >= 1000
+    # ids are dense 1..N in name order
+    ids = [r.player_id for r in ours.orderBy("player_id").collect()]
+    assert ids == list(range(1, len(ids) + 1))
+
+
+def test_fact_team_match_matches_golden_exactly(spark, raw_team_match, golden):
+    """The core fact build: golden dims in (as the reference's own run
+    consumed them), golden fact out — 4,066 rows, value-identical."""
+    dim_team = golden("dim_team")
+    dim_match = golden("dim_match")
+    dim_player = golden("dim_player")
+    ours = build_fact_team_match(raw_team_match, dim_team, dim_match, dim_player)
+
+    gold = golden("fact_team_match_clean").select(
+        F.col("season").cast("long"),
+        F.col("game_id").cast("long"),
+        F.col("team_id").cast("long"),
+        F.col("opponent_id").cast("long"),
+        "round",
+        "venue",
+        "result",
+        F.col("GF").cast("double"),
+        F.col("GA").cast("double"),
+        F.col("xG").cast("double"),
+        F.col("xGA").cast("double"),
+        F.col("Poss").cast("double"),
+        F.col("captain_id").cast("double"),
+        "Formation",
+        F.col("Opp Formation"),
+    )
+    assert ours.count() == gold.count() == 4066
+    cols = gold.columns
+    ours_cast = ours.select(
+        *[F.col(c).cast(dict(gold.dtypes)[c]).alias(c) for c in cols]
+    )
+    assert _rows(ours_cast, cols) == _rows(gold, cols)
+
+
+def test_fact_team_point_synthetic(spark):
+    """Raw standings are absent from the snapshot; the transform logic
+    (X7 season encode, name-clean chain, J8 lookup-drop, N2 rank, X5
+    GF:GA split) is exercised on a synthetic frame instead."""
+    raw = spark.createDataFrame(
+        [
+            ("2024-2025", "overall", "1.", "Arsenal", "38", "20", "14", "4", "69:34", "35", "74", "WWDLD", 0),
+            ("2024/2025", "home", "2.0", "Nottingham", "19", "12", "4", "3", "37:20", "17", "40", "WWWDL", 1),
+            ("2425", "away", "3", "Sunderland A.", "19", "8", "5", "6", "25:21", "4", "29", "LWDWL", 2),
+            ("2425", "overall", "bad", "Arsenal", "38", "20", "14", "4", "69:34", "35", "74", "WWDLD", 3),
+            ("2425", "overall", "4", "No Such Team", "38", "1", "2", "3", "10:30", "-20", "5", "LLLLL", 4),
+        ],
+        "season_id string, Match_Category string, Rank string, Team string, MP string, "
+        "W string, D string, L string, `GF:GA` string, GD string, Pts string, "
+        "Recent_Form string, __row long",
+    )
+    dim_team = spark.createDataFrame(
+        [(9617, "Arsenal"), (111, "Nott'ham forest"), (222, "Sunderland")],
+        "team_id long, team_name string",
+    )
+    out = build_fact_team_point(raw, dim_team).collect()
+    by_rank = {r.Rank: r for r in out}
+    # unmatched team and unparseable rank rows dropped
+    assert len(out) == 3 and set(by_rank) == {1, 2, 3}
+    assert by_rank[1].season_id == 2425 and by_rank[1].team_id == 9617
+    assert by_rank[1].GF == 69 and by_rank[1].GA == 34
+    assert by_rank[2].team_id == 111  # Nottingham → Nott'ham forest
+    assert by_rank[3].team_id == 222  # Sunderland A. → sunderland
+
+
+def test_dim_stadium_synthetic(spark):
+    raw = spark.createDataFrame(
+        [
+            ("Q619094", "Dean Court", "12000", 0),
+            ("stadium_id", "statium_name", "capacity", 1),  # embedded header
+            ("Q163995", "Emirates Stadium", "60338.0", 2),
+            ("Q1", None, "5", 3),  # malformed: missing name
+            ("Q2", "Somewhere", "capacity", 4),  # literal 'capacity'
+        ],
+        "stadium_id string, statium_name string, capacity string, __row long",
+    )
+    out = sorted(build_dim_stadium(raw).collect())
+    assert [(r.stadium_id, r.statium_name, r.capacity) for r in out] == [
+        (163995, "Emirates Stadium", 60338),
+        (619094, "Dean Court", 12000),
+    ]
