@@ -21,6 +21,13 @@ from ..operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
+from ..operators.multimodal import (
+    frame_sample,
+    image_histogram_features,
+    image_resize,
+    image_stats,
+    synthetic_images,
+)
 from ..operators.similarity import all_pairs_cosine, brute_force_topk, lsh_topk
 from ..operators.text import STOPWORDS, fingerprints, language_id, quality_scores, token_counts
 from ..sources.registry import load_table
@@ -132,15 +139,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.95
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ 0.95
+    """Embedding near-dup: pairs with cosine ≥ threshold
     (operators.similarity.all_pairs_cosine — broadcast corpus matrix,
-    BLAS batches, O(matches) shuffle). The 100 TB path buckets by
-    hyperplane signature first (ann_lsh_topk's machinery)."""
-    return all_pairs_cosine(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.95)
+    BLAS batches, O(matches) shuffle). Threshold 0.45 because the
+    synthetic embeddings top out at pairwise cosine ≈0.51 — a 0.95
+    run would vacuously return 0 rows and prove nothing. The 100 TB
+    path buckets by hyperplane signature first (ann_lsh_topk's
+    machinery)."""
+    return all_pairs_cosine(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +199,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries_df, "vec_id", "embedding", k=5, dim=64, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (stubbed codec, real plumbing — operators.multimodal)
+# ---------------------------------------------------------------------------
+
+
+@query("mm_image_stats")  # synthetic SMF codec → no SQL oracle (rows-only)
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + per-image stats over a binary media column
+    (operators.multimodal.image_stats): pixels stay executor-local,
+    only scalars shuffle. Codec stubbed (SMF synthetic format);
+    exactness vs direct numpy decode is tested in
+    tests/test_multimodal.py."""
+    return image_stats(synthetic_images(spark, n=200))
+
+
+@query("mm_frame_sample")  # rows-only
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over video-like containers
+    (operators.multimodal.frame_sample) — the 1→n/k fan-out shape,
+    emitting re-encoded frame blobs with typed metadata."""
+    return frame_sample(synthetic_images(spark, n=100, width=16, height=32), every_k=4).select(
+        "id", "frame_id", F.length("content").alias("frame_bytes"), F.col("meta.height").alias("frame_rows")
+    )
+
+
+@query("mm_image_near_dup")  # rows-only
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media → embedding bridge: resize, histogram features, then the
+    embedding near-dup operator (multimodal → similarity composition).
+    Ids ≥ 1000 are re-labeled copies of ids 0-9 (same seed → identical
+    pixels), so the result always contains those pairs at cosine 1.0 —
+    asserted in tests/test_multimodal.py."""
+    base = synthetic_images(spark, n=60)
+    dups = base.filter(F.col("id") < 10).withColumn("id", F.col("id") + 1000)
+    resized = image_resize(base.unionByName(dups), 16, 12)
+    feats = image_histogram_features(resized)
+    return all_pairs_cosine(feats, "id", "embedding", threshold=0.999)
 
 
 # ---------------------------------------------------------------------------

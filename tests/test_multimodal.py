@@ -1,0 +1,83 @@
+"""Multimodal plumbing tests: codec roundtrip, kernel exactness vs
+direct numpy, fan-out shapes, stub boundary, and the media→embedding
+bridge into the similarity operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.multimodal import (
+    frame_sample,
+    image_histogram_features,
+    image_resize,
+    image_stats,
+    smf_decode,
+    smf_encode,
+    synthetic_images,
+)
+from etl_football_analytics_pipeline_spark.operators.similarity import all_pairs_cosine
+
+
+def test_codec_roundtrip():
+    blob = smf_encode(seed=7, width=5, height=3)
+    px = smf_decode(blob)
+    assert px.shape == (3, 5)
+    # deterministic: same seed, same pixels
+    assert np.array_equal(px, smf_decode(smf_encode(7, 5, 3)))
+
+
+def test_real_formats_raise():
+    with pytest.raises(NotImplementedError):
+        smf_decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_image_stats_match_direct_decode(spark):
+    imgs = synthetic_images(spark, n=20, width=8, height=6)
+    got = {r.id: r for r in image_stats(imgs).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        px = smf_decode(smf_encode(i, 8, 6))
+        assert got[i].n_pixels == px.size
+        assert got[i].min_px == int(px.min())
+        assert got[i].max_px == int(px.max())
+        assert got[i].mean_px == pytest.approx(round(float(px.mean()), 4), abs=1e-4)
+
+
+def test_resize_dims_and_schema(spark):
+    imgs = synthetic_images(spark, n=5, width=32, height=24)
+    out = image_resize(imgs, 8, 6)
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.meta.width == 8 and r.meta.height == 6
+        assert smf_decode(bytes(r.content)).shape == (6, 8)
+
+
+def test_frame_sample_fanout(spark):
+    # 32 rows / 4 rows-per-frame = 8 frames; every 4th -> frames 0 and 4
+    imgs = synthetic_images(spark, n=3, width=16, height=32)
+    out = frame_sample(imgs, every_k=4, frame_rows=4).collect()
+    per_img = {}
+    for r in out:
+        per_img.setdefault(r.id, []).append(r.frame_id)
+    assert all(sorted(v) == [0, 4] for v in per_img.values())
+    # frame content = the right slice of the source image
+    first = next(r for r in out if r.id == 0 and r.frame_id == 4)
+    src = smf_decode(smf_encode(0, 16, 32))
+    assert np.array_equal(smf_decode(bytes(first.content)), src[16:20])
+
+
+def test_media_embedding_bridge_pairs_identical_images(spark):
+    """Two ids encoding the same seed are pixel-identical; after the
+    resize → histogram → cosine pipeline they must pair at 1.0."""
+    a = synthetic_images(spark, n=10)
+    dup = a.filter(F.col("id") < 3).withColumn("id", F.col("id") + 100)
+    # id 100+k has the same content as id k (same seed bytes)
+    imgs = a.unionByName(dup)
+    feats = image_histogram_features(image_resize(imgs, 16, 12))
+    pairs = all_pairs_cosine(feats, "id", "embedding", threshold=0.999).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert {(0, 100), (1, 101), (2, 102)} <= found
