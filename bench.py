@@ -58,6 +58,10 @@ def main() -> int:
         n = len(df.collect())
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name:32s} {timings[name]:8.3f}s  n={n}", file=sys.stderr)
+        # hygiene between queries: queries that cache intermediates
+        # would otherwise accumulate storage memory across the run and
+        # distort later measurements with eviction/GC churn
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

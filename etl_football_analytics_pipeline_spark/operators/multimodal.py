@@ -68,15 +68,38 @@ def smf_decode(blob: bytes) -> np.ndarray:
 
 
 def synthetic_images(
-    spark: SparkSession, n: int = 100, width: int = 32, height: int = 24
+    spark: SparkSession,
+    n: int = 100,
+    width: int = 32,
+    height: int = 24,
+    partitions: int | None = None,
 ) -> DataFrame:
     """A deterministic media table (id, content, meta) — the test/demo
-    stand-in for a real bronze media layer."""
-    rows = [
-        (i, bytearray(smf_encode(i, width, height)), (width, height, "smf"))
-        for i in range(n)
-    ]
-    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+    stand-in for a real bronze media layer.
+
+    Generated executor-side from `spark.range` (the driver never holds
+    the blobs — the shape that scales to a real media corpus), with
+    partition count proportional to n: over-splitting a tiny table
+    multiplies python-worker launches in every downstream chained
+    kernel stage, which costs far more than the kernels themselves.
+    """
+    if partitions is None:
+        parallelism = spark.sparkContext.defaultParallelism
+        partitions = max(1, min(parallelism, n // 8))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": [bytearray(smf_encode(int(i), width, height)) for i in pdf["id"]],
+                    "meta": [(width, height, "smf")] * len(pdf),
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(encode, IMAGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +107,7 @@ def synthetic_images(
 # ---------------------------------------------------------------------------
 
 
-def image_stats(images: DataFrame) -> DataFrame:
+def image_stats(images: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Decode + per-image statistics (the feature-extraction shape):
     one Arrow batch in, one small row out per image — O(rows) shuffle
     of scalars, pixels never leave the executor."""
@@ -103,12 +126,17 @@ def image_stats(images: DataFrame) -> DataFrame:
                 out["max_px"].append(int(px.max()))
             yield pd.DataFrame(out)
 
-    return spread(images).mapInPandas(
+    return spread(images, min_partitions).mapInPandas(
         stats, "id long, n_pixels long, mean_px double, min_px int, max_px int"
     )
 
 
-def image_resize(images: DataFrame, out_width: int, out_height: int) -> DataFrame:
+def image_resize(
+    images: DataFrame,
+    out_width: int,
+    out_height: int,
+    min_partitions: int | None = None,
+) -> DataFrame:
     """Nearest-neighbor resize, re-encoded to SMF with updated metadata
     — content transforms stay inside the executor batch; the schema
     contract (content + meta struct) is preserved for downstream ops."""
@@ -130,10 +158,12 @@ def image_resize(images: DataFrame, out_width: int, out_height: int) -> DataFram
                 metas.append((out_width, out_height, "smf"))
             yield pd.DataFrame({"id": ids, "content": blobs, "meta": metas})
 
-    return spread(images).mapInPandas(resize, IMAGE_SCHEMA)
+    return spread(images, min_partitions).mapInPandas(resize, IMAGE_SCHEMA)
 
 
-def image_histogram_features(images: DataFrame, n_bins: int = 16) -> DataFrame:
+def image_histogram_features(
+    images: DataFrame, n_bins: int = 16, min_partitions: int | None = None
+) -> DataFrame:
     """Pixel-intensity histogram → `array<float>` embedding column —
     the bridge from media to the similarity/dedup operators (the
     embedding ops consume exactly this shape)."""
@@ -152,10 +182,15 @@ def image_histogram_features(images: DataFrame, n_bins: int = 16) -> DataFrame:
                 ids.append(i)
             yield pd.DataFrame({"id": ids, "embedding": feats})
 
-    return spread(images).mapInPandas(hist, "id long, embedding array<float>")
+    return spread(images, min_partitions).mapInPandas(hist, "id long, embedding array<float>")
 
 
-def frame_sample(images: DataFrame, every_k: int = 4, frame_rows: int = 4) -> DataFrame:
+def frame_sample(
+    images: DataFrame,
+    every_k: int = 4,
+    frame_rows: int = 4,
+    min_partitions: int | None = None,
+) -> DataFrame:
     """Frame sampling over a video-like container: treat each SMF blob
     as a stack of `frame_rows`-row frames and emit every k-th frame as
     its own SMF image — the explode-shaped op (1 row in, n_frames/k
@@ -181,7 +216,7 @@ def frame_sample(images: DataFrame, every_k: int = 4, frame_rows: int = 4) -> Da
                 {"id": ids, "frame_id": frame_ids, "content": blobs, "meta": metas}
             )
 
-    return spread(images).mapInPandas(
+    return spread(images, min_partitions).mapInPandas(
         sample,
         "id long, frame_id int, content binary, meta struct<width:int, height:int, format:string>",
     )

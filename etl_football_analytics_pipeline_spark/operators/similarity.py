@@ -59,6 +59,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_to: int = 4,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector, self-matches excluded.
     Returns (query_id, neighbor_id, cosine, rank).
@@ -100,7 +101,7 @@ def brute_force_topk(
 
     # small single-file corpora arrive as one partition; spread the
     # BLAS blocks across cores (workers run 1 BLAS thread each)
-    scored = spread(corpus).mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    scored = spread(corpus, min_partitions).mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -115,6 +116,7 @@ def all_pairs_cosine(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_to: int = 4,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — the embedding
     near-duplicate detector. Corpus matrix broadcast; each batch emits
@@ -146,7 +148,7 @@ def all_pairs_cosine(
                 }
             )
 
-    return spread(df).mapInPandas(pairs, "id_a long, id_b long, cosine double")
+    return spread(df, min_partitions).mapInPandas(pairs, "id_a long, id_b long, cosine double")
 
 
 def hyperplane_signatures(

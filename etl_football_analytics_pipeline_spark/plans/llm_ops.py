@@ -213,7 +213,7 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     only scalars shuffle. Codec stubbed (SMF synthetic format);
     exactness vs direct numpy decode is tested in
     tests/test_multimodal.py."""
-    return image_stats(synthetic_images(spark, n=200))
+    return image_stats(synthetic_images(spark, n=200), min_partitions=1)
 
 
 @query("mm_frame_sample")  # rows-only
@@ -221,7 +221,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-4th-frame sampling over video-like containers
     (operators.multimodal.frame_sample) — the 1→n/k fan-out shape,
     emitting re-encoded frame blobs with typed metadata."""
-    return frame_sample(synthetic_images(spark, n=100, width=16, height=32), every_k=4).select(
+    return frame_sample(
+        synthetic_images(spark, n=100, width=16, height=32), every_k=4, min_partitions=1
+    ).select(
         "id", "frame_id", F.length("content").alias("frame_bytes"), F.col("meta.height").alias("frame_rows")
     )
 
@@ -235,9 +237,12 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_multimodal.py."""
     base = synthetic_images(spark, n=60)
     dups = base.filter(F.col("id") < 10).withColumn("id", F.col("id") + 1000)
-    resized = image_resize(base.unionByName(dups), 16, 12)
-    feats = image_histogram_features(resized)
-    return all_pairs_cosine(feats, "id", "embedding", threshold=0.999)
+    resized = image_resize(base.unionByName(dups), 16, 12, min_partitions=1)
+    # cache: all_pairs_cosine evaluates its input twice (driver collect
+    # for the broadcast matrix + the distributed batch pass); without
+    # this the 3-stage python-kernel chain above runs twice end-to-end
+    feats = image_histogram_features(resized, min_partitions=1).cache()
+    return all_pairs_cosine(feats, "id", "embedding", threshold=0.999, min_partitions=1)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,12 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine's standard config."""
+    # spark.executorEnv.* does NOT apply in local mode — python workers
+    # fork from the driver-launched JVM and inherit ITS environment, so
+    # the single-BLAS-thread policy must be in os.environ before the
+    # JVM starts. Kept alongside executorEnv (below) for real clusters.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
@@ -46,7 +52,10 @@ def get_spark(
         # disable them.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the whole cluster (32 executor
+        # threads + all shuffle/broadcast/cache state share one heap) —
+        # size it like an executor fleet, not like a driver
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # one BLAS thread per python worker: N workers × multithreaded
         # OpenBLAS oversubscribes N× and thrashes; parallelism comes

@@ -16,6 +16,6 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     scale inputs arrive in thousands of partitions and nothing moves.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
