@@ -53,13 +53,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _ngram_sql(words: str, n: int) -> str:
+    """SQL for the word n-gram list: nested `zip_with` over shifted
+    slices — no explode, no UDF, and no `transform(sequence(...))`
+    index lambda (the sequence+slice formulation measured 20×+ slower
+    on the interpreted HOF path: each index lambda re-slices the array,
+    while zip_with walks the n shifted views once)."""
+    length = f"greatest(size({words}) - {n - 1}, 0)"
+    expr = f"slice({words}, 1, {length})"
+    for i in range(1, n):
+        expr = f"zip_with({expr}, slice({words}, {i + 1}, {length}), (a, b) -> concat(a, ' ', b))"
+    return expr
+
+
 def word_ngrams(words_col_name: str, n: int) -> F.Column:
-    """Word n-gram list via a JVM-side transform over an index sequence —
-    the grams are built without any explode or UDF."""
-    w = words_col_name
-    return F.expr(
-        f"transform(sequence(1, greatest(size({w}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({w}, i, {n})))"
+    """Word n-gram list column (see _ngram_sql)."""
+    return F.expr(_ngram_sql(words_col_name, n))
+
+
+def gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, array<long> xxhash64 of distinct word n-grams) in ONE
+    projection. Keeping it to a single Project matters: a filter or
+    second projection referencing the gram column makes Catalyst inline
+    the whole gram-building tree at every reference (predicate pushdown
+    substitutes aliases), and the interpreted-HOF tree is the most
+    expensive expression in the engine. Rows whose gram set is empty
+    (docs shorter than n words) are emitted with an empty array —
+    callers drop them batch-side where needed."""
+    words = F.split(normalized_text(text_col), " ")
+    return spread(df).withColumn("__words", words).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(array_distinct({_ngram_sql('__words', n)}), g -> xxhash64(g))"
+        ).alias("__gh"),
     )
 
 
@@ -153,14 +179,8 @@ def ngram_jaccard_pairs_blas(
     # much faster than raw gram strings, and the vocabulary builds off
     # 8-byte keys (collision odds ~|vocab|²/2^65 — negligible here,
     # documented bound of this tier)
-    grams_df = (
-        spread(df)
-        .withColumn("__words", F.split(normalized_text(text_col), " "))
-        .withColumn("__grams", F.array_distinct(word_ngrams("__words", n)))
-        .filter(F.size("__grams") > 0)
-        .select(F.col(id_col), F.expr("transform(__grams, g -> xxhash64(g))").alias("__gh"))
-    )
-    pdf = grams_df.toPandas()
+    pdf = gram_hashes(df, id_col, text_col, n).toPandas()
+    pdf = pdf[pdf["__gh"].map(len) > 0].reset_index(drop=True)
     vocab: dict[int, int] = {}
     for grams in pdf["__gh"]:
         for g in grams:
@@ -193,7 +213,9 @@ def ngram_jaccard_pairs_blas(
         for bdf in batches:
             if bdf.empty:
                 continue
-            rows = np.array([row_of[int(v)] for v in bdf[id_col]])
+            rows = np.array([row_of[v] for v in (int(v) for v in bdf[id_col]) if v in row_of])
+            if rows.size == 0:
+                continue
             shared = all_mat[rows] @ all_mat.T  # B × N, exact ints in f32
             lhs = np.empty((len(rows), 2), dtype=np.float32)
             lhs[:, 0] = k * all_sz[rows]
@@ -213,9 +235,12 @@ def ngram_jaccard_pairs_blas(
                 }
             )
 
-    # grams_df is already spread across cores; each python worker runs
-    # 1 BLAS thread — parallelism comes from partitions
-    return grams_df.select(id_col).mapInPandas(pairs, "id_a long, id_b long, jaccard double")
+    # the distributed pass only needs the id column — read it straight
+    # off parquet (column pruning makes this scan near-free) instead of
+    # re-evaluating the gram lineage a second time; ids with no grams
+    # are dropped batch-side (not in row_of)
+    ids_df = spread(df.select(id_col))
+    return ids_df.mapInPandas(pairs, "id_a long, id_b long, jaccard double")
 
 
 def minhash_signatures(
@@ -243,20 +268,21 @@ def minhash_signatures(
     a_co = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b_co = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
 
-    hashed = (
-        spread(df)
-        .withColumn("__words", F.split(normalized_text(text_col), " "))
-        .withColumn("__grams", F.array_distinct(word_ngrams("__words", shingle_n)))
-        .filter(F.size("__grams") > 0)
-        .select(F.col(id_col), F.expr("transform(__grams, g -> xxhash64(g))").alias("__h"))
-    )
+    hashed = gram_hashes(df, id_col, text_col, shingle_n)
 
     def minsig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
+            # docs shorter than the shingle width have no grams and no
+            # signature (gram_hashes emits them with an empty array;
+            # the mapInPandas boundary is also what keeps the gram
+            # expression from being re-inlined by a pushed-down filter)
+            pdf = pdf[pdf["__gh"].map(len) > 0]
+            if pdf.empty:
+                continue
             sigs = []
-            for h in pdf["__h"]:
+            for h in pdf["__gh"]:
                 hu = np.asarray(h, dtype=np.int64).view(np.uint64)
                 # (num_hashes × grams) permuted hashes, wraparound mod 2^64
                 perm = a_co[:, None] * hu[None, :] + b_co[:, None]
@@ -292,8 +318,12 @@ def minhash_lsh_candidates(
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = buckets.select(F.col("__id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("__id").alias("id_b"), "band", "bucket")
+    # mapInPandas output has no stats, so Catalyst would pick a
+    # sort-merge join and shuffle the (huge) candidate stream; the
+    # bucket table is tiny — broadcast it and candidates never shuffle
+    # until the distinct.
     return (
-        left.join(right, ["band", "bucket"])
+        left.join(F.broadcast(right), ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -320,9 +350,12 @@ def minhash_dedup_pairs(
     est = F.expr(
         "size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), b -> b))"
     ) / F.lit(float(num_hashes))
+    # signatures are the small side (corpus rows × 64 longs) and carry
+    # no stats (mapInPandas output) — without the explicit broadcast,
+    # Catalyst sort-merge-joins and shuffles the candidate stream twice
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
@@ -373,30 +406,38 @@ def simhash_near_pairs(
     chunks (pigeonhole: distance ≤ 3 guarantees an equal chunk; larger
     distances are found with high probability) and joins per chunk —
     the same bucketed-join shape as LSH, no quadratic pass."""
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
-        for i in range(4)
-    ]
-    # cached: the 4 banded self-joins reference this plan 8 times, and
-    # without a persist each reference recomputes the full signature
-    # lineage (scan → hash → numpy kernel)
-    with_chunks = sim.select(F.col(id_col).alias("__id"), F.col("simhash"), *chunks).cache()
-    pieces = []
-    for i in range(4):
-        a = with_chunks.select(
-            F.col("__id").alias("id_a"), F.col("simhash").alias("__sh_a"), F.col(f"c{i}").alias("__chunk")
-        )
-        b = with_chunks.select(
-            F.col("__id").alias("id_b"), F.col("simhash").alias("__sh_b"), F.col(f"c{i}").alias("__chunk")
-        )
-        pieces.append(a.join(b, "__chunk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "__sh_a", "__sh_b"))
-    cand = pieces[0]
-    for p in pieces[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.distinct()
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    # cached: both sides of the self-join reference this plan, and
+    # without a persist each side recomputes the full signature lineage
+    # (scan → hash → numpy kernel)
+    buckets = (
+        sim.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(chunk_structs).alias("c"))
+        .select("__id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+        .cache()
+    )
+    a = buckets.select(F.col("__id").alias("id_a"), F.col("simhash").alias("__sh_a"), "ci", "cv")
+    b = buckets.select(F.col("__id").alias("id_b"), F.col("simhash").alias("__sh_b"), "ci", "cv")
     hamming = F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b")))
+    # one bucket-join over (chunk_idx, chunk_val) replaces 4 separate
+    # self-joins; the bucket table is small and stat-less → broadcast.
+    # The hamming filter runs BEFORE the distinct: candidates at this
+    # corpus's similarity level outnumber survivors ~100×, and
+    # deduplicating only survivors shrinks the one shuffle accordingly.
     return (
-        cand.withColumn("hamming", hamming)
+        a.join(F.broadcast(b), ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
