@@ -281,12 +281,16 @@ def minhash_signatures(
             pdf = pdf[pdf["__gh"].map(len) > 0]
             if pdf.empty:
                 continue
-            sigs = []
-            for h in pdf["__gh"]:
-                hu = np.asarray(h, dtype=np.int64).view(np.uint64)
-                # (num_hashes × grams) permuted hashes, wraparound mod 2^64
-                perm = a_co[:, None] * hu[None, :] + b_co[:, None]
-                sigs.append(perm.min(axis=1).view(np.int64))
+            # one flattened (num_hashes × total_grams) permutation pass +
+            # segmented min per doc — no per-doc python loop
+            lens = pdf["__gh"].map(len).to_numpy()
+            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in pdf["__gh"]]).view(
+                np.uint64
+            )
+            perm = a_co[:, None] * flat[None, :] + b_co[:, None]  # wraparound mod 2^64
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            mins = np.minimum.reduceat(perm, starts, axis=1)  # num_hashes × docs
+            sigs = list(mins.T.view(np.int64))
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
     return hashed.mapInPandas(minsig, f"{id_col} long, signature array<long>")
@@ -386,12 +390,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = np.empty(len(pdf), dtype=np.uint64)
-            for i, h in enumerate(pdf["__h"]):
-                hu = np.asarray(h, dtype=np.int64).view(np.uint64)
-                bits = (hu[:, None] >> shifts[None, :]) & np.uint64(1)  # words × 64
-                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(hu)
-                out[i] = np.bitwise_or.reduce((votes > 0).astype(np.uint64) << shifts)
+            # flatten all word hashes, unpack 64 bit-planes once, and
+            # take segmented per-doc vote sums — no per-doc python loop
+            lens = pdf["__h"].map(len).to_numpy()
+            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in pdf["__h"]]).view(
+                np.uint64
+            )
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ones = np.add.reduceat(bits, starts, axis=0)  # docs × 64
+            votes = 2 * ones - lens[:, None]
+            out = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out.view(np.int64)})
 
     return hashed.mapInPandas(pack, f"{id_col} long, simhash long")
