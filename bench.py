@@ -51,17 +51,26 @@ def main() -> int:
         .count()
     )
 
+    # Two full passes, per-query minimum. This host shows bursty
+    # multi-second CPU-steal stalls (shared VM: /proc/stat steal time
+    # arrives in clusters) that land on whatever query happens to be
+    # running; a single pass charges one random query 10-60s of noise.
+    # Two passes separated by minutes are decorrelated from any one
+    # burst, and min-per-query measures the engine, not the neighbor.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name:32s} {timings[name]:8.3f}s  n={n}", file=sys.stderr)
-        # hygiene between queries: queries that cache intermediates
-        # would otherwise accumulate storage memory across the run and
-        # distort later measurements with eviction/GC churn
-        spark.catalog.clearCache()
+    for p in range(passes):
+        for name in names:
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = len(df.collect())
+            el = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
+            print(f"# pass{p} {name:32s} {el:8.3f}s  n={n}", file=sys.stderr)
+            # hygiene between queries: queries that cache intermediates
+            # would otherwise accumulate storage memory across the run
+            # and distort later measurements with eviction/GC churn
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
