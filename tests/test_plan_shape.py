@@ -1,0 +1,114 @@
+"""Physical-plan shape regression tests — the 100 TB design contract.
+
+Correctness tests prove the operators compute the right answer at small
+scale; these prove the PLANS are the ones that survive a 1000-executor
+cluster reading 100 TB:
+
+- filters and column projections reach the parquet scan (PushedFilters /
+  ReadSchema) instead of being applied after a full-table read;
+- dimension joins are broadcast-hash (no shuffle of the fact side);
+- top-k compiles to TakeOrderedAndProject, not a global sort;
+- relational plans stay inside whole-stage codegen (no Python in the
+  hot path) and never degrade to a cartesian product.
+
+A regression in any of these is invisible at sf0.01 and fatal at scale,
+which is why they are asserted on the plan text, not on timings.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from etl_football_analytics_pipeline_spark.plans import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Formatted physical plans of every registered query (built once)."""
+    out = {}
+    for name, fn in QUERIES.items():
+        out[name] = plan_of(fn(spark, SF_SMOKE))
+    return out
+
+
+def test_filter_and_projection_pushdown_reach_parquet(plans):
+    plan = plans["s1_scan_filter_project"]
+    assert "PushedFilters:" in plan
+    assert "LessThan(l_quantity" in plan
+    # ReadSchema lists only the 4 referenced columns, not all 11
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dim_lookup_joins_broadcast(plans):
+    for name in ("j2_dim_lookup_left_join", "j6_star_join_agg", "j8_fk_validation_audit"):
+        assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_star_join_broadcasts_every_dim(plans):
+    # 4 joins: lineitem⋈orders (large-large) + 3 broadcast dims
+    plan = plans["j6_star_join_agg"]
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_is_take_ordered_not_global_sort(plans):
+    for name in ("a1_grouped_sum_topk", "t5_bottom_k"):
+        assert "TakeOrderedAndProject" in plans[name], name
+
+
+def test_aggregates_are_partial_final_hash(plans):
+    # partial (map-side) aggregation before the exchange — the shape
+    # that keeps a 100 TB groupBy's shuffle proportional to groups,
+    # not rows
+    plan = plans["q1_pricing_summary"]
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_relational_plans_have_no_cartesian_product(plans):
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_relational_plans_stay_jvm_side(plans):
+    """No Python evaluation in plans that are expressible relationally.
+    (mapInPandas is the designed fast path for the kernel operators —
+    everything else must compile to codegen'd JVM expressions.)"""
+    kernel_queries = {
+        # Arrow-batched numpy kernels by design
+        "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "mm_frame_sample", "mm_image_near_dup", "mm_image_stats",
+        # driver-side audit count materialization
+        "m3_audit_counts",
+    }
+    for name, plan in plans.items():
+        if name in kernel_queries:
+            continue
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name} fell off the JVM fast path ({marker})"
+
+
+def test_relational_plans_use_whole_stage_codegen(spark):
+    # codegen spans only appear on the executed (AQE-final) plan, so
+    # run the query and inspect queryExecution().executedPlan()
+    for name in ("s1_scan_filter_project", "q1_pricing_summary", "j6_star_join_agg"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        # codegen'd operators carry the `*(n)` stage prefix in the tree
+        assert "*(" in executed, name
