@@ -453,6 +453,144 @@ def build_fact_team_match(
     )
 
 
+# `scr/Transform.py:574-590` — fact_player_match's own map (applied
+# BEFORE lowercasing; note the half-lowercased values, kept verbatim)
+_PLAYER_MATCH_NAME_MAP = {
+    "Brighton & Hove Albion": "Brighton",
+    "Manchester United": "Manchester utd",
+    "Newcastle United": "Newcastle utd",
+    "Sheffield United": "Sheffield utd",
+    "Tottenham Hotspur": "Tottenham",
+    "West Bromwich Albion": "West brom",
+    "West Ham United": "West ham",
+    "Wolverhampton Wanderers": "Wolves",
+    "Nottingham Forest": "Nott'ham forest",
+    "Sunderland A.": "Sunderland",
+    "Sunderland A F C": "Sunderland",
+    "Swansea City A.": "Swansea City A.",
+    "Hull City A.": "Hull City A.",
+}
+
+# `scr/Transform.py:521-556` — stat columns: canonical name → the
+# (level0, level1) / flattened source aliases the resolver accepts
+_PLAYER_MATCH_STATS = {
+    "min_played": ["min"],
+    "goals": ["Performance_Gls"],
+    "xG": ["Expected_xG"],
+    "xA": ["Expected_xAG"],
+    "assists": ["Performance_Ast"],
+    "penalty_made": ["Performance_PK"],
+    "penalty_attempted": ["Performance_PKatt"],
+    "shots": ["Performance_Sh"],
+    "shots_on_target": ["Performance_SoT"],
+    "yellow_cards": ["Performance_CrdY"],
+    "red_cards": ["Performance_CrdR"],
+    "touches": ["Performance_Touches"],
+    "tackles": ["Performance_Tkl"],
+    "interceptions": ["Performance_Int"],
+    "blocks": ["Performance_Blocks"],
+    "shot_creating_actions": ["SCA_SCA"],
+    "goal_creating_actions": ["SCA_GCA"],
+    "passes_completed": ["Passes_Cmp"],
+    "passes_attempted": ["Passes_Att"],
+    "pass_completion_percent": ["Passes_Cmp%"],
+    "progressive_passes": ["Passes_PrgP"],
+    "carries": ["Carries_Carries"],
+    "progressive_carries": ["Carries_PrgC"],
+    "take_ons_attempted": ["Take-Ons_Att"],
+    "take_ons_successful": ["Take-Ons_Succ"],
+}
+
+_PLAYER_MATCH_INT_STATS = [
+    "min_played", "goals", "assists", "penalty_made", "penalty_attempted",
+    "shots", "shots_on_target", "yellow_cards", "red_cards", "touches",
+    "tackles", "interceptions", "blocks", "shot_creating_actions",
+    "goal_creating_actions", "passes_completed", "passes_attempted",
+    "progressive_passes", "carries", "progressive_carries",
+    "take_ons_attempted", "take_ons_successful",
+]
+
+
+def build_fact_player_match(
+    raw_player_match: DataFrame,
+    dim_match: DataFrame,
+    dim_player: DataFrame,
+    dim_team: DataFrame,
+) -> DataFrame:
+    """`create_fact_player_match` (`scr/Transform.py:507-696`): resolve
+    the 29 source columns (MultiIndex-or-flat aliases), drop the
+    embedded header row (`season == 'season'`, :527-529), canonicalize
+    team names (the function's own pre-lowercase map :574-590, the
+    post-lowercase Sunderland map :608-612, then the exact X2 clean
+    chain :614-624), three broadcast dim lookups (game :597-601, team
+    :627-632, player :664-668), FK-violation drops with the same order
+    (team first, then player+game, :634-645/:671-683), Q-strip team_id
+    cast (:653-654), and the reference's 29-column projection
+    (:685-693). Stats cast to the Load DDL types
+    (`scr/Load.py:366-405`: ints + NUMERIC xG/xA/pass%).
+
+    All three dims broadcast — the fact side (the largest table in the
+    reference's warehouse) never shuffles.
+    """
+    from ..functions.resolver import find_column
+
+    df = raw_player_match.filter(
+        F.lower(F.col(find_column(raw_player_match, "season"))) != "season"
+    )
+    cols = [
+        F.col(find_column(df, "season")).alias("season"),
+        F.col(find_column(df, "game")).alias("game"),
+        F.col(find_column(df, "team")).alias("team"),
+        F.col(find_column(df, "player")).alias("player"),
+    ]
+    for canon, aliases in _PLAYER_MATCH_STATS.items():
+        cols.append(F.col(find_column(df, *aliases, canon)).alias(canon))
+    df = df.select(*cols)
+
+    team_key = _clean_team_name_lower(
+        _map_values(
+            _norm(_map_values(F.col("team"), _PLAYER_MATCH_NAME_MAP)),
+            {"sunderland a.": "sunderland", "sunderland a f c": "sunderland"},
+        )
+    )
+    df = df.withColumn("__team_key", team_key).withColumn(
+        "__game_key", _norm(F.col("game"))
+    ).withColumn("__player_key", _norm(F.col("player")))
+
+    games = F.broadcast(
+        dim_match.select(F.col("game_id"), _norm(F.col("game")).alias("__game_key"))
+    )
+    teams = F.broadcast(
+        dim_team.select(F.col("team_id"), _norm(F.col("team_name")).alias("__team_key"))
+    )
+    players = F.broadcast(
+        dim_player.select(F.col("player_id"), _norm(F.col("player")).alias("__player_key"))
+    )
+
+    joined = (
+        df.join(games, "__game_key", "left")
+        .join(teams, "__team_key", "left")
+        .filter(F.col("team_id").isNotNull())  # team FK drop, :634-645
+        .withColumn("team_id", _strip_q_to_long(F.col("team_id").cast("string")))
+        .filter(F.col("team_id").isNotNull())  # re-filter after cast, :656
+        .join(players, "__player_key", "left")
+        .filter(F.col("player_id").isNotNull() & F.col("game_id").isNotNull())  # :671-683
+    )
+    stat_cols = [
+        F.col(c).try_cast("long").alias(c)
+        if c in _PLAYER_MATCH_INT_STATS
+        else F.col(c).try_cast("double").alias(c)
+        for c in _PLAYER_MATCH_STATS
+    ]
+    return joined.select(
+        F.col("season").try_cast("long").alias("season"),
+        F.col("game_id").try_cast("long").alias("game_id"),
+        "team_id",
+        F.col("player_id").try_cast("long").alias("player_id"),
+        *stat_cols,
+    )
+
+
 def build_fact_team_point(raw_standings: DataFrame, dim_team: DataFrame) -> DataFrame:
     """`create_fact_team_point` (`scr/Transform.py:699-798`): season
     encode (X7), team-name map + normalize + clean chain, broadcast
@@ -541,6 +679,11 @@ def run_pipeline(spark: SparkSession, raw_dir: str, out_dir: str) -> dict[str, D
     out["fact_team_match_clean"] = build_fact_team_match(
         raw_team_match, out["dim_team"], out["dim_match"], out["dim_player"]
     )
+
+    if match_stats is not None:
+        out["fact_player_match_clean"] = build_fact_player_match(
+            match_stats, out["dim_match"], out["dim_player"], out["dim_team"]
+        )
 
     standings_path = os.path.join(raw_dir, "team_point.csv")
     if os.path.exists(standings_path):

@@ -197,3 +197,69 @@ def test_dim_stadium_synthetic(spark):
         (163995, "Emirates Stadium", 60338),
         (619094, "Dean Court", 12000),
     ]
+
+
+def test_fact_player_match_synthetic(spark):
+    """Raw player-match stats are absent from the snapshot
+    (`.MISSING_LARGE_BLOBS`); the transform (`scr/Transform.py:507-696`)
+    is exercised on a synthetic frame: embedded-header drop, the
+    function's own pre-lowercase name map, the X2 clean chain, three
+    dim lookups, FK drops, and the 29-column typed projection."""
+    from etl_football_analytics_pipeline_spark.pipeline.football import (
+        build_fact_player_match,
+    )
+
+    stats = ["12"] * 22 + ["0.5", "0.2", "88.9"]  # 22 ints + xG/xA/pass%
+
+    def row(season, game, team, player):
+        return (
+            season, game, team, player,
+            "90", "1", "0.5", "0.2", "0", "0", "0", "3", "1", "0", "0",
+            "55", "2", "1", "1", "4", "1", "30", "40", "75.0", "5",
+            "20", "3", "2", "1", 0,
+        )
+
+    schema = (
+        "season string, game string, team string, player string, "
+        "min string, Performance_Gls string, Expected_xG string, Expected_xAG string, "
+        "Performance_Ast string, Performance_PK string, Performance_PKatt string, "
+        "Performance_Sh string, Performance_SoT string, Performance_CrdY string, "
+        "Performance_CrdR string, Performance_Touches string, Performance_Tkl string, "
+        "Performance_Int string, Performance_Blocks string, SCA_SCA string, SCA_GCA string, "
+        "Passes_Cmp string, Passes_Att string, `Passes_Cmp%` string, Passes_PrgP string, "
+        "Carries_Carries string, Carries_PrgC string, `Take-Ons_Att` string, "
+        "`Take-Ons_Succ` string, __row long"
+    )
+    raw = spark.createDataFrame(
+        [
+            ("season", "game", "team", "player") + ("x",) * 25 + (0,),  # embedded header
+            row("2425", "2025-01-01 Arsenal-Chelsea", "Arsenal F.C.", "Bukayo Saka"),
+            row("2425", "2025-01-01 Arsenal-Chelsea", "Manchester United", "Bruno Fernandes"),
+            row("2425", "2025-01-01 Arsenal-Chelsea", "No Such Team", "Bukayo Saka"),  # team FK drop
+            row("2425", "unknown-game", "Arsenal F.C.", "Bukayo Saka"),  # game FK drop
+            row("2425", "2025-01-01 Arsenal-Chelsea", "Arsenal F.C.", "Nobody"),  # player FK drop
+        ],
+        schema,
+    )
+    dim_match = spark.createDataFrame(
+        [(7, "2025-01-01 Arsenal-Chelsea")], "game_id long, game string"
+    )
+    dim_player = spark.createDataFrame(
+        [(1, "Bukayo Saka"), (2, "Bruno Fernandes")], "player_id long, player string"
+    )
+    dim_team = spark.createDataFrame(
+        [(9617, "Arsenal"), (100, "Manchester Utd")], "team_id long, team_name string"
+    )
+    out = build_fact_player_match(raw, dim_match, dim_player, dim_team)
+    rows = {r.player_id: r for r in out.collect()}
+    assert len(out.columns) == 29
+    assert set(rows) == {1, 2}  # header + 3 FK-violating rows dropped
+    saka = rows[1]
+    assert (saka.season, saka.game_id, saka.team_id) == (2425, 7, 9617)
+    assert saka.min_played == 90 and saka.goals == 1 and saka.touches == 55
+    assert saka.xG == 0.5 and saka.pass_completion_percent == 75.0
+    assert rows[2].team_id == 100  # Manchester United -> manchester utd
+    # all 25 stat columns carry the Load-DDL types (ints + 3 doubles)
+    types = dict(out.dtypes)
+    assert types["goals"] == "bigint" and types["xG"] == "double"
+    assert types["pass_completion_percent"] == "double"
