@@ -1,0 +1,105 @@
+"""Warehouse (Load-stage) layer — `scr/Load.py` re-expressed for Spark.
+
+The reference loads processed CSVs into PostgreSQL with per-row
+`executemany` INSERTs (thousands of round-trips, `scr/Load.py:89,294,
+355,447`) after renaming to the warehouse DDL schema. Here the same
+schema mapping is a set of lazy projections and the "load" is a bulk
+parquet write / temp-view registration — the dashboard SQL layer
+(`plans/dashboard.py`) then runs against the exact warehouse table and
+column names the reference's UI expects.
+
+Schema mapping (reference evidence):
+- Dim_Stadium: `statium_name` [sic] → `stadium_name` (`scr/Load.py:76`)
+- Dim_Match: `game_id/game/date` → `match_id/match_name/match_date`
+  (`scr/Load.py:135-144`; the intermediate `game_date` rename lands in
+  the `match_date` DDL column positionally)
+- Dim_Player: `player` → `player_name` (`scr/Load.py:169-170`), `born`
+  lenient-cast (`scr/Load.py:173-174`)
+- fact_team_match: `captain_id` dropped (`scr/Load.py:265-266` — the
+  warehouse table has no captain column, SURVEY.md §1.4 quirk)
+- Dim_Team / Dim_season / Fact_Team_Point / fact_player_match: as-is
+  (`scr/Load.py:95-103,193-202,305-324,366-405`)
+
+Idempotent re-load semantics (M2 upsert for dims, M3 insert-if-absent
+for facts) live in operators/merge.py; `write_warehouse` composes them
+when a target already exists.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import insert_if_absent, upsert
+
+# warehouse table → (primary key, is_dimension)
+WAREHOUSE_KEYS: dict[str, tuple[list[str], bool]] = {
+    "dim_stadium": (["stadium_id"], True),
+    "dim_team": (["team_id"], True),
+    "dim_match": (["match_id"], True),
+    "dim_player": (["player_id"], True),
+    "dim_season": (["season_id"], True),
+    "fact_team_match": (["season", "game_id", "team_id"], False),
+    "fact_team_point": (["season_id", "team_id", "Match_Category"], False),
+    "fact_player_match": (["season", "game_id", "team_id", "player_id"], False),
+}
+
+
+def to_warehouse(processed: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Map Transform-stage outputs (pipeline.football.run_pipeline
+    names) to the warehouse DDL schema."""
+    out: dict[str, DataFrame] = {}
+    for name, df in processed.items():
+        if name == "dim_stadium":
+            out[name] = df.withColumnRenamed("statium_name", "stadium_name")
+        elif name == "dim_match":
+            out[name] = df.select(
+                F.col("game_id").alias("match_id"),
+                F.col("game").alias("match_name"),
+                F.col("date").alias("match_date"),
+            )
+        elif name == "dim_player":
+            out[name] = df.withColumnRenamed("player", "player_name").withColumn(
+                "born", F.col("born").try_cast("long")
+            )
+        elif name == "fact_team_match_clean":
+            out["fact_team_match"] = df.drop("captain_id")
+        elif name == "fact_player_match_clean":
+            out["fact_player_match"] = df
+        else:
+            out[name] = df
+    return out
+
+
+def register_warehouse(spark: SparkSession, warehouse: dict[str, DataFrame]) -> None:
+    """Expose warehouse tables as temp views — the Spark equivalent of
+    the reference's SQL surface (S9, `scr/ui.py:44-314` reads these
+    table names)."""
+    for name, df in warehouse.items():
+        df.createOrReplaceTempView(name)
+
+
+def write_warehouse(
+    spark: SparkSession, warehouse: dict[str, DataFrame], out_dir: str
+) -> dict[str, DataFrame]:
+    """Idempotent bulk load to parquet: dims upsert by PK (M2,
+    `ON CONFLICT DO UPDATE`), facts insert-if-absent (M3, `ON CONFLICT
+    DO NOTHING`) — re-loading the same data is a no-op, the invariant
+    the reference claims for its warehouse (README.md:29,199)."""
+    loaded: dict[str, DataFrame] = {}
+    for name, df in warehouse.items():
+        pk, is_dim = WAREHOUSE_KEYS[name]
+        path = os.path.join(out_dir, name)
+        if os.path.isdir(path):
+            target = spark.read.parquet(path)
+            merged = upsert(target, df, pk) if is_dim else insert_if_absent(target, df, pk)
+        else:
+            merged = df
+        staged = merged.cache()
+        staged.count()  # materialize before overwriting the source path
+        staged.write.mode("overwrite").parquet(path)
+        staged.unpersist()
+        loaded[name] = spark.read.parquet(path)
+    return loaded
