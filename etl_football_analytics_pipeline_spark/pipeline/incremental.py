@@ -1,0 +1,153 @@
+"""Incremental-extract state machine — the reference's checkpoint gate
+and raw-layer MERGE (`scr/Extract.py:104-124,222-303`) as engine
+library code.
+
+Semantics reproduced:
+- a checkpoint file (`.last_extract_date.txt`) holding a non-empty
+  date string means "data exists" → extract only the CURRENT season;
+  missing/empty/unreadable checkpoint → full backfill of every season
+  (`scr/Extract.py:222-248`);
+- after a successful extract the checkpoint is (re)written with
+  today's date (`scr/Extract.py:252-260`);
+- each new batch MERGEs into the raw layer keyed on the table's key
+  columns — new rows replace same-key old rows, unique old rows
+  survive (`scr/Extract.py:262-303`, M1). Schema mismatch falls back
+  to new-data-only, keyless tables to append+dedup-keep-last, exactly
+  like the reference's guard paths (:279-281, :294-299).
+
+Spark mapping: the MERGE is operators.merge.merge_replace (anti-join +
+unionByName — one broadcastable join instead of a pandas full rewrite)
+and the raw layer is parquet partitioned by season, so the incremental
+path rewrites ONLY the current season's partition and season-filtered
+reads get partition pruning (`scr/Extract.py`'s whole-file CSV rewrite
+can never do either; SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.merge import merge_replace
+
+CHECKPOINT_NAME = ".last_extract_date.txt"
+
+
+def read_checkpoint(raw_dir: str) -> str | None:
+    """Last extract date, or None when absent/empty/unreadable —
+    the reference treats all three as "no data yet"
+    (`scr/Extract.py:229-239`)."""
+    path = os.path.join(raw_dir, CHECKPOINT_NAME)
+    try:
+        with open(path) as fh:
+            text = fh.read().strip()
+        return text or None
+    except OSError:
+        return None
+
+
+def write_checkpoint(raw_dir: str, today: date | None = None) -> str:
+    """Record a successful extract (`scr/Extract.py:252-260`)."""
+    os.makedirs(raw_dir, exist_ok=True)
+    stamp = (today or date.today()).strftime("%Y-%m-%d")
+    with open(os.path.join(raw_dir, CHECKPOINT_NAME), "w") as fh:
+        fh.write(stamp)
+    return stamp
+
+
+def seasons_to_extract(
+    raw_dir: str, all_seasons: Sequence[str], current_season: str
+) -> list[str]:
+    """Checkpoint gate: full backfill on first run, current season only
+    afterwards (`scr/Extract.py:222-248`)."""
+    if read_checkpoint(raw_dir) is not None:
+        return [current_season]
+    return list(all_seasons)
+
+
+def merge_into_raw(
+    spark: SparkSession,
+    new_df: DataFrame,
+    table_path: str,
+    key_cols: Sequence[str],
+    partition_by: str | None = "season",
+) -> DataFrame:
+    """Raw-layer incremental MERGE (M1): new-wins by key tuple.
+
+    First write / schema mismatch → new data only (reference guards
+    `scr/Extract.py:268-281`); no keys → append + dedup-keep-last
+    (:294-299, stated deterministically: new batch wins). The result
+    is written back partitioned by `partition_by` (dynamic partition
+    overwrite: only partitions present in the merged delta rewrite)."""
+    exists = os.path.isdir(table_path) and any(
+        not e.startswith((".", "_")) for e in os.listdir(table_path)
+    )
+    partitioned = bool(partition_by) and partition_by in new_df.columns
+    # partition-local merge is sound only when the partition column is
+    # part of the merge key (a new row can then only displace old rows
+    # inside its own partition) — true for every raw table here
+    # (`scr/Extract.py:330-343`: keys are (season, ...) tuples)
+    local = partitioned and partition_by in (key_cols or ())
+
+    def _restore_partition_type(df: DataFrame) -> DataFrame:
+        # directory-name partition values come back type-inferred
+        # ("2324" → int); restore the delta's declared type so merge
+        # joins/unions and downstream readers see a stable schema
+        if partitioned and partition_by in df.columns:
+            want = dict(new_df.dtypes)[partition_by]
+            if dict(df.dtypes)[partition_by] != want:
+                return df.withColumn(partition_by, df[partition_by].cast(want))
+        return df
+
+    if not exists:
+        merged = new_df
+        local = False
+    else:
+        old_df = _restore_partition_type(spark.read.parquet(table_path))
+        if set(old_df.columns) != set(new_df.columns):
+            # schema-mismatch guard: new data only — the WHOLE table is
+            # replaced (static overwrite below), like the reference's
+            # full-file rewrite
+            merged = new_df
+            local = False
+        elif key_cols and all(c in old_df.columns for c in key_cols):
+            if local:
+                # read ONLY the partitions the delta touches (partition
+                # pruning on the filter), merge within them; untouched
+                # partitions never move — the incremental path's cost is
+                # O(delta partitions), not O(table)
+                affected = [r[0] for r in new_df.select(partition_by).distinct().collect()]
+                old_df = old_df.filter(old_df[partition_by].isin(affected))
+            merged = merge_replace(old_df, new_df, list(key_cols))
+        else:
+            # keyless: old ∪ new with full-row dedup, new wins — the
+            # drop_duplicates(keep='last') fallback, made deterministic
+            local = False
+            merged = old_df.join(new_df, on=list(new_df.columns), how="left_anti").unionByName(
+                new_df.dropDuplicates()
+            )
+
+    # materialize before overwriting the path the plan reads from
+    staged = merged.cache()
+    staged.count()
+    try:
+        writer = staged.write.mode("overwrite")
+        if partitioned:
+            # dynamic overwrite only for the partition-local merge path
+            # (replace just the delta's partitions); every full-replace
+            # path (first write, schema mismatch, keyless, non-local
+            # keys) statically overwrites the whole table
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode",
+                "dynamic" if local else "static",
+            )
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(table_path)
+    finally:
+        staged.unpersist()
+    # the overwrite invalidated any cached file listing for this path
+    spark.catalog.refreshByPath(table_path)
+    return _restore_partition_type(spark.read.parquet(table_path))

@@ -1,0 +1,103 @@
+"""Incremental-extract state machine tests (pipeline/incremental.py):
+checkpoint gate, raw-layer MERGE semantics incl. the reference's guard
+paths, partition-local rewrite, and idempotency (running a merge twice
+is a no-op — the invariant the reference claims for its raw layer)."""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+import pytest
+
+from etl_football_analytics_pipeline_spark.pipeline.incremental import (
+    merge_into_raw,
+    read_checkpoint,
+    seasons_to_extract,
+    write_checkpoint,
+)
+
+ALL = ["2021", "2122", "2223", "2324", "2425"]
+
+
+def test_checkpoint_gate(tmp_path):
+    raw = str(tmp_path)
+    # missing → full backfill
+    assert read_checkpoint(raw) is None
+    assert seasons_to_extract(raw, ALL, "2425") == ALL
+    # empty file → still full backfill (reference treats empty as none)
+    open(os.path.join(raw, ".last_extract_date.txt"), "w").close()
+    assert seasons_to_extract(raw, ALL, "2425") == ALL
+    # stamped → current season only
+    stamp = write_checkpoint(raw, date(2026, 8, 13))
+    assert stamp == "2026-08-13" and read_checkpoint(raw) == stamp
+    assert seasons_to_extract(raw, ALL, "2425") == ["2425"]
+
+
+def _rows(df):
+    return sorted((r.season, r.game, r.v) for r in df.collect())
+
+
+@pytest.fixture
+def base(spark):
+    return spark.createDataFrame(
+        [("2324", "g1", 1), ("2324", "g2", 2), ("2425", "g3", 3)],
+        "season string, game string, v int",
+    )
+
+
+def test_merge_first_write_then_keyed_replace(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    out = merge_into_raw(spark, base, path, ["season", "game"])
+    assert _rows(out) == [("2324", "g1", 1), ("2324", "g2", 2), ("2425", "g3", 3)]
+
+    delta = spark.createDataFrame(
+        [("2425", "g3", 30), ("2425", "g4", 40)], "season string, game string, v int"
+    )
+    out = merge_into_raw(spark, delta, path, ["season", "game"])
+    # g3 replaced (new wins), g4 appended, old-season rows untouched
+    expected = [
+        ("2324", "g1", 1), ("2324", "g2", 2), ("2425", "g3", 30), ("2425", "g4", 40)
+    ]
+    assert _rows(out) == expected
+    # idempotent: same delta again changes nothing (collect the fresh
+    # handle — `out`'s file listing was replaced by the re-merge)
+    again = merge_into_raw(spark, delta, path, ["season", "game"])
+    assert _rows(again) == expected
+
+
+def test_merge_is_partition_local(spark, base, tmp_path):
+    """The 2425 delta must not rewrite the 2324 partition's files."""
+    path = str(tmp_path / "t")
+    merge_into_raw(spark, base, path, ["season", "game"])
+    part_2324 = os.path.join(path, "season=2324")
+    before = {f: os.path.getmtime(os.path.join(part_2324, f))
+              for f in os.listdir(part_2324) if f.endswith(".parquet")}
+    delta = spark.createDataFrame([("2425", "g9", 9)], "season string, game string, v int")
+    merge_into_raw(spark, delta, path, ["season", "game"])
+    after = {f: os.path.getmtime(os.path.join(part_2324, f))
+             for f in os.listdir(part_2324) if f.endswith(".parquet")}
+    assert before == after  # same files, same mtimes — never rewritten
+
+
+def test_merge_schema_mismatch_replaces_table(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    merge_into_raw(spark, base, path, ["season", "game"])
+    reshaped = spark.createDataFrame(
+        [("2425", "g3", 30, "x")], "season string, game string, v int, extra string"
+    )
+    out = merge_into_raw(spark, reshaped, path, ["season", "game"])
+    assert out.count() == 1 and "extra" in out.columns
+    # old-schema partitions are gone, not orphaned
+    assert sorted(r.season for r in out.select("season").collect()) == ["2425"]
+
+
+def test_merge_keyless_appends_and_dedups(spark, tmp_path):
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([("2324", "g1", 1)], "season string, game string, v int")
+    merge_into_raw(spark, a, path, key_cols=[])
+    b = spark.createDataFrame(
+        [("2324", "g1", 1), ("2425", "g9", 9)], "season string, game string, v int"
+    )
+    out = merge_into_raw(spark, b, path, key_cols=[])
+    assert _rows(out) == [("2324", "g1", 1), ("2425", "g9", 9)]
