@@ -616,6 +616,28 @@ def t6_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t6_surrogate_keys_scale",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) AS surrogate_id,
+           o_orderkey
+    FROM orders
+    """,
+)
+def t6_surrogate_keys_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 at fact scale — operators.surrogate.zip_with_index: dense
+    sequential ids over the full orders table WITHOUT the global-window
+    single-partition funnel (range repartition → partition-local
+    row_number + driver prefix-summed offsets; only one long per
+    partition reaches the driver). o_orderkey is unique, so the
+    assignment is total-order deterministic and hash-matches the
+    oracle's global ROW_NUMBER."""
+    from ..operators.surrogate import zip_with_index
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return zip_with_index(orders, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # Set ops / MERGE (U1, M1-M3)
 # ---------------------------------------------------------------------------
