@@ -38,7 +38,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_league_table — scr/ui.py:50-72
     "league_table": (
         """
-        SELECT ftp.Rank, dt.team_name, ftp.MP, ftp.W, ftp.D, ftp.L,
+        SELECT /*+ BROADCAST(dt, ds) */ ftp.Rank, dt.team_name, ftp.MP, ftp.W, ftp.D, ftp.L,
                ftp.GF, ftp.GA, ftp.GD, ftp.Pts
         FROM fact_team_point ftp
         JOIN dim_team dt ON ftp.team_id = dt.team_id
@@ -52,7 +52,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_top_scorers — scr/ui.py:75-93
     "top_scorers": (
         """
-        SELECT dp.player_name, dt.team_name, SUM(fpm.goals) AS total_goals
+        SELECT /*+ BROADCAST(dp, dt, ds) */ dp.player_name, dt.team_name, SUM(fpm.goals) AS total_goals
         FROM fact_player_match fpm
         JOIN dim_player dp ON fpm.player_id = dp.player_id
         JOIN dim_team dt ON fpm.team_id = dt.team_id
@@ -68,7 +68,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_top_assisters — scr/ui.py:96-115
     "top_assisters": (
         """
-        SELECT dp.player_name, dt.team_name, SUM(fpm.assists) AS total_assists
+        SELECT /*+ BROADCAST(dp, dt, ds) */ dp.player_name, dt.team_name, SUM(fpm.assists) AS total_assists
         FROM fact_player_match fpm
         JOIN dim_player dp ON fpm.player_id = dp.player_id
         JOIN dim_team dt ON fpm.team_id = dt.team_id
@@ -84,7 +84,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_season_overview_stats — scr/ui.py:117-128
     "season_overview": (
         """
-        SELECT COALESCE(COUNT(DISTINCT ftm.game_id), 0) AS total_matches,
+        SELECT /*+ BROADCAST(ds) */ COALESCE(COUNT(DISTINCT ftm.game_id), 0) AS total_matches,
                COALESCE(SUM(ftm.GF), 0) AS total_goals
         FROM fact_team_match ftm
         JOIN dim_season ds ON ftm.season = ds.season_id
@@ -95,7 +95,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_teams — scr/ui.py:131-142
     "teams": (
         """
-        SELECT DISTINCT dt.team_name
+        SELECT /*+ BROADCAST(dt, ds) */ DISTINCT dt.team_name
         FROM fact_team_point ftp
         JOIN dim_team dt ON ftp.team_id = dt.team_id
         JOIN dim_season ds ON ftp.season_id = ds.season_id
@@ -107,7 +107,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_team_kpis — scr/ui.py:145-156
     "team_kpis": (
         """
-        SELECT ftp.W, ftp.D, ftp.L, ftp.GF, ftp.GA, ftp.Pts, ftp.Rank
+        SELECT /*+ BROADCAST(dt, ds) */ ftp.W, ftp.D, ftp.L, ftp.GF, ftp.GA, ftp.Pts, ftp.Rank
         FROM fact_team_point ftp
         JOIN dim_team dt ON ftp.team_id = dt.team_id
         JOIN dim_season ds ON ftp.season_id = ds.season_id
@@ -119,7 +119,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_team_top_scorers — scr/ui.py:158-173
     "team_top_scorers": (
         """
-        SELECT dp.player_name, SUM(fpm.goals) AS total_goals
+        SELECT /*+ BROADCAST(dp, dt, ds) */ dp.player_name, SUM(fpm.goals) AS total_goals
         FROM fact_player_match fpm
         JOIN dim_player dp ON fpm.player_id = dp.player_id
         JOIN dim_team dt ON fpm.team_id = dt.team_id
@@ -137,7 +137,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # the query here, P5)
     "xg_vs_goals": (
         """
-        SELECT dt.team_name,
+        SELECT /*+ BROADCAST(dt, ds) */ dt.team_name,
                SUM(ftm.GF) AS total_goals,
                SUM(ftm.xG) AS total_xg,
                SUM(ftm.GF) - SUM(ftm.xG) AS performance
@@ -155,7 +155,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
         """
         SELECT *
         FROM (
-            SELECT dt.team_name,
+            SELECT /*+ BROADCAST(dt, ds) */ dt.team_name,
                    SUM(CASE WHEN LOWER(ftp.Match_Category) = 'home' THEN ftp.Pts ELSE 0 END) AS home_pts,
                    SUM(CASE WHEN LOWER(ftp.Match_Category) = 'away' THEN ftp.Pts ELSE 0 END) AS away_pts,
                    SUM(CASE WHEN LOWER(ftp.Match_Category) = 'home' THEN ftp.W ELSE 0 END) AS home_wins,
@@ -174,7 +174,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_defensive_stats — scr/ui.py:218-234
     "defensive_stats": (
         """
-        SELECT dt.team_name,
+        SELECT /*+ BROADCAST(dt, ds) */ dt.team_name,
                ftp.GA AS goals_conceded,
                ftp.MP AS matches_played,
                ROUND(CAST(ftp.GA AS DECIMAL(18,2)) / NULLIF(ftp.MP, 0), 2) AS avg_goals_conceded
@@ -189,7 +189,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_offensive_stats — scr/ui.py:237-252
     "offensive_stats": (
         """
-        SELECT dt.team_name,
+        SELECT /*+ BROADCAST(dt, ds) */ dt.team_name,
                ftp.GF AS goals_scored,
                ftp.MP AS matches_played,
                ROUND(CAST(ftp.GF AS DECIMAL(18,2)) / NULLIF(ftp.MP, 0), 2) AS avg_goals_scored
@@ -204,7 +204,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_season_comparison — scr/ui.py:255-269
     "season_comparison": (
         """
-        SELECT ds.season_name,
+        SELECT /*+ BROADCAST(ds) */ ds.season_name,
                COUNT(DISTINCT ftm.game_id) AS total_matches,
                SUM(ftm.GF) AS total_goals,
                ROUND(CAST(SUM(ftm.GF) AS DECIMAL(18,2))
@@ -220,7 +220,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # opponent role, J3; recent-k T2)
     "team_recent_form": (
         """
-        SELECT dm.match_date,
+        SELECT /*+ BROADCAST(dt, o_dt, ds, dm) */ dm.match_date,
                o_dt.team_name AS opponent_name,
                ftm.venue, ftm.result,
                ftm.GF AS goals_for,
@@ -239,7 +239,7 @@ DASHBOARD_QUERIES: dict[str, tuple[str, tuple[str, ...]]] = {
     # get_top_bottom_performers — scr/ui.py:295-314
     "top_bottom_performers": (
         """
-        SELECT dt.team_name, ftp.Pts, ftp.GF, ftp.GA, ftp.GD, ftp.W, ftp.D, ftp.L
+        SELECT /*+ BROADCAST(dt, ds) */ dt.team_name, ftp.Pts, ftp.GF, ftp.GA, ftp.GD, ftp.W, ftp.D, ftp.L
         FROM fact_team_point ftp
         JOIN dim_team dt ON ftp.team_id = dt.team_id
         JOIN dim_season ds ON ftp.season_id = ds.season_id

@@ -96,9 +96,18 @@ def test_every_dashboard_query_runs(spark, warehouse):
         "team_name": warehouse["team1"],
         "limit": 10,
     }
+    import contextlib
+    import io
+
     for name in DASHBOARD_QUERIES:
         df = run_dashboard_query(spark, name, **params)
         df.collect()  # must execute, not just parse
+        # every dim join must broadcast (hinted) — no dashboard query
+        # may shuffle its fact side for a dimension lookup
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        assert "SortMergeJoin" not in buf.getvalue(), name
 
 
 def test_seasons_and_league_table(spark, warehouse):
