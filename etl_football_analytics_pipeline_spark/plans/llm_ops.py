@@ -327,6 +327,52 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM docs
+    )
+    SELECT gram,
+           COUNT(*) AS occurrences,
+           COUNT(DISTINCT doc_id) AS doc_frequency
+    FROM grams
+    GROUP BY gram
+    ORDER BY occurrences DESC, gram ASC
+    LIMIT 50
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics (SURVEY.md §7: n-gram counts via
+    explode + A1): bigram occurrences + document frequency, top-50 with
+    a deterministic tiebreak. The explode shuffles one row per gram
+    OCCURRENCE — at 100 TB this is the heaviest text shuffle, which is
+    why partial hash aggregation (map-side combine on the gram key)
+    and the TakeOrderedAndProject top-k matter: only (gram, counts)
+    pairs reach the exchange, and no global sort materializes."""
+    docs = _docs(spark, sf_dir)
+    from ..operators.dedup import normalized_text, word_ngrams
+
+    grams = (
+        docs.withColumn("__words", F.split(normalized_text("text"), " "))
+        .select(F.col("doc_id"), F.explode(word_ngrams("__words", 2)).alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_frequency"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+@query(
     "text_fingerprints",
     oracle=f"""
     SELECT doc_id, md5({_NORM}) AS md5_fingerprint
