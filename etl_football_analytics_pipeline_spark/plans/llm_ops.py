@@ -28,7 +28,7 @@ from ..operators.multimodal import (
     image_stats,
     synthetic_images,
 )
-from ..operators.similarity import all_pairs_cosine, brute_force_topk, lsh_topk
+from ..operators.similarity import all_pairs_cosine, brute_force_topk, ivf_topk, lsh_topk
 from ..operators.text import STOPWORDS, fingerprints, language_id, quality_scores, token_counts
 from ..sources.registry import load_table
 from .registry import query
@@ -188,6 +188,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return brute_force_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+@query("ann_ivf_topk")  # seeded k-means quantizer → rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators.similarity.ivf_topk): k-means
+    coarse quantizer → inverted lists → probe nprobe nearest lists →
+    exact in-list ranking. The bucketed-storage ANN path: corpus
+    shards by list_id (partition pruning at probe time), recall tuned
+    by nprobe without re-indexing. Recall vs brute force measured in
+    tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, "vec_id", "embedding", k=5, n_lists=16, nprobe=4)
 
 
 @query("ann_lsh_topk")  # plan-identical check impossible in SQL (pseudorandom planes) → rows-only

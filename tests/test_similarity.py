@@ -58,3 +58,26 @@ def test_hyperplane_buckets_deterministic(spark, emb):
         for r in hyperplane_signatures(emb.repartition(5), n_planes=8).collect()
     }
     assert a == b
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    from etl_football_analytics_pipeline_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=1).filter(F.col("rank") == 1).collect()
+    approx = ivf_topk(emb, queries, k=5, n_lists=8, nprobe=4).collect()
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for r in exact if r.neighbor_id in approx_by_q.get(r.query_id, set()))
+    # probing half the lists should catch the true NN for most queries
+    assert hits / len(exact) >= 0.6, f"top-1 recall {hits}/{len(exact)}"
+
+
+def test_ivf_deterministic(spark, emb):
+    from etl_football_analytics_pipeline_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_lists=8).collect()))
+    b = sorted(map(tuple, ivf_topk(emb.repartition(7), queries, k=3, n_lists=8).collect()))
+    assert a == b  # seeded quantizer + total-order ranking
