@@ -89,9 +89,12 @@ def m3_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = sup.filter(F.col("s_suppkey") <= 25)
     src = fresh.unionByName(dup)
     result = insert_if_absent(sup, src, ["s_suppkey"])
-    return spark.createDataFrame(
-        [(sup.count(), src.count(), result.count())],
-        "target_rows long, source_rows long, result_rows long",
+    # one plan, one job: cross-join of three single-row aggregates
+    # (the reference issues three separate COUNT round-trips)
+    return (
+        sup.agg(F.count(F.lit(1)).alias("target_rows"))
+        .crossJoin(src.agg(F.count(F.lit(1)).alias("source_rows")))
+        .crossJoin(result.agg(F.count(F.lit(1)).alias("result_rows")))
     )
 
 

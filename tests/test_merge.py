@@ -58,3 +58,39 @@ def test_merge_audit_counts(spark):
     assert audit.source_rows == 10
     assert audit.result_rows == old.count()  # pure update, no inserts
     assert audit.replaced_or_skipped == 10
+
+
+# -- randomized idempotency / new-wins properties (hypothesis) ----------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    keyed = st.dictionaries(st.integers(0, 20), st.integers(-5, 5), max_size=25)
+
+    @given(old=keyed, new=keyed)
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_merge_replace_properties(spark, old, new):
+        from etl_football_analytics_pipeline_spark.operators.merge import merge_replace
+
+        schema = "k long, v long"
+        old_df = spark.createDataFrame(sorted(old.items()), schema) if old else spark.createDataFrame([], schema)
+        new_df = spark.createDataFrame(sorted(new.items()), schema) if new else spark.createDataFrame([], schema)
+        out = merge_replace(old_df, new_df, ["k"])
+        got = {r.k: r.v for r in out.collect()}
+        expect = dict(old)
+        expect.update(new)
+        # key set = union; every key present in new carries new's value
+        assert got == expect
+        # idempotent: merging the same delta again changes nothing
+        out2 = merge_replace(out, new_df, ["k"])
+        assert {r.k: r.v for r in out2.collect()} == got
