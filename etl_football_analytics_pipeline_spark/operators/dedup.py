@@ -366,6 +366,61 @@ def minhash_dedup_pairs(
     )
 
 
+def exact_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate pair set
+    (id_a, id_b): join each side's distinct-gram-hash array, intersect
+    JVM-side, apply the |∩|/(|A|+|B|-|∩|) identity. Cost is
+    O(|pairs| × grams/doc), independent of corpus size — the verifier
+    stage shape. The gram table derives from the parquet scan, so
+    Catalyst has size stats: it broadcasts while the corpus fits and
+    degrades to a shuffled equi-join on id beyond that — both correct.
+
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold; pairs whose
+    docs have no grams are dropped (no defined similarity)."""
+    grams = gram_hashes(df, id_col, text_col, n)
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("__gh").alias("__gh_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("__gh").alias("__gh_b"))
+    inter = F.size(F.array_intersect("__gh_a", "__gh_b"))
+    sz_a, sz_b = F.size("__gh_a"), F.size("__gh_b")
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter((sz_a > 0) & (sz_b > 0))
+        .withColumn("jaccard", F.round(inter / (sz_a + sz_b - inter).cast("double"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_exact_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed 100 TB near-dup pipeline: MinHash+LSH candidate
+    generation (bucket-local, no quadratic pass) followed by EXACT
+    n-gram Jaccard verification of only the candidates — probabilistic
+    recall, exact precision. This is the production shape both tiers'
+    docstrings point at; at sf-scale it is also testable against the
+    all-pairs exact baseline (every returned pair appears there with
+    the identical jaccard value)."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+    return exact_jaccard_for_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over the word bag: each word votes its hash bits
     ±1; the signature is the sign vector packed into a long.

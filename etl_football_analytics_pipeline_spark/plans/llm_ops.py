@@ -121,6 +121,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_exact")  # candidate set is xxhash64-based → rows-only
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production pipeline
+    (operators.dedup.minhash_exact_dedup_pairs): LSH candidates →
+    EXACT n-gram Jaccard verification of candidates only —
+    probabilistic recall, exact precision, no quadratic pass.
+    tests/test_dedup.py asserts every returned pair appears in the
+    all-pairs exact baseline with the identical jaccard value."""
+    from ..operators.dedup import minhash_exact_dedup_pairs
+
+    return minhash_exact_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        num_hashes=64, num_bands=16, shingle_n=2, threshold=0.2,
+    )
+
+
 @query("dedup_simhash")  # xxhash64-based → rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs with hamming ≤ 12

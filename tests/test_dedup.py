@@ -81,3 +81,35 @@ def test_simhash_near_pairs_hamming_bound(spark, docs):
     pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=8).collect()
     assert all(0 <= r.hamming <= 8 for r in pairs)
     assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_minhash_exact_is_precise_subset_of_all_pairs(spark, docs):
+    """The composed LSH→exact-verify pipeline returns only true pairs:
+    every (id_a, id_b, jaccard) must appear in the exhaustive exact
+    baseline with the identical value (exact precision), and recall of
+    high-similarity pairs should be strong."""
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_exact_dedup_pairs,
+        ngram_jaccard_pairs_blas,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_blas(docs, "doc_id", "text", n=2, threshold=0.2).collect()
+    }
+    composed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_exact_dedup_pairs(
+            docs, "doc_id", "text", num_hashes=64, num_bands=16, shingle_n=2, threshold=0.2
+        ).collect()
+    }
+    # precision is exact: identical values, subset of the baseline
+    for pair, jac in composed.items():
+        assert exact.get(pair) == jac, pair
+    # recall on strong pairs (jaccard >= 0.5): banding with 16x4 at
+    # s=0.5 gives P[candidate] ~ 1-(1-0.5^4)^16 ~ 0.65; near-dups at
+    # higher similarity are nearly certain
+    strong = {p for p, j in exact.items() if j >= 0.5}
+    if strong:
+        hit = sum(1 for p in strong if p in composed)
+        assert hit / len(strong) >= 0.5, f"{hit}/{len(strong)}"
