@@ -95,7 +95,7 @@ def test_relational_plans_stay_jvm_side(plans):
     kernel_queries = {
         # Arrow-batched numpy kernels by design
         "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "dedup_embedding_cosine",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_minhash_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
         "mm_frame_sample", "mm_image_near_dup", "mm_image_stats",
         # driver-side audit count materialization
         "m3_audit_counts",
