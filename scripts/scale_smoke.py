@@ -1,0 +1,97 @@
+"""Scale smoke: run the heavy extension operators on a K×-amplified
+corpus and report runtime scaling.
+
+Usage: python scripts/scale_smoke.py [K]   (default 10)
+
+Amplifies documents/embeddings K× executor-side (id-shifted copies
+with deterministic word-level perturbation so near-dup structure is
+preserved but not degenerate), then times:
+  - minhash+LSH candidates → exact verify (the composed dedup path)
+  - simhash near-pairs
+  - IVF top-k over the amplified embedding corpus
+A path whose plan is right scales ~linearly in rows here (the LSH
+bucket joins are the part worth watching — candidate growth is the
+quadratic risk); the printout makes regressions visible per stage.
+Writes nothing outside /tmp.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.dedup import (
+    minhash_exact_dedup_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from etl_football_analytics_pipeline_spark.operators.similarity import ivf_topk
+from etl_football_analytics_pipeline_spark.session import get_spark
+from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.1"
+
+
+def amplify_docs(docs, k: int):
+    copies = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__c")
+    base = docs.select("doc_id", "text", copies)
+    # perturb: rotate words by copy index so copies are near- but not
+    # exact duplicates (keeps the candidate structure realistic)
+    words = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    rotated = F.concat(F.slice(words, F.col("__c") + 1, F.size(words)), F.slice(words, 1, F.col("__c")))
+    return base.select(
+        (F.col("doc_id") + F.col("__c") * 1_000_000).alias("doc_id"),
+        F.array_join(rotated, " ").alias("text"),
+    )
+
+
+def amplify_emb(emb, k: int):
+    copies = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__c")
+    return emb.select("vec_id", "embedding", copies).select(
+        (F.col("vec_id") + F.col("__c") * 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, (x, i) -> x + float(__c) * 1e-4 * float(i % 7))").alias(
+            "embedding"
+        ),
+    )
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-smoke")
+    docs1 = load_table(spark, SF, "documents")
+    emb1 = load_table(spark, SF, "embeddings")
+    for scale in (1, k):
+        docs = amplify_docs(docs1, scale).cache()
+        emb = amplify_emb(emb1, scale).cache()
+        nd, ne = docs.count(), emb.count()
+        t0 = time.time()
+        n_pairs = minhash_exact_dedup_pairs(
+            docs, "doc_id", "text", num_hashes=64, num_bands=16, shingle_n=2, threshold=0.2
+        ).count()
+        t_minhash = time.time() - t0
+        t0 = time.time()
+        n_sim = simhash_near_pairs(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8).count()
+        t_simhash = time.time() - t0
+        t0 = time.time()
+        queries = emb.filter(F.col("vec_id") < 10)
+        n_ivf = ivf_topk(emb, queries, k=5, n_lists=32, nprobe=4).count()
+        t_ivf = time.time() - t0
+        print(
+            f"scale={scale:3d}  docs={nd:7d} emb={ne:7d}  "
+            f"minhash+exact={t_minhash:6.1f}s (pairs={n_pairs})  "
+            f"simhash={t_simhash:6.1f}s (pairs={n_sim})  "
+            f"ivf={t_ivf:5.1f}s (rows={n_ivf})",
+            flush=True,
+        )
+        docs.unpersist()
+        emb.unpersist()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
