@@ -59,31 +59,39 @@ def main() -> int:
     # burst, and min-per-query measures the engine, not the neighbor.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for p in range(passes):
         for name in names:
-            t0 = time.time()
-            df = QUERIES[name](spark, sf_dir)
-            n = len(df.collect())
-            el = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
-            print(f"# pass{p} {name:32s} {el:8.3f}s  n={n}", file=sys.stderr)
-            # hygiene between queries: queries that cache intermediates
-            # would otherwise accumulate storage memory across the run
-            # and distort later measurements with eviction/GC churn
-            spark.catalog.clearCache()
+            # one broken query must never abort the whole bench run —
+            # record the error and keep measuring the rest
+            try:
+                t0 = time.time()
+                df = QUERIES[name](spark, sf_dir)
+                n = len(df.collect())
+                el = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, el), el)
+                print(f"# pass{p} {name:32s} {el:8.3f}s  n={n}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# pass{p} {name:32s} ERROR {errors[name][:120]}", file=sys.stderr)
+            finally:
+                # hygiene between queries: queries that cache
+                # intermediates would otherwise accumulate storage
+                # memory across the run and distort later measurements
+                # with eviction/GC churn
+                spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
     return 0
 

@@ -179,11 +179,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     prev_ts = F.lag("ts").over(w_order)
-    # microsecond-exact gap comparison (a seconds-floor cast would
-    # disagree with the oracle's INTERVAL comparison on sub-second gaps)
+    # microsecond-exact gap comparison via interval arithmetic (a
+    # seconds-floor cast would disagree with the oracle's INTERVAL
+    # comparison on sub-second gaps). Timestamp subtraction yields a
+    # day-time interval for BOTH timestamp and timestamp_ntz, so this
+    # survives the driver's µs-parquet → TIMESTAMP_NTZ inference,
+    # where unix_micros() does not.
     is_new = F.when(
         prev_ts.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     sessions = ev.withColumn("is_new_session", is_new).withColumn(

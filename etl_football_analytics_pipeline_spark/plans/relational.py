@@ -68,7 +68,7 @@ def s1_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey AS part_id,
            p_name    AS part_name,
-           CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)), 2) AS DECIMAL(18,2)) AS discounted_price,
+           CAST(CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS discounted_price,
            CAST(NULL AS BIGINT) AS placeholder
     FROM part
     WHERE p_size > 40
@@ -82,6 +82,13 @@ def p_projection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`scr/Transform.py:84-85,125,165-173`), derived columns
     (`scr/ui.py:190,620`), constant `df['born'] = pd.NA`
     (`scr/Transform.py:104`), drops (`scr/Transform.py:446,649`).
+
+    Output-boundary convention (applies to every money column in the
+    registry): the arithmetic runs in DECIMAL (exact, order-
+    independent), the FINAL column is cast to DOUBLE on both engines —
+    decimal→double is correctly rounded in both Spark and DuckDB, so
+    the doubles are bit-identical, while engine-native decimal values
+    canonicalize differently under the driver's value hasher.
     """
     part = _t(spark, sf_dir, "part")
     return (
@@ -89,7 +96,10 @@ def p_projection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p_partkey").alias("part_id"),
             F.col("p_name").alias("part_name"),
-            (dec("p_retailprice", 18, 2) * F.lit(0.9).cast("decimal(2,1)")).cast("decimal(18,2)").alias("discounted_price"),
+            (dec("p_retailprice", 18, 2) * F.lit(0.9).cast("decimal(2,1)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("discounted_price"),
             F.lit(None).cast("long").alias("placeholder"),
         )
     )

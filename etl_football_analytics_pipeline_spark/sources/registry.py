@@ -116,28 +116,69 @@ TABLES: dict[str, T.StructType] = {
 }
 
 
+def _parquet_ts_unit(path: str, col: str) -> str | None:
+    """Probe the parquet footer for `col`'s timestamp unit ('ns', 'us',
+    'ms', 's') or None if the column isn't a timestamp. Footer-only
+    read (pyarrow), no data scan; handles a single file or a directory
+    of part files (first part wins — one writer, one schema)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return None
+        path = parts[0]
+    schema = pq.read_schema(path)
+    field = schema.field(col) if col in schema.names else None
+    if field is None:
+        return None
+    t = field.type
+    return getattr(t, "unit", None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one registry table; raises if the table name is unknown.
 
     Schema comes from parquet metadata (no inference pass); the
     registry contract documents what downstream plans may rely on.
 
-    The events table is written with TIMESTAMP(NANOS) parquet type,
-    which Spark's vectorized reader rejects outright; we read nanos as
-    long (runtime-settable legacy conf) and convert to microsecond
-    timestamps with integer division — `div 1000` truncates exactly
-    like DuckDB's ns→µs conversion, and stays in long (a double
-    division would lose precision above 2^53 ns).
+    The events table's `ts` physical type has drifted across driver
+    versions (TIMESTAMP(NANOS) historically, plain timestamp[us]
+    today), so the footer is probed and only the nanos case takes the
+    legacy path: read nanos as long (runtime-settable legacy conf) and
+    convert to microsecond timestamps with integer division —
+    `div 1000` truncates exactly like DuckDB's ns→µs conversion, and
+    stays in long (a double division would lose precision above 2^53
+    ns). Microsecond files read natively (Spark 4 infers
+    TIMESTAMP_NTZ for UTC-unadjusted parquet timestamps) and are then
+    normalized to TIMESTAMP — value-preserving under the engine's UTC
+    session timezone, identical to DuckDB's naive reading of the same
+    file, and required by Structured Streaming (`withWatermark`
+    rejects TIMESTAMP_NTZ event-time columns). Every events consumer
+    therefore sees one canonical `ts: timestamp` regardless of the
+    physical file type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registry has {sorted(TABLES)}")
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _parquet_ts_unit(path, "ts") == "ns":
+        # The conf must STAY set: SQL confs are re-read per task at
+        # action time, so restoring it before the (lazy) scan executes
+        # would fail the read. Scoping the set to the genuinely-nanos
+        # case is what keeps the common path conf-clean.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -37,16 +37,31 @@ def stream_events(
     """`readStream` source over the events parquet.
 
     The driver ships `events.parquet` as a single file, so the file
-    source points at the directory with a glob filter. The file was
-    written with TIMESTAMP(NANOS), which Spark's reader only accepts
-    as long (`nanosAsLong`); the ns→µs conversion matches
-    sources.registry.load_table exactly, so batch and stream plans see
-    identical rows.
+    source points at the directory with a glob filter. `readStream`
+    needs an explicit schema; to keep batch and stream bit-identical
+    the on-disk `ts` type is probed from the parquet footer (the same
+    probe sources.registry.load_table uses) and the stream applies the
+    identical normalization branch: nanos files read as long +
+    ns→µs conversion; µs files read as TIMESTAMP_NTZ and cast to
+    TIMESTAMP (value-preserving under the UTC session timezone, and
+    required — `withWatermark` rejects TIMESTAMP_NTZ event time).
+    Batch and stream therefore see the same canonical `ts: timestamp`.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.registry import _parquet_ts_unit
+
+    path = f"{sf_dir}/events.parquet"
+    nanos = _parquet_ts_unit(path, "ts") == "ns"
+    if nanos:
+        # stays set for the life of the stream — see load_table
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_type: T.DataType = T.LongType()
+    else:
+        # declare what is physically on disk (UTC-unadjusted µs →
+        # TIMESTAMP_NTZ), normalize after
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
     schema = T.StructType(
         [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            T.StructField(f.name, ts_type if f.name == "ts" else f.dataType)
             for f in TABLES["events"].fields
         ]
     )
@@ -57,7 +72,10 @@ def stream_events(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(sf_dir)
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if watermark:
         df = df.withWatermark("ts", watermark)
     return df
