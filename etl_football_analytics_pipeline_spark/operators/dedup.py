@@ -323,11 +323,13 @@ def minhash_lsh_candidates(
     left = buckets.select(F.col("__id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("__id").alias("id_b"), "band", "bucket")
     # mapInPandas output has no stats, so Catalyst would pick a
-    # sort-merge join and shuffle the (huge) candidate stream; the
-    # bucket table is tiny — broadcast it and candidates never shuffle
-    # until the distinct.
+    # sort-merge join; the shuffle_hash hint keeps it a hash join
+    # WITHOUT the sort, partitioned on the bucket key. (A broadcast
+    # hint would be faster on tiny corpora but the bucket table grows
+    # WITH the corpus — broadcasting it is exactly what cannot survive
+    # 100 TB, and it disables AQE skew splitting of hot buckets.)
     return (
-        left.join(F.broadcast(right), ["band", "bucket"])
+        left.hint("shuffle_hash").join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -354,12 +356,13 @@ def minhash_dedup_pairs(
     est = F.expr(
         "size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), b -> b))"
     ) / F.lit(float(num_hashes))
-    # signatures are the small side (corpus rows × 64 longs) and carry
-    # no stats (mapInPandas output) — without the explicit broadcast,
-    # Catalyst sort-merge-joins and shuffles the candidate stream twice
+    # the signature table grows with the corpus, so it must NOT be
+    # broadcast; the shuffle_hash hint avoids Catalyst's stat-less
+    # sort-merge default while keeping both sides hash-partitioned on
+    # the join key (AQE can still split skewed keys)
     return (
-        cand.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.hint("shuffle_hash").join(sa, "id_a")
+        .hint("shuffle_hash").join(sb, "id_b")
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
@@ -495,12 +498,13 @@ def simhash_near_pairs(
     b = buckets.select(F.col("__id").alias("id_b"), F.col("simhash").alias("__sh_b"), "ci", "cv")
     hamming = F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b")))
     # one bucket-join over (chunk_idx, chunk_val) replaces 4 separate
-    # self-joins; the bucket table is small and stat-less → broadcast.
+    # self-joins; shuffle_hash (not broadcast — the bucket table grows
+    # with the corpus) avoids the stat-less sort-merge default.
     # The hamming filter runs BEFORE the distinct: candidates at this
     # corpus's similarity level outnumber survivors ~100×, and
     # deduplicating only survivors shrinks the one shuffle accordingly.
     return (
-        a.join(F.broadcast(b), ["ci", "cv"])
+        a.hint("shuffle_hash").join(b, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

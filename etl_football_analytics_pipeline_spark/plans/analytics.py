@@ -28,7 +28,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            c_custkey,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
            RANK()       OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_rank,
            DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_dense_rank,
            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_row_number
@@ -47,7 +47,7 @@ def w1_rank_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_nationkey",
         "c_custkey",
-        bal.alias("acctbal"),
+        bal.cast("double").alias("acctbal"),
         F.rank().over(w).cast("long").alias("bal_rank"),
         F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
         F.row_number().over(w).cast("long").alias("bal_row_number"),
@@ -58,9 +58,9 @@ def w1_rank_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_rolling_recent_form",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rolling_5_spend,
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS rolling_5_spend,
            COUNT(*) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_5_n
@@ -81,7 +81,7 @@ def w2_rolling_recent_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec("o_totalprice")).over(w).cast("decimal(18,2)").alias("rolling_5_spend"),
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(18,2)").cast("double").alias("rolling_5_spend"),
         F.count(F.lit(1)).over(w).alias("rolling_5_n"),
     )
 
@@ -91,7 +91,7 @@ def w2_rolling_recent_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS season_year,
            COUNT(DISTINCT o_orderkey) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
            ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  / NULLIF(COUNT(DISTINCT o_orderkey), 0) AS DOUBLE), 2) AS avg_value_per_order
     FROM orders
@@ -106,12 +106,12 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = orders.filter(F.lower(F.col("o_orderstatus")).isin("o", "f"))
     agg = filtered.groupBy(F.year("o_orderdate").cast("long").alias("season_year")).agg(
         F.countDistinct("o_orderkey").alias("n_orders"),
-        F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("total_value"),
+        F.sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double").alias("total_value"),
     )
     return agg.withColumn(
         "avg_value_per_order",
         F.round(
-            F.col("total_value").cast("double")
+            F.col("total_value")
             / F.when(F.col("n_orders") == 0, F.lit(None)).otherwise(F.col("n_orders")),
             2,
         ),
@@ -125,7 +125,7 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
     FROM events
     GROUP BY DATE_TRUNC('hour', ts), event_type
     """,
@@ -164,7 +164,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,
            CAST(MAX(ts) AS TIMESTAMP) AS session_end,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -198,7 +198,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum(dec("value")).cast("decimal(18,2)").alias("session_value"),
+        F.sum(dec("value")).cast("decimal(18,2)").cast("double").alias("session_value"),
     )
 
 
@@ -248,7 +248,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,
            CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,

@@ -8,8 +8,13 @@ independent oracle. `__spark_entry__.py` re-exports this registry.
 Conventions enforced across the registry (they are what make the
 driver's order-insensitive value-hash comparison meaningful):
 - every computed column is aliased identically in Spark and SQL;
-- double-typed aggregates are computed in DECIMAL on both engines
-  (exact, order-independent — see functions.cleaning.dec);
+- money/quantity aggregates are computed in DECIMAL on both engines
+  (exact, order-independent — see functions.cleaning.dec) and cast to
+  DOUBLE at the OUTPUT boundary on both sides: engine-native decimals
+  canonicalize differently under the driver's value hasher (Spark
+  keeps fixed scale '50.10', DuckDB's pandas path yields float '50.1'),
+  while decimal→double is correctly rounded in both engines and so
+  bit-identical;
 - every ORDER BY ... LIMIT k carries a unique tiebreak key so top-k
   is deterministic across engines.
 """

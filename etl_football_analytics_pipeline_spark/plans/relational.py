@@ -230,8 +230,8 @@ def j3_self_join_two_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_star_join_agg",
     oracle="""
     SELECT r_name AS region_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -257,7 +257,7 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
-        .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(18,2)").cast("double").alias("revenue"))
     )
 
 
@@ -269,10 +269,10 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
       FROM orders GROUP BY o_custkey
     ), bal AS (
-      SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      SELECT c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
       FROM customer
     )
-    SELECT c_custkey, c_name, acctbal, n_orders, total_spend
+    SELECT c_custkey, c_name, acctbal, n_orders, CAST(total_spend AS DOUBLE) AS total_spend
     FROM bal JOIN ord ON c_custkey = o_custkey
     WHERE n_orders >= 8
     """,
@@ -284,9 +284,9 @@ def j7_post_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     ord_agg = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("total_spend"),
+        F.sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double").alias("total_spend"),
     )
-    bal = cust.select("c_custkey", "c_name", dec("c_acctbal").alias("acctbal"))
+    bal = cust.select("c_custkey", "c_name", dec("c_acctbal").cast("double").alias("acctbal"))
     return (
         bal.join(ord_agg, bal.c_custkey == ord_agg.o_custkey)
         .filter(F.col("n_orders") >= 8)
@@ -347,8 +347,8 @@ def a11_row_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_grouped_sum_topk",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -373,7 +373,7 @@ def a1_grouped_sum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(18,2)").cast("double").alias("revenue"))
         .filter(F.col("revenue") > 0)
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
@@ -384,10 +384,10 @@ def a1_grouped_sum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
            COUNT(*) AS count_order,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_qty
     FROM lineitem
@@ -406,16 +406,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_base_price"),
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn(
             "avg_qty",
-            F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 2),
+            F.round(F.col("sum_qty") / F.col("count_order"), 2),
         )
     )
 
@@ -424,7 +428,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_global_agg_coalesce",
     oracle="""
     SELECT COALESCE(COUNT(DISTINCT o_orderkey), 0) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_price
+           CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
     FROM orders
     WHERE o_orderstatus = 'Z'
     """,
@@ -437,6 +441,7 @@ def a3_global_agg_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.countDistinct("o_orderkey"), F.lit(0)).alias("n_orders"),
         F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_price"),
     )
 
@@ -465,8 +470,8 @@ def a4_count_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_conditional_agg_pivot",
     oracle="""
     SELECT o_orderstatus,
-           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS urgent_price,
-           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS low_price,
+           CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS urgent_price,
+           CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS low_price,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
            CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM orders
@@ -482,8 +487,14 @@ def a5_conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = dec("o_totalprice")
     zero = F.lit(0).cast("decimal(18,2)")
     return orders.groupBy("o_orderstatus").agg(
-        F.sum(F.when(urgent, price).otherwise(zero)).cast("decimal(18,2)").alias("urgent_price"),
-        F.sum(F.when(low, price).otherwise(zero)).cast("decimal(18,2)").alias("low_price"),
+        F.sum(F.when(urgent, price).otherwise(zero))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("urgent_price"),
+        F.sum(F.when(low, price).otherwise(zero))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("low_price"),
         F.sum(F.when(urgent, 1).otherwise(0)).alias("urgent_count"),
         F.sum(F.when(low, 1).otherwise(0)).alias("low_count"),
     )
@@ -587,7 +598,7 @@ def t2_recent_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t5_bottom_k",
     oracle="""
-    SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+    SELECT s_suppkey, s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
     FROM supplier
     ORDER BY acctbal ASC, s_suppkey ASC
     LIMIT 10
@@ -598,7 +609,7 @@ def t5_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ORDER BY ASC + LIMIT with unique tiebreak."""
     sup = _t(spark, sf_dir, "supplier")
     return (
-        sup.select("s_suppkey", "s_name", dec("s_acctbal").alias("acctbal"))
+        sup.select("s_suppkey", "s_name", dec("s_acctbal").cast("double").alias("acctbal"))
         .orderBy(F.asc("acctbal"), F.asc("s_suppkey"))
         .limit(10)
     )
@@ -677,10 +688,10 @@ def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m1_merge_replace",
     oracle="""
     WITH old AS (
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
       FROM orders WHERE o_orderkey % 3 <> 0
     ), new AS (
-      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2)) AS totalprice
+      SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
       FROM orders WHERE o_orderkey % 2 = 0
     )
     SELECT o_orderkey, totalprice FROM new
@@ -699,11 +710,11 @@ def m1_merge_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        "o_orderkey", dec("o_totalprice").alias("totalprice")
+        "o_orderkey", dec("o_totalprice").cast("double").alias("totalprice")
     )
     new = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey",
-        (dec("o_totalprice") + F.lit(1)).cast("decimal(18,2)").alias("totalprice"),
+        (dec("o_totalprice") + F.lit(1)).cast("decimal(18,2)").cast("double").alias("totalprice"),
     )
     return merge_replace(old, new, ["o_orderkey"])
 

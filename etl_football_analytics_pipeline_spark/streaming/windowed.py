@@ -91,7 +91,12 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            # decimal-exact sum, double at the output boundary (see
+            # plans.relational.p_projection_suite docstring)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -129,7 +134,10 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("session_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("session_value"),
         )
         .select(
             "user_id",

@@ -23,13 +23,18 @@ from etl_football_analytics_pipeline_spark.sources.registry import TABLES
 
 
 def canon(rows, colnames):
+    """STRICT canonical form: sort columns by name, sort rows, compare
+    plain str() of every value — no float rounding. Empirically this is
+    at least as strict as the driver's value hasher: the r2 record
+    failed exactly the queries whose Spark Decimal strings ('-375.00')
+    differ from the float str of the same value ('-375.0'), so engine
+    outputs must match bit-for-bit after the registry's
+    DECIMAL-internal / DOUBLE-boundary convention."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return f"{v:.9g}"
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
         return str(v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
