@@ -25,7 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,9 +81,25 @@ def insert_if_absent(
     absent from target are appended; conflicting src rows are skipped.
 
     ≡ `INSERT ... ON CONFLICT (pk) DO NOTHING` (`scr/Load.py:276-302`).
-    Idempotent by construction.
+    Postgres also keeps only the FIRST source row when the source
+    itself repeats a key (later rows conflict with the just-inserted
+    one), so src is deduplicated by pk first. Row order is undefined
+    in a distributed frame, so "first" is made deterministic: lowest
+    row by the remaining columns' sort order (a row_number window
+    keyed on pk — one extra shuffle on the same key the anti-join
+    needs anyway). Idempotent by construction.
     """
     pk = list(pk)
+    extra = [c for c in src.columns if c not in pk]
+    if extra:
+        w = Window.partitionBy(*pk).orderBy(*[F.asc(c) for c in extra])
+        src = (
+            src.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        src = src.dropDuplicates(pk)
     tkeys = target.select(*pk)
     fresh = src.join(F.broadcast(tkeys) if broadcast_target_keys else tkeys, pk, "left_anti")
     return target.unionByName(fresh)

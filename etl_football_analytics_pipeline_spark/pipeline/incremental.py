@@ -133,6 +133,7 @@ def merge_into_raw(
     # materialize before overwriting the path the plan reads from
     staged = merged.cache()
     staged.count()
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         writer = staged.write.mode("overwrite")
         if partitioned:
@@ -148,6 +149,14 @@ def merge_into_raw(
         writer.parquet(table_path)
     finally:
         staged.unpersist()
+        # the write is an eager action, so restoring the session conf
+        # here cannot affect it — but a leaked "dynamic" would silently
+        # change every LATER overwrite in the session
+        if partitioned:
+            if prev_mode is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     # the overwrite invalidated any cached file listing for this path
     spark.catalog.refreshByPath(table_path)
     return _restore_partition_type(spark.read.parquet(table_path))

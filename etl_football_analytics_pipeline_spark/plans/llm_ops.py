@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
-    ngram_jaccard_pairs_blas,
+    ngram_jaccard_pairs_auto,
     simhash,
     simhash_near_pairs,
 )
@@ -28,7 +28,13 @@ from ..operators.multimodal import (
     image_stats,
     synthetic_images,
 )
-from ..operators.similarity import all_pairs_cosine, brute_force_topk, ivf_topk, lsh_topk
+from ..operators.similarity import (
+    all_pairs_cosine,
+    brute_force_topk,
+    ivf_topk,
+    lsh_all_pairs_cosine,
+    lsh_topk,
+)
 from ..operators.text import STOPWORDS, fingerprints, language_id, quality_scores, token_counts
 from ..sources.registry import load_table
 from .registry import query
@@ -96,16 +102,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard near-dup pairs ≥ 0.2. Dense-kernel
-    tier (operators.dedup.ngram_jaccard_pairs_blas): broadcast gram
-    bitmap, per-batch BLAS block matmul, O(matches) shuffle — chosen
-    because this corpus's shared vocabulary makes ~all pairs join
-    candidates, where the relational gram-join tier
-    (operators.dedup.ngram_jaccard_pairs, the unbounded-scale path)
-    materializes 36M intermediate rows. Equality of the two tiers is
-    property-tested in tests/test_dedup.py; this is the exact baseline
-    the probabilistic ops are judged against."""
-    return ngram_jaccard_pairs_blas(_docs(spark, sf_dir), "doc_id", "text", n=2, threshold=0.2)
+    """Exact word-bigram Jaccard near-dup pairs ≥ 0.2, bound to the
+    size-dispatching tier (operators.dedup.ngram_jaccard_pairs_auto):
+    ≤100k docs → dense BLAS kernel (bounded driver bitmap; this
+    synthetic corpus's shared vocabulary makes ~every pair a join
+    candidate, where the dense kernel wins >10×); beyond → the
+    PREFIX-FILTERING tier (ngram_jaccard_pairs_prefix): rarest-first
+    prefix grams generate candidates, exact array-intersect verifies —
+    100% recall by construction, every stage a hash-partitioned
+    shuffle, nothing unbounded driver-side. All three tiers
+    (prefix/BLAS/naive gram-join) are property-tested equal in
+    tests/test_dedup.py, so dispatch can only change the physical
+    plan, never the answer. This exact operator is the baseline the
+    probabilistic ops are judged against."""
+    return ngram_jaccard_pairs_auto(_docs(spark, sf_dir), "doc_id", "text", n=2, threshold=0.2)
 
 
 @query("dedup_minhash_lsh")  # xxhash64-based → no cross-engine oracle (rows-only)
@@ -164,9 +174,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     BLAS batches, O(matches) shuffle). Threshold 0.45 because the
     synthetic embeddings top out at pairwise cosine ≈0.51 — a 0.95
     run would vacuously return 0 rows and prove nothing. The 100 TB
-    path buckets by hyperplane signature first (ann_lsh_topk's
-    machinery)."""
+    path is dedup_embedding_lsh below — same exact scoring, candidates
+    restricted to hyperplane buckets."""
     return all_pairs_cosine(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.45)
+
+
+@query("dedup_embedding_lsh")  # pseudorandom hyperplanes → rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at 100 TB scale
+    (operators.similarity.lsh_all_pairs_cosine): OR-amplified
+    hyperplane-LSH buckets → self equi-join on (table, bucket), hash-
+    partitioned with nothing corpus-sized broadcast → exact einsum
+    cosine on candidates only. Probabilistic recall (measured ≥0.9 vs
+    dedup_embedding_cosine in tests/test_similarity.py), exact
+    precision — every returned pair carries its true cosine."""
+    return lsh_all_pairs_cosine(
+        _emb(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.45, dim=64, n_planes=4, n_tables=16,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -235,26 +260,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("mm_image_stats")  # synthetic SMF codec → no SQL oracle (rows-only)
-def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + per-image stats over a binary media column
-    (operators.multimodal.image_stats): pixels stay executor-local,
-    only scalars shuffle. Codec stubbed (SMF synthetic format);
-    exactness vs direct numpy decode is tested in
-    tests/test_multimodal.py."""
-    return image_stats(synthetic_images(spark, n=200), min_partitions=1)
-
-
-@query("mm_frame_sample")  # rows-only
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-4th-frame sampling over video-like containers
-    (operators.multimodal.frame_sample) — the 1→n/k fan-out shape,
-    emitting re-encoded frame blobs with typed metadata."""
-    return frame_sample(
-        synthetic_images(spark, n=100, width=16, height=32), every_k=4, min_partitions=1
-    ).select(
-        "id", "frame_id", F.length("content").alias("frame_bytes"), F.col("meta.height").alias("frame_rows")
+@query("mm_decode_suite")  # synthetic SMF codec → no SQL oracle (rows-only)
+def mm_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-path suite over a binary media column: per-image stats
+    (operators.multimodal.image_stats — pixels stay executor-local,
+    only scalars shuffle) joined with per-container frame-sampling
+    aggregates (operators.multimodal.frame_sample — the 1→n/k fan-out
+    shape, re-encoded frame blobs with typed metadata). Codec stubbed
+    (SMF synthetic format); exactness vs direct numpy decode is tested
+    in tests/test_multimodal.py."""
+    images = synthetic_images(spark, n=200, width=16, height=32).cache()
+    stats = image_stats(images, min_partitions=1)
+    frames = (
+        frame_sample(images, every_k=4, min_partitions=1)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.sum(F.length("content")).alias("frame_bytes_total"),
+        )
     )
+    return stats.join(frames, "id")
 
 
 @query("mm_image_near_dup")  # rows-only
@@ -284,36 +309,16 @@ def _sw_list(lang: str) -> str:
 
 
 @query(
-    "text_language_id",
+    "text_profile",
     oracle=f"""
-    WITH scored AS (
+    WITH l AS (
       SELECT doc_id,
              CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('de')}, w))) AS INT) AS hits_de,
              CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('en')}, w))) AS INT) AS hits_en,
              CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('es')}, w))) AS INT) AS hits_es,
              CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('fr')}, w))) AS INT) AS hits_fr
       FROM documents
-    )
-    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
-           CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
-                WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
-                WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
-                WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
-                ELSE 'fr' END AS predicted_lang
-    FROM scored
-    """,
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-hit scoring (operators.text.language_id)
-    — vectorized set-membership counts, argmax with deterministic tie
-    order."""
-    return language_id(_docs(spark, sf_dir), "doc_id", "text")
-
-
-@query(
-    "text_quality_scores",
-    oracle=f"""
-    WITH base AS (
+    ), q AS (
       SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars_measured,
              CAST(len({_WORDS}) AS BIGINT) AS n_words,
@@ -321,38 +326,66 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(array_to_string({_WORDS}, '')) AS BIGINT) AS total_word_chars,
              CAST(len(list_filter({_WORDS}, w -> list_contains({_sw_list('en')}, w))) AS BIGINT) AS en_hits
       FROM documents
+    ), t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tokens
+      FROM documents
+    ), f AS (
+      SELECT doc_id, md5({_NORM}) AS md5_fingerprint FROM documents
     )
-    SELECT doc_id, n_chars_measured, n_words,
-           ROUND(CAST(total_word_chars AS DOUBLE) / GREATEST(n_words, 1), 4) AS avg_word_len,
-           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars_measured, 1), 4) AS punct_ratio,
-           ROUND(CAST(en_hits AS DOUBLE) / GREATEST(n_words, 1), 4) AS stopword_ratio,
+    SELECT l.doc_id, l.hits_de, l.hits_en, l.hits_es, l.hits_fr,
+           CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           q.n_chars_measured, q.n_words,
+           ROUND(CAST(q.total_word_chars AS DOUBLE) / GREATEST(q.n_words, 1), 4) AS avg_word_len,
+           ROUND(CAST(q.n_punct AS DOUBLE) / GREATEST(q.n_chars_measured, 1), 4) AS punct_ratio,
+           ROUND(CAST(q.en_hits AS DOUBLE) / GREATEST(q.n_words, 1), 4) AS stopword_ratio,
            ROUND(LEAST(GREATEST(
-             ROUND(CAST(en_hits AS DOUBLE) / GREATEST(n_words, 1), 4) * 2 + 0.5
-             - ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars_measured, 1), 4) * 5,
-             0.0), 1.0), 4) AS quality_score
-    FROM base
+             ROUND(CAST(q.en_hits AS DOUBLE) / GREATEST(q.n_words, 1), 4) * 2 + 0.5
+             - ROUND(CAST(q.n_punct AS DOUBLE) / GREATEST(q.n_chars_measured, 1), 4) * 5,
+             0.0), 1.0), 4) AS quality_score,
+           t.ws_tokens, t.regex_tokens,
+           f.md5_fingerprint
+    FROM l
+    JOIN q USING (doc_id)
+    JOIN t USING (doc_id)
+    JOIN f USING (doc_id)
     """,
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality signals (operators.text.quality_scores):
-    length / word stats / punctuation & stopword ratios / composite
-    score — the cheap pre-filters of an LLM data pipeline."""
-    return quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis profile — language ID, quality
+    signals, token counts, and the md5 fingerprint in ONE pass:
 
+    - language ID via stopword-hit scoring (operators.text.language_id)
+      — vectorized set-membership counts, argmax with deterministic tie
+      order;
+    - quality signals (operators.text.quality_scores): length / word
+      stats / punctuation & stopword ratios / composite score — the
+      cheap pre-filters of an LLM data pipeline;
+    - token counting (operators.text.token_counts): whitespace + BPE-ish
+      regex tokens, both JVM-side regex;
+    - fingerprints (operators.text.fingerprints; md5 column — the
+      xxhash64 shard key is Spark-specific and verified in
+      tests/test_text_ops.py instead).
 
-@query(
-    "text_token_counts",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tokens
-    FROM documents
-    """,
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (operators.text.token_counts): whitespace tokens
-    + BPE-ish regex tokens, both JVM-side regex — no Python."""
-    return token_counts(_docs(spark, sf_dir), "doc_id", "text")
+    All pure Column expressions; the four operator outputs join on
+    doc_id and Catalyst collapses the self-joins of the same scan into
+    one stage per side — at 100 TB this whole profile costs one
+    documents scan plus id-partitioned joins (or zero joins when
+    composed column-wise, which is how production would fuse them; the
+    join form here keeps each operator independently reusable).
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        language_id(docs, "doc_id", "text")
+        .join(quality_scores(docs, "doc_id", "text"), "doc_id")
+        .join(token_counts(docs, "doc_id", "text"), "doc_id")
+        .join(fingerprints(docs, "doc_id", "text").select("doc_id", "md5_fingerprint"), "doc_id")
+    )
 
 
 @query(
@@ -401,18 +434,3 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_fingerprints",
-    oracle=f"""
-    SELECT doc_id, md5({_NORM}) AS md5_fingerprint
-    FROM documents
-    """,
-)
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting (operators.text.fingerprints). The
-    xxhash64 shard key is Spark-specific, so the oracle checks the md5
-    column only; the full operator (with xxh64) is exercised in
-    tests/test_text.py."""
-    return fingerprints(_docs(spark, sf_dir), "doc_id", "text").select(
-        "doc_id", "md5_fingerprint"
-    )

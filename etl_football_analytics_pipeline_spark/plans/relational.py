@@ -106,59 +106,64 @@ def p_projection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f1_notnull_filter",
+    "f_filter_suite",
     oracle="""
-    SELECT event_id, user_id, event_type
+    SELECT 'f1' AS part, event_id AS id, CAST(user_id AS VARCHAR) AS s1, event_type AS s2
     FROM events
     WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
-    """,
-)
-def f1_notnull_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F3 — multi-column not-null key filter (`dropna(subset=...)`,
-    `scr/Transform.py:113,320,333`; arity filter `:286`)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.na.drop(subset=["user_id", "event_type", "value"]).select(
-        "event_id", "user_id", "event_type"
-    )
-
-
-@query(
-    "f2_embedded_header_filter",
-    oracle="""
-    SELECT doc_id, lang, source
+    UNION ALL
+    SELECT 'f2' AS part, doc_id AS id, lang AS s1, source AS s2
     FROM documents
     WHERE NOT (lang = 'lang' AND source = 'source')
-    """,
-)
-def f2_embedded_header_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 — embedded-header-row filter: drop rows whose values equal the
-    column names (`scr/Transform.py:143-144,288-290,527-529`). The
-    synthetic tables contain no such rows, so this is a semantic no-op
-    here; the predicate shape is what's under test.
-    """
-    docs = _t(spark, sf_dir, "documents")
-    return docs.filter(
-        ~((F.col("lang") == F.lit("lang")) & (F.col("source") == F.lit("source")))
-    ).select("doc_id", "lang", "source")
-
-
-@query(
-    "f4_anti_join",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'f4' AS part, c_custkey AS id, c_name AS s1, CAST(NULL AS VARCHAR) AS s2
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def f4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 — key-membership anti-filter (`~isin`, `scr/Extract.py:285-289`)
-    as a left_anti join: customers with no orders. At scale this is a
-    shuffled anti-join on the key — Spark's native EXCEPT-by-key."""
+def f_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 filter family as one driver-checkable suite (the driver
+    samples at most ~50 registry entries, so the filter operators share
+    one canonicalized union; each part is still its own Catalyst plan).
+
+    - f1: F1/F3 multi-column not-null key filter (`dropna(subset=...)`,
+      `scr/Transform.py:113,320,333`; arity filter `:286`);
+    - f2: F2 embedded-header-row filter — drop rows whose values equal
+      the column names (`scr/Transform.py:143-144,288-290,527-529`);
+      the synthetic tables contain no such rows, the predicate shape is
+      what's under test;
+    - f4: F4 key-membership anti-filter (`~isin`,
+      `scr/Extract.py:285-289`) as a left_anti join — Spark's native
+      EXCEPT-by-key, a shuffled anti-join at scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    f1 = (
+        ev.na.drop(subset=["user_id", "event_type", "value"])
+        .select(
+            F.lit("f1").alias("part"),
+            F.col("event_id").alias("id"),
+            F.col("user_id").cast("string").alias("s1"),
+            F.col("event_type").alias("s2"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents")
+    f2 = docs.filter(
+        ~((F.col("lang") == F.lit("lang")) & (F.col("source") == F.lit("source")))
+    ).select(
+        F.lit("f2").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("s1"),
+        F.col("source").alias("s2"),
+    )
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    f4 = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("f4").alias("part"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
     )
+    return f1.unionByName(f2).unionByName(f4)
 
 
 # ---------------------------------------------------------------------------
@@ -295,47 +300,52 @@ def j7_post_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j8_fk_validation_audit",
+    "j8_a11_fk_audit",
     oracle="""
     WITH big_parts AS (SELECT p_partkey, p_brand FROM part WHERE p_size > 25)
-    SELECT p_brand, COUNT(*) AS n_matched
+    SELECT 'j8' AS part, p_brand AS label,
+           COUNT(*) AS n1, CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3
     FROM lineitem JOIN big_parts ON l_partkey = p_partkey
     GROUP BY p_brand
+    UNION ALL
+    SELECT 'a11' AS part, 'audit' AS label,
+           COUNT(*) AS n1,
+           COUNT(p_partkey) AS n2,
+           COUNT(*) - COUNT(p_partkey) AS n3
+    FROM lineitem LEFT JOIN (SELECT p_partkey FROM big_parts) ON l_partkey = p_partkey
     """,
 )
-def j8_fk_validation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 — FK validation as left-join + null-filter (inner join with
-    audit of dropped rows; `scr/Transform.py:634-645,671-683`). The
-    audit count itself is a11_row_count_audit."""
+def j8_a11_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 + A11 — FK validation join plus the reference's
+    inserted/skipped/total audit counts, as one suite.
+
+    - j8: FK validation as left-join + null-filter → per-brand matched
+      counts (`scr/Transform.py:634-645,671-683`);
+    - a11: the total/matched/dropped audit
+      (`scr/Load.py:291-302,351-363,443-455`) as ONE aggregate over the
+      validation join instead of three separate count() actions.
+    """
     li = _t(spark, sf_dir, "lineitem")
     parts = _t(spark, sf_dir, "part").filter(F.col("p_size") > 25).select("p_partkey", "p_brand")
     joined = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left")
-    matched = joined.filter(F.col("p_partkey").isNotNull())
-    return matched.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_matched"))
-
-
-@query(
-    "a11_row_count_audit",
-    oracle="""
-    WITH big_parts AS (SELECT p_partkey FROM part WHERE p_size > 25)
-    SELECT COUNT(*) AS total_rows,
-           COUNT(p_partkey) AS matched_rows,
-           COUNT(*) - COUNT(p_partkey) AS dropped_rows
-    FROM lineitem LEFT JOIN big_parts ON l_partkey = p_partkey
-    """,
-)
-def a11_row_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11 + J8 — the reference's inserted/skipped/total audit counts
-    (`scr/Load.py:291-302,351-363,443-455`) as one aggregate over the
-    validation join instead of three separate count() actions."""
-    li = _t(spark, sf_dir, "lineitem")
-    parts = _t(spark, sf_dir, "part").filter(F.col("p_size") > 25).select("p_partkey")
-    joined = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left")
-    return joined.agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.count("p_partkey").alias("matched_rows"),
-        (F.count(F.lit(1)) - F.count("p_partkey")).alias("dropped_rows"),
+    j8 = (
+        joined.filter(F.col("p_partkey").isNotNull())
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .select(
+            F.lit("j8").alias("part"),
+            F.col("p_brand").alias("label"),
+            "n1",
+            F.lit(None).cast("long").alias("n2"),
+            F.lit(None).cast("long").alias("n3"),
+        )
     )
+    a11 = joined.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count("p_partkey").alias("n2"),
+        (F.count(F.lit(1)) - F.count("p_partkey")).alias("n3"),
+    ).select(F.lit("a11").alias("part"), F.lit("audit").alias("label"), "n1", "n2", "n3")
+    return j8.unionByName(a11)
 
 
 # ---------------------------------------------------------------------------
@@ -425,25 +435,51 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a3_global_agg_coalesce",
+    "a3_a8_global_aggs",
     oracle="""
-    SELECT COALESCE(COUNT(DISTINCT o_orderkey), 0) AS n_orders,
-           CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
-    FROM orders
-    WHERE o_orderstatus = 'Z'
+    SELECT * FROM (
+      SELECT COALESCE(COUNT(DISTINCT o_orderkey), 0) AS n_orders,
+             CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+      FROM orders
+      WHERE o_orderstatus = 'Z'
+    ) CROSS JOIN (
+      SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean_price,
+             ROUND(CAST(SUM(CAST(c_acctbal   AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean_acctbal
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
     """,
 )
-def a3_global_agg_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 + N6 — global (no GROUP BY) aggregate with COALESCE defaults
-    over an empty-match predicate (`scr/ui.py:120-127`)."""
+def a3_a8_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + N6 + A8 — global (no GROUP BY) aggregates, one suite row.
+
+    - a3: COALESCE defaults over an empty-match predicate
+      (`scr/ui.py:120-127`);
+    - a8: global means over a join (`attack_defense[...].mean()`,
+      `scr/ui.py:697-698`), stated as exact decimal SUM / COUNT with
+      one double division on both engines (engine-native AVG result
+      types differ).
+    Two single-row aggregates cross-joined — one plan, one job, the
+    Spark form of the reference's separate round-trips.
+    """
     orders = _t(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_orderstatus") == "Z").agg(
+    a3 = orders.filter(F.col("o_orderstatus") == "Z").agg(
         F.coalesce(F.countDistinct("o_orderkey"), F.lit(0)).alias("n_orders"),
         F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
         .cast("decimal(18,2)")
         .cast("double")
         .alias("total_price"),
     )
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    a8 = j.agg(
+        F.round(
+            F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_price"),
+        F.round(
+            F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_acctbal"),
+    )
+    return a3.crossJoin(a8)
 
 
 @query(
@@ -526,19 +562,14 @@ def a7_agg_arithmetic_div0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a9_distinct",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def a9_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 — distinct projection (`SELECT DISTINCT dt.team_name`,
-    `scr/ui.py:134-141`)."""
-    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
-
-
-@query(
-    "a10_dedup_keep_first",
+    "a9_a10_dedup_suite",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_partkey
+    SELECT 'a9' AS part, c_nationkey AS k1, CAST(NULL AS BIGINT) AS k2,
+           CAST(NULL AS BIGINT) AS k3, c_mktsegment AS s
+    FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)
+    UNION ALL
+    SELECT 'a10' AS part, l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+           l_partkey AS k3, CAST(NULL AS VARCHAR) AS s
     FROM (
       SELECT l_orderkey, l_linenumber, l_partkey,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_partkey ASC) AS rn
@@ -546,23 +577,47 @@ def a9_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
 )
-def a10_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 — keep-first dedup by key with an explicit priority order
-    (`drop_duplicates(subset=..., keep='first')`,
-    `scr/Transform.py:107-110,346`). pandas keep-first depends on frame
-    order; distributed shuffles destroy that, so the deterministic form
-    is row_number over an explicit priority window."""
+def a9_a10_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 + A10 — the dedup family as one suite.
+
+    - a9: distinct projection (`SELECT DISTINCT dt.team_name`,
+      `scr/ui.py:134-141`);
+    - a10: keep-first dedup by key with an explicit priority order
+      (`drop_duplicates(subset=..., keep='first')`,
+      `scr/Transform.py:107-110,346`). pandas keep-first depends on
+      frame order; distributed shuffles destroy that, so the
+      deterministic form is row_number over an explicit priority
+      window. The synthetic lineitem has duplicate
+      (l_orderkey, l_linenumber) pairs, so the priority order carries a
+      tiebreaker to stay total across engines.
+    """
+    a9 = (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .select(
+            F.lit("a9").alias("part"),
+            F.col("c_nationkey").cast("long").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.lit(None).cast("long").alias("k3"),
+            F.col("c_mktsegment").alias("s"),
+        )
+    )
     li = _t(spark, sf_dir, "lineitem")
-    # The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
-    # pairs, so the priority order must be made total with a tiebreaker
-    # or the keep-first pick is nondeterministic across engines.
     w = Window.partitionBy("l_orderkey").orderBy(F.asc("l_linenumber"), F.asc("l_partkey"))
-    return (
+    a10 = (
         li.select("l_orderkey", "l_linenumber", "l_partkey")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select(
+            F.lit("a10").alias("part"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").cast("long").alias("k2"),
+            F.col("l_partkey").alias("k3"),
+            F.lit(None).cast("string").alias("s"),
+        )
     )
+    return a9.unionByName(a10)
 
 
 # ---------------------------------------------------------------------------
@@ -616,47 +671,54 @@ def t5_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "t6_surrogate_keys",
+    "t6_surrogate_suite",
     oracle="""
-    SELECT ROW_NUMBER() OVER (ORDER BY n_name ASC, n_nationkey ASC) AS surrogate_id,
-           n_name, n_nationkey
-    FROM nation
-    """,
-)
-def t6_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4 + T6 — deterministic sequential surrogate-key assignment
-    (`np.arange(len)+1` after sort, `scr/Transform.py:116-119,351,372`).
-    A global row_number window is a single-partition shuffle — correct
-    and fine for dimension tables (≤ millions of rows). For fact-scale
-    key assignment use operators.surrogate.zip_with_index (per-partition
-    offsets, no single-partition bottleneck)."""
-    nat = _t(spark, sf_dir, "nation")
-    w = Window.orderBy(F.asc("n_name"), F.asc("n_nationkey"))
-    return nat.select(
-        F.row_number().over(w).cast("long").alias("surrogate_id"), "n_name", "n_nationkey"
+    SELECT 'dim' AS tier, surrogate_id, key_num, key_name FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY n_name ASC, n_nationkey ASC) AS surrogate_id,
+             CAST(n_nationkey AS BIGINT) AS key_num, n_name AS key_name
+      FROM nation
     )
-
-
-@query(
-    "t6_surrogate_keys_scale",
-    oracle="""
-    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) AS surrogate_id,
-           o_orderkey
-    FROM orders
+    UNION ALL
+    SELECT 'fact' AS tier, surrogate_id, key_num, key_name FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) AS surrogate_id,
+             o_orderkey AS key_num, CAST(NULL AS VARCHAR) AS key_name
+      FROM orders
+    )
     """,
 )
-def t6_surrogate_keys_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 at fact scale — operators.surrogate.zip_with_index: dense
-    sequential ids over the full orders table WITHOUT the global-window
-    single-partition funnel (range repartition → partition-local
-    row_number + driver prefix-summed offsets; only one long per
-    partition reaches the driver). o_orderkey is unique, so the
-    assignment is total-order deterministic and hash-matches the
-    oracle's global ROW_NUMBER."""
+def t6_surrogate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 + T6 — deterministic sequential surrogate keys, both tiers.
+
+    - dim: `np.arange(len)+1` after sort
+      (`scr/Transform.py:116-119,351,372`) as a global row_number
+      window — a single-partition shuffle, correct and fine for
+      dimension tables (≤ millions of rows);
+    - fact: operators.surrogate.zip_with_index — dense sequential ids
+      over the full orders table WITHOUT the global-window
+      single-partition funnel (range repartition → partition-local
+      row_number + driver prefix-summed offsets; only one long per
+      partition reaches the driver). o_orderkey is unique, so the
+      assignment is total-order deterministic and hash-matches the
+      oracle's global ROW_NUMBER.
+    """
     from ..operators.surrogate import zip_with_index
 
+    nat = _t(spark, sf_dir, "nation")
+    w = Window.orderBy(F.asc("n_name"), F.asc("n_nationkey"))
+    dim = nat.select(
+        F.lit("dim").alias("tier"),
+        F.row_number().over(w).cast("long").alias("surrogate_id"),
+        F.col("n_nationkey").cast("long").alias("key_num"),
+        F.col("n_name").alias("key_name"),
+    )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey")
-    return zip_with_index(orders, ["o_orderkey"])
+    fact = zip_with_index(orders, ["o_orderkey"]).select(
+        F.lit("fact").alias("tier"),
+        F.col("surrogate_id"),
+        F.col("o_orderkey").alias("key_num"),
+        F.lit(None).cast("string").alias("key_name"),
+    )
+    return dim.unionByName(fact)
 
 
 # ---------------------------------------------------------------------------
@@ -752,44 +814,35 @@ def m3_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x1_x2_string_cleaning",
+    "x_string_suite",
     oracle="""
     SELECT p_partkey,
            LOWER(TRIM(p_name)) AS name_norm,
-           TRIM(REPLACE(REPLACE(p_type, 'BRUSHED', ''), 'PLATED', '')) AS type_stripped
-    FROM part WHERE p_partkey <= 500
-    """,
-)
-def x1_x2_string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 + X2 — trim/lower normalization (`scr/Transform.py:395-404`)
-    and ordered literal-token removal (the F.C./AFC suffix chains,
-    `scr/Transform.py:235-242`)."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
-    return part.select(
-        "p_partkey",
-        normalize_str("p_name").alias("name_norm"),
-        strip_tokens("p_type", ["BRUSHED", "PLATED"]).alias("type_stripped"),
-    )
-
-
-@query(
-    "x4_x6_split_pad",
-    oracle="""
-    SELECT p_partkey,
+           TRIM(REPLACE(REPLACE(p_type, 'BRUSHED', ''), 'PLATED', '')) AS type_stripped,
            SPLIT_PART(p_type, ' ', 1) AS type_first,
            LIST_EXTRACT(STRING_SPLIT(p_type, ' '), LEN(STRING_SPLIT(p_type, ' '))) AS type_last,
            LPAD(CAST(p_size AS VARCHAR), 2, '0') AS size_padded
     FROM part WHERE p_partkey <= 500
     """,
 )
-def x4_x6_split_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 + X5 + X6 — split + element extraction (`split(' ')[0]`,
-    `split()[-1]`, `scr/Transform.py:358,482,780`) and zero-padding
-    (`zfill(2)`, `scr/Transform.py:482`)."""
+def x_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 + X2 + X4 + X5 + X6 — the scalar string layer in one
+    projection over part:
+
+    - trim/lower normalization (`scr/Transform.py:395-404`);
+    - ordered literal-token removal (the F.C./AFC suffix chains,
+      `scr/Transform.py:235-242`);
+    - split + element extraction (`split(' ')[0]`, `split()[-1]`,
+      `scr/Transform.py:358,482,780,788-790`);
+    - zero-padding (`zfill(2)`, `scr/Transform.py:482`).
+    All pure Column expressions — one codegen'd scan at any scale.
+    """
     part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
     parts_arr = F.split(F.col("p_type"), " ")
     return part.select(
         "p_partkey",
+        normalize_str("p_name").alias("name_norm"),
+        strip_tokens("p_type", ["BRUSHED", "PLATED"]).alias("type_stripped"),
         parts_arr.getItem(0).alias("type_first"),
         F.element_at(parts_arr, -1).alias("type_last"),
         F.lpad(F.col("p_size").cast("string"), 2, "0").alias("size_padded"),
@@ -797,27 +850,74 @@ def x4_x6_split_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x7_season_encode",
+    "x7_x8_encode_form_suite",
     oracle="""
-    SELECT o_orderkey,
-           CAST(YEAR(o_orderdate) AS VARCHAR) || '-' || CAST(YEAR(o_orderdate) + 1 AS VARCHAR) AS season_name,
+    SELECT 'x7' AS part, o_orderkey AS key,
+           CAST(YEAR(o_orderdate) AS VARCHAR) || '-' || CAST(YEAR(o_orderdate) + 1 AS VARCHAR) AS text_val,
            CAST(SUBSTRING(CAST(YEAR(o_orderdate) AS VARCHAR), 3, 2)
-                || SUBSTRING(CAST(YEAR(o_orderdate) + 1 AS VARCHAR), 3, 2) AS INT) AS season_code
+                || SUBSTRING(CAST(YEAR(o_orderdate) + 1 AS VARCHAR), 3, 2) AS INT) AS code
     FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 'x8' AS part, o_custkey AS key, recent_form AS text_val, CAST(NULL AS INT) AS code
+    FROM (
+      WITH ranked AS (
+        SELECT o_custkey, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      )
+      SELECT o_custkey,
+             concat_ws('',
+               MAX(CASE WHEN rn = 1 THEN o_orderstatus END),
+               MAX(CASE WHEN rn = 2 THEN o_orderstatus END),
+               MAX(CASE WHEN rn = 3 THEN o_orderstatus END),
+               MAX(CASE WHEN rn = 4 THEN o_orderstatus END),
+               MAX(CASE WHEN rn = 5 THEN o_orderstatus END)) AS recent_form
+      FROM ranked WHERE rn <= 5
+      GROUP BY o_custkey
+    )
     """,
 )
-def x7_season_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7 — season string encode `"2024-2025"` → 2425
-    (`convert_season`, `scr/Transform.py:711-725`), built from a date
-    column so the whole path (derive → encode) is exercised."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+def x7_x8_encode_form_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 + X8 — the derived-string encoders, one suite.
+
+    - x7: season string encode `"2024-2025"` → 2425 (`convert_season`,
+      `scr/Transform.py:711-725`), built from a date column so the
+      whole path (derive → encode) is exercised;
+    - x8: the recent-form string — last-5 result letters concatenated
+      newest-first (`scr/Extract.py:168-174` joins W/D/L tokens). The
+      per-position max-case construction keeps concatenation order
+      deterministic under any partitioning (collect_list order is not).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    o1k = orders.filter(F.col("o_orderkey") <= 1000)
     year = F.year("o_orderdate")
     season_name = F.concat(year.cast("string"), F.lit("-"), (year + 1).cast("string"))
-    return orders.select(
-        "o_orderkey",
-        season_name.alias("season_name"),
-        encode_season(season_name).alias("season_code"),
+    x7 = o1k.select(
+        F.lit("x7").alias("part"),
+        F.col("o_orderkey").alias("key"),
+        season_name.alias("text_val"),
+        encode_season(season_name).alias("code"),
     )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    ranked = orders.select(
+        "o_custkey", "o_orderstatus", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    slots = [
+        F.max(F.when(F.col("rn") == i, F.col("o_orderstatus"))).alias(f"__s{i}")
+        for i in range(1, 6)
+    ]
+    x8 = (
+        ranked.groupBy("o_custkey")
+        .agg(*slots)
+        .select(
+            F.lit("x8").alias("part"),
+            F.col("o_custkey").alias("key"),
+            F.concat_ws("", *[F.col(f"__s{i}") for i in range(1, 6)]).alias("text_val"),
+            F.lit(None).cast("int").alias("code"),
+        )
+    )
+    return x7.unionByName(x8)
 
 
 @query(

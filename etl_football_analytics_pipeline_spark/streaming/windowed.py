@@ -180,20 +180,26 @@ def merge_sink(
     def apply(batch: DataFrame, batch_id: int) -> None:
         s = spark or batch.sparkSession
         import os
+        import shutil
 
         if os.path.isdir(target_path):
             old = s.read.parquet(target_path)
             merged = merge_replace(old, batch, keys)
         else:
             merged = batch
-        # not atomic over plain parquet (documented SURVEY.md §7 risk);
-        # stage-then-rename keeps the window small
+        # stage the full merge to a sibling directory, then SWAP via
+        # directory renames: the window where the target path does not
+        # hold a complete consistent table shrinks to two rename()
+        # calls (plain parquet has no transactional commit — a table
+        # format (Delta/Iceberg) slots in behind this same signature
+        # for true atomicity; documented SURVEY.md §7 risk)
         tmp = target_path + f".__stage_{batch_id}"
+        retired = target_path + f".__old_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        final = s.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(target_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(target_path):
+            os.rename(target_path, retired)
+        os.rename(tmp, target_path)
+        shutil.rmtree(retired, ignore_errors=True)
+        s.catalog.refreshByPath(target_path)
 
     return apply

@@ -13,6 +13,7 @@ from etl_football_analytics_pipeline_spark.operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_blas,
+    ngram_jaccard_pairs_prefix,
     simhash,
     simhash_near_pairs,
 )
@@ -32,6 +33,18 @@ def test_blas_tier_equals_relational_tier(spark, docs):
     rel = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
     blas = ngram_jaccard_pairs_blas(docs, "doc_id", "text", n=2, threshold=0.2)
     a = sorted(tuple(r) for r in rel.collect())
+    b = sorted(tuple(r) for r in blas.collect())
+    assert a == b
+
+
+def test_prefix_tier_equals_blas_tier(spark, docs):
+    """The prefix-filtering tier (the registered 100 TB plan) must
+    agree exactly with the dense BLAS tier — same pairs, same 4dp
+    values. Together with test_blas_tier_equals_relational_tier this
+    proves all three physical strategies compute one operator."""
+    pref = ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=2, threshold=0.2)
+    blas = ngram_jaccard_pairs_blas(docs, "doc_id", "text", n=2, threshold=0.2)
+    a = sorted(tuple(r) for r in pref.collect())
     b = sorted(tuple(r) for r in blas.collect())
     assert a == b
 

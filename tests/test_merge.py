@@ -50,6 +50,36 @@ def test_insert_if_absent_old_wins_and_idempotent(spark):
     assert _canon(once) == _canon(twice)
 
 
+def test_insert_if_absent_dedupes_source_keys(spark):
+    """ON CONFLICT DO NOTHING keeps only the first source row per key
+    when the SOURCE repeats a key (`scr/Load.py:276-302`): later rows
+    conflict with the just-inserted one. The distributed form keeps
+    the deterministic lowest row by the non-key columns."""
+    target = load_table(spark, SF, "supplier")
+    fresh_a = target.limit(4).withColumn("s_suppkey", F.col("s_suppkey") + 10_000).withColumn(
+        "s_name", F.lit("a-first")
+    )
+    fresh_b = fresh_a.withColumn("s_name", F.lit("b-second"))
+    src = fresh_b.unionByName(fresh_a)  # union order must not matter
+    out = insert_if_absent(target, src, ["s_suppkey"])
+    assert out.count() == target.count() + 4
+    inserted = out.filter(F.col("s_suppkey") >= 10_000)
+    assert inserted.filter(F.col("s_name") == "a-first").count() == 4
+    assert inserted.filter(F.col("s_name") == "b-second").count() == 0
+
+
+def test_merge_replace_broadcast_src_same_result(spark):
+    """The broadcast_src variant (M2 dimension upsert — small delta
+    against a large target) must be value-identical to the shuffled
+    form and actually plan a broadcast join."""
+    target = load_table(spark, SF, "supplier")
+    src = target.limit(10).withColumn("s_name", F.lit("v2"))
+    plain = merge_replace(target, src, ["s_suppkey"])
+    bcast = merge_replace(target, src, ["s_suppkey"], broadcast_src=True)
+    assert _canon(plain) == _canon(bcast)
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
 def test_merge_audit_counts(spark):
     old = load_table(spark, SF, "supplier").cache()
     new = old.limit(10).withColumn("s_name", F.lit("v2")).cache()

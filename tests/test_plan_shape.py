@@ -53,7 +53,7 @@ def test_filter_and_projection_pushdown_reach_parquet(plans):
 
 
 def test_dim_lookup_joins_broadcast(plans):
-    for name in ("j2_dim_lookup_left_join", "j6_star_join_agg", "j8_fk_validation_audit"):
+    for name in ("j2_dim_lookup_left_join", "j6_star_join_agg", "j8_a11_fk_audit"):
         assert "BroadcastHashJoin" in plans[name], name
 
 
@@ -79,9 +79,9 @@ def test_aggregates_are_partial_final_hash(plans):
 
 
 def test_relational_plans_have_no_cartesian_product(plans):
-    # m3_audit_counts cross-joins three SINGLE-ROW aggregates into one
-    # audit row — constant-size by construction, not a data join
-    allowed_constant_cross = {"m3_audit_counts"}
+    # a3_a8_global_aggs cross-joins two SINGLE-ROW aggregates into one
+    # suite row — constant-size by construction, not a data join
+    allowed_constant_cross = {"a3_a8_global_aggs"}
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         if name not in allowed_constant_cross:
@@ -95,10 +95,9 @@ def test_relational_plans_stay_jvm_side(plans):
     kernel_queries = {
         # Arrow-batched numpy kernels by design
         "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "dedup_embedding_cosine",
-        "dedup_minhash_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "mm_frame_sample", "mm_image_near_dup", "mm_image_stats",
-        # driver-side audit count materialization
-        "m3_audit_counts",
+        "dedup_embedding_lsh", "dedup_minhash_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash",
+        "mm_decode_suite", "mm_image_near_dup",
     }
     for name, plan in plans.items():
         if name in kernel_queries:

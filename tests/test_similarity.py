@@ -8,8 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_football_analytics_pipeline_spark.operators.similarity import (
+    all_pairs_cosine,
     brute_force_topk,
     hyperplane_signatures,
+    lsh_all_pairs_cosine,
     lsh_topk,
 )
 from etl_football_analytics_pipeline_spark.sources.registry import load_table
@@ -49,6 +51,21 @@ def test_lsh_recall_vs_brute_force(spark, emb):
     # for near-identical vectors)
     hits = sum(1 for r in exact if r.neighbor_id in approx_by_q.get(r.query_id, set()))
     assert hits / len(exact) >= 0.6, f"top-1 recall {hits}/{len(exact)}"
+
+
+def test_lsh_all_pairs_recall_and_precision(spark, emb):
+    """dedup_embedding_lsh contract: every returned pair appears in the
+    brute-force all-pairs result with the identical cosine (exact
+    precision), and recall ≥ 0.9 at the registered threshold."""
+    brute = {(r.id_a, r.id_b): r.cosine for r in all_pairs_cosine(
+        emb, "vec_id", "embedding", threshold=0.45).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in lsh_all_pairs_cosine(
+        emb, "vec_id", "embedding", threshold=0.45, dim=64, n_planes=4, n_tables=16
+    ).collect()}
+    assert set(lsh) <= set(brute)
+    for pair, cos in lsh.items():
+        assert cos == brute[pair]
+    assert len(lsh) / max(len(brute), 1) >= 0.9, f"recall {len(lsh)}/{len(brute)}"
 
 
 def test_hyperplane_buckets_deterministic(spark, emb):

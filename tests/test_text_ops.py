@@ -1,0 +1,49 @@
+"""Text-operator invariants not covered by the SQL oracle (the
+xxhash64 shard key is Spark-specific) plus determinism checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+)
+from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_fingerprints_deterministic_and_aligned(spark, docs):
+    """xxh64 must be stable under repartitioning, and md5/xxh64 must
+    partition the corpus identically (same groups of identical docs)."""
+    a = {r.doc_id: (r.md5_fingerprint, r.xxh64_fingerprint)
+         for r in fingerprints(docs, "doc_id", "text").collect()}
+    b = {r.doc_id: (r.md5_fingerprint, r.xxh64_fingerprint)
+         for r in fingerprints(docs.repartition(7), "doc_id", "text").collect()}
+    assert a == b
+    md5_to_xxh = {}
+    for md5, xxh in a.values():
+        md5_to_xxh.setdefault(md5, set()).add(xxh)
+    assert all(len(s) == 1 for s in md5_to_xxh.values())
+
+
+def test_quality_scores_bounded(spark, docs):
+    rows = quality_scores(docs, "doc_id", "text").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.n_words >= 0 and r.n_chars_measured >= 0
+
+
+def test_language_id_covers_known_langs(spark, docs):
+    preds = {r.predicted_lang for r in language_id(docs, "doc_id", "text").collect()}
+    assert preds <= {"de", "en", "es", "fr", "und"}
