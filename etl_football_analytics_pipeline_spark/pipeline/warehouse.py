@@ -28,6 +28,7 @@ when a target already exists.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,9 +98,19 @@ def write_warehouse(
             merged = upsert(target, df, pk) if is_dim else insert_if_absent(target, df, pk)
         else:
             merged = df
-        staged = merged.cache()
-        staged.count()  # materialize before overwriting the source path
-        staged.write.mode("overwrite").parquet(path)
-        staged.unpersist()
+        # stage to a sibling directory then SWAP via renames: relying
+        # on cache() to guard an overwrite-of-the-read-path is unsafe
+        # under memory pressure (evicted blocks would recompute from
+        # the deleted files); the rename swap never reads and writes
+        # the same path in one job, and shrinks the inconsistency
+        # window to two rename() calls
+        tmp, retired = path + ".__stage", path + ".__old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            os.rename(path, retired)
+        os.rename(tmp, path)
+        shutil.rmtree(retired, ignore_errors=True)
+        spark.catalog.refreshByPath(path)
         loaded[name] = spark.read.parquet(path)
     return loaded

@@ -106,6 +106,40 @@ def test_relational_plans_stay_jvm_side(plans):
             assert marker not in plan, f"{name} fell off the JVM fast path ({marker})"
 
 
+def test_candidate_joins_are_shuffled_hash_not_broadcast(plans):
+    """The dedup candidate joins must NOT broadcast tables that grow
+    with the corpus (bucket/signature tables): the plan contract is a
+    shuffled hash join on the bucket key, which AQE can skew-split."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh"):
+        plan = plans[name]
+        assert "ShuffledHashJoin" in plan, name
+    # the one allowed broadcast in these plans is O(1)-sized (none today)
+    assert "BroadcastHashJoin" not in plans["dedup_simhash"]
+
+
+def test_no_driver_collect_in_query_bodies():
+    """Registered queries must be distributed plans, not driver loops:
+    the only permitted `.collect()` in the plan layer is the bounded
+    CSV-fixture writer (dimension-table-sized, documented) and the
+    bounded-by-construction kernel collects inside operators/ (BLAS
+    gram bitmap under its size bound, k-means sample, query sets)."""
+    import pathlib
+
+    plans_dir = pathlib.Path(__file__).parent.parent / (
+        "etl_football_analytics_pipeline_spark/plans"
+    )
+    offenders = []
+    for path in plans_dir.glob("*.py"):
+        src = path.read_text()
+        in_allowed = False
+        for i, line in enumerate(src.splitlines(), 1):
+            if line.startswith("def "):
+                in_allowed = line.startswith("def _write_fixture_csvs")
+            if ".collect()" in line and not in_allowed:
+                offenders.append(f"{path.name}:{i}")
+    assert not offenders, f"driver-side collect in query bodies: {offenders}"
+
+
 def test_relational_plans_use_whole_stage_codegen(spark):
     # codegen spans only appear on the executed (AQE-final) plan, so
     # run the query and inspect queryExecution().executedPlan()
