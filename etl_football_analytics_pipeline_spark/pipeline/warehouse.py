@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,6 +81,59 @@ def register_warehouse(spark: SparkSession, warehouse: dict[str, DataFrame]) -> 
     table names)."""
     for name, df in warehouse.items():
         df.createOrReplaceTempView(name)
+
+
+def jdbc_upsert_sql(table: str, columns: Sequence[str], pk: Sequence[str], is_dim: bool) -> str:
+    """The post-staging statement that gives JDBC loads the reference's
+    conflict semantics (`scr/Load.py:79-89` DO UPDATE for dims,
+    `:276-302` DO NOTHING for facts): bulk INSERT ... SELECT from the
+    staging table with ON CONFLICT. One statement per table instead of
+    the reference's per-row executemany round-trips."""
+    cols = ", ".join(columns)
+    conflict = ", ".join(pk)
+    if is_dim:
+        updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in pk)
+        action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
+    else:
+        action = "DO NOTHING"
+    return (
+        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {table}__stage "
+        f"ON CONFLICT ({conflict}) {action}"
+    )
+
+
+def write_warehouse_jdbc(
+    spark: SparkSession,
+    warehouse: dict[str, DataFrame],
+    url: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> dict[str, str]:
+    """JDBC Load-stage transport — the reference's PostgreSQL target
+    (`scr/Load.py:88-89` psycopg2 `executemany`) as bulk JDBC batch
+    writes: each warehouse table is written to `<table>__stage` with
+    executor-parallel batched inserts (`batchsize` rows per round
+    trip, one connection per partition), and the returned dict maps
+    each table to the ON CONFLICT statement (`jdbc_upsert_sql`) that
+    merges staging into the target with the reference's exact
+    conflict semantics. The two-step shape is deliberate: Spark's
+    JDBC writer has no native MERGE, and staging + one set-based
+    INSERT..SELECT is the idiomatic bulk path (the per-row round-trip
+    loop is the reference's throughput ceiling, BASELINE.md).
+
+    No PostgreSQL runs in this container, so this transport is
+    exercised by unit tests at the statement level
+    (tests/test_warehouse_jdbc.py); the parquet harness uses
+    write_warehouse above.
+    """
+    statements: dict[str, str] = {}
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batchsize))
+    for name, df in warehouse.items():
+        pk, is_dim = WAREHOUSE_KEYS[name]
+        df.write.mode("overwrite").options(**props).jdbc(url, f"{name}__stage")
+        statements[name] = jdbc_upsert_sql(name, df.columns, pk, is_dim)
+    return statements
 
 
 def write_warehouse(
