@@ -503,6 +503,109 @@ def minhash_exact_dedup_pairs(
     return exact_jaccard_for_pairs(df, cand, id_col, text_col, shingle_n, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    driver_bound: int = 1_000_000,
+) -> DataFrame:
+    """Connected components over a near-dup pair set — the step that
+    turns pairwise matches into KEEP/DROP decisions (each component
+    keeps its lowest id as the canonical document).
+
+    Size-dispatched like the other dedup tiers (results identical,
+    tested):
+    - ≤ `driver_bound` pairs: classic union-find on the driver — the
+      verified near-dup graph is SMALL relative to the corpus (pairs
+      are what survived LSH + exact verification), so even a 100 TB
+      corpus's dup graph usually fits; one collect of (long, long)
+      pairs, O(pairs·α) work, two jobs total.
+    - beyond: distributed iterative min-label propagation — each
+      round one hash-partitioned join+aggregate where every node
+      takes the min of its own and its neighbors' labels;
+      convergence in O(component diameter) rounds (near-dup
+      components are shallow stars/cliques), `max_iter` bounds the
+      worst case, `localCheckpoint` truncates lineage so plan size
+      stays constant per round. The loop is driver-side CONTROL FLOW
+      only (one count per round for the convergence test).
+    Deterministic either way: min id over unique ids.
+
+    Returns (node, component) — one row per node appearing in pairs.
+    """
+    # one computation of the (possibly expensive) pair plan serves the
+    # size probe, the driver collect, and the distributed edge build
+    pairs = pairs.select(id_a, id_b).persist()
+    if pairs.count() <= driver_bound:
+        rows = pairs.collect()
+        pairs.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = int(r[0]), int(r[1])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            labels or [], "node long, component long"
+        )
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    pairs.unpersist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("component").alias("__nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nl").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over the word bag: each word votes its hash bits
     ±1; the signature is the sign vector packed into a long.

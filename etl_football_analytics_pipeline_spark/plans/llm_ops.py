@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs_auto,
@@ -116,6 +117,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, never the answer. This exact operator is the baseline the
     probabilistic ops are judged against."""
     return ngram_jaccard_pairs_auto(_docs(spark, sf_dir), "doc_id", "text", n=2, threshold=0.2)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE docs_w AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM docs_w
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(sh / CAST(sa.sz + sb.sz - sh AS DOUBLE), 4) >= 0.2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    )
+    SELECT node AS doc_id,
+           MIN(r) AS cluster_rep,
+           MIN(r) = node AS is_canonical
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS — the decision stage of the dedup pipeline:
+    exact n-gram Jaccard pairs (≥ 0.2) → connected components
+    (operators.dedup.connected_components, iterative min-label
+    propagation, O(diameter) distributed join rounds) → every document
+    labeled with its cluster representative (lowest id; singletons
+    represent themselves) and a keep/drop flag. The DuckDB oracle
+    states the same fixpoint as a recursive transitive-closure CTE, so
+    the component labeling is value-checked end to end — pair
+    generation, closure, and canonical choice."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs_auto(docs, "doc_id", "text", n=2, threshold=0.2)
+    comp = connected_components(pairs)
+    return docs.select("doc_id").join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_rep"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias("is_canonical"),
+    )
 
 
 @query("dedup_minhash_lsh")  # xxhash64-based → no cross-engine oracle (rows-only)

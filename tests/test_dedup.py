@@ -49,6 +49,26 @@ def test_prefix_tier_equals_blas_tier(spark, docs):
     assert a == b
 
 
+def test_connected_components_labels_and_determinism(spark):
+    """Chain a-b-c plus pair (x,y) plus isolated nodes: every member
+    labels with its component's minimum id, stable under repartition."""
+    from etl_football_analytics_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert out == expected
+    # the distributed label-propagation tier must agree with the
+    # driver union-find tier, under any partitioning
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs.repartition(5), driver_bound=0).collect()
+    }
+    assert dist == expected
+
+
 def test_minhash_recall_against_exact(spark, docs):
     """MinHash-LSH at threshold 0.2 must recover most truly-similar
     pairs (Jaccard ≥ 0.35 ⇒ detection probability ≥ ~96% with 16

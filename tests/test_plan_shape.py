@@ -94,9 +94,9 @@ def test_relational_plans_stay_jvm_side(plans):
     everything else must compile to codegen'd JVM expressions.)"""
     kernel_queries = {
         # Arrow-batched numpy kernels by design
-        "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "dedup_embedding_cosine",
-        "dedup_embedding_lsh", "dedup_minhash_exact", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_simhash",
+        "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "dedup_clusters",
+        "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_minhash_exact",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
         "mm_decode_suite", "mm_image_near_dup",
     }
     for name, plan in plans.items():
