@@ -1,9 +1,13 @@
 """Fast parity runner: every registered query vs its DuckDB oracle in
 one Spark session. Usage:
 
-    python scripts/parity.py [sf_dir] [query_name ...]
+    python scripts/parity.py [--vanilla] [sf_dir] [query_name ...]
 
-Prints PASS/FAIL per query with timing; exits nonzero on any failure.
+`--vanilla` runs on a default-config SparkSession (no UTC/AQE/Arrow
+tuning from session.py) — simulating the driver's own harness, which
+builds its own session; queries must be correct under default confs,
+not just ours. Prints PASS/FAIL per query with timing; exits nonzero
+on any failure.
 """
 
 from __future__ import annotations
@@ -42,10 +46,22 @@ def canon(rows, colnames):
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     names = [a for a in args if not os.path.isdir(a)] or sorted(QUERIES)
 
-    spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("parity-vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
