@@ -49,6 +49,44 @@ def test_prefix_tier_equals_blas_tier(spark, docs):
     assert a == b
 
 
+# -- randomized tier equality (hypothesis) ------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    # small-alphabet word soup → dense shared vocabulary, the regime
+    # that stresses candidate generation hardest
+    _word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    _doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+    _corpus = st.lists(_doc, min_size=0, max_size=12)
+
+    @given(texts=_corpus, threshold=st.sampled_from([0.2, 0.5, 0.8]))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_jaccard_tiers_equal_on_random_corpora(spark, texts, threshold):
+        """All three exact-Jaccard physical strategies must return the
+        identical pair set with identical 4dp values on ANY corpus,
+        including empty docs, duplicate docs, and all-shared-vocab
+        degeneracies — the invariant that makes the size dispatch
+        safe."""
+        df = spark.createDataFrame(
+            list(enumerate(texts)) or [(0, "")], "doc_id long, text string"
+        )
+        rel = sorted(tuple(r) for r in ngram_jaccard_pairs(df, "doc_id", "text", 2, threshold).collect())
+        blas = sorted(tuple(r) for r in ngram_jaccard_pairs_blas(df, "doc_id", "text", 2, threshold).collect())
+        pref = sorted(tuple(r) for r in ngram_jaccard_pairs_prefix(df, "doc_id", "text", 2, threshold).collect())
+        assert rel == blas == pref
+
+
 def test_connected_components_labels_and_determinism(spark):
     """Chain a-b-c plus pair (x,y) plus isolated nodes: every member
     labels with its component's minimum id, stable under repartition."""
