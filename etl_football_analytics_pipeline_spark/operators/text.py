@@ -104,6 +104,93 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality signals (the C4/Gopher-style filters a
+    training-data pipeline applies before dedup):
+
+    - dup_line_frac: fraction of lines that are repeats of an earlier
+      line (array ops, no shuffle);
+    - dup_bigram_frac: fraction of word bigrams that are repeats
+      (zip_with n-grams, no shuffle);
+    - top_word_frac: share of the most frequent word — computed
+      RELATIONALLY (explode → per-(doc, word) count → per-doc max/sum)
+      because an in-array mode() has no vectorized Column form; one
+      hash-partitioned shuffle keyed on (doc, word), partial-agg
+      combined map-side.
+    All ratios are 0 for empty docs (no NULL propagation into
+    downstream filters).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    words = _words(text_col)
+    grams = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        "         slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    base = df.withColumn("__w", words).select(
+        F.col(id_col),
+        F.when(
+            F.size(lines) > 0,
+            (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_line_frac"),
+        F.when(
+            F.size(grams) > 0,
+            (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_bigram_frac"),
+    )
+    word_counts = (
+        df.withColumn("__w", words)
+        .select(F.col(id_col), F.explode("__w").alias("__word"))
+        .filter(F.col("__word") != "")
+        .groupBy(id_col, "__word")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("__n") / F.sum("__n")).cast("double").alias("top_word_frac")
+        )
+    )
+    return base.join(word_counts, id_col, "left").na.fill({"top_word_frac": 0.0})
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    cheap entropy proxy LLM pipelines use to drop boilerplate and
+    near-random text (very low ratio = templated/repetitive, ~1 =
+    high-entropy noise). zlib is not expressible as Column algebra, so
+    this is an Arrow-batched mapInPandas kernel — bytes stay
+    executor-local, one double per doc shuffles."""
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def ratio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            raws = [t.encode("utf-8") if isinstance(t, str) else b"" for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "compression_ratio": [
+                        round(len(zlib.compress(r)) / len(r), 4) if r else 0.0
+                        for r in raws
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        ratio, f"{id_col} long, compression_ratio double"
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 of normalized text (exact-dup key)
     plus a 64-bit xxhash (cheap join/shard key)."""
