@@ -33,7 +33,12 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_exact_dedup_pairs,
 )
-from ..operators.text import quality_scores, token_counts
+from ..operators.text import (
+    compression_ratio,
+    quality_scores,
+    repetition_signals,
+    token_counts,
+)
 
 
 @dataclass
@@ -56,11 +61,19 @@ def curate_corpus(
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 2,
+    max_dup_line_frac: float | None = None,
+    max_top_word_frac: float | None = None,
+    min_compression_ratio: float | None = None,
     with_stats: bool = False,
 ) -> DataFrame | tuple[DataFrame, CurationStats]:
     """Quality-gate, dedup (exact then near-dup), and token-account a
     documents table; returns the curated docs with `regex_tokens`
     attached (plus a CurationStats audit when `with_stats`).
+
+    The optional repetition/compression knobs add the C4/Gopher-style
+    gates (operators.text.repetition_signals / compression_ratio) to
+    the quality stage — repetitive boilerplate is cheaper to drop
+    before the dedup shuffles than after.
 
     Keep rules are deterministic everywhere (lowest id wins), so the
     curated set is identical under any partitioning — the property
@@ -68,6 +81,18 @@ def curate_corpus(
     """
     quality = quality_scores(docs, id_col, text_col)
     good_ids = quality.filter(F.col("quality_score") >= min_quality).select(id_col)
+    if max_dup_line_frac is not None or max_top_word_frac is not None:
+        rep = repetition_signals(docs, id_col, text_col)
+        if max_dup_line_frac is not None:
+            rep = rep.filter(F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_word_frac is not None:
+            rep = rep.filter(F.col("top_word_frac") <= max_top_word_frac)
+        good_ids = good_ids.join(rep.select(id_col), id_col)
+    if min_compression_ratio is not None:
+        cz = compression_ratio(docs, id_col, text_col).filter(
+            F.col("compression_ratio") >= min_compression_ratio
+        )
+        good_ids = good_ids.join(cz.select(id_col), id_col)
     good = docs.join(good_ids, id_col)
 
     exact_keep = exact_dedup(good, id_col, text_col).select(

@@ -49,6 +49,24 @@ def test_curation_deterministic_under_repartition(spark, corpus):
     assert a == b
 
 
+def test_repetition_gate_drops_loopy_doc(spark, corpus):
+    loopy = corpus.union(
+        corpus.sparkSession.createDataFrame(
+            [(6, "buy now buy now buy now buy now buy now buy now and the a of")],
+            "doc_id long, text string",
+        )
+    )
+    # without the gate the loopy doc survives (has stopwords → quality ok)
+    plain = sorted(r.doc_id for r in curate_corpus(loopy).collect())
+    assert 6 in plain
+    gated = sorted(
+        r.doc_id
+        for r in curate_corpus(loopy, max_top_word_frac=0.25).collect()
+    )
+    assert 6 not in gated
+    assert [d for d in gated if d != 6] == [d for d in plain if d != 6]
+
+
 def test_curation_idempotent(spark, corpus):
     once = curate_corpus(corpus).select("doc_id", "text")
     twice = curate_corpus(once)
