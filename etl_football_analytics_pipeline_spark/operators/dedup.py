@@ -426,7 +426,18 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → band buckets →
     candidate pairs → estimated Jaccard (fraction of equal minhash
-    components) → threshold. Returns (id_a, id_b, est_jaccard)."""
+    components) → threshold. Returns (id_a, id_b, est_jaccard).
+
+    Physical note: est-jaccard stays a candidate-join + JVM zip_with
+    fold, NOT the bucket-local grouped-kernel pattern the embedding
+    LSH uses — band buckets are 64-bit hashes, so non-duplicate docs
+    land in singleton buckets and a groupBy-applyInPandas pays
+    per-group Python overhead on tens of thousands of empty groups
+    (measured 10× slower). The signature table grows with the corpus,
+    so it must NOT be broadcast; the shuffle_hash hints avoid
+    Catalyst's stat-less sort-merge default while keeping both sides
+    hash-partitioned on the join key (AQE can still split skewed
+    keys)."""
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
     cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
@@ -435,10 +446,6 @@ def minhash_dedup_pairs(
     est = F.expr(
         "size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), b -> b))"
     ) / F.lit(float(num_hashes))
-    # the signature table grows with the corpus, so it must NOT be
-    # broadcast; the shuffle_hash hint avoids Catalyst's stat-less
-    # sort-merge default while keeping both sides hash-partitioned on
-    # the join key (AQE can still split skewed keys)
     return (
         cand.hint("shuffle_hash").join(sa, "id_a")
         .hint("shuffle_hash").join(sb, "id_b")

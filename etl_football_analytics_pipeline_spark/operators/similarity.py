@@ -206,12 +206,18 @@ def lsh_all_pairs_cosine(
     OR-amplified sign-LSH: `n_tables` independent sets of `n_planes`
     hyperplanes; a pair is a candidate iff it lands in the same bucket
     in ANY table (P[candidate] = 1-(1-p^planes)^tables with
-    p = 1-θ/π). The candidate join is a self equi-join on
-    (table, bucket) — hash-partitioned, AQE-skew-splittable, nothing
-    broadcast that grows with the corpus — and each candidate pair is
-    scored exactly with one einsum row-dot. Probabilistic recall
-    (tests/test_similarity.py measures ≥0.9 vs the brute-force tier at
-    the registered threshold), exact precision.
+    p = 1-θ/π). Scoring is BUCKET-LOCAL: one exchange hash-partitions
+    the (id, vec, table, bucket) rows by bucket key, and each bucket
+    scores its own all-pairs cosine as a single dense matmul, emitting
+    only above-threshold pairs — so the expensive candidate stream
+    (quadratic in bucket size) exists only inside executor-local numpy
+    and never shuffles; the one post-shuffle is a distinct over
+    SURVIVORS (pairs found in several tables score identically, so the
+    dedup is exact). Nothing broadcast grows with the corpus; hot
+    buckets are bounded by n_planes (each plane halves the expected
+    bucket occupancy). Probabilistic recall (tests/test_similarity.py
+    measures ≥0.9 vs the brute-force tier at the registered
+    threshold), exact precision.
     """
     spark = df.sparkSession
     rng = np.random.default_rng(seed)
@@ -232,52 +238,36 @@ def lsh_all_pairs_cosine(
             yield pd.DataFrame(
                 {
                     "__id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    vec_col: pdf[vec_col].iloc[
+                        np.repeat(np.arange(nrows), n_tables)
+                    ].to_numpy(),
                     "table": np.tile(np.arange(n_tables, dtype=np.int32), nrows),
                     "bucket": bucket.reshape(-1),
                 }
             )
 
-    # the candidate stream is NARROW on purpose: (id, table, bucket)
-    # rows only — 16 bytes/row through the self-join and the distinct,
-    # not the vectors (the wide-stream formulation shuffles ~1 KB per
-    # candidate and measured ~5× slower). Vectors are joined back by
-    # id AFTER the distinct, from the stats-bearing parquet scan, so
-    # Catalyst broadcasts them while the corpus is small and degrades
-    # to a shuffled join automatically beyond that — the adaptive
-    # behavior a hard broadcast hint would destroy.
     buckets = spread(df.select(id_col, vec_col), min_partitions).mapInPandas(
-        sign, "__id long, table int, bucket long"
+        sign, f"__id long, {vec_col} array<float>, table int, bucket long"
     )
-    a = buckets.select(F.col("__id").alias("id_a"), "table", "bucket")
-    b = buckets.select(F.col("__id").alias("id_b"), "table", "bucket")
-    cand = (
-        a.hint("shuffle_hash")
-        .join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    pairs = cand.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", "__va", "__vb")
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            va = _unit_rows(np.stack(pdf["__va"].to_numpy()).astype(np.float64))
-            vb = _unit_rows(np.stack(pdf["__vb"].to_numpy()).astype(np.float64))
-            cos = np.round(np.einsum("ij,ij->i", va, vb), round_to)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "cosine": cos[keep],
-                }
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        ids = pdf["__id"].to_numpy()
+        mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        cos = np.round(mat @ mat.T, round_to)
+        rows, cols = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[rows], "id_b": ids[cols], "cosine": cos[rows, cols]}
+        )
 
-    return pairs.mapInPandas(score, "id_a long, id_b long, cosine double")
+    scored = buckets.groupBy("table", "bucket").applyInPandas(
+        score_bucket, "id_a long, id_b long, cosine double"
+    )
+    return scored.distinct()
 
 
 def kmeans_centroids(

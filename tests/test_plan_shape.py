@@ -106,15 +106,19 @@ def test_relational_plans_stay_jvm_side(plans):
             assert marker not in plan, f"{name} fell off the JVM fast path ({marker})"
 
 
-def test_candidate_joins_are_shuffled_hash_not_broadcast(plans):
-    """The dedup candidate joins must NOT broadcast tables that grow
-    with the corpus (bucket/signature tables): the plan contract is a
-    shuffled hash join on the bucket key, which AQE can skew-split."""
+def test_candidate_generation_never_broadcasts_corpus(plans):
+    """Dedup candidate generation must NOT broadcast tables that grow
+    with the corpus. minhash/simhash candidate joins are shuffled hash
+    joins on the bucket key (AQE-skew-splittable); the embedding LSH
+    scores bucket-locally (coarse n_planes-bit buckets) — one
+    hash-partitioned exchange on (table, bucket) into a grouped pandas
+    kernel, no join at all."""
+    for name in ("dedup_minhash_lsh", "dedup_minhash_exact", "dedup_simhash"):
+        assert "ShuffledHashJoin" in plans[name], name
+    assert "FlatMapGroupsInPandas" in plans["dedup_embedding_lsh"]
+    assert "hashpartitioning(table" in plans["dedup_embedding_lsh"]
     for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh"):
-        plan = plans[name]
-        assert "ShuffledHashJoin" in plan, name
-    # the one allowed broadcast in these plans is O(1)-sized (none today)
-    assert "BroadcastHashJoin" not in plans["dedup_simhash"]
+        assert "BroadcastHashJoin" not in plans[name], name
 
 
 def test_no_driver_collect_in_query_bodies():
