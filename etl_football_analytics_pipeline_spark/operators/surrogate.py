@@ -44,6 +44,45 @@ def zip_with_index(
     """
     cols = [F.col(c) for c in order_by]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    # Numeric-leading-key fast path: buckets computed FROM VALUES
+    # (min/max + fixed width) are deterministic across jobs, so no
+    # materialization is needed to pin them — unlike repartitionByRange,
+    # whose sampled boundaries force caching the whole table (a real
+    # cost at 100 TB; the cache below is only the generic fallback).
+    lead = order_by[0]
+    lead_type = dict(df.dtypes).get(lead)
+    if lead_type in ("tinyint", "smallint", "int", "bigint"):
+        mn, mx = df.agg(F.min(lead), F.max(lead)).first()
+        if mn is not None:
+            width = max(1, ((int(mx) - int(mn)) // parts) + 1)
+            bucket = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(
+                ((F.col(lead) - F.lit(int(mn))) / F.lit(width)).cast("long")
+            )
+            bucketed = df.withColumn("__pid", bucket)
+            counts = {
+                r["__pid"]: r["count"]
+                for r in bucketed.groupBy("__pid").count().collect()
+            }
+            offsets: dict[int, int] = {}
+            acc = start
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            offset_map = F.create_map(
+                *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+            )
+            # the window repartitions by the value bucket — evenly
+            # sized by construction for dense keys; every bucket
+            # numbers concurrently
+            w = Window.partitionBy("__pid").orderBy(*[F.asc(c) for c in order_by])
+            return bucketed.select(
+                (F.row_number().over(w) - 1 + offset_map[F.col("__pid")])
+                .cast("long")
+                .alias(id_col),
+                *[F.col(c) for c in df.columns],
+            )
+
     ranged = (
         df.repartitionByRange(parts, *cols)
         .withColumn("__pid", F.spark_partition_id())

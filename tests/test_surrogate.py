@@ -24,6 +24,22 @@ def test_deterministic_across_partitionings(spark):
     assert a == b  # total order key → identical ids under any layout
 
 
+def test_generic_sampled_path_string_keys(spark):
+    """Non-numeric leading keys take the sampled-range fallback; ids
+    must still be dense, order-correct, and layout-independent."""
+    df = spark.range(0, 3_000).selectExpr(
+        "concat('k', lpad(cast(id * 13 % 3000 as string), 5, '0')) AS k"
+    )
+    out = zip_with_index(df, ["k"], num_partitions=6).collect()
+    ids = sorted(r.surrogate_id for r in out)
+    assert ids == list(range(1, 3_001))
+    by_id = sorted(out, key=lambda r: r.surrogate_id)
+    ks = [r.k for r in by_id]
+    assert ks == sorted(ks)
+    again = {r.k: r.surrogate_id for r in zip_with_index(df.repartition(11), ["k"], num_partitions=4).collect()}
+    assert again == {r.k: r.surrogate_id for r in out}
+
+
 def test_no_single_partition_window(spark):
     df = spark.range(0, 1_000).selectExpr("id AS k")
     out = zip_with_index(df, ["k"], num_partitions=8)
