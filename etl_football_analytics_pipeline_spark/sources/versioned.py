@@ -1,0 +1,133 @@
+"""Snapshot-versioned parquet tables — transactional-ish semantics on
+a plain filesystem, the minimal form of what a table format
+(Delta/Iceberg) provides.
+
+Plain `mode("overwrite")` deletes the live table before rewriting it:
+a crash mid-write loses the table, and concurrent readers see partial
+data. The versioned layout removes both hazards without any new
+dependency:
+
+    table/
+      v00001/ ... parquet files (immutable once committed)
+      v00002/ ...
+      _LATEST          ← one small file naming the current version
+
+Writers stage a NEW version directory completely, then commit by
+atomically replacing `_LATEST` (os.replace — atomic on POSIX).
+Readers resolve `_LATEST` once and scan an immutable directory, so a
+reader never observes a half-written table and an interrupted writer
+leaves the previous version live. This is snapshot isolation for
+single-writer pipelines; multi-writer coordination (optimistic
+conflict detection on the pointer) is what a real table format adds
+on top, behind these same call shapes.
+
+Reference analog: the warehouse loads of `scr/Load.py` commit through
+PostgreSQL transactions; this is the parquet-native equivalent the
+engine's Load stage can use where no database exists.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+
+
+def _pointer_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _POINTER)
+
+
+def current_version(table_dir: str) -> int | None:
+    """The committed version number, or None for an empty table."""
+    try:
+        with open(_pointer_path(table_dir)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def version_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version:05d}")
+
+
+def commit_version(df: DataFrame, table_dir: str) -> int:
+    """Write `df` as the next version and atomically publish it.
+
+    The data write happens entirely in an unpublished directory; the
+    commit is one `os.replace` of the pointer file. A crash before the
+    replace leaves the previous version live (the orphan directory is
+    ignored by readers and overwritten by the next attempt)."""
+    os.makedirs(table_dir, exist_ok=True)
+    next_v = (current_version(table_dir) or 0) + 1
+    target = version_dir(table_dir, next_v)
+    shutil.rmtree(target, ignore_errors=True)  # orphan from a crashed attempt
+    df.write.mode("overwrite").parquet(target)
+    tmp_pointer = _pointer_path(table_dir) + ".tmp"
+    with open(tmp_pointer, "w") as fh:
+        fh.write(str(next_v))
+    os.replace(tmp_pointer, _pointer_path(table_dir))
+    return next_v
+
+
+def read_latest(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Scan the current committed snapshot (raises like an ordinary
+    missing-path read if nothing was ever committed)."""
+    v = current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir!r}")
+    return spark.read.parquet(version_dir(table_dir, v))
+
+
+def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
+    """Time travel: scan a specific committed version (versions are
+    immutable until vacuumed)."""
+    return spark.read.parquet(version_dir(table_dir, version))
+
+
+def vacuum(table_dir: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest `keep` versions; returns the dropped
+    version numbers. Never touches the live version."""
+    live = current_version(table_dir)
+    if live is None:
+        return []
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    dropped = []
+    for v in versions[:-keep] if keep > 0 else versions:
+        if v == live:
+            continue
+        shutil.rmtree(version_dir(table_dir, v), ignore_errors=True)
+        dropped.append(v)
+    return dropped
+
+
+def merge_commit(
+    spark: SparkSession,
+    table_dir: str,
+    delta: DataFrame,
+    keys: list[str],
+    insert_only: bool = False,
+) -> int:
+    """Keyed MERGE of a delta into the versioned table, committed as a
+    new snapshot: read the live version, merge (new-wins, or
+    insert-if-absent when `insert_only`), commit. The read and the
+    write touch DIFFERENT directories, so the overwrite-what-you-read
+    hazard cannot occur by construction."""
+    from ..operators.merge import insert_if_absent, merge_replace
+
+    if current_version(table_dir) is None:
+        merged = delta
+    else:
+        live = read_latest(spark, table_dir)
+        merged = (
+            insert_if_absent(live, delta, keys)
+            if insert_only
+            else merge_replace(live, delta, keys)
+        )
+    return commit_version(merged, table_dir)

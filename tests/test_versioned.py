@@ -1,0 +1,80 @@
+"""Snapshot-versioned parquet tables: atomic pointer commits, time
+travel, vacuum, and merge-commit semantics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from etl_football_analytics_pipeline_spark.sources.versioned import (
+    commit_version,
+    current_version,
+    merge_commit,
+    read_latest,
+    read_version,
+    vacuum,
+    version_dir,
+)
+
+
+@pytest.fixture()
+def table_dir():
+    return os.path.join(tempfile.mkdtemp(), "tbl")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_commit_and_time_travel(spark, table_dir):
+    v1 = commit_version(spark.createDataFrame([(1, "a")], "k long, v string"), table_dir)
+    v2 = commit_version(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), table_dir)
+    assert (v1, v2) == (1, 2)
+    assert current_version(table_dir) == 2
+    assert _rows(read_latest(spark, table_dir)) == [(1, "a"), (2, "b")]
+    assert _rows(read_version(spark, table_dir, 1)) == [(1, "a")]
+
+
+def test_crashed_writer_leaves_previous_version_live(spark, table_dir):
+    commit_version(spark.createDataFrame([(1, "a")], "k long, v string"), table_dir)
+    # simulate a crash AFTER data write, BEFORE pointer replace: a v2
+    # directory exists but the pointer still names v1
+    spark.createDataFrame([(9, "junk")], "k long, v string").write.parquet(
+        version_dir(table_dir, 2)
+    )
+    assert current_version(table_dir) == 1
+    assert _rows(read_latest(spark, table_dir)) == [(1, "a")]
+    # the next committed write supersedes the orphan
+    commit_version(spark.createDataFrame([(2, "b")], "k long, v string"), table_dir)
+    assert current_version(table_dir) == 2
+    assert _rows(read_latest(spark, table_dir)) == [(2, "b")]
+
+
+def test_vacuum_keeps_live_and_newest(spark, table_dir):
+    for i in range(4):
+        commit_version(spark.createDataFrame([(i,)], "k long"), table_dir)
+    dropped = vacuum(table_dir, keep=2)
+    assert dropped == [1, 2]
+    assert _rows(read_latest(spark, table_dir)) == [(3,)]
+    assert not os.path.isdir(version_dir(table_dir, 1))
+    assert os.path.isdir(version_dir(table_dir, 3))
+
+
+def test_merge_commit_upsert_and_insert_only(spark, table_dir):
+    merge_commit(spark, table_dir, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), ["k"])
+    merge_commit(spark, table_dir, spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string"), ["k"])
+    assert _rows(read_latest(spark, table_dir)) == [(1, "a"), (2, "B2"), (3, "c")]
+    merge_commit(
+        spark,
+        table_dir,
+        spark.createDataFrame([(3, "IGNORED"), (4, "d")], "k long, v string"),
+        ["k"],
+        insert_only=True,
+    )
+    assert _rows(read_latest(spark, table_dir)) == [
+        (1, "a"), (2, "B2"), (3, "c"), (4, "d"),
+    ]
+    # every historical snapshot remains readable (time travel)
+    assert _rows(read_version(spark, table_dir, 1)) == [(1, "a"), (2, "b")]
