@@ -62,3 +62,69 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.coalesce(F.col("value"), F.lit(0.0))).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 native stateful API)
+# ---------------------------------------------------------------------------
+
+FIRST_SEEN_SCHEMA = "user_id long, first_event_id long"
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class FirstSeenProcessor(StatefulProcessor):
+    """StatefulProcessor emitting each key's FIRST-seen row only —
+    keyed exactly-once emission with typed ValueState, the
+    streaming-native form of the keep-first dedup (A10) and the LLM
+    pipeline's online exact-dedup gate. Implemented against Spark 4's
+    `transformWithStateInPandas` (typed per-key state objects +
+    optional TTL — the evolution of applyInPandasWithState's single
+    state tuple; requires the RocksDB state store provider)."""
+
+    def init(self, handle) -> None:
+        # TTL would bound state for unbounded key spaces (fingerprint
+        # dedup); first-seen semantics here keep state forever.
+        self._seen = handle.getValueState("seen", "seen boolean")
+
+    def handleInputRows(self, key, rows, timer_values):
+        if self._seen.exists():
+            for _ in rows:  # drain
+                pass
+            return
+        first_event = None
+        for pdf in rows:
+            if len(pdf) and first_event is None:
+                # deterministic pick within the micro-batch
+                first_event = int(pdf["event_id"].min())
+            elif len(pdf) and first_event is not None:
+                first_event = min(first_event, int(pdf["event_id"].min()))
+        if first_event is None:
+            return
+        self._seen.update((True,))
+        yield pd.DataFrame({"user_id": [int(key[0])], "first_event_id": [first_event]})
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter([])
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def first_seen_per_user(events: DataFrame) -> DataFrame:
+    """One row per user with the lowest event_id at first sight —
+    stateful keyed first-emission on a stream (transformWithState),
+    plain min-aggregate on a batch frame (same output schema; batch ≡
+    converged stream, asserted in tests/test_streaming_stateful.py)."""
+    if events.isStreaming:
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=FirstSeenProcessor(),
+            outputStructType=FIRST_SEEN_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return events.groupBy("user_id").agg(F.min("event_id").alias("first_event_id"))
