@@ -27,14 +27,17 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(rows, colnames):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+    """Order-insensitive canonical form: sort columns by name, then
+    rows, comparing plain str() of every value — NO float rounding.
+    Matches scripts/parity.py: the registry's DOUBLE output-boundary
+    convention makes engine outputs bit-identical, so the test should
+    hold them to that (a lax %.9g canon would mask the decimal-string
+    divergences that fail the driver's hasher)."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return f"{v:.9g}"
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
         return str(v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
