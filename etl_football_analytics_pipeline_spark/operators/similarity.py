@@ -394,6 +394,95 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF index: corpus parquet PARTITIONED BY
+    list_id (each inverted list is its own directory — the bucketed
+    storage layout where a probe reads only its lists' files) plus the
+    trained centroids stored alongside. Returns the centroids.
+
+    This is the persisted form of ivf_topk's in-flight assignment: at
+    100 TB you pay the k-means + one partitioned write once, and every
+    subsequent query prunes partitions instead of scanning the corpus.
+    """
+    spark = corpus.sparkSession
+    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_lists, seed=seed)
+    bc = spark.sparkContext.broadcast(centroids)
+    assigned = _assign_lists(corpus.select(id_col, vec_col), bc, id_col, vec_col, vec_col, 1)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index: rank each query against ONLY its
+    nprobe nearest lists. The scan filter `list_id IN (...)` reaches
+    the partitioned layout as partition pruning — the files of
+    unprobed lists are never opened (asserted via inputFiles in
+    tests/test_similarity.py). Returns (query_id, neighbor_id, cosine,
+    rank), self-matches excluded — identical semantics to the
+    in-flight ivf_topk given the same centroids."""
+    cent_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    order = np.argsort(cent_pdf["list_id"].to_numpy())
+    centroids = np.stack(cent_pdf["centroid"].to_numpy()[order])
+    bc = spark.sparkContext.broadcast(centroids)
+
+    qb = _assign_lists(queries.select(id_col, vec_col), bc, "query_id", vec_col, "__qvec", nprobe)
+    probed_lists = sorted({int(r["list_id"]) for r in qb.select("list_id").distinct().collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("list_id").isin(probed_lists))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "list_id")
+    )
+    pairs = (
+        corpus.join(F.broadcast(qb), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = _unit_rows(np.stack(pdf["__qvec"].to_numpy()).astype(np.float64))
+            b = _unit_rows(np.stack(pdf["__cvec"].to_numpy()).astype(np.float64))
+            cos = np.round(np.einsum("ij,ij->i", a, b), round_to)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    scored = pairs.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

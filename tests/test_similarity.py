@@ -91,6 +91,43 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     assert hits / len(exact) >= 0.6, f"top-1 recall {hits}/{len(exact)}"
 
 
+def test_ivf_index_persists_and_prunes_partitions(spark, emb, tmp_path):
+    """The persisted IVF index must (a) return the same results as the
+    in-flight ivf_topk with the same centroids/seed, and (b) actually
+    prune: the probe scan opens only the probed lists' files."""
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, n_lists=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_search_index(spark, path, queries, k=5, nprobe=4)
+    inflight = ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4, seed=42)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in inflight.collect()
+    )
+    # partition pruning: the list_id filter must reach the scan as a
+    # PartitionFilter (pruned at planning — unprobed list directories
+    # are never opened). inputFiles() reports the unpruned relation,
+    # so assert on the physical plan.
+    import contextlib
+    import io
+
+    scan = spark.read.parquet(f"{path}/lists").filter(F.col("list_id").isin([0, 1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "list_id" in pf_line
+    # and the pruned row count equals those partitions' contents
+    expected = spark.read.parquet(f"{path}/lists").where("list_id in (0,1)").count()
+    assert scan.count() == expected
+
+
 def test_ivf_deterministic(spark, emb):
     from etl_football_analytics_pipeline_spark.operators.similarity import ivf_topk
 
