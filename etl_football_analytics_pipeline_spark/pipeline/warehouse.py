@@ -137,12 +137,31 @@ def write_warehouse_jdbc(
 
 
 def write_warehouse(
-    spark: SparkSession, warehouse: dict[str, DataFrame], out_dir: str
+    spark: SparkSession,
+    warehouse: dict[str, DataFrame],
+    out_dir: str,
+    versioned: bool = False,
 ) -> dict[str, DataFrame]:
     """Idempotent bulk load to parquet: dims upsert by PK (M2,
     `ON CONFLICT DO UPDATE`), facts insert-if-absent (M3, `ON CONFLICT
     DO NOTHING`) — re-loading the same data is a no-op, the invariant
-    the reference claims for its warehouse (README.md:29,199)."""
+    the reference claims for its warehouse (README.md:29,199).
+
+    `versioned=True` commits every table through the snapshot layer
+    (sources.versioned): each load becomes an immutable version with
+    an atomic pointer swap — crash-safe, snapshot-isolated readers,
+    and time travel across loads — the parquet-native analog of the
+    reference's PostgreSQL transactions."""
+    if versioned:
+        from ..sources.versioned import merge_commit, read_latest
+
+        out: dict[str, DataFrame] = {}
+        for name, df in warehouse.items():
+            pk, is_dim = WAREHOUSE_KEYS[name]
+            table_dir = os.path.join(out_dir, name)
+            merge_commit(spark, table_dir, df, list(pk), insert_only=not is_dim)
+            out[name] = read_latest(spark, table_dir)
+        return out
     loaded: dict[str, DataFrame] = {}
     for name, df in warehouse.items():
         pk, is_dim = WAREHOUSE_KEYS[name]

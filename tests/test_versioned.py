@@ -78,3 +78,29 @@ def test_merge_commit_upsert_and_insert_only(spark, table_dir):
     ]
     # every historical snapshot remains readable (time travel)
     assert _rows(read_version(spark, table_dir, 1)) == [(1, "a"), (2, "b")]
+
+
+def test_versioned_warehouse_load_idempotent(spark, table_dir):
+    """write_warehouse(versioned=True): dim upsert / fact insert-only
+    through snapshot commits; re-loading the same data adds a version
+    whose content is identical (idempotent load, auditable history)."""
+    from etl_football_analytics_pipeline_spark.pipeline.warehouse import write_warehouse
+
+    dims = {
+        "dim_team": spark.createDataFrame(
+            [(1, "Alpha", 10), (2, "Beta", 11)],
+            "team_id long, team_name string, stadium_id long",
+        )
+    }
+    out1 = write_warehouse(spark, dims, table_dir, versioned=True)
+    out2 = write_warehouse(spark, dims, table_dir, versioned=True)
+    assert _rows(out1["dim_team"]) == _rows(out2["dim_team"])
+    assert current_version(os.path.join(table_dir, "dim_team")) == 2
+    # dim upsert: changed name wins on reload
+    dims2 = {
+        "dim_team": spark.createDataFrame(
+            [(2, "Beta-v2", 11)], "team_id long, team_name string, stadium_id long"
+        )
+    }
+    out3 = write_warehouse(spark, dims2, table_dir, versioned=True)
+    assert _rows(out3["dim_team"]) == [(1, "Alpha", 10), (2, "Beta-v2", 11)]
