@@ -296,28 +296,48 @@ def ngram_jaccard_pairs_auto(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
-    dense_bound: int = 100_000,
+    dense_budget_bytes: int = 2 << 30,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ threshold with size-based tier
+    """Exact n-gram Jaccard pairs ≥ threshold with BYTE-BUDGETED tier
     dispatch — the production entry point.
 
-    Physical strategy is a function of corpus size (one cheap count
-    against parquet row-group metadata):
-    - ≤ `dense_bound` docs: the dense BLAS tier. Its driver state is
-      the docs × vocab bit matrix — BOUNDED by construction here
-      (100k docs × ~10^5 grams ≈ a few GB of f32 worst-case, far less
-      on real vocab), so the collect can never grow with an unbounded
-      corpus. On small/dense corpora (shared vocabulary → ~all pairs
-      are join candidates) it wins by >10× over any join-based plan.
+    The dense BLAS tier's driver/broadcast state is a docs × vocab f32
+    incidence matrix, so the guard estimates exactly those bytes —
+    docs × distinct grams × 4 B — and dispatches dense only when the
+    estimate fits `dense_budget_bytes` (default 2 GiB). A raw
+    doc-count guard is the wrong shape: vocabulary grows with the
+    corpus, so 100k docs × a realistic 10^5-gram vocabulary is a
+    40 GB matrix — orders of magnitude past what a doc bound
+    suggests. The estimate comes from ONE map-only pass
+    (approx_count_distinct HLL partials over doc ids and gram hashes;
+    ~2-5% rsd, dwarfed by the 4× headroom a budget check implies —
+    both tiers are exact, so a borderline misdispatch only changes
+    the physical plan, never the result).
+
+    - within budget: the dense BLAS tier. On small/dense corpora
+      (shared vocabulary → ~all pairs are join candidates, e.g. the
+      testdata's 5,000 docs × 931 shared bigrams) it wins by >10×
+      over any join-based plan.
     - beyond: the prefix-filtering tier — fully relational, 100%
-      recall, every stage a hash-partitioned shuffle; the plan that
-      survives 100 TB, where real Zipfian vocabularies make prefix
-      pruning effective (a low-threshold run on a corpus whose docs
-      ~all share grams is quadratic for ANY exact algorithm).
+      recall, every stage a hash-partitioned shuffle, zero driver
+      state; the plan that survives 100 TB, where real Zipfian
+      vocabularies make prefix pruning effective (a low-threshold run
+      on a corpus whose docs ~all share grams is quadratic for ANY
+      exact algorithm).
     The tiers are property-tested equal (tests/test_dedup.py), so the
     dispatch can never change results, only the physical plan.
     """
-    if df.count() <= dense_bound:
+    stats = (
+        gram_hashes(df, id_col, text_col, n)
+        .select(F.col(id_col).alias("__id"), F.explode_outer("__gh").alias("__g"))
+        .agg(
+            F.approx_count_distinct("__id").alias("docs"),
+            F.approx_count_distinct("__g").alias("vocab"),
+        )
+        .first()
+    )
+    est_bytes = int(stats["docs"]) * int(stats["vocab"]) * 4
+    if est_bytes <= dense_budget_bytes:
         return ngram_jaccard_pairs_blas(df, id_col, text_col, n, threshold)
     return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
 

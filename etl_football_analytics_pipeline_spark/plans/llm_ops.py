@@ -104,11 +104,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs ≥ 0.2, bound to the
-    size-dispatching tier (operators.dedup.ngram_jaccard_pairs_auto):
-    ≤100k docs → dense BLAS kernel (bounded driver bitmap; this
-    synthetic corpus's shared vocabulary makes ~every pair a join
-    candidate, where the dense kernel wins >10×); beyond → the
-    PREFIX-FILTERING tier (ngram_jaccard_pairs_prefix): rarest-first
+    byte-budgeted dispatcher (operators.dedup.ngram_jaccard_pairs_auto):
+    estimated docs×vocab×4 B matrix within the 2 GiB budget → dense
+    BLAS kernel (this synthetic corpus's shared vocabulary makes
+    ~every pair a join candidate, where the dense kernel wins >10×,
+    and its matrix is kilobytes — the driver exercises this tier);
+    beyond budget → the PREFIX-FILTERING tier
+    (ngram_jaccard_pairs_prefix): rarest-first
     prefix grams generate candidates, exact array-intersect verifies —
     100% recall by construction, every stage a hash-partitioned
     shuffle, nothing unbounded driver-side. All three tiers

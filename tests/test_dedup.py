@@ -87,6 +87,43 @@ if _HAS_HYPOTHESIS:
         assert rel == blas == pref
 
 
+def test_auto_dispatch_is_byte_budgeted(spark, monkeypatch):
+    """The auto dispatch must size the dense tier by ESTIMATED MATRIX
+    BYTES (docs × vocab × 4 B), not doc count: a wide-vocabulary
+    corpus whose matrix exceeds the budget takes the prefix tier (no
+    driver collect) even though its doc count is tiny, and a
+    shared-vocab corpus within budget takes the BLAS tier. Both tiers
+    are property-tested equal, so this only pins the physical plan."""
+    import etl_football_analytics_pipeline_spark.operators.dedup as dd
+
+    calls: list[str] = []
+    real_blas, real_prefix = dd.ngram_jaccard_pairs_blas, dd.ngram_jaccard_pairs_prefix
+    monkeypatch.setattr(
+        dd, "ngram_jaccard_pairs_blas",
+        lambda *a, **k: (calls.append("blas"), real_blas(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        dd, "ngram_jaccard_pairs_prefix",
+        lambda *a, **k: (calls.append("prefix"), real_prefix(*a, **k))[1],
+    )
+    # 40 docs × ~25 disjoint bigrams each ≈ 1000-gram vocab → matrix
+    # estimate ~40 × 1000 × 4 B = 160 kB > the 64 kB budget below,
+    # while doc count alone (40) would have sailed under any doc bound
+    wide = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(26))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = dd.ngram_jaccard_pairs_auto(
+        wide, "doc_id", "text", n=2, threshold=0.2, dense_budget_bytes=64 << 10
+    )
+    assert out.count() == 0  # disjoint vocabularies: no pairs
+    assert calls == ["prefix"]
+    # same corpus, default 2 GiB budget → dense tier
+    calls.clear()
+    dd.ngram_jaccard_pairs_auto(wide, "doc_id", "text", n=2, threshold=0.2).count()
+    assert calls == ["blas"]
+
+
 def test_connected_components_labels_and_determinism(spark):
     """Chain a-b-c plus pair (x,y) plus isolated nodes: every member
     labels with its component's minimum id, stable under repartition."""
