@@ -32,7 +32,8 @@ from ..operators.multimodal import (
 from ..operators.similarity import (
     all_pairs_cosine,
     brute_force_topk,
-    ivf_topk,
+    ivf_build_index,
+    ivf_search_index,
     lsh_all_pairs_cosine,
     lsh_topk,
 )
@@ -293,15 +294,36 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk")  # seeded k-means quantizer → rows-only
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (operators.similarity.ivf_topk): k-means
-    coarse quantizer → inverted lists → probe nprobe nearest lists →
-    exact in-list ranking. The bucketed-storage ANN path: corpus
-    shards by list_id (partition pruning at probe time), recall tuned
-    by nprobe without re-indexing. Recall vs brute force measured in
-    tests/test_similarity.py."""
+    """IVF approximate top-k through the PERSISTED index
+    (operators.similarity.ivf_build_index / ivf_search_index): k-means
+    coarse quantizer → corpus parquet partitioned by list_id (each
+    inverted list its own directory) → probes prune partitions (the
+    `list_id IN (...)` filter is a PartitionFilter — unprobed lists'
+    files are never opened, asserted in tests/test_similarity.py) →
+    exact in-list ranking. Build is paid once per (sf_dir, mtime) into
+    a tmp path; every call after that is probe-only — the bucketed-
+    storage shape where at 100 TB a query reads nprobe/n_lists of the
+    corpus bytes. Result-identical to the in-flight ivf_topk with the
+    same centroids (tested); recall vs brute force measured in
+    tests/test_similarity.py. Recall tuned by nprobe without
+    re-indexing."""
+    import os
+    import tempfile
+
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries_df, "vec_id", "embedding", k=5, n_lists=16, nprobe=4)
+    # deterministic per-corpus location; mtime in the tag invalidates
+    # the cached index if the underlying parquet is regenerated
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_ivf_index_{tag}")
+    if not (
+        os.path.exists(os.path.join(path, "lists", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
+    ):
+        ivf_build_index(emb, path, "vec_id", "embedding", n_lists=16)
+    return ivf_search_index(spark, path, queries_df, "vec_id", "embedding", k=5, nprobe=4)
 
 
 @query("ann_lsh_topk")  # plan-identical check impossible in SQL (pseudorandom planes) → rows-only
