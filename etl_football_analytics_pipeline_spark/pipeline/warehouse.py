@@ -31,10 +31,11 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.merge import insert_if_absent, upsert
+from ..utils import commit_staged_dir, recover_swapped_dir
 
 # warehouse table → (primary key, is_dimension)
 WAREHOUSE_KEYS: dict[str, tuple[list[str], bool]] = {
@@ -102,6 +103,30 @@ def jdbc_upsert_sql(table: str, columns: Sequence[str], pk: Sequence[str], is_di
     )
 
 
+def dedupe_stage_frame(df: DataFrame, pk: Sequence[str], is_dim: bool) -> DataFrame:
+    """One row per PK for the JDBC staging table. A single set-based
+    `INSERT..SELECT ON CONFLICT DO UPDATE` fails in PostgreSQL when the
+    source repeats a key ("command cannot affect row a second time"),
+    unlike the reference's per-row executemany — which resolves
+    duplicates as last-wins for dims (each later row re-updates) and
+    first-wins for facts (later rows conflict and are skipped). Row
+    order is undefined in a distributed frame, so "first"/"last" is
+    made deterministic by the remaining columns' sort order (ascending
+    for facts — the same canonical row insert_if_absent keeps —
+    descending for dims)."""
+    pk = list(pk)
+    extra = [c for c in df.columns if c not in pk]
+    if not extra:
+        return df.dropDuplicates(pk)
+    order = [F.desc(c) for c in extra] if is_dim else [F.asc(c) for c in extra]
+    w = Window.partitionBy(*pk).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def write_warehouse_jdbc(
     spark: SparkSession,
     warehouse: dict[str, DataFrame],
@@ -131,8 +156,9 @@ def write_warehouse_jdbc(
     props.setdefault("batchsize", str(batchsize))
     for name, df in warehouse.items():
         pk, is_dim = WAREHOUSE_KEYS[name]
-        df.write.mode("overwrite").options(**props).jdbc(url, f"{name}__stage")
-        statements[name] = jdbc_upsert_sql(name, df.columns, pk, is_dim)
+        staged = dedupe_stage_frame(df, pk, is_dim)
+        staged.write.mode("overwrite").options(**props).jdbc(url, f"{name}__stage")
+        statements[name] = jdbc_upsert_sql(name, staged.columns, pk, is_dim)
     return statements
 
 
@@ -140,18 +166,27 @@ def write_warehouse(
     spark: SparkSession,
     warehouse: dict[str, DataFrame],
     out_dir: str,
-    versioned: bool = False,
+    versioned: bool = True,
 ) -> dict[str, DataFrame]:
     """Idempotent bulk load to parquet: dims upsert by PK (M2,
     `ON CONFLICT DO UPDATE`), facts insert-if-absent (M3, `ON CONFLICT
     DO NOTHING`) — re-loading the same data is a no-op, the invariant
     the reference claims for its warehouse (README.md:29,199).
 
-    `versioned=True` commits every table through the snapshot layer
-    (sources.versioned): each load becomes an immutable version with
-    an atomic pointer swap — crash-safe, snapshot-isolated readers,
-    and time travel across loads — the parquet-native analog of the
-    reference's PostgreSQL transactions."""
+    DEFAULT path (`versioned=True`): every table commits through the
+    snapshot layer (sources.versioned) — each load becomes an
+    immutable version published by one atomic `os.replace` of the
+    `_LATEST` pointer, so readers see the old snapshot or the new one,
+    never a partial table, a crash mid-write leaves the previous
+    version live, and time travel across loads comes free — the
+    parquet-native analog of the reference's PostgreSQL transactions
+    (closes the non-atomic-overwrite risk documented in SURVEY §7).
+
+    `versioned=False` keeps the flat single-directory layout (for
+    readers that must scan `out_dir/<table>` directly as plain
+    parquet) via a hardened stage-and-rename swap: orphaned `.__old`
+    copies from a crash between the two renames are recovered before
+    the merge, so no crash point loses committed rows."""
     if versioned:
         from ..sources.versioned import merge_commit, read_latest
 
@@ -166,6 +201,7 @@ def write_warehouse(
     for name, df in warehouse.items():
         pk, is_dim = WAREHOUSE_KEYS[name]
         path = os.path.join(out_dir, name)
+        recover_swapped_dir(path)
         if os.path.isdir(path):
             target = spark.read.parquet(path)
             merged = upsert(target, df, pk) if is_dim else insert_if_absent(target, df, pk)
@@ -175,15 +211,12 @@ def write_warehouse(
         # on cache() to guard an overwrite-of-the-read-path is unsafe
         # under memory pressure (evicted blocks would recompute from
         # the deleted files); the rename swap never reads and writes
-        # the same path in one job, and shrinks the inconsistency
-        # window to two rename() calls
-        tmp, retired = path + ".__stage", path + ".__old"
+        # the same path in one job, and a crash between the renames is
+        # recovered losslessly by recover_swapped_dir on the next load
+        tmp = path + ".__stage"
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            os.rename(path, retired)
-        os.rename(tmp, path)
-        shutil.rmtree(retired, ignore_errors=True)
+        commit_staged_dir(path, tmp)
         spark.catalog.refreshByPath(path)
         loaded[name] = spark.read.parquet(path)
     return loaded

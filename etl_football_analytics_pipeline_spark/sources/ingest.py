@@ -31,6 +31,7 @@ from collections.abc import Callable, Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import merge_replace
+from ..utils import commit_staged_dir, recover_swapped_dir
 
 STANDINGS_COLUMNS = [
     "season",
@@ -146,20 +147,20 @@ def ingest_with_raw_merge(
     """The reference's `merge_with_existing_raw_data` lifecycle
     (`scr/Extract.py:262-303`, called at `:335,354,374,394,205`):
     keyed MERGE of the fresh fetch into the existing raw table,
-    new-wins, then persist — here a bulk anti-join MERGE (M1) and an
-    atomic parquet stage-and-rename swap instead of a CSV rewrite.
+    new-wins, then persist — here a bulk anti-join MERGE (M1) and a
+    crash-recovering parquet stage-and-rename swap instead of a CSV
+    rewrite (an orphaned `.__old` from a crash between the renames is
+    restored before the merge, so committed rows are never lost).
     Returns the merged frame re-read from the swapped path."""
     spark = new_df.sparkSession
+    recover_swapped_dir(raw_path)
     if os.path.isdir(raw_path):
         merged = merge_replace(spark.read.parquet(raw_path), new_df, list(keys))
     else:
         merged = new_df
-    tmp, retired = raw_path + ".__stage", raw_path + ".__old"
+    tmp = raw_path + ".__stage"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(raw_path):
-        os.rename(raw_path, retired)
-    os.rename(tmp, raw_path)
-    shutil.rmtree(retired, ignore_errors=True)
+    commit_staged_dir(raw_path, tmp)
     spark.catalog.refreshByPath(raw_path)
     return spark.read.parquet(raw_path)

@@ -182,6 +182,9 @@ def merge_sink(
         import os
         import shutil
 
+        from ..utils import commit_staged_dir, recover_swapped_dir
+
+        recover_swapped_dir(target_path)
         if os.path.isdir(target_path):
             old = s.read.parquet(target_path)
             merged = merge_replace(old, batch, keys)
@@ -190,16 +193,14 @@ def merge_sink(
         # stage the full merge to a sibling directory, then SWAP via
         # directory renames: the window where the target path does not
         # hold a complete consistent table shrinks to two rename()
-        # calls (plain parquet has no transactional commit — a table
+        # calls, and a crash inside that window is recovered losslessly
+        # by recover_swapped_dir on the next batch/restart (a table
         # format (Delta/Iceberg) slots in behind this same signature
-        # for true atomicity; documented SURVEY.md §7 risk)
-        tmp = target_path + f".__stage_{batch_id}"
-        retired = target_path + f".__old_{batch_id}"
+        # for true single-rename atomicity; documented SURVEY.md §7)
+        tmp = target_path + ".__stage"
+        shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(target_path):
-            os.rename(target_path, retired)
-        os.rename(tmp, target_path)
-        shutil.rmtree(retired, ignore_errors=True)
+        commit_staged_dir(target_path, tmp)
         s.catalog.refreshByPath(target_path)
 
     return apply

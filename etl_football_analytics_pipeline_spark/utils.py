@@ -2,7 +2,41 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
+
+
+def recover_swapped_dir(path: str) -> bool:
+    """Crash recovery for the stage-and-rename swap pattern: a crash
+    between its two renames leaves the live path ABSENT and the
+    retired `.__old` copy holding the last complete table. Without
+    recovery the next load sees no target and silently rebuilds from
+    its delta alone — prior rows lost. Callers run this BEFORE probing
+    the live path so the recovered table participates in the merge.
+    Returns True if a recovery happened."""
+    retired = path + ".__old"
+    if not os.path.isdir(path) and os.path.isdir(retired):
+        os.rename(retired, path)
+        return True
+    return False
+
+
+def commit_staged_dir(path: str, tmp: str) -> None:
+    """Swap a fully-written staging directory into place:
+    retire the live dir — first clearing any stale retired copy left
+    by a crash after a previous swap (`os.rename` onto an existing
+    non-empty directory raises ENOTEMPTY) — then rename stage → live
+    and drop the retired copy. The inconsistency window is the two
+    rename() calls, and `recover_swapped_dir` makes a crash inside
+    that window lossless."""
+    retired = path + ".__old"
+    if os.path.isdir(path):
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(path, retired)
+    os.rename(tmp, path)
+    shutil.rmtree(retired, ignore_errors=True)
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -75,3 +75,34 @@ def test_ingest_with_raw_merge_new_wins_and_idempotent(spark):
     again = ingest_with_raw_merge(second, path, ["k"])
     assert sorted(tuple(r) for r in again.collect()) == [(1, "a"), (2, "B2"), (3, "c")]
     assert not os.path.isdir(path + ".__stage") and not os.path.isdir(path + ".__old")
+
+
+def test_raw_merge_recovers_crash_between_renames(spark):
+    """A crash between the swap's two renames leaves the target absent
+    and `.__old` holding the last complete table. The next merge must
+    recover it — NOT silently rebuild from the delta alone."""
+    path = os.path.join(tempfile.mkdtemp(), "raw_table")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    ingest_with_raw_merge(first, path, ["k"])
+    # simulate the crash point: live dir retired, stage never moved in
+    os.rename(path, path + ".__old")
+    delta = spark.createDataFrame([(3, "c")], "k long, v string")
+    out = ingest_with_raw_merge(delta, path, ["k"])
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert not os.path.isdir(path + ".__old")
+
+
+def test_raw_merge_survives_stale_retired_dir(spark):
+    """A crash AFTER the swap can leave a stale non-empty `.__old`
+    alongside a live target; the next swap must clear it instead of
+    failing with ENOTEMPTY on os.rename."""
+    import shutil
+
+    path = os.path.join(tempfile.mkdtemp(), "raw_table")
+    first = spark.createDataFrame([(1, "a")], "k long, v string")
+    ingest_with_raw_merge(first, path, ["k"])
+    shutil.copytree(path, path + ".__old")  # stale retired copy + live target
+    delta = spark.createDataFrame([(2, "b")], "k long, v string")
+    out = ingest_with_raw_merge(delta, path, ["k"])
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "a"), (2, "b")]
+    assert not os.path.isdir(path + ".__old")

@@ -80,6 +80,34 @@ def test_merge_commit_upsert_and_insert_only(spark, table_dir):
     assert _rows(read_version(spark, table_dir, 1)) == [(1, "a"), (2, "b")]
 
 
+def test_versioned_is_the_default_warehouse_path(spark, table_dir):
+    """write_warehouse with no flag commits through the snapshot layer:
+    the table lands as version directories behind a _LATEST pointer
+    (readers see old-or-new, never partial — pointer replace is
+    atomic), and a crash mid-write (orphan version dir, pointer not
+    advanced) leaves the previous load live."""
+    from etl_football_analytics_pipeline_spark.pipeline.warehouse import write_warehouse
+
+    dims = {
+        "dim_team": spark.createDataFrame(
+            [(1, "Alpha", 10)], "team_id long, team_name string, stadium_id long"
+        )
+    }
+    out = write_warehouse(spark, dims, table_dir)
+    tdir = os.path.join(table_dir, "dim_team")
+    assert current_version(tdir) == 1
+    assert _rows(out["dim_team"]) == [(1, "Alpha", 10)]
+    # crash mid-write: v2 data staged but pointer never advanced
+    spark.createDataFrame([(9, "junk", 0)], "team_id long, team_name string, stadium_id long").write.parquet(
+        version_dir(tdir, 2)
+    )
+    assert _rows(read_latest(spark, tdir)) == [(1, "Alpha", 10)]
+    # next load supersedes the orphan and readers flip atomically
+    out2 = write_warehouse(spark, dims, table_dir)
+    assert current_version(tdir) == 2
+    assert _rows(out2["dim_team"]) == [(1, "Alpha", 10)]
+
+
 def test_versioned_warehouse_load_idempotent(spark, table_dir):
     """write_warehouse(versioned=True): dim upsert / fact insert-only
     through snapshot commits; re-loading the same data adds a version

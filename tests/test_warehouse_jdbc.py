@@ -31,3 +31,26 @@ def test_fact_statement_do_nothing():
 def test_pk_only_dim_degrades_to_do_nothing():
     sql = jdbc_upsert_sql("dim_season", ["season_id"], ["season_id"], True)
     assert sql.endswith("DO NOTHING")
+
+
+def test_stage_frame_deduped_by_pk(spark):
+    """The staging table must carry one row per PK — a set-based
+    ON CONFLICT DO UPDATE fails in PostgreSQL on source duplicates
+    ("command cannot affect row a second time"). Dims keep the
+    last-wins row (executemany re-updates), facts the first-wins row
+    (later duplicates conflict and are skipped), both deterministic."""
+    from etl_football_analytics_pipeline_spark.pipeline.warehouse import dedupe_stage_frame
+
+    dup = spark.createDataFrame(
+        [(1, "Alpha", 10), (1, "Alpha-v2", 10), (2, "Beta", 11)],
+        "team_id long, team_name string, stadium_id long",
+    )
+    dim = sorted(tuple(r) for r in dedupe_stage_frame(dup, ["team_id"], True).collect())
+    assert dim == [(1, "Alpha-v2", 10), (2, "Beta", 11)]
+    fact = sorted(tuple(r) for r in dedupe_stage_frame(dup, ["team_id"], False).collect())
+    assert fact == [(1, "Alpha", 10), (2, "Beta", 11)]
+    # PK-only frame: plain dropDuplicates
+    pk_only = spark.createDataFrame([(1,), (1,), (2,)], "season_id long")
+    assert sorted(
+        tuple(r) for r in dedupe_stage_frame(pk_only, ["season_id"], True).collect()
+    ) == [(1,), (2,)]
