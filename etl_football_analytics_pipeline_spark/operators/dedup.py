@@ -548,14 +548,19 @@ def connected_components(
       are what survived LSH + exact verification), so even a 100 TB
       corpus's dup graph usually fits; one collect of (long, long)
       pairs, O(pairs·α) work, two jobs total.
-    - beyond: distributed iterative min-label propagation — each
-      round one hash-partitioned join+aggregate where every node
-      takes the min of its own and its neighbors' labels;
-      convergence in O(component diameter) rounds (near-dup
-      components are shallow stars/cliques), `max_iter` bounds the
-      worst case, `localCheckpoint` truncates lineage so plan size
-      stays constant per round. The loop is driver-side CONTROL FLOW
-      only (one count per round for the convergence test).
+    - beyond: distributed iterative min-label propagation with
+      POINTER JUMPING — each round (a) every node takes the min of
+      its own and its neighbors' labels (one hash-partitioned
+      join+aggregate), then (b) replaces its label with its label's
+      label (one more join), halving chain depth like classic
+      Shiloach-Vishkin: convergence in O(log diameter) rounds, so
+      the default `max_iter=20` covers component diameters up to
+      ~2^20 (near-dup components are shallow stars/cliques anyway).
+      `localCheckpoint` truncates lineage so plan size stays
+      constant per round. The loop is driver-side CONTROL FLOW only
+      (one count per round for the convergence test). If `max_iter`
+      is exhausted before the fixpoint, the function RAISES rather
+      than silently returning wrong labels.
     Deterministic either way: min id over unique ids.
 
     Returns (node, component) — one row per node appearing in pairs.
@@ -602,6 +607,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -611,14 +617,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("__nl").alias("__nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("__nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component ← label(component). Every label is
+        # itself a node (labels are mins over node ids), so the lookup
+        # always resolves; composing it each round halves the depth of
+        # label chains — O(log diameter) total rounds instead of
+        # O(diameter) for chain-shaped components.
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("__nbr_min", F.col("component"))
-                ).alias("component"),
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("node").alias("component"), F.col("component").alias("__cc")
+                ),
+                "component",
+                "left",
             )
+            .select("node", F.coalesce("__cc", F.col("component")).alias("component"))
             .localCheckpoint()
         )
         changed = (
@@ -630,6 +649,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter — "
+            "returning unconverged labels would be silently wrong"
+        )
     return labels
 
 

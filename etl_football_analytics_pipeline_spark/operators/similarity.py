@@ -267,7 +267,12 @@ def lsh_all_pairs_cosine(
     scored = buckets.groupBy("table", "bucket").applyInPandas(
         score_bucket, "id_a long, id_b long, cosine double"
     )
-    return scored.distinct()
+    # dedup KEYED ON THE PAIR, not the float: BLAS reduction order
+    # varies with bucket matrix shape, so a cosine at a 4dp rounding
+    # boundary can round differently across buckets — distinct() over
+    # (id_a, id_b, cosine) would then emit the same pair twice. max()
+    # is a deterministic per-pair choice at the same one-shuffle cost.
+    return scored.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def kmeans_centroids(

@@ -116,10 +116,18 @@ class FirstSeenProcessor(StatefulProcessor):
 
 
 def first_seen_per_user(events: DataFrame) -> DataFrame:
-    """One row per user with the lowest event_id at first sight —
-    stateful keyed first-emission on a stream (transformWithState),
-    plain min-aggregate on a batch frame (same output schema; batch ≡
-    converged stream, asserted in tests/test_streaming_stateful.py)."""
+    """One row per user with a first-seen event_id — stateful keyed
+    first-emission on a stream (transformWithState), plain
+    min-aggregate on a batch frame (same output schema).
+
+    SEMANTICS DIFFER BY TIER, deliberately: the streaming path emits
+    ONCE per key — the min event_id within the key's FIRST micro-batch
+    (first-sight semantics; the state marks the key emitted and later
+    batches are ignored) — while the batch path emits the GLOBAL min.
+    They agree exactly when each key's minimum arrives in its first
+    batch (e.g. in-order sources); under late arrivals the streaming
+    answer is the first-sight one. tests/test_streaming_stateful.py
+    asserts precisely this divergence."""
     if events.isStreaming:
         return events.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=FirstSeenProcessor(),

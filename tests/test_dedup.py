@@ -144,6 +144,27 @@ def test_connected_components_labels_and_determinism(spark):
     assert dist == expected
 
 
+def test_distributed_components_converge_on_long_chains(spark):
+    """Pointer jumping makes convergence O(log diameter): a 64-hop
+    chain must fully label within 8 distributed rounds (2^8 ≫ 64) —
+    the shape that broke O(diameter) min-propagation under max_iter.
+    An impossible budget must RAISE, never return wrong labels."""
+    import pytest as _pytest
+
+    from etl_football_analytics_pipeline_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    out = {
+        r.node: r.component
+        for r in connected_components(chain, driver_bound=0, max_iter=8).collect()
+    }
+    assert out == {i: 0 for i in range(65)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, driver_bound=0, max_iter=1)
+
+
 def test_minhash_recall_against_exact(spark, docs):
     """MinHash-LSH at threshold 0.2 must recover most truly-similar
     pairs (Jaccard ≥ 0.35 ⇒ detection probability ≥ ~96% with 16
