@@ -342,6 +342,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sf_of(sf_dir: str) -> float:
+    """Scale-factor tag parsed from the testdata directory name
+    (…/sf0.1 → 0.1). The testdata ships no media table (and the
+    container no codecs — the SMF stub is the documented boundary), so
+    the mm_* inputs are synthesized; scaling their size off the tag
+    keeps the bench rows proportional to sf instead of constant."""
+    import os
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    try:
+        return float(m.group(1)) if m else 0.01
+    except ValueError:
+        return 0.01
+
+
 @query("mm_decode_suite")  # synthetic SMF codec → no SQL oracle (rows-only)
 def mm_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-path suite over a binary media column: per-image stats
@@ -350,8 +366,10 @@ def mm_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (operators.multimodal.frame_sample — the 1→n/k fan-out
     shape, re-encoded frame blobs with typed metadata). Codec stubbed
     (SMF synthetic format); exactness vs direct numpy decode is tested
-    in tests/test_multimodal.py."""
-    images = synthetic_images(spark, n=200, width=16, height=32).cache()
+    in tests/test_multimodal.py. Input size scales with the sf tag
+    (200 at sf0.01 → 2,000 at sf0.1) so bench rows track scale."""
+    n = max(200, int(round(20_000 * _sf_of(sf_dir))))
+    images = synthetic_images(spark, n=n, width=16, height=32).cache()
     stats = image_stats(images, min_partitions=1)
     frames = (
         frame_sample(images, every_k=4, min_partitions=1)
@@ -368,11 +386,12 @@ def mm_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media → embedding bridge: resize, histogram features, then the
     embedding near-dup operator (multimodal → similarity composition).
-    Ids ≥ 1000 are re-labeled copies of ids 0-9 (same seed → identical
-    pixels), so the result always contains those pairs at cosine 1.0 —
-    asserted in tests/test_multimodal.py."""
-    base = synthetic_images(spark, n=60)
-    dups = base.filter(F.col("id") < 10).withColumn("id", F.col("id") + 1000)
+    Ids ≥ 100000 are re-labeled copies of ids 0-9 (same seed →
+    identical pixels), so the result always contains those pairs at
+    cosine 1.0 — asserted in tests/test_multimodal.py. Input size
+    scales with the sf tag (60 at sf0.01 → 600 at sf0.1)."""
+    base = synthetic_images(spark, n=max(60, int(round(6_000 * _sf_of(sf_dir)))))
+    dups = base.filter(F.col("id") < 10).withColumn("id", F.col("id") + 100_000)
     resized = image_resize(base.unionByName(dups), 16, 12, min_partitions=1)
     # cache: all_pairs_cosine evaluates its input twice (driver collect
     # for the broadcast matrix + the distributed batch pass); without
