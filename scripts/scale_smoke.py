@@ -25,6 +25,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from pyspark.sql import functions as F
 
 from etl_football_analytics_pipeline_spark.operators.dedup import (
+    connected_components,
     minhash_exact_dedup_pairs,
     simhash,
     simhash_near_pairs,
@@ -69,10 +70,21 @@ def main() -> int:
         emb = amplify_emb(emb1, scale).cache()
         nd, ne = docs.count(), emb.count()
         t0 = time.time()
-        n_pairs = minhash_exact_dedup_pairs(
+        pairs_df = minhash_exact_dedup_pairs(
             docs, "doc_id", "text", num_hashes=64, num_bands=16, shingle_n=2, threshold=0.2
-        ).count()
+        ).persist()
+        n_pairs = pairs_df.count()
         t_minhash = time.time() - t0
+        # distributed connected-components tier FORCED (driver_bound=0)
+        # so min-label propagation + pointer jumping get wall-clock
+        # evidence at scale, not just the driver union-find fast path
+        t0 = time.time()
+        n_comp = (
+            connected_components(pairs_df, driver_bound=0)
+            .select("component").distinct().count()
+        )
+        t_cc = time.time() - t0
+        pairs_df.unpersist()
         t0 = time.time()
         n_sim = simhash_near_pairs(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8).count()
         t_simhash = time.time() - t0
@@ -83,6 +95,7 @@ def main() -> int:
         print(
             f"scale={scale:3d}  docs={nd:7d} emb={ne:7d}  "
             f"minhash+exact={t_minhash:6.1f}s (pairs={n_pairs})  "
+            f"components[dist]={t_cc:6.1f}s (comps={n_comp})  "
             f"simhash={t_simhash:6.1f}s (pairs={n_sim})  "
             f"ivf={t_ivf:5.1f}s (rows={n_ivf})",
             flush=True,
