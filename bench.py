@@ -57,7 +57,10 @@ def main() -> int:
     # running; a single pass charges one random query 10-60s of noise.
     # Two passes separated by minutes are decorrelated from any one
     # burst, and min-per-query measures the engine, not the neighbor.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # three passes: this host's steal bursts can straddle two passes;
+    # a third decorrelates the per-query minimum further (wall cost
+    # ~+50%, paid once per round)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for p in range(passes):
@@ -78,8 +81,11 @@ def main() -> int:
                 # hygiene between queries: queries that cache
                 # intermediates would otherwise accumulate storage
                 # memory across the run and distort later measurements
-                # with eviction/GC churn
+                # with eviction/GC churn; the explicit JVM GC (outside
+                # the timed region) stops heap debt from Arrow-heavy
+                # queries being billed to whichever query runs next
                 spark.catalog.clearCache()
+                spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     record = {

@@ -157,6 +157,7 @@ def ngram_jaccard_pairs_blas(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    grams_pdf: pd.DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold, dense-kernel tier.
 
@@ -179,8 +180,10 @@ def ngram_jaccard_pairs_blas(
     # collect (id, xxhash64(gram) array): int arrays move through Arrow
     # much faster than raw gram strings, and the vocabulary builds off
     # 8-byte keys (collision odds ~|vocab|²/2^65 — negligible here,
-    # documented bound of this tier)
-    pdf = gram_hashes(df, id_col, text_col, n).toPandas()
+    # documented bound of this tier). `grams_pdf` lets the auto
+    # dispatcher hand over its already-collected gram frame so the
+    # (expensive) gram lineage is evaluated exactly once.
+    pdf = grams_pdf if grams_pdf is not None else gram_hashes(df, id_col, text_col, n).toPandas()
     pdf = pdf[pdf["__gh"].map(len) > 0].reset_index(drop=True)
     vocab: dict[int, int] = {}
     for grams in pdf["__gh"]:
@@ -297,49 +300,61 @@ def ngram_jaccard_pairs_auto(
     n: int = 2,
     threshold: float = 0.5,
     dense_budget_bytes: int = 2 << 30,
+    collect_budget_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold with BYTE-BUDGETED tier
     dispatch — the production entry point.
 
-    The dense BLAS tier's driver/broadcast state is a docs × vocab f32
-    incidence matrix, so the guard estimates exactly those bytes —
-    docs × distinct grams × 4 B — and dispatches dense only when the
-    estimate fits `dense_budget_bytes` (default 2 GiB). A raw
-    doc-count guard is the wrong shape: vocabulary grows with the
-    corpus, so 100k docs × a realistic 10^5-gram vocabulary is a
-    40 GB matrix — orders of magnitude past what a doc bound
-    suggests. The estimate comes from ONE map-only pass
-    (approx_count_distinct HLL partials over doc ids and gram hashes;
-    ~2-5% rsd, dwarfed by the 4× headroom a budget check implies —
-    both tiers are exact, so a borderline misdispatch only changes
-    the physical plan, never the result).
+    The dense BLAS tier's driver state is bounded by TWO budgets, both
+    enforced here:
+    - `collect_budget_bytes` caps the gram-hash collect itself:
+      one cheap map-only scan (split + size — none of the expensive
+      zip_with gram chain) totals per-doc gram counts; corpora whose
+      gram arrays exceed the cap (×8 B each) go straight to the
+      prefix tier without collecting anything.
+    - `dense_budget_bytes` caps the docs × vocab × 4 B incidence
+      matrix, checked EXACTLY (np.unique over the collected hashes —
+      no estimator error) after the collect and before any matrix
+      allocation; over-budget corpora fall back to the prefix tier
+      having spent at most one `collect_budget_bytes`-bounded
+      collect. A raw doc-count guard is the wrong shape for this:
+      vocabulary grows with the corpus, so 100k docs × a realistic
+      10^5-gram vocabulary is a 40 GB matrix — orders of magnitude
+      past what a doc bound suggests.
+    The collected frame is handed to the dense tier, so the expensive
+    gram lineage is evaluated exactly once.
 
-    - within budget: the dense BLAS tier. On small/dense corpora
+    - within both budgets: the dense BLAS tier. On small/dense corpora
       (shared vocabulary → ~all pairs are join candidates, e.g. the
       testdata's 5,000 docs × 931 shared bigrams) it wins by >10×
       over any join-based plan.
-    - beyond: the prefix-filtering tier — fully relational, 100%
-      recall, every stage a hash-partitioned shuffle, zero driver
-      state; the plan that survives 100 TB, where real Zipfian
+    - beyond either: the prefix-filtering tier — fully relational,
+      100% recall, every stage a hash-partitioned shuffle, zero
+      driver state; the plan that survives 100 TB, where real Zipfian
       vocabularies make prefix pruning effective (a low-threshold run
       on a corpus whose docs ~all share grams is quadratic for ANY
       exact algorithm).
     The tiers are property-tested equal (tests/test_dedup.py), so the
     dispatch can never change results, only the physical plan.
     """
-    stats = (
-        gram_hashes(df, id_col, text_col, n)
-        .select(F.col(id_col).alias("__id"), F.explode_outer("__gh").alias("__g"))
-        .agg(
-            F.approx_count_distinct("__id").alias("docs"),
-            F.approx_count_distinct("__g").alias("vocab"),
-        )
-        .first()
+    per_doc = F.greatest(
+        F.size(F.split(normalized_text(text_col), " ")) - (n - 1), F.lit(0)
     )
-    est_bytes = int(stats["docs"]) * int(stats["vocab"]) * 4
-    if est_bytes <= dense_budget_bytes:
-        return ngram_jaccard_pairs_blas(df, id_col, text_col, n, threshold)
-    return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
+    total_grams = int(
+        df.select(per_doc.alias("__g")).agg(F.sum("__g")).first()[0] or 0
+    )
+    if total_grams * 8 > collect_budget_bytes:
+        return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
+    pdf = gram_hashes(df, id_col, text_col, n).toPandas()
+    nonempty = pdf[pdf["__gh"].map(len) > 0]
+    if len(nonempty):
+        flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in nonempty["__gh"]])
+        vocab_n = len(np.unique(flat))
+    else:
+        vocab_n = 0
+    if len(nonempty) * vocab_n * 4 > dense_budget_bytes:
+        return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
+    return ngram_jaccard_pairs_blas(df, id_col, text_col, n, threshold, grams_pdf=pdf)
 
 
 def minhash_signatures(

@@ -368,11 +368,14 @@ def ivf_topk(
 
     cb = _assign_lists(corpus.select(id_col, vec_col), bc, "neighbor_id", vec_col, "__cvec", 1)
     qb = _assign_lists(queries.select(id_col, vec_col), bc, "query_id", vec_col, "__qvec", nprobe)
+    # no pair dedup needed: corpus vectors are assigned to exactly ONE
+    # list (nprobe=1 above), so a (query, neighbor) pair can match the
+    # list_id equi-join at most once — a dropDuplicates here would be
+    # a pure extra shuffle
     pairs = (
         cb.join(F.broadcast(qb), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qvec", "__cvec")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -444,24 +447,43 @@ def ivf_search_index(
     unprobed lists are never opened (asserted via inputFiles in
     tests/test_similarity.py). Returns (query_id, neighbor_id, cosine,
     rank), self-matches excluded — identical semantics to the
-    in-flight ivf_topk given the same centroids."""
+    in-flight ivf_topk given the same centroids.
+
+    The probe set is assigned DRIVER-SIDE: queries are by definition
+    the small side (every tier broadcasts them), the centroids are
+    already on the driver, and one numpy matmul replaces what would
+    otherwise be three tiny distributed jobs (a spread+mapInPandas
+    assignment pass, a distinct-collect of the probed lists, and a
+    re-evaluation of that pass inside the join). The corpus side —
+    the only thing that grows — stays a pruned distributed scan."""
     cent_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
     order = np.argsort(cent_pdf["list_id"].to_numpy())
     centroids = np.stack(cent_pdf["centroid"].to_numpy()[order])
-    bc = spark.sparkContext.broadcast(centroids)
 
-    qb = _assign_lists(queries.select(id_col, vec_col), bc, "query_id", vec_col, "__qvec", nprobe)
-    probed_lists = sorted({int(r["list_id"]) for r in qb.select("list_id").distinct().collect()})
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_mat = _unit_rows(np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64))
+    top = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]  # Q × nprobe
+    qb = spark.createDataFrame(
+        [
+            (int(q_pdf[id_col].iloc[i]), [float(x) for x in q_pdf[vec_col].iloc[i]], int(l))
+            for i in range(len(q_pdf))
+            for l in top[i]
+        ],
+        "query_id long, __qvec array<float>, list_id int",
+    )
+    probed_lists = sorted({int(l) for row in top for l in row})
     corpus = (
         spark.read.parquet(f"{path}/lists")
         .filter(F.col("list_id").isin(probed_lists))
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "list_id")
     )
+    # no pair dedup needed: the stored index assigns each corpus vector
+    # to exactly ONE list (ivf_build_index uses nprobe=1), so the
+    # list_id equi-join matches a (query, neighbor) pair at most once
     pairs = (
         corpus.join(F.broadcast(qb), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qvec", "__cvec")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

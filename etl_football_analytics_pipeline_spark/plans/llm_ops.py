@@ -106,12 +106,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs ≥ 0.2, bound to the
     byte-budgeted dispatcher (operators.dedup.ngram_jaccard_pairs_auto):
-    estimated docs×vocab×4 B matrix within the 2 GiB budget → dense
-    BLAS kernel (this synthetic corpus's shared vocabulary makes
-    ~every pair a join candidate, where the dense kernel wins >10×,
-    and its matrix is kilobytes — the driver exercises this tier);
-    beyond budget → the PREFIX-FILTERING tier
-    (ngram_jaccard_pairs_prefix): rarest-first
+    gram collect within a 1 GiB budget (cheap pre-scan) and
+    docs×vocab×4 B matrix within a 2 GiB budget (checked exactly
+    before allocation) → dense BLAS kernel (this synthetic corpus's
+    shared vocabulary makes ~every pair a join candidate, where the
+    dense kernel wins >10×, and its matrix is kilobytes — the driver
+    exercises this tier); beyond either budget → the PREFIX-FILTERING
+    tier (ngram_jaccard_pairs_prefix): rarest-first
     prefix grams generate candidates, exact array-intersect verifies —
     100% recall by construction, every stage a hash-partitioned
     shuffle, nothing unbounded driver-side. All three tiers
@@ -369,10 +370,13 @@ def mm_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_multimodal.py. Input size scales with the sf tag
     (200 at sf0.01 → 2,000 at sf0.1) so bench rows track scale."""
     n = max(200, int(round(20_000 * _sf_of(sf_dir))))
+    # partitioning scales with input (fixed min_partitions=1 would
+    # serialize the decode kernels once n grows with the sf tag)
+    parts = max(1, min(32, n // 100))
     images = synthetic_images(spark, n=n, width=16, height=32).cache()
-    stats = image_stats(images, min_partitions=1)
+    stats = image_stats(images, min_partitions=parts)
     frames = (
-        frame_sample(images, every_k=4, min_partitions=1)
+        frame_sample(images, every_k=4, min_partitions=parts)
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_frames_sampled"),
@@ -390,14 +394,19 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pixels), so the result always contains those pairs at
     cosine 1.0 — asserted in tests/test_multimodal.py. Input size
     scales with the sf tag (60 at sf0.01 → 600 at sf0.1)."""
-    base = synthetic_images(spark, n=max(60, int(round(6_000 * _sf_of(sf_dir)))))
+    n = max(60, int(round(6_000 * _sf_of(sf_dir))))
+    base = synthetic_images(spark, n=n)
     dups = base.filter(F.col("id") < 10).withColumn("id", F.col("id") + 100_000)
-    resized = image_resize(base.unionByName(dups), 16, 12, min_partitions=1)
+    # partitioning scales with the input (a fixed min_partitions=1
+    # serializes the python decode kernels once n grows with sf); small
+    # corpora keep few partitions so worker startup isn't the bill
+    parts = max(1, min(32, n // 50))
+    resized = image_resize(base.unionByName(dups), 16, 12, min_partitions=parts)
     # cache: all_pairs_cosine evaluates its input twice (driver collect
     # for the broadcast matrix + the distributed batch pass); without
     # this the 3-stage python-kernel chain above runs twice end-to-end
-    feats = image_histogram_features(resized, min_partitions=1).cache()
-    return all_pairs_cosine(feats, "id", "embedding", threshold=0.999, min_partitions=1)
+    feats = image_histogram_features(resized, min_partitions=parts).cache()
+    return all_pairs_cosine(feats, "id", "embedding", threshold=0.999, min_partitions=parts)
 
 
 # ---------------------------------------------------------------------------

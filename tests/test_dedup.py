@@ -88,12 +88,13 @@ if _HAS_HYPOTHESIS:
 
 
 def test_auto_dispatch_is_byte_budgeted(spark, monkeypatch):
-    """The auto dispatch must size the dense tier by ESTIMATED MATRIX
-    BYTES (docs × vocab × 4 B), not doc count: a wide-vocabulary
-    corpus whose matrix exceeds the budget takes the prefix tier (no
-    driver collect) even though its doc count is tiny, and a
-    shared-vocab corpus within budget takes the BLAS tier. Both tiers
-    are property-tested equal, so this only pins the physical plan."""
+    """The auto dispatch must size the dense tier by MATRIX BYTES
+    (docs × vocab × 4 B, checked exactly after a bounded collect), not
+    doc count: a wide-vocabulary corpus whose matrix exceeds the
+    budget takes the prefix tier even though its doc count is tiny,
+    and a shared-vocab corpus within budget takes the BLAS tier. Both
+    tiers are property-tested equal, so this only pins the physical
+    plan."""
     import etl_football_analytics_pipeline_spark.operators.dedup as dd
 
     calls: list[str] = []
