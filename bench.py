@@ -81,11 +81,11 @@ def main() -> int:
                 # hygiene between queries: queries that cache
                 # intermediates would otherwise accumulate storage
                 # memory across the run and distort later measurements
-                # with eviction/GC churn; the explicit JVM GC (outside
-                # the timed region) stops heap debt from Arrow-heavy
-                # queries being billed to whichever query runs next
+                # with eviction/GC churn. (An explicit System.gc()
+                # here was tried and REVERTED: it queues async
+                # ContextCleaner work that runs during the NEXT timed
+                # query — measured +5-40% across the board.)
                 spark.catalog.clearCache()
-                spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     record = {
