@@ -423,7 +423,16 @@ def ivf_build_index(
     centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_lists, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)
     assigned = _assign_lists(corpus.select(id_col, vec_col), bc, id_col, vec_col, vec_col, 1)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    # repartition BY LIST before the partitioned write: without it every
+    # input partition writes its own part-file into every list dir
+    # (n_input × n_lists small files — a probe then pays hundreds of
+    # scan-task overheads); with it each list is one coherent file per
+    # shuffle partition holding it, which is the layout a probe wants
+    # to open. At larger scale this also bounds file count by the
+    # shuffle partitioning instead of input × lists.
+    assigned.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(
         1

@@ -52,6 +52,20 @@ def get_spark(
         # disable them.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # local mode reads small SINGLE-FILE tables on many cores:
+        # Spark's 128m split default then puts an entire table in one
+        # scan task, serializing every scan-side map (measured ~2x on
+        # the fact-table queries). 1m splits spread the scan; AQE
+        # re-coalesces post-shuffle so tiny partitions don't cascade.
+        # Non-local masters keep the 128m default — at cluster scale
+        # split count is governed by the file layout, not this knob.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES",
+                "1m" if master.startswith("local") else "128m",
+            ),
+        )
         # local mode: the driver JVM IS the whole cluster (32 executor
         # threads + all shuffle/broadcast/cache state share one heap) —
         # size it like an executor fleet, not like a driver
