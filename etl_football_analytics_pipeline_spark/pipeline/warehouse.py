@@ -167,6 +167,7 @@ def write_warehouse(
     warehouse: dict[str, DataFrame],
     out_dir: str,
     versioned: bool = True,
+    keep_versions: int = 5,
 ) -> dict[str, DataFrame]:
     """Idempotent bulk load to parquet: dims upsert by PK (M2,
     `ON CONFLICT DO UPDATE`), facts insert-if-absent (M3, `ON CONFLICT
@@ -182,19 +183,26 @@ def write_warehouse(
     parquet-native analog of the reference's PostgreSQL transactions
     (closes the non-atomic-overwrite risk documented in SURVEY §7).
 
+    Each versioned load is a FULL snapshot, so history grows linearly
+    with loads; `keep_versions` bounds it (vacuum after each commit,
+    never touching the live version — time travel reaches the newest
+    `keep_versions` snapshots). Pass 0/negative to keep everything.
+
     `versioned=False` keeps the flat single-directory layout (for
     readers that must scan `out_dir/<table>` directly as plain
     parquet) via a hardened stage-and-rename swap: orphaned `.__old`
     copies from a crash between the two renames are recovered before
     the merge, so no crash point loses committed rows."""
     if versioned:
-        from ..sources.versioned import merge_commit, read_latest
+        from ..sources.versioned import merge_commit, read_latest, vacuum
 
         out: dict[str, DataFrame] = {}
         for name, df in warehouse.items():
             pk, is_dim = WAREHOUSE_KEYS[name]
             table_dir = os.path.join(out_dir, name)
             merge_commit(spark, table_dir, df, list(pk), insert_only=not is_dim)
+            if keep_versions > 0:
+                vacuum(table_dir, keep=keep_versions)
             out[name] = read_latest(spark, table_dir)
         return out
     loaded: dict[str, DataFrame] = {}

@@ -132,3 +132,24 @@ def test_versioned_warehouse_load_idempotent(spark, table_dir):
     }
     out3 = write_warehouse(spark, dims2, table_dir, versioned=True)
     assert _rows(out3["dim_team"]) == [(1, "Alpha", 10), (2, "Beta-v2", 11)]
+
+
+def test_versioned_warehouse_retention_bounds_history(spark, table_dir):
+    """Every load is a full snapshot — keep_versions must bound the
+    history (vacuum after commit) while the live version and the
+    newest keep window stay readable."""
+    from etl_football_analytics_pipeline_spark.pipeline.warehouse import write_warehouse
+
+    for i in range(4):
+        dims = {
+            "dim_team": spark.createDataFrame(
+                [(i, f"T{i}", i)], "team_id long, team_name string, stadium_id long"
+            )
+        }
+        out = write_warehouse(spark, dims, table_dir, keep_versions=2)
+    tdir = os.path.join(table_dir, "dim_team")
+    assert current_version(tdir) == 4
+    assert len(_rows(out["dim_team"])) == 4  # upserts accumulated
+    kept = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
+    assert kept == ["v00003", "v00004"]
+    assert _rows(read_version(spark, tdir, 3))  # newest-but-one readable
