@@ -126,6 +126,16 @@ def test_ivf_index_persists_and_prunes_partitions(spark, emb, tmp_path):
     # and the pruned row count equals those partitions' contents
     expected = spark.read.parquet(f"{path}/lists").where("list_id in (0,1)").count()
     assert scan.count() == expected
+    # layout: each inverted list is ONE coherent file (the build
+    # repartitions by list_id before the partitioned write) — without
+    # this, every input partition writes a part-file into every list
+    # dir and probes pay input×lists scan-task overheads
+    import glob
+    import os
+
+    for ldir in glob.glob(f"{path}/lists/list_id=*"):
+        parts = [f for f in os.listdir(ldir) if f.endswith(".parquet")]
+        assert len(parts) == 1, (ldir, parts)
 
 
 def test_ivf_deterministic(spark, emb):
