@@ -293,6 +293,17 @@ def ngram_jaccard_pairs_prefix(
     return exact_jaccard_for_pairs(df, cand, id_col, text_col, n, threshold)
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's `sizeInBytes` estimate for df's optimized plan —
+    file bytes for scans, propagated estimates for derived plans.
+    Metadata-only (NO Spark job). Returns a huge sentinel when the
+    estimate is unavailable so callers treat unknown as unbounded."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — any py4j/analysis hiccup → "unknown"
+        return 1 << 62
+
+
 def ngram_jaccard_pairs_auto(
     df: DataFrame,
     id_col: str,
@@ -307,11 +318,17 @@ def ngram_jaccard_pairs_auto(
 
     The dense BLAS tier's driver state is bounded by TWO budgets, both
     enforced here:
-    - `collect_budget_bytes` caps the gram-hash collect itself:
-      one cheap map-only scan (split + size — none of the expensive
-      zip_with gram chain) totals per-doc gram counts; corpora whose
-      gram arrays exceed the cap (×8 B each) go straight to the
-      prefix tier without collecting anything.
+    - `collect_budget_bytes` caps the gram-hash collect itself,
+      sized from CATALYST'S OWN plan statistics (`sizeInBytes` of the
+      optimized plan — file bytes for scans, propagated estimates for
+      derived plans, a huge sentinel when unknown) so the probe runs
+      ZERO Spark jobs. Gram-hash bytes are bounded by 8× source bytes
+      (one 8-byte hash per gram ≈ one per ~6-char word, and parquet
+      text compresses ≥1×, so 8× over-estimates). Plans whose size
+      Catalyst cannot bound (RDD-backed/driver-local relations report
+      the defaultSizeInBytes sentinel) fall back to one cheap
+      map-only gram-count scan. Corpora over the cap go straight to
+      the prefix tier without collecting anything.
     - `dense_budget_bytes` caps the docs × vocab × 4 B incidence
       matrix, checked EXACTLY (np.unique over the collected hashes —
       no estimator error) after the collect and before any matrix
@@ -337,13 +354,19 @@ def ngram_jaccard_pairs_auto(
     The tiers are property-tested equal (tests/test_dedup.py), so the
     dispatch can never change results, only the physical plan.
     """
-    per_doc = F.greatest(
-        F.size(F.split(normalized_text(text_col), " ")) - (n - 1), F.lit(0)
-    )
-    total_grams = int(
-        df.select(per_doc.alias("__g")).agg(F.sum("__g")).first()[0] or 0
-    )
-    if total_grams * 8 > collect_budget_bytes:
+    est_bytes = _plan_size_bytes(df)
+    if est_bytes >= 1 << 60:
+        # stats unknown (RDD-backed/driver-local plans report the
+        # defaultSizeInBytes sentinel) → fall back to one cheap
+        # map-only scan (split + size, none of the gram chain) that
+        # totals gram counts exactly; file scans never pay this job
+        per_doc = F.greatest(
+            F.size(F.split(normalized_text(text_col), " ")) - (n - 1), F.lit(0)
+        )
+        est_bytes = int(
+            df.select(per_doc.alias("__g")).agg(F.sum("__g")).first()[0] or 0
+        )
+    if est_bytes * 8 > collect_budget_bytes:
         return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
     pdf = gram_hashes(df, id_col, text_col, n).toPandas()
     nonempty = pdf[pdf["__gh"].map(len) > 0]
@@ -561,8 +584,8 @@ def connected_components(
     - ≤ `driver_bound` pairs: classic union-find on the driver — the
       verified near-dup graph is SMALL relative to the corpus (pairs
       are what survived LSH + exact verification), so even a 100 TB
-      corpus's dup graph usually fits; one collect of (long, long)
-      pairs, O(pairs·α) work, two jobs total.
+      corpus's dup graph usually fits; ONE take(bound+1) probe doubles
+      as the collect, O(pairs·α) work.
     - beyond: distributed iterative min-label propagation with
       POINTER JUMPING — each round (a) every node takes the min of
       its own and its neighbors' labels (one hash-partitioned
@@ -580,12 +603,14 @@ def connected_components(
 
     Returns (node, component) — one row per node appearing in pairs.
     """
-    # one computation of the (possibly expensive) pair plan serves the
-    # size probe, the driver collect, and the distributed edge build
-    pairs = pairs.select(id_a, id_b).persist()
-    if pairs.count() <= driver_bound:
-        rows = pairs.collect()
-        pairs.unpersist()
+    # ONE probe job serves both the size test and the driver collect:
+    # take(bound+1) scans partitions incrementally and returns every
+    # row iff the graph fits the driver tier; the distributed tier
+    # pays at most one bounded (driver_bound × 16 B) discarded fetch —
+    # no persist, no separate count job over the pair plan
+    pairs = pairs.select(id_a, id_b)
+    rows = pairs.take(driver_bound + 1) if driver_bound > 0 else []
+    if driver_bound > 0 and len(rows) <= driver_bound:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -607,6 +632,10 @@ def connected_components(
         return pairs.sparkSession.createDataFrame(
             labels or [], "node long, component long"
         )
+    # the pair plan feeds both union branches — persist for the edge
+    # build only; the eager localCheckpoint materializes the edges, so
+    # the persist is released before the iteration starts
+    pairs = pairs.persist()
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(
