@@ -1,0 +1,189 @@
+"""Corpus-assembly operators for training-data pipelines: deterministic
+splits, train/test decontamination, and sequence packing.
+
+Driver-mandated LLM-pipeline extensions (no reference counterpart —
+the reference stops at the warehouse; these cover what a large-scale
+training-data pipeline needs AFTER curation: carving held-out splits,
+checking evaluation contamination, and packing documents into
+fixed-length training sequences).
+
+Every operator here is exactly reproducible in ANSI SQL (md5-based
+splits, string n-grams, window cumulative sums), so all three carry
+full DuckDB value oracles — unlike the seeded/xxhash64 probabilistic
+dedup family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _with_grams, normalized_text
+
+# (name, lo_hex, hi_hex) over the FIRST hex char of md5(id): 16 equal
+# buckets → 12/2/2 = 75% / 12.5% / 12.5%. Hex-char ranges compare
+# lexicographically in any engine, so the split is portable SQL.
+DEFAULT_SPLITS: tuple[tuple[str, str, str], ...] = (
+    ("train", "0", "b"),
+    ("val", "c", "d"),
+    ("test", "e", "f"),
+)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, str, str]] = DEFAULT_SPLITS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split from a content-free hash of
+    its id — the train/val/test carve of a training corpus.
+
+    md5(cast(id as string)) is deterministic across runs, engines,
+    partitionings, and cluster sizes (no seed, no RNG state), so the
+    same document lands in the same split forever — the property a
+    held-out set must have. Pure Column expressions, ZERO shuffle:
+    at 100 TB this is a free map over the scan.
+
+    `splits` is (name, lo_hex_char, hi_hex_char) over the first hex
+    digit of the md5, giving 16 equally likely buckets (md5's first
+    digit is uniform); ranges may not overlap. Rows matching no range
+    get NULL — callers can treat that as "excluded"."""
+    first = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(splits):
+        expr = F.when((first >= lo) & (first <= hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def ngram_containment(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-test-document n-gram containment against a training corpus —
+    the decontamination check run before trusting any benchmark score
+    (a test doc whose grams mostly appear in training data is leaked).
+
+    containment(d) = |grams(d) ∩ grams(train)| / |grams(d)| over
+    distinct word n-grams. Relational end to end:
+
+    - train side reduces to its DISTINCT GRAM SET (one hash shuffle
+      keyed on the gram — at 100 TB the set is far smaller than the
+      corpus and never driver-resident);
+    - test grams LEFT JOIN that set on xxhash64(gram) — an 8-byte
+      join key instead of the gram string (the documented ~|grams|²/2^65
+      collision bound shared with the dedup family); both sides
+      hash-partition on the key, AQE splits hot grams;
+    - one groupBy(test id) folds match flags into the fraction.
+
+    Returns (id, n_grams, n_matched, containment) — one row per test
+    doc with at least one gram, containment rounded to 4dp."""
+    train_grams = (
+        _with_grams(train, id_col, text_col, n)
+        .select(F.xxhash64("gram").alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    test_grams = _with_grams(test, id_col, text_col, n).select(
+        F.col("__id"), F.xxhash64("gram").alias("__g")
+    )
+    return (
+        test_grams.join(train_grams, "__g", "left")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_matched"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_matched") / F.col("n_grams").cast("double"), 4),
+        )
+    )
+
+
+def whitespace_token_counts(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "n_tokens"
+) -> DataFrame:
+    """(id, n_tokens) where n_tokens is the normalized whitespace word
+    count — the cheap token proxy used for packing budgets and split
+    accounting (exact BPE counts swap in via operators.text)."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(normalized_text(text_col), " ")).cast("long").alias(out_col),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    `id_col` order into one virtual token stream, which is cut into
+    fixed `seq_len` windows; each document is tagged with the training
+    sequence its FIRST token falls in and its offset inside it — the
+    deterministic packing used to build fixed-length LM batches.
+
+    Needs a global cumulative sum in id order WITHOUT a global window
+    (a single-partition WindowExec dies at fact scale — same hazard as
+    operators.surrogate). Two-phase scheme, numeric value buckets:
+
+    - bucket rows by fixed-width ranges of the numeric id (bounds from
+      one min/max agg — deterministic across jobs, no sampling, no
+      cache);
+    - pass 1: per-bucket token sums → driver prefix sums (ONE long per
+      bucket crosses the wire);
+    - pass 2: intra-bucket running sum (window partitioned by bucket —
+      matches the shuffle, every bucket sums concurrently) + bucket
+      offset = each doc's global stream position.
+
+    Ids must be non-null numerics and unique for a total order (both
+    hold for surrogate-keyed corpora). Returns
+    (id, tokens, seq_id, seq_offset) with seq_id = floor(pos/seq_len),
+    seq_offset = pos mod seq_len, pos = tokens before this doc."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    mn, mx = df.agg(F.min(id_col), F.max(id_col)).first()
+    if mn is None:
+        return df.select(
+            F.col(id_col),
+            F.col(tokens_col),
+            F.lit(0).cast("long").alias("seq_id"),
+            F.lit(0).cast("long").alias("seq_offset"),
+        ).limit(0)
+    width = max(1, ((int(mx) - int(mn)) // parts) + 1)
+    bucketed = df.select(id_col, tokens_col).withColumn(
+        "__pid", ((F.col(id_col) - F.lit(int(mn))) / F.lit(width)).cast("long")
+    )
+    sums = {
+        r["__pid"]: r["__s"]
+        for r in bucketed.groupBy("__pid").agg(F.sum(tokens_col).alias("__s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid])
+    offset_map = F.create_map(
+        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)) + offset_map[F.col("__pid")]
+    return bucketed.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        F.floor(pos / seq_len).cast("long").alias("seq_id"),
+        (pos % seq_len).cast("long").alias("seq_offset"),
+    )

@@ -386,6 +386,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_n: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: for each of `num_hashes` hash functions h_i,
     sig[i] = min over shingles of xxhash64(i, shingle).
@@ -405,7 +406,10 @@ def minhash_signatures(
     a_co = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b_co = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
 
-    hashed = gram_hashes(df, id_col, text_col, shingle_n)
+    # `grams` lets composed suites hand over an already-built (and
+    # typically cached) gram_hashes frame so the expensive gram chain
+    # is evaluated once across the signature and exact-verify stages
+    hashed = grams if grams is not None else gram_hashes(df, id_col, text_col, shingle_n)
 
     def minsig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -499,6 +503,21 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
     cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+    return minhash_est_pairs(sigs, cand, id_col, num_hashes, threshold)
+
+
+def minhash_est_pairs(
+    sigs: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """Estimated Jaccard (fraction of equal minhash components) for a
+    given candidate pair set against a signature table — the scoring
+    stage of the LSH pipeline, factored out so composed suites can
+    compute signatures/candidates ONCE and feed both the estimated and
+    the exact verifiers. Join-shape notes in minhash_dedup_pairs."""
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b"))
     est = F.expr(
@@ -520,6 +539,7 @@ def exact_jaccard_for_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a GIVEN candidate pair set
     (id_a, id_b): join each side's distinct-gram-hash array, intersect
@@ -530,8 +550,9 @@ def exact_jaccard_for_pairs(
     degrades to a shuffled equi-join on id beyond that — both correct.
 
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold; pairs whose
-    docs have no grams are dropped (no defined similarity)."""
-    grams = gram_hashes(df, id_col, text_col, n)
+    docs have no grams are dropped (no defined similarity). `grams`
+    lets composed suites hand over a shared gram_hashes frame."""
+    grams = grams if grams is not None else gram_hashes(df, id_col, text_col, n)
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("__gh").alias("__gh_a"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("__gh").alias("__gh_b"))
     inter = F.size(F.array_intersect("__gh_a", "__gh_b"))

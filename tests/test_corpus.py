@@ -1,0 +1,140 @@
+"""Corpus-assembly operators: deterministic splits, decontamination,
+sequence packing (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.corpus import (
+    DEFAULT_SPLITS,
+    deterministic_split,
+    ngram_containment,
+    pack_sequences,
+    whitespace_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_split_matches_reference_md5_and_is_stable(spark, ids_df):
+    """Every row's split equals the python-side md5 reference, so the
+    assignment is engine- and run-independent (the held-out contract)."""
+    out = {r["doc_id"]: r["split"] for r in deterministic_split(ids_df, "doc_id").collect()}
+    for doc_id, split in out.items():
+        first = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        expected = next(name for name, lo, hi in DEFAULT_SPLITS if lo <= first <= hi)
+        assert split == expected, doc_id
+    # repartitioning must not move any document between splits
+    again = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(ids_df.repartition(7), "doc_id").collect()
+    }
+    assert again == out
+
+
+def test_split_is_shuffle_free(spark, ids_df):
+    """The split is a pure map over the scan — no Exchange anywhere."""
+    df = deterministic_split(ids_df, "doc_id")
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained
+
+
+def test_split_fractions_are_hex_bucket_shaped(spark, ids_df):
+    """12/2/2 hex buckets → ~75/12.5/12.5; md5 uniformity keeps each
+    bucket within a loose tolerance at n=2000."""
+    counts = {
+        r["split"]: r["count"]
+        for r in deterministic_split(ids_df, "doc_id").groupBy("split").count().collect()
+    }
+    n = sum(counts.values())
+    assert n == 2000 and set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.75) < 0.05
+    assert abs(counts["val"] / n - 0.125) < 0.04
+    assert abs(counts["test"] / n - 0.125) < 0.04
+
+
+def test_ngram_containment_exact_fractions(spark):
+    """Hand-built corpus with known trigram overlap: identical doc →
+    1.0, disjoint doc → 0.0, half-shared doc → the exact fraction."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "a b c d e"),      # grams {abc,bcd,cde} all in train → 1.0
+            (11, "x y z w v"),      # disjoint → 0.0
+            (12, "a b c z z z"),    # {abc} in train, {bcz,czz,zzz} not → 1/4
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"], r["containment"])
+        for r in ngram_containment(train, test, "doc_id", "text", n=3).collect()
+    }
+    assert out[10] == (3, 3, 1.0)
+    assert out[11] == (3, 0, 0.0)
+    assert out[12] == (4, 1, 0.25)
+
+
+def test_ngram_containment_short_docs_absent(spark):
+    """Docs shorter than n words have no grams and no defined
+    containment — they must not appear (same contract as the jaccard
+    family)."""
+    train = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    test = spark.createDataFrame([(10, "a b")], "doc_id long, text string")
+    assert ngram_containment(train, test, "doc_id", "text", n=3).count() == 0
+
+
+def test_pack_sequences_matches_serial_reference(spark):
+    """Packing equals the obvious serial concat-and-chunk walk, and is
+    invariant under repartitioning (global order comes from the id,
+    not the physical layout)."""
+    rows = [(i, f"doc {i} " + "tok " * (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = whitespace_token_counts(df, "doc_id", "text")
+    expected = {}
+    pos = 0
+    for doc_id, n in sorted((r["doc_id"], r["n_tokens"]) for r in toks.collect()):
+        expected[doc_id] = (n, pos // 64, pos % 64)
+        pos += n
+    for shuffled in (toks, toks.repartition(13)):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+            for r in pack_sequences(shuffled, "doc_id", "n_tokens", seq_len=64).collect()
+        }
+        assert got == expected
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The global cumsum must not funnel through one partition: the
+    executed plan's Window sorts are partitioned by the value bucket,
+    never SinglePartition."""
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n_tokens")
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", seq_len=512)
+    packed.count()
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit(5).alias("n_tokens"))
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tokens", seq_len=0)
+
+
+def test_pack_sequences_empty_input(spark):
+    df = spark.range(0).select(F.col("id").alias("doc_id"), F.lit(1).alias("n_tokens"))
+    out = pack_sequences(df, "doc_id", "n_tokens", seq_len=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "seq_id", "seq_offset",
+    ]

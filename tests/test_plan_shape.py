@@ -95,8 +95,8 @@ def test_relational_plans_stay_jvm_side(plans):
     kernel_queries = {
         # Arrow-batched numpy kernels by design
         "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "dedup_clusters",
-        "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_minhash_exact",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_embedding_cosine", "dedup_embedding_lsh",
+        "dedup_minhash_suite", "dedup_ngram_jaccard", "dedup_simhash",
         "mm_decode_suite", "mm_image_near_dup",
     }
     for name, plan in plans.items():
@@ -113,11 +113,11 @@ def test_candidate_generation_never_broadcasts_corpus(plans):
     scores bucket-locally (coarse n_planes-bit buckets) — one
     hash-partitioned exchange on (table, bucket) into a grouped pandas
     kernel, no join at all."""
-    for name in ("dedup_minhash_lsh", "dedup_minhash_exact", "dedup_simhash"):
+    for name in ("dedup_minhash_suite", "dedup_simhash"):
         assert "ShuffledHashJoin" in plans[name], name
     assert "FlatMapGroupsInPandas" in plans["dedup_embedding_lsh"]
     assert "hashpartitioning(table" in plans["dedup_embedding_lsh"]
-    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh"):
+    for name in ("dedup_simhash", "dedup_embedding_lsh"):
         assert "BroadcastHashJoin" not in plans[name], name
 
 
