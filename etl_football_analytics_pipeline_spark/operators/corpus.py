@@ -58,6 +58,67 @@ def deterministic_split(
     return df.withColumn(split_col, expr)
 
 
+def _hex_threshold(fraction: float) -> str:
+    """Threshold for `fraction` of the md5 keyspace — lowercase
+    zero-padded 8 hex digits, so LEXICOGRAPHIC comparison against the
+    first 8 md5 hex chars equals the numeric comparison in any SQL
+    engine (no hex→int conversion needed anywhere). Full keep returns
+    the sentinel 'g' (above every hex char — an 8-digit encoding of
+    16^8 would need 9 digits and break the trick); zero returns
+    '00000000', which no key compares below."""
+    f = min(max(fraction, 0.0), 1.0)
+    return "g" if f >= 1.0 else format(int(round(f * 16**8)), "08x")
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic `fraction` sample: keep a row iff the first 8 hex
+    chars of md5(salt:id) fall below the fraction's threshold — the
+    seedless downsampling used to thin a source before mixing.
+
+    Unlike DataFrame.sample (seeded RNG over the PARTITIONING — a
+    repartition changes the sample), membership depends only on
+    (salt, id): stable across runs, engines, partitionings, and
+    cluster sizes, and different salts draw independent samples.
+    Pure Column expression, ZERO shuffle."""
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.limit(0)
+    key = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    return df.filter(key < _hex_threshold(fraction))
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-domain mixture sampling: keep `fractions[g]` of each
+    `group_col` domain (default_fraction for unlisted domains) — the
+    training-mix reweighting step (e.g. keep all of wiki, a tenth of
+    crawl). Same deterministic md5 membership as hash_sample, with the
+    threshold chosen per domain by a literal CASE — no join, no
+    shuffle, no per-domain pass: ONE map over the scan regardless of
+    how many domains the mix names."""
+    key = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    thr = F.lit(_hex_threshold(default_fraction))
+    for g, frac in sorted(fractions.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(_hex_threshold(frac))).otherwise(thr)
+    return df.filter(key < thr)
+
+
 def ngram_containment(
     train: DataFrame,
     test: DataFrame,

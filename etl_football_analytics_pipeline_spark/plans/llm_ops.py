@@ -611,10 +611,21 @@ _SPLIT_CASE = """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' 
       SELECT 'pack' AS part, CAST(doc_id AS VARCHAR) AS key,
              CAST(FLOOR(p / 512) AS BIGINT) AS n1, CAST(p % 512 AS DOUBLE) AS v1
       FROM pos
+    ), samp AS (
+      SELECT source, doc_id FROM documents
+      WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE WHEN source = 'src0' THEN 'g'
+                 WHEN source = 'src1' THEN '80000000'
+                 ELSE '40000000' END
+    ), sample_part AS (
+      SELECT 'sample' AS part, source AS key,
+             COUNT(*) AS n1, CAST(SUM(n_tokens) AS DOUBLE) AS v1
+      FROM samp JOIN toks USING (doc_id) GROUP BY source
     )
     SELECT * FROM split_part
     UNION ALL SELECT * FROM decontam_part
     UNION ALL SELECT * FROM pack_part
+    UNION ALL SELECT * FROM sample_part
     """,
 )
 def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,10 +644,16 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - part='pack': concat-and-chunk sequence packing at seq_len=512
       (operators.corpus.pack_sequences — global token cumsum WITHOUT a
       single-partition window: value-bucket two-phase offsets, the
-      surrogate-key scheme applied to running sums).
+      surrogate-key scheme applied to running sums);
+    - part='sample': per-domain mixture sampling (operators.corpus.
+      mixture_sample — keep all of src0, half of src1, a quarter of
+      every other source via seedless md5-threshold membership; one
+      literal-CASE map over the scan, no RNG, no shuffle) with
+      per-surviving-domain doc and token accounting.
     """
     from ..operators.corpus import (
         deterministic_split,
+        mixture_sample,
         ngram_containment,
         pack_sequences,
         whitespace_token_counts,
@@ -670,6 +687,22 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_id").alias("n1"),
         F.col("seq_offset").cast("double").alias("v1"),
     )
-    return split_part.unionByName(decontam_part).unionByName(pack_part)
+    sample_part = (
+        mixture_sample(
+            docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, default_fraction=0.25
+        )
+        .join(toks, "doc_id")
+        .groupBy(F.col("source").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("n_tokens").cast("double").alias("v1"),
+        )
+        .select(F.lit("sample").alias("part"), "key", "n1", "v1")
+    )
+    return (
+        split_part.unionByName(decontam_part)
+        .unionByName(pack_part)
+        .unionByName(sample_part)
+    )
 
 

@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 from etl_football_analytics_pipeline_spark.operators.corpus import (
     DEFAULT_SPLITS,
+    _hex_threshold,
     deterministic_split,
+    hash_sample,
+    mixture_sample,
     ngram_containment,
     pack_sequences,
     whitespace_token_counts,
@@ -57,6 +60,64 @@ def test_split_fractions_are_hex_bucket_shaped(spark, ids_df):
     assert abs(counts["train"] / n - 0.75) < 0.05
     assert abs(counts["val"] / n - 0.125) < 0.04
     assert abs(counts["test"] / n - 0.125) < 0.04
+
+
+def test_hash_sample_matches_reference_md5(spark, ids_df):
+    """Membership equals the python md5 reference at every fraction,
+    and is invariant under repartitioning — the property DataFrame
+    .sample (seeded over the partitioning) does NOT have."""
+    for fraction in (0.25, 0.5):
+        thr = _hex_threshold(fraction)
+        expected = {
+            i for i in range(2000)
+            if hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8] < thr
+        }
+        got = {r["doc_id"] for r in hash_sample(ids_df, "doc_id", fraction).collect()}
+        assert got == expected
+        again = {
+            r["doc_id"]
+            for r in hash_sample(ids_df.repartition(11), "doc_id", fraction).collect()
+        }
+        assert again == expected
+        assert abs(len(got) / 2000 - fraction) < 0.05
+    assert hash_sample(ids_df, "doc_id", 1.0).count() == 2000
+    assert hash_sample(ids_df, "doc_id", 0.0).count() == 0
+
+
+def test_hash_sample_salts_draw_independent_samples(spark, ids_df):
+    a = {r["doc_id"] for r in hash_sample(ids_df, "doc_id", 0.5, salt="a").collect()}
+    b = {r["doc_id"] for r in hash_sample(ids_df, "doc_id", 0.5, salt="b").collect()}
+    assert a != b
+    # independent halves overlap in ~a quarter of the corpus
+    assert abs(len(a & b) / 2000 - 0.25) < 0.06
+
+
+def test_mixture_sample_per_domain_rates(spark):
+    """Per-domain fractions apply to their domain only; unlisted
+    domains get the default; rate 1.0 keeps every row ('g' sentinel
+    beats the 9-digit-hex edge); membership equals uniform
+    hash_sample at the same salt (the mix only picks the threshold)."""
+    rows = [(i, f"d{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = mixture_sample(
+        df, "doc_id", "domain", {"d0": 1.0, "d1": 0.5}, default_fraction=0.25
+    )
+    counts = {r["domain"]: r["count"] for r in out.groupBy("domain").count().collect()}
+    assert counts["d0"] == 1000
+    assert abs(counts["d1"] / 1000 - 0.5) < 0.1
+    for d in ("d2", "d3"):
+        assert abs(counts[d] / 1000 - 0.25) < 0.1
+    kept_d1 = {r["doc_id"] for r in out.filter(F.col("domain") == "d1").collect()}
+    uniform = {
+        r["doc_id"]
+        for r in hash_sample(df.filter(F.col("domain") == "d1"), "doc_id", 0.5).collect()
+    }
+    assert kept_d1 == uniform
+
+
+def test_sampling_is_shuffle_free(spark, ids_df):
+    df = hash_sample(ids_df, "doc_id", 0.5)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_ngram_containment_exact_fractions(spark):
