@@ -30,6 +30,12 @@ from etl_football_analytics_pipeline_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
+from etl_football_analytics_pipeline_spark.operators.corpus import (
+    deterministic_split,
+    ngram_containment,
+    pack_sequences,
+    whitespace_token_counts,
+)
 from etl_football_analytics_pipeline_spark.operators.similarity import ivf_topk
 from etl_football_analytics_pipeline_spark.session import get_spark
 from etl_football_analytics_pipeline_spark.sources.registry import load_table
@@ -92,12 +98,32 @@ def main() -> int:
         queries = emb.filter(F.col("vec_id") < 10)
         n_ivf = ivf_topk(emb, queries, k=5, n_lists=32, nprobe=4).count()
         t_ivf = time.time() - t0
+        # corpus assembly: trigram decontamination of the md5-split
+        # test fold against its train fold, and concat-and-chunk
+        # packing over the whole amplified corpus
+        t0 = time.time()
+        sp = deterministic_split(docs, "doc_id")
+        n_dec = ngram_containment(
+            sp.filter(F.col("split") == "train"),
+            sp.filter(F.col("split") == "test"),
+            "doc_id", "text", n=3,
+        ).count()
+        t_dec = time.time() - t0
+        t0 = time.time()
+        toks = whitespace_token_counts(docs, "doc_id", "text")
+        n_seq = (
+            pack_sequences(toks, "doc_id", "n_tokens", seq_len=512)
+            .select("seq_id").distinct().count()
+        )
+        t_pack = time.time() - t0
         print(
             f"scale={scale:3d}  docs={nd:7d} emb={ne:7d}  "
             f"minhash+exact={t_minhash:6.1f}s (pairs={n_pairs})  "
             f"components[dist]={t_cc:6.1f}s (comps={n_comp})  "
             f"simhash={t_simhash:6.1f}s (pairs={n_sim})  "
-            f"ivf={t_ivf:5.1f}s (rows={n_ivf})",
+            f"ivf={t_ivf:5.1f}s (rows={n_ivf})  "
+            f"decontam={t_dec:5.1f}s (testdocs={n_dec})  "
+            f"pack={t_pack:5.1f}s (seqs={n_seq})",
             flush=True,
         )
         docs.unpersist()
