@@ -205,13 +205,26 @@ def pack_sequences(
       matches the shuffle, every bucket sums concurrently) + bucket
       offset = each doc's global stream position.
 
-    Ids must be non-null numerics and unique for a total order (both
-    hold for surrogate-keyed corpora). Returns
+    Ids must be non-null and unique for a total order (both hold for
+    surrogate-keyed corpora). Integer ids bucket by fixed-width value
+    ranges (bounds from one min/max agg — deterministic, no sampling,
+    no cache); other id types fall back to repartitionByRange +
+    spark_partition_id, cached for the two passes because the range
+    sampler's boundaries must not move between them (the same
+    dispatch as operators.surrogate.zip_with_index). Returns
     (id, tokens, seq_id, seq_offset) with seq_id = floor(pos/seq_len),
     seq_offset = pos mod seq_len, pos = tokens before this doc."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if dict(df.dtypes).get(id_col) not in ("tinyint", "smallint", "int", "bigint"):
+        bucketed = (
+            df.select(id_col, tokens_col)
+            .repartitionByRange(parts, F.asc(id_col))
+            .withColumn("__pid", F.spark_partition_id())
+            .cache()
+        )
+        return _pack_bucketed(bucketed, id_col, tokens_col, seq_len)
     mn, mx = df.agg(F.min(id_col), F.max(id_col)).first()
     if mn is None:
         return df.select(
@@ -224,6 +237,14 @@ def pack_sequences(
     bucketed = df.select(id_col, tokens_col).withColumn(
         "__pid", ((F.col(id_col) - F.lit(int(mn))) / F.lit(width)).cast("long")
     )
+    return _pack_bucketed(bucketed, id_col, tokens_col, seq_len)
+
+
+def _pack_bucketed(
+    bucketed: DataFrame, id_col: str, tokens_col: str, seq_len: int
+) -> DataFrame:
+    """Shared second half of pack_sequences: per-bucket sums → driver
+    prefix offsets (one long per bucket) → intra-bucket running sum."""
     sums = {
         r["__pid"]: r["__s"]
         for r in bucketed.groupBy("__pid").agg(F.sum(tokens_col).alias("__s")).collect()

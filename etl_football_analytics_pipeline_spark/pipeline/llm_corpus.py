@@ -123,3 +123,94 @@ def curate_corpus(
         total_tokens=out.agg(F.sum("regex_tokens")).collect()[0][0] or 0,
     )
     return out, stats
+
+
+@dataclass
+class AssemblyStats:
+    """Audit trail of the assembly stage: split sizes, mixture-sample
+    survivors, decontaminated (dropped) eval docs, packed sequences."""
+
+    split_docs: dict[str, int]
+    sampled_train_docs: int
+    contaminated_test_docs: int
+    n_sequences: int
+
+
+def assemble_training_set(
+    curated: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    mixture: dict[str, float] | None = None,
+    group_col: str = "source",
+    default_fraction: float = 1.0,
+    contamination_n: int = 3,
+    contamination_threshold: float = 0.8,
+    with_stats: bool = False,
+):
+    """The assembly stage DOWNSTREAM of curation — what turns a clean
+    corpus into trainable data (operators.corpus composed in
+    production order):
+
+    1. deterministic md5 split  — train/val/test, seedless, the same
+                                  doc lands in the same fold forever;
+    2. mixture sampling         — optional per-`group_col` keep rates
+                                  over the TRAIN fold (reweighting
+                                  domains without an RNG);
+    3. decontamination          — word-`contamination_n`-gram
+                                  containment of every test doc
+                                  against the (sampled) train fold;
+                                  test docs at/above the threshold
+                                  are DROPPED from the eval fold (a
+                                  leaked benchmark measures memory,
+                                  not ability);
+    4. sequence packing         — concat-and-chunk the train fold
+                                  into `seq_len` training sequences.
+
+    Returns a dict of DataFrames: 'train' (sampled fold), 'val',
+    'test' (decontaminated), 'decontam' (the per-test-doc audit), and
+    'train_packed' ((id, n_tokens, seq_id, seq_offset)); plus an
+    AssemblyStats when `with_stats`. Deterministic end to end — every
+    stage is hash- or value-keyed, so re-runs produce identical
+    folds, samples, and sequence ids under any partitioning."""
+    from ..operators.corpus import (
+        deterministic_split,
+        mixture_sample,
+        ngram_containment,
+        pack_sequences,
+        whitespace_token_counts,
+    )
+
+    sp = deterministic_split(curated, id_col)
+    train = sp.filter(F.col("split") == "train").drop("split")
+    val = sp.filter(F.col("split") == "val").drop("split")
+    test = sp.filter(F.col("split") == "test").drop("split")
+    if mixture is not None:
+        train = mixture_sample(
+            train, id_col, group_col, mixture, default_fraction=default_fraction
+        )
+    decontam = ngram_containment(train, test, id_col, text_col, n=contamination_n)
+    leaked = decontam.filter(
+        F.col("containment") >= contamination_threshold
+    ).select(id_col)
+    clean_test = test.join(leaked, id_col, "left_anti")
+    toks = whitespace_token_counts(train, id_col, text_col)
+    packed = pack_sequences(toks, id_col, "n_tokens", seq_len=seq_len)
+    out = {
+        "train": train,
+        "val": val,
+        "test": clean_test,
+        "decontam": decontam,
+        "train_packed": packed,
+    }
+    if not with_stats:
+        return out
+    stats = AssemblyStats(
+        split_docs={
+            r["split"]: r["count"] for r in sp.groupBy("split").count().collect()
+        },
+        sampled_train_docs=train.count(),
+        contaminated_test_docs=leaked.count(),
+        n_sequences=packed.select("seq_id").distinct().count(),
+    )
+    return out, stats

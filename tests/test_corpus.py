@@ -199,3 +199,20 @@ def test_pack_sequences_empty_input(spark):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_tokens", "seq_id", "seq_offset",
     ]
+
+
+def test_pack_sequences_string_ids_fallback(spark):
+    """Non-numeric ids take the repartitionByRange fallback and still
+    match the serial reference in lexicographic id order."""
+    rows = [(f"doc-{i:04d}", (i % 5) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    expected = {}
+    pos = 0
+    for doc_id, n in sorted(rows):
+        expected[doc_id] = (n, pos // 32, pos % 32)
+        pos += n
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df.repartition(7), "doc_id", "n_tokens", seq_len=32).collect()
+    }
+    assert got == expected

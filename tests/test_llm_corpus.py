@@ -73,3 +73,77 @@ def test_curation_idempotent(spark, corpus):
     assert sorted(r.doc_id for r in twice.collect()) == sorted(
         r.doc_id for r in once.collect()
     )
+
+
+def test_assembly_end_to_end(spark):
+    """Split → mixture sample → decontaminate → pack, deterministic
+    under repartitioning, with a planted train/test leak dropped."""
+    from etl_football_analytics_pipeline_spark.pipeline.llm_corpus import (
+        assemble_training_set,
+    )
+    from etl_football_analytics_pipeline_spark.operators.corpus import (
+        deterministic_split,
+    )
+
+    base = [
+        (i, f"document number {i} talks about topic {i % 9} in some detail today", "web")
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string, source string")
+    # plant a LEAK: one test-fold doc gets a train-fold doc's exact text
+    folds = {r["doc_id"]: r["split"] for r in deterministic_split(docs, "doc_id").collect()}
+    train_ids = [i for i, s in folds.items() if s == "train"]
+    test_ids = [i for i, s in folds.items() if s == "test"]
+    leak_src, leak_dst = train_ids[0], test_ids[0]
+    leaked_text = dict((i, t) for i, t, _ in base)[leak_src]
+    docs = spark.createDataFrame(
+        [(i, leaked_text if i == leak_dst else t, s) for i, t, s in base],
+        "doc_id long, text string, source string",
+    )
+
+    out, stats = assemble_training_set(
+        docs, seq_len=64, contamination_threshold=0.8, with_stats=True
+    )
+    assert stats.split_docs == {
+        s: len([1 for v in folds.values() if v == s]) for s in ("train", "val", "test")
+    }
+    # the planted leak is flagged and dropped from the eval fold
+    leaked_rows = {r["doc_id"]: r["containment"] for r in out["decontam"].collect()}
+    assert leaked_rows[leak_dst] == 1.0
+    assert out["test"].filter(F.col("doc_id") == leak_dst).count() == 0
+    assert stats.contaminated_test_docs >= 1
+    # packing covers exactly the train fold, sequences are dense 0..n-1
+    packed_ids = {r["doc_id"] for r in out["train_packed"].collect()}
+    assert packed_ids == {r["doc_id"] for r in out["train"].collect()}
+    seq_ids = sorted({r["seq_id"] for r in out["train_packed"].collect()})
+    assert seq_ids == list(range(stats.n_sequences))
+    # deterministic under repartition
+    out2 = assemble_training_set(docs.repartition(13), seq_len=64)
+    a = sorted(map(tuple, out["train_packed"].collect()))
+    b = sorted(map(tuple, out2["train_packed"].collect()))
+    assert a == b
+
+
+def test_assembly_mixture_thins_train_only(spark):
+    from etl_football_analytics_pipeline_spark.pipeline.llm_corpus import (
+        assemble_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text about item {i} and its properties", "crawl" if i % 2 else "wiki")
+         for i in range(600)],
+        "doc_id long, text string, source string",
+    )
+    full = assemble_training_set(docs)
+    mixed = assemble_training_set(docs, mixture={"crawl": 0.25}, default_fraction=1.0)
+    n_full, n_mixed = full["train"].count(), mixed["train"].count()
+    assert n_mixed < n_full
+    # wiki untouched, crawl thinned to ~a quarter
+    wiki_full = full["train"].filter(F.col("source") == "wiki").count()
+    assert mixed["train"].filter(F.col("source") == "wiki").count() == wiki_full
+    crawl_full = full["train"].filter(F.col("source") == "crawl").count()
+    crawl_mixed = mixed["train"].filter(F.col("source") == "crawl").count()
+    assert abs(crawl_mixed / crawl_full - 0.25) < 0.15
+    # eval folds identical — mixing must never touch them
+    assert full["val"].count() == mixed["val"].count()
+    assert full["test"].count() == mixed["test"].count()
