@@ -64,7 +64,11 @@ def main() -> int:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for p in range(passes):
-        for name in names:
+        # alternate direction per pass: heap/GC pressure grows through
+        # a pass, so a fixed order charges the same late queries every
+        # time; reversing lets the per-query min see both positions
+        ordered = names if p % 2 == 0 else list(reversed(names))
+        for name in ordered:
             # one broken query must never abort the whole bench run —
             # record the error and keep measuring the rest
             try:
