@@ -143,40 +143,13 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(_t(spark, sf_dir, "events"), "1 hour")
 
 
-@query(
-    "events_sessionize",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-                       > INTERVAL 30 MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
-                  THEN 1 ELSE 0 END AS is_new_session,
-             event_id
-      FROM events
-    ), sessions AS (
-      SELECT user_id, ts, value,
-             CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM gaps
-    )
-    SELECT user_id, session_id,
-           COUNT(*) AS n_events,
-           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-)
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sessionize_lag_form(ev: DataFrame) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap): lag → new-session
     flag → running sum as session id → per-session aggregate.
 
     Batch form of the streaming `session_window(ts, gap)` operator
     (streaming.windowed.sessionized_counts). Partition-parallel by
     user_id — the per-user window never crosses executors."""
-    ev = _t(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     prev_ts = F.lag("ts").over(w_order)
     # microsecond-exact gap comparison via interval arithmetic (a
@@ -228,9 +201,30 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_session_window",
+    "events_session_suite",
     oracle="""
     WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM gaps
+    ), lag_form AS (
+      SELECT 'lag' AS part, user_id, session_id,
+             COUNT(*) AS n_events,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
+      FROM sessions
+      GROUP BY user_id, session_id
+    ), gaps_ge AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
                        >= INTERVAL 30 MINUTE
@@ -238,30 +232,48 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS is_new_session,
              event_id
       FROM events
-    ), sessions AS (
+    ), sessions_ge AS (
       SELECT user_id, ts, value,
              SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                        ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM gaps
+      FROM gaps_ge
+    ), native_form AS (
+      SELECT 'native' AS part, user_id, CAST(NULL AS BIGINT) AS session_id,
+             COUNT(*) AS n_events,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
+      FROM sessions_ge
+      GROUP BY user_id, session_id
     )
-    SELECT user_id,
-           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS n_events,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
-    FROM sessions
-    GROUP BY user_id, session_id
+    SELECT * FROM lag_form UNION ALL SELECT * FROM native_form
     """,
 )
-def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native `session_window` gap sessionization (30-min gap) —
-    streaming.windowed.session_agg, the streaming-capable twin of
-    events_sessionize's lag/running-sum form. Spark defines session
-    end = last event + gap; the oracle states `MAX(ts) + INTERVAL`.
-    Edge semantics: Spark merges only on strict window overlap, so an
-    event exactly `gap` after its predecessor starts a NEW session —
-    hence the oracle's `>= INTERVAL 30 MINUTE` new-session test."""
-    return session_agg(_t(spark, sf_dir, "events"), "30 minutes")
+def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH sessionization forms as one suite (formerly the separate
+    events_sessionize / events_session_window entries, merged to free
+    a registry slot under the driver's 50-query cap; each form keeps
+    its full value oracle):
+
+    - part='lag': the batch lag → running-sum form
+      (`_sessionize_lag_form`, partition-parallel by user_id);
+    - part='native': Spark's `session_window(ts, gap)` operator
+      (streaming.windowed.session_agg — the streaming-capable twin;
+      session end = last event + gap). Edge semantics: Spark merges
+      only on strict window overlap, so an event exactly `gap` after
+      its predecessor starts a NEW session — hence the oracle's
+      `>=` new-session test for this form vs `>` for the lag form."""
+    ev = _t(spark, sf_dir, "events")
+    lag_form = _sessionize_lag_form(ev).select(
+        F.lit("lag").alias("part"), "user_id", "session_id",
+        "n_events", "session_start", "session_end", "session_value",
+    )
+    native = session_agg(ev, "30 minutes").select(
+        F.lit("native").alias("part"), "user_id",
+        F.lit(None).cast("long").alias("session_id"),
+        "n_events", "session_start", "session_end", "session_value",
+    )
+    return lag_form.unionByName(native)
 
 
 @query(

@@ -502,6 +502,39 @@ def a4_count_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_suite")  # HLL/quantile sketches are engine-specific → rows-only
+def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates — the tier a4's docstring
+    points at for 100 TB, where exact COUNT DISTINCT's expand+two-
+    phase shuffle and exact percentiles' global sort stop being
+    affordable:
+
+    - part='hll': per-group approx_count_distinct (HyperLogLog++,
+      rsd=2%). Registers merge by max, so the estimate is
+      PARTITIONING-INDEPENDENT — deterministic on any cluster layout
+      (asserted in tests/test_sketches.py) — and the shuffle carries
+      one fixed-size sketch per group instead of the expanded rows.
+    - part='pct': per-group approx_percentile p50/p95 over
+      l_extendedprice (Greenwald-Khanna summaries, accuracy 10000) —
+      bounded-memory mergeable summaries instead of a sort.
+
+    DuckDB's sketches differ bit-wise, so no cross-engine oracle;
+    tests pin each estimate within its error bound of the EXACT
+    answer and the HLL path's partitioning-independence."""
+    li = _t(spark, sf_dir, "lineitem")
+    hll = li.groupBy(F.col("l_returnflag").alias("key")).agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).cast("double").alias("v1"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).cast("double").alias("v2"),
+    ).select(F.lit("hll").alias("part"), "key", "v1", "v2")
+    pct = li.groupBy(F.col("l_returnflag").alias("key")).agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("__p")
+    ).select(
+        F.lit("pct").alias("part"), "key",
+        F.col("__p")[0].alias("v1"), F.col("__p")[1].alias("v2"),
+    )
+    return hll.unionByName(pct)
+
+
 @query(
     "a5_conditional_agg_pivot",
     oracle="""

@@ -127,7 +127,7 @@ def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minut
 def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows per user via the native
     `session_window` operator (the streaming-capable form of the
-    lag/running-sum sessionization in plans.analytics.events_sessionize).
+    lag/running-sum sessionization in plans.analytics._sessionize_lag_form).
     Session end = last event + gap, per Spark's definition — the oracle
     states `max(ts) + INTERVAL gap`."""
     return (
