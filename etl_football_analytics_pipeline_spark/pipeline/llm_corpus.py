@@ -214,3 +214,65 @@ def assemble_training_set(
         n_sequences=packed.select("seq_id").distinct().count(),
     )
     return out, stats
+
+
+def curation_sink(
+    table_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+):
+    """`foreachBatch` sink: INCREMENTAL corpus curation — the
+    streaming tier of curate_corpus, for corpora that arrive
+    continuously instead of as one batch. Each micro-batch:
+
+    1. quality gate — stateless Column expressions, nothing carried
+       between batches;
+    2. exact dedup WITHIN the batch — md5 fingerprint, keep lowest id
+       (deterministic, so replays pick the same row);
+    3. exact dedup AGAINST the corpus — insert-if-absent keyed on the
+       fingerprint into a snapshot-versioned table
+       (sources.versioned.merge_commit): docs whose fingerprint is
+       already live are dropped, everything else commits as a new
+       atomic snapshot.
+
+    Replay-safe: re-merging a batch inserts nothing new
+    (insert-if-absent is idempotent by key), so the sink is
+    effectively exactly-once per fingerprint — the same guarantee as
+    streaming.windowed.merge_sink, with snapshot isolation for
+    readers. State discipline: nothing streaming-stateful accumulates
+    here (the corpus table IS the state, bounded by the corpus);
+    NEAR-dup curation stays a periodic batch job over the versioned
+    table — per-batch LSH against an ever-growing corpus would be a
+    join per micro-batch, and cross-batch LSH state is unbounded.
+
+    Usage:
+        (stream.writeStream.foreachBatch(curation_sink(dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import normalized_text
+    from ..operators.text import quality_scores
+    from ..sources.versioned import merge_commit
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        good_ids = (
+            quality_scores(batch, id_col, text_col)
+            .filter(F.col("quality_score") >= min_quality)
+            .select(id_col)
+        )
+        good = batch.join(good_ids, id_col)
+        fp = good.withColumn("fingerprint", F.md5(normalized_text(text_col)))
+        w = Window.partitionBy("fingerprint").orderBy(F.asc(id_col))
+        first = (
+            fp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_commit(
+            batch.sparkSession, table_dir, first, keys=["fingerprint"], insert_only=True
+        )
+
+    return apply

@@ -147,3 +147,65 @@ def test_assembly_mixture_thins_train_only(spark):
     # eval folds identical — mixing must never touch them
     assert full["val"].count() == mixed["val"].count()
     assert full["test"].count() == mixed["test"].count()
+
+
+def test_streaming_curation_sink(spark, tmp_path):
+    """True readStream micro-batches through curation_sink: quality
+    junk dropped, cross-batch exact dups land once (lowest id wins),
+    replaying the whole stream inserts nothing new, and the corpus
+    table advances as atomic snapshots."""
+    import os
+
+    from etl_football_analytics_pipeline_spark.pipeline.llm_corpus import curation_sink
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        current_version,
+        read_latest,
+    )
+
+    src = str(tmp_path / "incoming")
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt1, ckpt2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    os.makedirs(src)
+    good_a = "the quick brown fox jumps over the lazy dog and it is a fine day for that"
+    good_b = "completely different text about spark engines and parquet files at scale here"
+    # file 1: one good doc + junk; file 2: an exact dup of the good doc
+    # (higher id) + a new doc — maxFilesPerTrigger=1 forces the dup to
+    # arrive in a LATER micro-batch than the original. Plain one-file
+    # parquet (pyarrow): the file stream source lists FILES, not the
+    # directories DataFrame.write produces.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [good_a, "!!! ??? ;;; :::"]},
+                 schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])),
+        f"{src}/f1.parquet",
+    )
+    pq.write_table(
+        pa.table({"doc_id": [10, 11], "text": [good_a, good_b]},
+                 schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])),
+        f"{src}/f2.parquet",
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(curation_sink(corpus_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run(ckpt1)
+    rows = {r["doc_id"]: r["text"] for r in read_latest(spark, corpus_dir).collect()}
+    # junk gone; dup of good_a kept once under its LOWEST id
+    assert rows == {1: good_a, 11: good_b}
+    v1 = current_version(corpus_dir)
+    assert v1 is not None and v1 >= 1
+    # full replay (fresh checkpoint): insert-if-absent adds nothing
+    run(ckpt2)
+    rows2 = {r["doc_id"]: r["text"] for r in read_latest(spark, corpus_dir).collect()}
+    assert rows2 == rows
