@@ -641,3 +641,208 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compression tier
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 8,
+    seed: int = 42,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Train PQ codebooks: split the (unit-normalized) vector into `m`
+    contiguous subspaces and k-means each independently — the classic
+    product quantizer (Jégou et al., TPAMI 2011). Returns an
+    (m × n_codes × dim/m) array.
+
+    Same driver discipline as kmeans_centroids: a bounded
+    deterministic sample (lowest ids), Lloyd iterations in one BLAS
+    block per subspace — O(sample × dim) driver memory regardless of
+    corpus size. Vectors are unit-normalized BEFORE splitting, so
+    summed subspace dot products equal the full cosine."""
+    pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
+    mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(n_codes, len(mat)), sub))
+    for j in range(m):
+        block = mat[:, j * sub : (j + 1) * sub]
+        cents = block[rng.choice(len(block), size=min(n_codes, len(block)), replace=False)]
+        for _ in range(iters):
+            # squared-L2 assignment per subspace (PQ quantizes raw
+            # subvectors; unit norm holds only for the FULL vector)
+            d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = block[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, : len(cents)] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Encode each vector as m uint8-range code indices — dim×4 bytes
+    shrink to m bytes (16× at dim=64, m=16... the compression that
+    lets a 100 TB embedding corpus live in cluster memory). Map-only
+    Arrow kernel: the codebooks broadcast (m × n_codes × dim/m —
+    fixed size), vectors never shuffle. Returns (id, codes array<int>).
+    """
+    from ..utils import spread
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        m, _, sub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                block = mat[:, j * sub : (j + 1) * sub]
+                # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin over c
+                d2 = -2.0 * (block @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return spread(corpus, min_partitions).mapInPandas(
+        encode, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 4,
+    rerank: DataFrame | None = None,
+    oversample: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    builds an (m × n_codes) lookup table of subspace dot products
+    against the EXACT query vector, and a corpus vector's estimated
+    cosine is the sum of m table lookups — no decompression, no
+    per-pair float math beyond the gather.
+
+    Scale shape mirrors brute_force_topk: the code table is scanned
+    once and never shuffled; queries (the small side) broadcast; each
+    Arrow batch emits only its local top-k per query under an exact
+    order key, and one final window merges per-batch candidates —
+    a distributed TakeOrdered over estimated scores. Estimates are
+    within PQ quantization error of true cosine (recall-tested vs
+    brute force).
+
+    `rerank` (the raw-vector corpus) switches on the production
+    two-stage shape: ADC selects `oversample`×k candidates from the
+    compressed codes, then ONLY those candidates' raw vectors are
+    fetched (an id equi-join against O(|Q|·oversample·k) rows — the
+    small side broadcasts) and exact cosine re-ranks the final k.
+    Compression does the winnowing, floats only touch the shortlist —
+    recall climbs to near-exact while the scan stays byte-sized."""
+    spark = encoded.sparkSession
+    if rerank is not None:
+        cand = pq_topk(
+            encoded, codebooks, queries, id_col, vec_col,
+            k=k * oversample, round_to=round_to,
+        ).select("query_id", "neighbor_id")
+        vecs = rerank.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+        )
+        pairs = vecs.join(F.broadcast(cand), "neighbor_id")
+        qids, qmat = _collect_matrix(queries, id_col, vec_col)
+        bq = spark.sparkContext.broadcast((qids, qmat))
+
+        def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            q_ids, q_mat = bq.value
+            index = {int(q): i for i, q in enumerate(q_ids)}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                nvec = _unit_rows(np.stack(pdf["__nvec"].to_numpy()).astype(np.float64))
+                qrows = q_mat[[index[int(q)] for q in pdf["query_id"]]]
+                cos = np.round(np.einsum("ij,ij->i", nvec, qrows), round_to)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "cosine": cos,
+                    }
+                )
+
+        rescored = pairs.mapInPandas(
+            exact, "query_id long, neighbor_id long, cosine double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    q_mat = _unit_rows(np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64))
+    m, n_codes, sub = codebooks.shape
+    # LUT[q, j, c] = q_subvec_j · codebook_j[c]
+    lut = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), codebooks)
+    bc = spark.sparkContext.broadcast((q_ids, lut))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, table = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # B × m
+            n_ids = pdf[id_col].to_numpy()
+            # gather: est[q, b] = Σ_j LUT[q, j, codes[b, j]]
+            est = table[:, np.arange(codes.shape[1])[None, :], codes].sum(axis=2)
+            for qi, qid in enumerate(ids):
+                row = est[qi]
+                mask = n_ids != qid
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                take = cand[np.argsort(-row[cand], kind="stable")[:k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(take), qid),
+                        "neighbor_id": n_ids[take],
+                        "est_cosine": np.round(row[take], round_to),
+                    }
+                )
+
+    scored = encoded.mapInPandas(
+        score, "query_id long, neighbor_id long, est_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("est_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "est_cosine", "rank")
+    )

@@ -190,3 +190,78 @@ def test_ivf_append_reaches_probes(spark, emb, tmp_path):
             seen_appended = True
     # nprobe=8 probes every list, so appended neighbors MUST surface
     assert seen_appended
+
+
+def test_pq_recall_and_compression(spark, emb):
+    """PQ codes: (a) encode is deterministic and emits m codes per
+    vector; (b) ADC top-k recall vs exact brute force stays high at
+    16x compression; (c) estimated cosines track true cosines."""
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    books = pq_train_codebooks(emb, m=16, n_codes=256, seed=42)
+    assert books.shape[0] == 16
+    encoded = pq_encode(emb, books)
+    first = encoded.orderBy("vec_id").limit(5).collect()
+    again = pq_encode(emb.repartition(9), books).orderBy("vec_id").limit(5).collect()
+    assert [list(r["codes"]) for r in first] == [list(r["codes"]) for r in again]
+    assert all(len(r["codes"]) == 16 for r in first)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = pq_topk(encoded, books, queries, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets = {}
+    est = {}
+    for r in approx.collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        est[(r["query_id"], r["neighbor_id"])] = r["est_cosine"]
+    hits = sum(len(exact_sets[q] & got_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.5, f"raw ADC recall {hits}/{total}"
+    # estimates within quantization error of the true cosine for the
+    # pairs both tiers rank
+    true = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()
+    }
+    common = set(true) & set(est)
+    assert common
+    for pair in common:
+        assert abs(true[pair] - est[pair]) < 0.2, pair
+
+
+def test_pq_rerank_recovers_exact_topk(spark, emb):
+    """The production two-stage shape: ADC shortlist → exact re-rank.
+    Re-ranked cosines are EXACT (bit-equal to brute force for shared
+    pairs) and recall climbs near exact-search levels."""
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    books = pq_train_codebooks(emb, m=16, n_codes=256, seed=42)
+    encoded = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_rows = brute_force_topk(emb, queries, k=5).collect()
+    got_rows = pq_topk(encoded, books, queries, k=5, rerank=emb, oversample=8).collect()
+    exact_sets, true = {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        true[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+    got_sets = {}
+    for r in got_rows:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        pair = (r["query_id"], r["neighbor_id"])
+        if pair in true:
+            assert r["cosine"] == true[pair], pair  # exact re-rank
+    hits = sum(len(exact_sets[q] & got_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.85, f"re-ranked recall {hits}/{total}"
