@@ -846,3 +846,177 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "est_cosine", "rank")
     )
+
+
+def ivf_pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+) -> None:
+    """IVF-PQ index: the production ANN layout — a coarse quantizer
+    shards the corpus into inverted lists (partition pruning at probe
+    time, as in ivf_build_index) and each list stores PQ CODES instead
+    of raw floats (m bytes per vector, as in pq_encode). The probe
+    then reads only its lists' files AND only code bytes — the two
+    compressions multiply, which is what makes exhaustive in-list
+    scoring affordable at 100 TB.
+
+    Raw-vector PQ within lists (IVF-Flat-PQ): codes quantize the
+    vector itself, not the residual to its centroid — simpler, and the
+    exact re-rank stage (ivf_pq_search's `rerank`) recovers what
+    residual coding would; swap in residual encoding if search must be
+    accurate WITHOUT a re-rank corpus. Both quantizers train on the
+    same bounded driver sample."""
+    spark = corpus.sparkSession
+    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_lists, seed=seed)
+    books = pq_train_codebooks(
+        corpus, id_col, vec_col, m=m, n_codes=n_codes, seed=seed
+    )
+    bc = spark.sparkContext.broadcast(centroids)
+    # persist the assignment for its two consumers (the encode pass
+    # and the list_id re-attach join) so the kernel lineage runs once
+    assigned = _assign_lists(
+        corpus.select(id_col, vec_col), bc, id_col, vec_col, vec_col, 1
+    ).persist()
+    coded = pq_encode(assigned.select(id_col, vec_col), books, id_col, vec_col)
+    # pq_encode projects (id, codes); re-attach list_id via the
+    # assignment — both derive from the cached pass, joined on id
+    coded = coded.join(assigned.select(id_col, "list_id"), id_col)
+    coded.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+    assigned.unpersist()
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    mm, nn, sub = books.shape
+    book_rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(mm)
+        for c in range(nn)
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def stored_codebooks(spark, path: str) -> np.ndarray:
+    """(m × n_codes × sub) PQ codebooks back from the index dir."""
+    pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
+    m = int(pdf["subspace"].max()) + 1
+    n = int(pdf["code"].max()) + 1
+    sub = len(pdf["centroid"].iloc[0])
+    books = np.empty((m, n, sub))
+    for r in pdf.itertuples(index=False):
+        books[r.subspace, r.code] = np.asarray(r.centroid)
+    return books
+
+
+def ivf_pq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    round_to: int = 4,
+    rerank: DataFrame | None = None,
+    oversample: int = 4,
+) -> DataFrame:
+    """Probe an IVF-PQ index: nearest `nprobe` lists per query from the
+    stored coarse centroids (driver-side, queries are the small side),
+    then ADC-score ONLY the probed lists' code files — `list_id IN`
+    reaches the layout as partition pruning, and each scanned row is m
+    bytes. With `rerank` (the raw corpus), the ADC shortlist
+    (oversample×k) is exact-rescored — the full two-stage production
+    path. Returns (query_id, neighbor_id, score, rank); score is the
+    ADC estimate, or exact cosine when re-ranked."""
+    centroids = stored_centroids(spark, path)
+    books = stored_codebooks(spark, path)
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    q_mat = _unit_rows(np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64))
+    top = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    probed = sorted({int(l) for row in top for l in row})
+    m, n_codes, sub = books.shape
+    lut = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books)
+    allowed = {int(q): {int(l) for l in row} for q, row in zip(q_ids, top)}
+    bc = spark.sparkContext.broadcast((q_ids, lut, allowed))
+    kk = k * oversample if rerank is not None else k
+
+    codes_df = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probed)
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, table, allow = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())
+            n_ids = pdf[id_col].to_numpy()
+            lists = pdf["list_id"].to_numpy()
+            est = table[:, np.arange(codes.shape[1])[None, :], codes].sum(axis=2)
+            for qi, qid in enumerate(ids):
+                ok = np.fromiter(
+                    (int(l) in allow[int(qid)] for l in lists), bool, len(lists)
+                ) & (n_ids != qid)
+                cand = np.flatnonzero(ok)
+                if not len(cand):
+                    continue
+                row = est[qi]
+                take = cand[np.argsort(-row[cand], kind="stable")[:kk]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(take), qid),
+                        "neighbor_id": n_ids[take],
+                        "score": np.round(row[take], round_to),
+                    }
+                )
+
+    scored = codes_df.mapInPandas(score, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= kk)
+    )
+    if rerank is None:
+        return shortlist.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "score", "rank"
+        )
+    vecs = rerank.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    pairs = vecs.join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bq.value
+        index = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nvec = _unit_rows(np.stack(pdf["__nvec"].to_numpy()).astype(np.float64))
+            qrows = mat[[index[int(q)] for q in pdf["query_id"]]]
+            cos = np.round(np.einsum("ij,ij->i", nvec, qrows), round_to)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "score": cos,
+                }
+            )
+
+    rescored = pairs.mapInPandas(exact, "query_id long, neighbor_id long, score double")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

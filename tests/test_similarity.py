@@ -265,3 +265,59 @@ def test_pq_rerank_recovers_exact_topk(spark, emb):
     hits = sum(len(exact_sets[q] & got_sets.get(q, set())) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.85, f"re-ranked recall {hits}/{total}"
+
+
+def test_ivf_pq_index_end_to_end(spark, emb, tmp_path):
+    """IVF-PQ composition: lists hold m-byte codes (no floats), probes
+    prune partitions, and the re-ranked two-stage search recovers
+    brute-force recall with exact cosines."""
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_build_index,
+        ivf_pq_search,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_build_index(emb, path, n_lists=8, m=16, n_codes=256, seed=42)
+    lists = spark.read.parquet(f"{path}/lists")
+    # compression: codes only — the raw embedding column must NOT be
+    # stored in the lists
+    assert set(lists.columns) == {"vec_id", "codes", "list_id"}
+    assert lists.count() == emb.count()
+    # probes prune partitions (same layout contract as plain IVF)
+    import contextlib
+    import io
+
+    scan = lists.filter(F.col("list_id").isin([0, 1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    assert "list_id" in next(
+        ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_rows = brute_force_topk(emb, queries, k=5).collect()
+    got_rows = ivf_pq_search(
+        spark, path, queries, k=5, nprobe=8, rerank=emb, oversample=8
+    ).collect()
+    exact_sets, true = {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        true[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+    got_sets = {}
+    for r in got_rows:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        pair = (r["query_id"], r["neighbor_id"])
+        if pair in true:
+            assert r["score"] == true[pair], pair  # exact re-rank
+    hits = sum(len(exact_sets[q] & got_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    # nprobe=8 probes EVERY list, so the only loss is PQ shortlist
+    # misses — with 8x oversampling that should be rare
+    assert hits / total >= 0.85, f"IVF-PQ re-ranked recall {hits}/{total}"
+    # ADC-only search (no rerank) still returns ranked rows per query
+    raw = ivf_pq_search(spark, path, queries, k=5, nprobe=4)
+    counts = {r["query_id"]: r["n"] for r in
+              raw.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts and all(v <= 5 for v in counts.values())
