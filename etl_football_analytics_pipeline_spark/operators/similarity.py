@@ -763,6 +763,12 @@ def pq_topk(
     Compression does the winnowing, floats only touch the shortlist —
     recall climbs to near-exact while the scan stays byte-sized."""
     spark = encoded.sparkSession
+    if queries.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, "
+            + ("cosine double" if rerank is not None else "est_cosine double")
+            + ", rank int"
+        )
     if rerank is not None:
         cand = pq_topk(
             encoded, codebooks, queries, id_col, vec_col,
@@ -938,6 +944,10 @@ def ivf_pq_search(
     (oversample×k) is exact-rescored — the full two-stage production
     path. Returns (query_id, neighbor_id, score, rank); score is the
     ADC estimate, or exact cosine when re-ranked."""
+    if queries.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     centroids = stored_centroids(spark, path)
     books = stored_codebooks(spark, path)
     q_pdf = queries.select(id_col, vec_col).toPandas()

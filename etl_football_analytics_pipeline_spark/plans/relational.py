@@ -494,7 +494,8 @@ def a3_a8_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a4_count_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — grouped COUNT DISTINCT (`scr/ui.py:258-267`). Spark expands
     this to a two-phase aggregate; at scale prefer
-    approx_count_distinct when exactness isn't required."""
+    approx_count_distinct when exactness isn't required — that tier is
+    registered as `sketch_suite` below."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
