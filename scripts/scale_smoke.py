@@ -36,7 +36,12 @@ from etl_football_analytics_pipeline_spark.operators.corpus import (
     pack_sequences,
     whitespace_token_counts,
 )
-from etl_football_analytics_pipeline_spark.operators.similarity import ivf_topk
+from etl_football_analytics_pipeline_spark.operators.similarity import (
+    ivf_topk,
+    pq_encode,
+    pq_topk,
+    pq_train_codebooks,
+)
 from etl_football_analytics_pipeline_spark.session import get_spark
 from etl_football_analytics_pipeline_spark.sources.registry import load_table
 
@@ -98,6 +103,16 @@ def main() -> int:
         queries = emb.filter(F.col("vec_id") < 10)
         n_ivf = ivf_topk(emb, queries, k=5, n_lists=32, nprobe=4).count()
         t_ivf = time.time() - t0
+        # PQ compression tier: encode the amplified corpus to m-byte
+        # codes and ADC-search with exact re-rank — the byte-sized
+        # scan whose cost should track rows, not floats
+        t0 = time.time()
+        books = pq_train_codebooks(emb, m=16, n_codes=256, seed=42)
+        coded = pq_encode(emb, books).persist()
+        n_coded = coded.count()
+        n_pq = pq_topk(coded, books, queries, k=5, rerank=emb, oversample=4).count()
+        coded.unpersist()
+        t_pq = time.time() - t0
         # corpus assembly: trigram decontamination of the md5-split
         # test fold against its train fold, and concat-and-chunk
         # packing over the whole amplified corpus
@@ -122,6 +137,7 @@ def main() -> int:
             f"components[dist]={t_cc:6.1f}s (comps={n_comp})  "
             f"simhash={t_simhash:6.1f}s (pairs={n_sim})  "
             f"ivf={t_ivf:5.1f}s (rows={n_ivf})  "
+            f"pq={t_pq:5.1f}s (coded={n_coded}, rows={n_pq})  "
             f"decontam={t_dec:5.1f}s (testdocs={n_dec})  "
             f"pack={t_pack:5.1f}s (seqs={n_seq})",
             flush=True,
