@@ -216,3 +216,90 @@ def test_pack_sequences_string_ids_fallback(spark):
         for r in pack_sequences(df.repartition(7), "doc_id", "n_tokens", seq_len=32).collect()
     }
     assert got == expected
+
+
+# -- randomized packing / sampling properties (hypothesis) --------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    token_rows = st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 40)),
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @given(rows=token_rows, seq_len=st.integers(1, 64))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_pack_sequences_properties(spark, rows, seq_len):
+        """Invariants for ANY corpus: offsets within [0, seq_len),
+        positions equal the serial cumsum in id order, and sequence
+        ids are a non-decreasing step function of id order."""
+        from etl_football_analytics_pipeline_spark.operators.corpus import (
+            pack_sequences,
+        )
+
+        schema = "doc_id long, n_tokens long"
+        df = (
+            spark.createDataFrame(sorted(rows), schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+        got = {
+            r["doc_id"]: (r["seq_id"], r["seq_offset"])
+            for r in pack_sequences(df, "doc_id", "n_tokens", seq_len=seq_len).collect()
+        }
+        pos = 0
+        prev_seq = 0
+        for doc_id, n in sorted(rows):
+            seq_id, seq_offset = got[doc_id]
+            assert 0 <= seq_offset < seq_len
+            assert (seq_id, seq_offset) == (pos // seq_len, pos % seq_len), doc_id
+            assert seq_id >= prev_seq
+            prev_seq = seq_id
+            pos += n
+        assert len(got) == len(rows)
+
+    @given(
+        ids=st.lists(st.integers(0, 10_000), max_size=60, unique=True),
+        fraction=st.floats(0.0, 1.0),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_hash_sample_properties(spark, ids, fraction):
+        """Membership matches the md5 reference exactly for ANY id set
+        and fraction, and sampling twice at the same (salt, fraction)
+        is identical (determinism, not statistics)."""
+        import hashlib
+
+        from etl_football_analytics_pipeline_spark.operators.corpus import (
+            _hex_threshold,
+            hash_sample,
+        )
+
+        df = (
+            spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id long")
+            if ids
+            else spark.createDataFrame([], "doc_id long")
+        )
+        thr = _hex_threshold(fraction)
+        expected = {
+            i for i in ids if hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8] < thr
+        }
+        got = {r["doc_id"] for r in hash_sample(df, "doc_id", fraction).collect()}
+        assert got == expected
+        again = {r["doc_id"] for r in hash_sample(df, "doc_id", fraction).collect()}
+        assert again == got
