@@ -49,8 +49,16 @@ def deterministic_split(
 
     `splits` is (name, lo_hex_char, hi_hex_char) over the first hex
     digit of the md5, giving 16 equally likely buckets (md5's first
-    digit is uniform); ranges may not overlap. Rows matching no range
-    get NULL — callers can treat that as "excluded"."""
+    digit is uniform); overlapping ranges are rejected (an overlap
+    would silently assign the overlap to whichever split sorts last).
+    Rows matching no range get NULL — callers can treat that as
+    "excluded"."""
+    spans = sorted((lo, hi, name) for name, lo, hi in splits)
+    for (_, hi_prev, name_prev), (lo, _, name) in zip(spans, spans[1:]):
+        if lo <= hi_prev:
+            raise ValueError(
+                f"split ranges overlap: {name_prev!r} and {name!r} both cover {lo!r}"
+            )
     first = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
     expr = F.lit(None).cast("string")
     for name, lo, hi in reversed(splits):

@@ -303,3 +303,10 @@ if _HAS_HYPOTHESIS:
         assert got == expected
         again = {r["doc_id"] for r in hash_sample(df, "doc_id", fraction).collect()}
         assert again == got
+
+
+def test_split_rejects_overlapping_ranges(spark, ids_df):
+    with pytest.raises(ValueError, match="overlap"):
+        deterministic_split(
+            ids_df, "doc_id", splits=(("a", "0", "8"), ("b", "8", "f"))
+        )

@@ -153,3 +153,22 @@ def test_relational_plans_use_whole_stage_codegen(spark):
         executed = df._jdf.queryExecution().executedPlan().toString()
         # codegen'd operators carry the `*(n)` stage prefix in the tree
         assert "*(" in executed, name
+
+
+def test_corpus_suite_plan_shape(plans):
+    """The corpus-assembly suite must stay distributed: its packing
+    window is value-bucket-partitioned (never SinglePartition), and
+    nothing in the suite falls back to a nested-loop join."""
+    plan = plans["corpus_mixture_suite"]
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the packing cumsum is windowed
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sketch_suite_is_partial_aggregated(plans):
+    """Sketches must partial-aggregate map-side: the exchange carries
+    one fixed-size sketch per group, not rows (the whole point of the
+    tier)."""
+    plan = plans["sketch_suite"]
+    assert "partial_approx_count_distinct" in plan or "ObjectHashAggregate" in plan
+    assert "SinglePartition" not in plan
