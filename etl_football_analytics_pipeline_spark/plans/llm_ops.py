@@ -24,8 +24,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import (
     frame_sample,
-    image_histogram_features,
-    image_resize,
+    image_feature_pipeline,
     image_stats,
     synthetic_images,
 )
@@ -419,11 +418,15 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serializes the python decode kernels once n grows with sf); small
     # corpora keep few partitions so worker startup isn't the bill
     parts = max(1, min(32, n // 50))
-    resized = image_resize(base.unionByName(dups), 16, 12, min_partitions=parts)
+    # FUSED decode→resize→histogram kernel (image_feature_pipeline):
+    # pixels cross the Arrow boundary zero times instead of twice —
+    # pinned equal to the resize∘histogram composition in tests
+    feats = image_feature_pipeline(
+        base.unionByName(dups), 16, 12, min_partitions=parts
+    ).cache()
     # cache: all_pairs_cosine evaluates its input twice (driver collect
     # for the broadcast matrix + the distributed batch pass); without
-    # this the 3-stage python-kernel chain above runs twice end-to-end
-    feats = image_histogram_features(resized, min_partitions=parts).cache()
+    # this the generate+feature kernel chain runs twice end-to-end
     return all_pairs_cosine(feats, "id", "embedding", threshold=0.999, min_partitions=parts)
 
 

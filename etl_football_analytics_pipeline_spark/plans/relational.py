@@ -392,12 +392,14 @@ def a1_grouped_sum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # scaled-long accumulation (see exact_scaled_sum): bit-identical to
+    # the decimal sum, but the per-row path stays long-typed in codegen
+    revenue_e4 = scaled_long("l_extendedprice") * (F.lit(100) - scaled_long("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(revenue).cast("decimal(18,2)").cast("double").alias("revenue"))
+        .agg(exact_scaled_sum(revenue_e4, 4).cast("double").alias("revenue"))
         .filter(F.col("revenue") > 0)
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
@@ -426,19 +428,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the avg divides two exact values in double and rounds, so both
     engines agree."""
     li = _t(spark, sf_dir, "lineitem")
+    # all three money sums accumulate as scaled longs (exact_scaled_sum)
+    # — exact and order-independent like the decimal forms they state,
+    # without the per-row decimal agg buffers
+    disc_e4 = scaled_long("l_extendedprice") * (F.lit(100) - scaled_long("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice"))
-            .cast("decimal(18,2)")
+            exact_scaled_sum(scaled_long("l_quantity"), 2).cast("double").alias("sum_qty"),
+            exact_scaled_sum(scaled_long("l_extendedprice"), 2)
             .cast("double")
             .alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("sum_disc_price"),
+            exact_scaled_sum(disc_e4, 4).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn(
@@ -600,7 +602,9 @@ def a7_agg_arithmetic_div0(spark: SparkSession, sf_dir: str) -> DataFrame:
     `scr/ui.py:263,227,245`)."""
     li = _t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.sum(dec("l_extendedprice")).cast("double").alias("__sum"),
+        exact_scaled_sum(scaled_long("l_extendedprice"), 2, precision=38)
+        .cast("double")
+        .alias("__sum"),
         F.countDistinct("l_orderkey").alias("__n"),
     )
     return agg.select(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from etl_football_analytics_pipeline_spark.operators.multimodal import (
     frame_sample,
+    image_feature_pipeline,
     image_histogram_features,
     image_resize,
     image_stats,
@@ -81,3 +82,18 @@ def test_media_embedding_bridge_pairs_identical_images(spark):
     pairs = all_pairs_cosine(feats, "id", "embedding", threshold=0.999).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     assert {(0, 100), (1, 101), (2, 102)} <= found
+
+
+def test_fused_feature_pipeline_equals_composition(spark):
+    """image_feature_pipeline must be bit-identical to the
+    resize -> histogram composition it fuses (same numpy math, one
+    Arrow crossing instead of three)."""
+    imgs = synthetic_images(spark, n=12, width=32, height=24)
+    fused = {r.id: r.embedding for r in image_feature_pipeline(imgs, 16, 12).collect()}
+    composed = {
+        r.id: r.embedding
+        for r in image_histogram_features(image_resize(imgs, 16, 12)).collect()
+    }
+    assert fused.keys() == composed.keys()
+    for k in fused:
+        assert fused[k] == composed[k]
