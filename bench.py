@@ -64,10 +64,16 @@ def main() -> int:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for p in range(passes):
-        # alternate direction per pass: heap/GC pressure grows through
-        # a pass, so a fixed order charges the same late queries every
-        # time; reversing lets the per-query min see both positions
-        ordered = names if p % 2 == 0 else list(reversed(names))
+        # rotate the order per pass: BOTH edges of a pass are bad
+        # positions (pass start carries residual startup/cleaner work,
+        # pass end peak heap pressure), so the earlier alternate-
+        # direction scheme pinned the alphabetically-first query to an
+        # edge in every pass (measured 2-3x inflation for it with all
+        # mid-pass queries unaffected). A third-of-the-list rotation
+        # gives every query a mid-pass slot in at least one pass, so
+        # the per-query min measures the engine, not the position.
+        shift = (p * len(names)) // max(passes, 1)
+        ordered = names[shift:] + names[:shift]
         for name in ordered:
             # one broken query must never abort the whole bench run —
             # record the error and keep measuring the rest

@@ -387,6 +387,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     grams: DataFrame | None = None,
+    keep_grams: bool = False,
 ) -> DataFrame:
     """MinHash signatures: for each of `num_hashes` hash functions h_i,
     sig[i] = min over shingles of xxhash64(i, shingle).
@@ -400,7 +401,11 @@ def minhash_signatures(
     universal-hash family (sig[i] = min over shingles of
     a_i * h + b_i mod 2^64, odd a_i — Broder-style) and takes the
     column-wise min. Interpreted higher-order folds for the same math
-    measured ~4× slower. Returns (id, signature array<long>).
+    measured ~4× slower. Returns (id, signature array<long>); with
+    `keep_grams=True` the input gram-hash array rides along as a third
+    column (id, signature, __gh) at zero extra kernel cost — composed
+    pipelines that need both (LSH candidates + exact verification) get
+    one shared per-doc frame instead of a grams⋈signatures join.
     """
     rng = np.random.default_rng(0xC0FFEE)
     a_co = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
@@ -432,9 +437,38 @@ def minhash_signatures(
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             mins = np.minimum.reduceat(perm, starts, axis=1)  # num_hashes × docs
             sigs = list(mins.T.view(np.int64))
-            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+            out = {id_col: pdf[id_col], "signature": sigs}
+            if keep_grams:
+                out["__gh"] = pdf["__gh"]
+            yield pd.DataFrame(out)
 
-    return hashed.mapInPandas(minsig, f"{id_col} long, signature array<long>")
+    schema = f"{id_col} long, signature array<long>"
+    if keep_grams:
+        schema += ", __gh array<long>"
+    return hashed.mapInPandas(minsig, schema)
+
+
+def band_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH band-bucket assignment: split each signature into
+    `num_bands` bands and hash each band to a 64-bit bucket key.
+    Map-only (one explode, no shuffle). Returns (__id, band, bucket) —
+    the join key every LSH candidate generator (in-flight or
+    index-backed) equi-joins on."""
+    bands = []
+    for b in range(num_bands):
+        lo = b * rows_per_band + 1  # slice is 1-indexed
+        band_slice = F.slice(F.col("signature"), lo, rows_per_band)
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws(",", band_slice.cast("array<string>"))).alias("bucket"))
+        )
+    return signatures.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*bands)).alias("bb")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_candidates(
@@ -451,16 +485,7 @@ def minhash_lsh_candidates(
     several buckets are deduplicated with distinct. Returns
     (id_a, id_b) candidate pairs (id_a < id_b).
     """
-    bands = []
-    for b in range(num_bands):
-        lo = b * rows_per_band + 1  # slice is 1-indexed
-        band_slice = F.slice(F.col("signature"), lo, rows_per_band)
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws(",", band_slice.cast("array<string>"))).alias("bucket"))
-        )
-    buckets = signatures.select(
-        F.col(id_col).alias("__id"), F.explode(F.array(*bands)).alias("bb")
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = band_buckets(signatures, id_col, num_bands, rows_per_band)
     left = buckets.select(F.col("__id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("__id").alias("id_b"), "band", "bucket")
     # mapInPandas output has no stats, so Catalyst would pick a
@@ -587,6 +612,124 @@ def minhash_exact_dedup_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
     return exact_jaccard_for_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 2,
+) -> None:
+    """Materialize a persisted NEAR-DUP INDEX: the per-doc
+    (id, signature, gram-hash array) frame as parquet, plus the
+    banding parameters. The incremental-ingest analog of
+    `ivf_build_index` for text dedup: at 100 TB the resident corpus's
+    signatures and gram sets are computed ONCE here, and every future
+    batch of documents is checked against the corpus via
+    `minhash_index_probe` without touching resident text again —
+    the shape a continuously-ingesting curation pipeline needs
+    (re-running the full O(corpus) signature pass per nightly delta is
+    exactly what does not survive).
+
+    The signature/banding hash family is deterministic (seeded), so
+    index-backed candidates are IDENTICAL to what in-flight banding
+    over the union corpus would generate for (new, resident) pairs —
+    pinned in tests/test_dedup.py. Appends are file-atomic per task
+    but not transactional; wrap the index dir in sources.versioned
+    for snapshot-isolated readers (same discipline as the IVF index).
+    """
+    spark = df.sparkSession
+    frame = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n,
+        grams=gram_hashes(df, id_col, text_col, shingle_n), keep_grams=True,
+    )
+    frame.write.mode("overwrite").parquet(f"{path}/docs")
+    spark.createDataFrame(
+        [(num_hashes, num_bands, shingle_n, id_col)],
+        "num_hashes int, num_bands int, shingle_n int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def _minhash_index_params(spark, path: str) -> tuple[int, int, int, str]:
+    r = spark.read.parquet(f"{path}/params").first()
+    return int(r.num_hashes), int(r.num_bands), int(r.shingle_n), r.id_col
+
+
+def minhash_index_append(
+    spark,
+    path: str,
+    delta: DataFrame,
+    text_col: str = "text",
+) -> None:
+    """Incremental index maintenance: sign the delta with the INDEX'S
+    OWN parameters and append its (id, signature, grams) rows — no
+    recompute of the resident corpus. Caller contract: delta ids are
+    new (probe the delta first; ingest pipelines assign fresh ids)."""
+    num_hashes, _, shingle_n, id_col = _minhash_index_params(spark, path)
+    frame = minhash_signatures(
+        delta, id_col, text_col, num_hashes, shingle_n,
+        grams=gram_hashes(delta, id_col, text_col, shingle_n), keep_grams=True,
+    )
+    frame.write.mode("append").parquet(f"{path}/docs")
+
+
+def minhash_index_probe(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Check a batch of NEW documents against the persisted corpus
+    index: LSH band-bucket candidates (new × resident only — the
+    new-batch's internal pairs are a separate, much smaller
+    minhash_exact_dedup_pairs run) verified with EXACT n-gram Jaccard.
+    Returns (new_id, resident_id, jaccard) for pairs ≥ threshold.
+
+    Plan shape at 100 TB: candidate generation reads ONLY
+    (id, signature) off the resident parquet — column pruning keeps
+    the (much wider) gram arrays out of the scan — banding is a
+    map-only explode, and the candidate equi-join on (band, bucket)
+    is hash-partitioned with the NEW side (the small side) as the
+    shuffle_hash build side. Exact verification then joins the
+    candidate ids back to (id, __gh) — O(candidates), not O(corpus).
+    Nothing corpus-sized is broadcast or collected."""
+    num_hashes, num_bands, shingle_n, id_col = _minhash_index_params(spark, path)
+    rows_per_band = num_hashes // num_bands
+    resident = spark.read.parquet(f"{path}/docs")
+    frame_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n,
+        grams=gram_hashes(new_docs, id_col, text_col, shingle_n), keep_grams=True,
+    ).cache()
+    nb = band_buckets(
+        frame_new.select(id_col, "signature"), id_col, num_bands, rows_per_band
+    )
+    rb = band_buckets(
+        resident.select(id_col, "signature"), id_col, num_bands, rows_per_band
+    )
+    cand = (
+        nb.select(F.col("__id").alias("new_id"), "band", "bucket")
+        .hint("shuffle_hash")
+        .join(rb.select(F.col("__id").alias("resident_id"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("resident_id"))
+        .select("new_id", "resident_id")
+        .distinct()
+    )
+    ga = frame_new.select(F.col(id_col).alias("new_id"), F.col("__gh").alias("__gh_a"))
+    gb = resident.select(F.col(id_col).alias("resident_id"), F.col("__gh").alias("__gh_b"))
+    inter = F.size(F.array_intersect("__gh_a", "__gh_b"))
+    sz_a, sz_b = F.size("__gh_a"), F.size("__gh_b")
+    return (
+        cand.join(ga, "new_id")
+        .join(gb, "resident_id")
+        .filter((sz_a > 0) & (sz_b > 0))
+        .withColumn("jaccard", F.round(inter / (sz_a + sz_b - inter).cast("double"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "resident_id", "jaccard")
+    )
 
 
 def connected_components(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import dec
+from ..functions.cleaning import dec, exact_scaled_sum, scaled_long
 from ..sources.registry import load_table
 from ..streaming.windowed import session_agg, sliding_agg, tumbling_agg
 from .registry import query
@@ -171,7 +171,9 @@ def _sessionize_lag_form(ev: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum(dec("value")).cast("decimal(18,2)").cast("double").alias("session_value"),
+        exact_scaled_sum(scaled_long("value"), 2)
+        .cast("double")
+        .alias("session_value"),
     )
 
 

@@ -197,33 +197,59 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tests/test_dedup.py pins both: LSH recall vs the exact all-pairs
     baseline, and every 'exact' pair appearing there with the
-    identical jaccard value."""
-    from ..operators.dedup import (
-        exact_jaccard_for_pairs,
-        gram_hashes,
-        minhash_est_pairs,
-        minhash_lsh_candidates,
-        minhash_signatures,
-    )
+    identical jaccard value.
+
+    Physical shape: ONE per-doc frame carries both the signature and
+    the gram array (minhash_signatures keep_grams=True — the kernel
+    emits the grams it already holds, so the grams⋈signatures join
+    never exists), and ONE candidate join chain scores BOTH verifiers
+    per pair before exploding into the two stage rows — half the
+    shuffles of running the verifiers as separate join chains, with
+    expressions identical to minhash_est_pairs /
+    exact_jaccard_for_pairs (pinned by tests/test_dedup.py)."""
+    from ..operators.dedup import gram_hashes, minhash_lsh_candidates, minhash_signatures
 
     docs = _docs(spark, sf_dir)
-    # the gram chain (the engine's most expensive expression tree),
-    # signatures, and candidates are each computed ONCE and shared by
-    # both verifiers — the production shape
-    grams = gram_hashes(docs, "doc_id", "text", 2).cache()
-    sigs = minhash_signatures(docs, "doc_id", "text", 64, shingle_n=2, grams=grams).cache()
-    cand = minhash_lsh_candidates(sigs, "doc_id", num_bands=16, rows_per_band=4).cache()
-    lsh = minhash_est_pairs(sigs, cand, "doc_id", num_hashes=64, threshold=0.2).select(
-        F.lit("lsh").alias("stage"), "id_a", "id_b",
-        F.col("est_jaccard").alias("score"),
+    frame = minhash_signatures(
+        docs, "doc_id", "text", 64, shingle_n=2,
+        grams=gram_hashes(docs, "doc_id", "text", 2), keep_grams=True,
+    ).cache()
+    cand = minhash_lsh_candidates(frame, "doc_id", num_bands=16, rows_per_band=4)
+    fa = frame.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("signature").alias("__sig_a"),
+        F.col("__gh").alias("__gh_a"),
     )
-    exact = exact_jaccard_for_pairs(
-        docs, cand, "doc_id", "text", n=2, threshold=0.2, grams=grams
-    ).select(
-        F.lit("exact").alias("stage"), "id_a", "id_b",
-        F.col("jaccard").alias("score"),
+    fb = frame.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("signature").alias("__sig_b"),
+        F.col("__gh").alias("__gh_b"),
     )
-    return lsh.unionByName(exact)
+    est = F.round(
+        F.expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), b -> b))")
+        / F.lit(64.0),
+        4,
+    )
+    inter = F.size(F.array_intersect("__gh_a", "__gh_b"))
+    sz_a, sz_b = F.size("__gh_a"), F.size("__gh_b")
+    jac = F.round(inter / (sz_a + sz_b - inter).cast("double"), 4)
+    scored = (
+        cand.hint("shuffle_hash").join(fa, "id_a")
+        .hint("shuffle_hash").join(fb, "id_b")
+        .select("id_a", "id_b", est.alias("__est"), jac.alias("__jac"))
+    )
+    staged = scored.select(
+        "id_a", "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lsh").alias("stage"), F.col("__est").alias("score")),
+                F.struct(F.lit("exact").alias("stage"), F.col("__jac").alias("score")),
+            )
+        ).alias("s"),
+    )
+    return staged.select("s.stage", "id_a", "id_b", "s.score").filter(
+        F.col("score") >= 0.2
+    )
 
 
 @query("dedup_simhash")  # xxhash64-based → rows-only

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.cleaning import exact_scaled_sum, scaled_long
 from ..operators.merge import merge_replace
 from ..sources.registry import TABLES
 
@@ -91,12 +92,11 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # decimal-exact sum, double at the output boundary (see
-            # plans.relational.p_projection_suite docstring)
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("total_value"),
+            # exact order-independent sum, double at the output
+            # boundary; scaled-long accumulation (bit-identical to the
+            # decimal form, streaming-incremental — two long sums per
+            # window's state, see functions.cleaning.exact_scaled_sum)
+            exact_scaled_sum(scaled_long("value"), 2).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -134,8 +134,7 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            exact_scaled_sum(scaled_long("value"), 2)
             .cast("double")
             .alias("session_value"),
         )

@@ -243,3 +243,79 @@ def test_minhash_exact_is_precise_subset_of_all_pairs(spark, docs):
     if strong:
         hit = sum(1 for p in strong if p in composed)
         assert hit / len(strong) >= 0.5, f"{hit}/{len(strong)}"
+
+
+# -- persisted near-dup index -------------------------------------------------
+
+
+def test_minhash_index_probe_matches_inflight_banding(spark, docs, tmp_path):
+    """Index-backed (new × resident) pairs must be IDENTICAL to the
+    (new × resident) subset of the in-flight LSH→exact pipeline run on
+    the union corpus: the hash family is deterministic, so persisting
+    signatures changes where they live, never what they say."""
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_exact_dedup_pairs,
+        minhash_index_build,
+        minhash_index_probe,
+    )
+
+    resident = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "nd_index")
+    minhash_index_build(resident, path, "doc_id", "text", num_hashes=64, num_bands=16, shingle_n=2)
+    probed = sorted(
+        (r.new_id, r.resident_id, r.jaccard)
+        for r in minhash_index_probe(spark, path, new, "text", threshold=0.2).collect()
+    )
+    union_pairs = minhash_exact_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=64, num_bands=16, shingle_n=2, threshold=0.2
+    ).collect()
+    expected = sorted(
+        (r.id_a, r.id_b, r.jaccard) if r.id_a % 2 == 1 else (r.id_b, r.id_a, r.jaccard)
+        for r in union_pairs
+        if (r.id_a % 2) != (r.id_b % 2)  # cross pairs only
+    )
+    assert probed == expected
+    assert probed  # non-vacuous: the corpus must contain cross near-dups
+
+
+def test_minhash_index_append_equals_rebuild(spark, docs, tmp_path):
+    """build(A) + append(B) must probe identically to build(A∪B) —
+    incremental maintenance cannot change answers."""
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_probe,
+    )
+
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    probe_docs = docs.filter(F.col("doc_id") % 3 == 2)
+    p1 = str(tmp_path / "incr")
+    minhash_index_build(a, p1, "doc_id", "text", shingle_n=2)
+    minhash_index_append(spark, p1, b, "text")
+    p2 = str(tmp_path / "full")
+    minhash_index_build(a.unionByName(b), p2, "doc_id", "text", shingle_n=2)
+    got1 = sorted(map(tuple, minhash_index_probe(spark, p1, probe_docs, threshold=0.2).collect()))
+    got2 = sorted(map(tuple, minhash_index_probe(spark, p2, probe_docs, threshold=0.2).collect()))
+    assert got1 == got2
+    assert got1
+
+
+def test_minhash_index_candidate_scan_prunes_gram_column(spark, docs, tmp_path):
+    """The probe's candidate-generation scan must read only
+    (id, signature) off the resident parquet — the wide gram arrays
+    stay out until exact verification (column pruning is what keeps
+    the candidate pass cheap at corpus scale)."""
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        band_buckets,
+        minhash_index_build,
+    )
+
+    path = str(tmp_path / "prune")
+    minhash_index_build(docs, path, "doc_id", "text", shingle_n=2)
+    resident = spark.read.parquet(f"{path}/docs")
+    cand_scan = band_buckets(resident.select("doc_id", "signature"), "doc_id", 16, 4)
+    plan = cand_scan._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "signature" in scan_line and "__gh" not in scan_line
