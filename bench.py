@@ -62,6 +62,7 @@ def main() -> int:
     # ~+50%, paid once per round)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for p in range(passes):
         # rotate the order per pass: BOTH edges of a pass are bad
@@ -83,6 +84,7 @@ def main() -> int:
                 n = len(df.collect())
                 el = round(time.time() - t0, 3)
                 timings[name] = min(timings.get(name, el), el)
+                samples.setdefault(name, []).append(el)
                 print(f"# pass{p} {name:32s} {el:8.3f}s  n={n}", file=sys.stderr)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -96,6 +98,26 @@ def main() -> int:
                 # ContextCleaner work that runs during the NEXT timed
                 # query — measured +5-40% across the board.)
                 spark.catalog.clearCache()
+
+    # targeted retry pass: a query whose pass-to-pass spread exceeds
+    # 2x was hit by one of this host's contention bursts in EVERY
+    # sample or its min is still burst-inflated — one bonus measurement
+    # for just those (bounded at 10) recovers a clean min when the
+    # burst has passed, and costs nothing when timings were stable.
+    noisy = [
+        n for n, s in samples.items() if len(s) > 1 and max(s) > 2.0 * min(s)
+    ]
+    for name in sorted(noisy, key=lambda n: -timings[n])[:10]:
+        try:
+            t0 = time.time()
+            n_rows = len(QUERIES[name](spark, sf_dir).collect())
+            el = round(time.time() - t0, 3)
+            timings[name] = min(timings[name], el)
+            print(f"# retry {name:32s} {el:8.3f}s  n={n_rows}", file=sys.stderr)
+        except Exception:  # noqa: BLE001 — keep the passes' timing
+            pass
+        finally:
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     record = {

@@ -682,6 +682,7 @@ def minhash_index_probe(
     new_docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
+    new_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Check a batch of NEW documents against the persisted corpus
     index: LSH band-bucket candidates (new × resident only — the
@@ -696,11 +697,16 @@ def minhash_index_probe(
     is hash-partitioned with the NEW side (the small side) as the
     shuffle_hash build side. Exact verification then joins the
     candidate ids back to (id, __gh) — O(candidates), not O(corpus).
-    Nothing corpus-sized is broadcast or collected."""
+    Nothing corpus-sized is broadcast or collected.
+
+    `new_frame` lets a caller that already signed the delta (with the
+    index's own parameters, keep_grams=True) hand the
+    (id, signature, __gh) frame over instead of re-running the gram +
+    signature kernels."""
     num_hashes, num_bands, shingle_n, id_col = _minhash_index_params(spark, path)
     rows_per_band = num_hashes // num_bands
     resident = spark.read.parquet(f"{path}/docs")
-    frame_new = minhash_signatures(
+    frame_new = new_frame if new_frame is not None else minhash_signatures(
         new_docs, id_col, text_col, num_hashes, shingle_n,
         grams=gram_hashes(new_docs, id_col, text_col, shingle_n), keep_grams=True,
     ).cache()

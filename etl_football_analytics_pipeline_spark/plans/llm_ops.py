@@ -195,9 +195,14 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       verified by EXACT n-gram Jaccard — probabilistic recall, exact
       precision, no quadratic pass.
 
-    tests/test_dedup.py pins both: LSH recall vs the exact all-pairs
-    baseline, and every 'exact' pair appearing there with the
-    identical jaccard value.
+    - stage='index': the persisted-index probe (incremental-ingest
+      path) — even-id docs as the resident corpus, odd-id docs as the
+      delta (see the inline comment at the build site).
+
+    tests/test_dedup.py pins all three: LSH recall vs the exact
+    all-pairs baseline, every 'exact' pair appearing there with the
+    identical jaccard value, and the index probe identical to
+    in-flight union banding.
 
     Physical shape: ONE per-doc frame carries both the signature and
     the gram array (minhash_signatures keep_grams=True — the kernel
@@ -247,9 +252,42 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    return staged.select("s.stage", "id_a", "id_b", "s.score").filter(
+    inflight = staged.select("s.stage", "id_a", "id_b", "s.score").filter(
         F.col("score") >= 0.2
     )
+    # stage='index': the INCREMENTAL-INGEST path — even-id docs play
+    # the resident corpus (signed once into a persisted index, reused
+    # across calls like ann_ivf_topk's), odd-id docs the nightly
+    # delta probed against it (minhash_index_probe: column-pruned
+    # signature scan → banded candidates → exact verify of candidates
+    # only, O(delta+candidates) never O(corpus)). Probe ≡ in-flight
+    # union banding is pinned in tests/test_dedup.py.
+    import os
+    import tempfile
+
+    from ..operators.dedup import minhash_index_build, minhash_index_probe
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_neardup_index_{tag}")
+    if not os.path.exists(os.path.join(path, "docs", "_SUCCESS")):
+        minhash_index_build(
+            docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id", "text",
+            num_hashes=64, num_bands=16, shingle_n=2,
+        )
+    # the suite's cached full frame already holds the odd docs'
+    # signatures+grams — hand it over so the probe runs zero kernels
+    probed = minhash_index_probe(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1), "text", threshold=0.2,
+        new_frame=frame.filter(F.col("doc_id") % 2 == 1),
+    ).select(
+        F.lit("index").alias("stage"),
+        F.col("new_id").alias("id_a"),
+        F.col("resident_id").alias("id_b"),
+        F.col("jaccard").alias("score"),
+    )
+    return inflight.unionByName(probed)
 
 
 @query("dedup_simhash")  # xxhash64-based → rows-only
