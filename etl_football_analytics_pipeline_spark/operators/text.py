@@ -200,3 +200,56 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("md5_fingerprint"),
         F.xxhash64(norm).alias("xxh64_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (C4-style pre-training hygiene)
+# ---------------------------------------------------------------------------
+
+#: Conservative, public-pattern PII regexes (Java dialect, also valid
+#: RE2): the C4/RefinedWeb-style scrub a pre-training corpus runs
+#: before anything else. Deliberately high-precision (full-string
+#: shapes with anchoring context kept out) — corpus hygiene wants
+#: predictable redaction, not maximal recall.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s<>\"]+",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts, one column per PII_PATTERNS entry
+    (n_email, n_url, ...) — the filter signal: corpora gate or route
+    documents on these before redaction. Pure `regexp_count` Column
+    expressions, one scan, zero Python."""
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """Replace each PII match with a typed placeholder token
+    (`<EMAIL>`, `<URL>`, ...) — the redaction pass itself. Chained
+    `regexp_replace` (replace-all) Column expressions: constant plan
+    depth, inside codegen, no UDF. Pattern order is deterministic
+    (dict order of PII_PATTERNS): URLs redact after emails so a
+    mailto-like token inside an URL is handled by whichever pattern
+    matches first — the order is part of the contract and tested."""
+    out_col = out_col or text_col
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        if kinds is not None and name not in kinds:
+            continue
+        col = F.regexp_replace(col, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col, col)
