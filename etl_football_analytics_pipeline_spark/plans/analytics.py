@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import dec, exact_scaled_sum, scaled_long
+from ..operators.asof import asof_join
 from ..sources.registry import load_table
 from ..streaming.windowed import session_agg, sliding_agg, tumbling_agg
 from .registry import query
@@ -279,19 +280,88 @@ def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_json_extract",
+    "events_enrich_suite",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-    FROM events WHERE event_id <= 2000
+    WITH json_part AS (
+      SELECT 'json' AS part, event_id,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v1,
+             CAST(NULL AS TIMESTAMP) AS ts_right
+      FROM events WHERE event_id <= 2000
+    ), l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r0 AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    ), r AS (
+      SELECT user_id, ts, value FROM r0 WHERE rn = 1
+    ), a AS (
+      SELECT l.event_id, l.ts AS lts, r.value AS v1, r.ts AS ts_right
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ), asof_part AS (
+      SELECT 'asof' AS part, event_id, v1, ts_right FROM a
+    ), tol_part AS (
+      SELECT 'asof_tol' AS part, event_id,
+             CASE WHEN ts_right >= lts - INTERVAL 2 HOUR THEN v1 END AS v1,
+             CASE WHEN ts_right >= lts - INTERVAL 2 HOUR THEN ts_right END AS ts_right
+      FROM a
+    )
+    SELECT * FROM json_part
+    UNION ALL SELECT * FROM asof_part
+    UNION ALL SELECT * FROM tol_part
     """,
 )
-def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction from the event props JSON column —
-    `get_json_object` stays JVM-side (no UDF). The reference has no
-    JSON columns; this covers the extension tables' `props` field."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
-    return ev.select(
+def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-enrichment suite (formerly `events_json_extract`, widened
+    to carry the as-of join's registered surface under the 50-entry
+    registry cap; every leg keeps a full DuckDB value oracle):
+
+    - part='json': semi-structured extraction from the event props JSON
+      column — `get_json_object` stays JVM-side (no UDF);
+    - part='asof': backward point-in-time join (operators.asof.asof_join)
+      — each 'click' event gains the value/timestamp of the latest
+      same-user 'view' event at or before it, checked against DuckDB's
+      native ASOF JOIN. The right side is deduplicated to one row per
+      (user_id, ts) first so the boundary pick is engine-independent;
+    - part='asof_tol': the same join with a 2-hour tolerance — matches
+      older than left_ts - 2h are voided to NULL (pandas/DuckDB
+      tolerance semantics).
+
+    100 TB shape: the as-of legs are the union + single key shuffle +
+    partition-local running window documented in operators/asof.py —
+    no range join, no per-key cartesian; cost is one shuffle of
+    |clicks|+|views| regardless of match distance, and both tolerance
+    and plain forms share the one resolved frame."""
+    ev = _t(spark, sf_dir, "events")
+    json_part = ev.filter(F.col("event_id") <= 2000).select(
+        F.lit("json").alias("part"),
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.get_json_object("props", "$.k").cast("double").alias("v1"),
+        F.lit(None).cast("timestamp").alias("ts_right"),
     )
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    joined = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    asof_part = joined.select(
+        F.lit("asof").alias("part"),
+        "event_id",
+        F.col("value").alias("v1"),
+        "ts_right",
+    )
+    in_tol = F.col("ts_right") >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    tol_part = joined.select(
+        F.lit("asof_tol").alias("part"),
+        "event_id",
+        F.when(in_tol, F.col("value")).alias("v1"),
+        F.when(in_tol, F.col("ts_right")).alias("ts_right"),
+    )
+    return json_part.unionByName(asof_part).unionByName(tol_part)

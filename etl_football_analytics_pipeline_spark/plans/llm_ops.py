@@ -36,7 +36,16 @@ from ..operators.similarity import (
     lsh_all_pairs_cosine,
     lsh_topk,
 )
-from ..operators.text import STOPWORDS, fingerprints, language_id, quality_scores, token_counts
+from ..operators.text import (
+    PII_PATTERNS,
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    pii_signals,
+    quality_scores,
+    redact_pii,
+    token_counts,
+)
 from ..sources.registry import load_table
 from .registry import query
 
@@ -503,6 +512,41 @@ def _sw_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
+# Deterministic PII injection for the text_profile oracle: the synthetic
+# documents carry no natural PII, so both engines append the SAME
+# synthetic contact block (keyed off doc_id) before counting/redacting —
+# the dialect-neutral fragment runs verbatim under Spark SQL and DuckDB.
+_PII_AUG = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN text || ' Contact user' || CAST(doc_id AS VARCHAR(20)) || "
+    "'@mail.example.com or +1 (415) 555-01' || CAST(doc_id % 10 AS VARCHAR(20)) || "
+    "CAST(doc_id % 7 AS VARCHAR(20)) "
+    "WHEN 1 THEN text || ' See https://docs.example.org/p/' || CAST(doc_id AS VARCHAR(20)) || "
+    "' from host 10.0.' || CAST(doc_id % 9 AS VARCHAR(20)) || '.7' "
+    "ELSE text END"
+)
+
+
+def _pii_oracle_cols() -> str:
+    """DuckDB column expressions mirroring operators.text.pii_signals /
+    redact_pii over the augmented text (built with %-formatting, not an
+    f-string, because the regex patterns contain literal braces)."""
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(aug, '%s')) AS INT) AS n_%s" % (pat, name)
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "aug"
+    for name, pat in PII_PATTERNS.items():
+        red = "regexp_replace(%s, '%s', '<%s>', 'g')" % (red, pat, name.upper())
+    return counts + ", CAST(length(%s) AS BIGINT) AS redacted_len" % red
+
+
+_PII_ORACLE_CTE = (
+    "SELECT doc_id, " + _pii_oracle_cols() + " FROM (SELECT doc_id, " + _PII_AUG
+    + " AS aug FROM documents)"
+)
+
+
 @query(
     "text_profile",
     oracle=f"""
@@ -528,6 +572,8 @@ def _sw_list(lang: str) -> str:
       FROM documents
     ), f AS (
       SELECT doc_id, md5({_NORM}) AS md5_fingerprint FROM documents
+    ), p AS (
+      {_PII_ORACLE_CTE}
     )
     SELECT l.doc_id, l.hits_de, l.hits_en, l.hits_es, l.hits_fr,
            CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
@@ -544,11 +590,13 @@ def _sw_list(lang: str) -> str:
              - ROUND(CAST(q.n_punct AS DOUBLE) / GREATEST(q.n_chars_measured, 1), 4) * 5,
              0.0), 1.0), 4) AS quality_score,
            t.ws_tokens, t.regex_tokens,
-           f.md5_fingerprint
+           f.md5_fingerprint,
+           p.n_email, p.n_url, p.n_ipv4, p.n_phone, p.redacted_len
     FROM l
     JOIN q USING (doc_id)
     JOIN t USING (doc_id)
     JOIN f USING (doc_id)
+    JOIN p USING (doc_id)
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,7 +613,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       regex tokens, both JVM-side regex;
     - fingerprints (operators.text.fingerprints; md5 column — the
       xxhash64 shard key is Spark-specific and verified in
-      tests/test_text_ops.py instead).
+      tests/test_text_ops.py instead);
+    - PII signals + redaction (operators.text.pii_signals/redact_pii)
+      over deterministically PII-augmented text (the synthetic corpus
+      carries no natural PII, so both engines inject the same
+      doc_id-keyed contact block first — `_PII_AUG` runs verbatim in
+      Spark SQL and DuckDB): per-kind hit counts and the redacted
+      length, all chained `regexp_count`/`regexp_replace` Columns.
 
     All pure Column expressions; the four operator outputs join on
     doc_id and Catalyst collapses the self-joins of the same scan into
@@ -575,11 +629,19 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     join form here keeps each operator independently reusable).
     """
     docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", F.expr(_PII_AUG).alias("aug"))
+    pii = pii_signals(aug, "doc_id", "aug").join(
+        redact_pii(aug, "aug", out_col="__red").select(
+            "doc_id", F.length("__red").cast("long").alias("redacted_len")
+        ),
+        "doc_id",
+    )
     return (
         language_id(docs, "doc_id", "text")
         .join(quality_scores(docs, "doc_id", "text"), "doc_id")
         .join(token_counts(docs, "doc_id", "text"), "doc_id")
         .join(fingerprints(docs, "doc_id", "text").select("doc_id", "md5_fingerprint"), "doc_id")
+        .join(pii, "doc_id")
     )
 
 
