@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import dec, exact_scaled_sum, scaled_long
 from ..operators.asof import asof_join
+from ..operators.interval import range_join
 from ..sources.registry import load_table
-from ..streaming.windowed import session_agg, sliding_agg, tumbling_agg
+from ..streaming.windowed import rollup_time, session_agg, sliding_agg
 from .registry import query
 
 
@@ -120,28 +121,54 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_tumbling_window",
+    "events_rollup_suite",
     oracle="""
-    SELECT DATE_TRUNC('hour', ts) AS window_start,
-           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY DATE_TRUNC('hour', ts), event_type
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT DATE_TRUNC('day', bucket) AS bucket, event_type,
+             SUM(n) AS n, CAST(SUM(v) AS DECIMAL(18,2)) AS v
+      FROM hourly GROUP BY 1, 2
+    ), weekly AS (
+      SELECT DATE_TRUNC('week', bucket) AS bucket, event_type,
+             SUM(n) AS n, CAST(SUM(v) AS DECIMAL(18,2)) AS v
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, bucket, event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', bucket, event_type, CAST(n AS BIGINT),
+           CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE)
+    FROM daily
+    UNION ALL
+    SELECT 'week', bucket, event_type, CAST(n AS BIGINT),
+           CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE)
+    FROM weekly
     """,
 )
-def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregate over the event stream (batch form).
+def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (formerly `events_tumbling_window`,
+    widened into the hypertable-style continuous-aggregate suite; the
+    part='hour' tier IS the old tumbling-window result):
 
-    The reference has no streaming (SURVEY.md §2.10); this is the
-    driver-mandated extension. The same logical plan runs unchanged as
-    a Structured Streaming query with `readStream` + `withWatermark` —
-    see streaming.windowed.tumbling_agg (the SAME function body runs
-    as an incremental readStream query in tests/test_streaming.py).
-    `window(ts, '1 hour').start ≡ date_trunc('hour', ts)` for tumbling
-    windows."""
-    return tumbling_agg(_t(spark, sf_dir, "events"), "1 hour")
+    hour → day → week tumbling aggregates of the event stream in ONE
+    raw scan — only the hour tier reads the events table; day
+    re-aggregates hour's partials and week re-aggregates day's
+    (streaming.windowed.rollup_time). Counts and exact decimal sums
+    are associative, so the hierarchy is lossless — the oracle states
+    the same cascade, and tests/test_interval.py pins each tier equal
+    to a direct single-tier aggregate.
+
+    The tumbling form itself (`window(ts, w)` + window_start/end)
+    stays stream-unified via streaming.windowed.tumbling_agg, which
+    runs as an incremental readStream query in
+    tests/test_streaming.py; `window(ts, '1 hour').start ≡
+    date_trunc('hour', ts)`."""
+    return rollup_time(_t(spark, sf_dir, "events"))
 
 
 def _sessionize_lag_form(ev: DataFrame) -> DataFrame:
@@ -305,10 +332,25 @@ def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN ts_right >= lts - INTERVAL 2 HOUR THEN v1 END AS v1,
              CASE WHEN ts_right >= lts - INTERVAL 2 HOUR THEN ts_right END AS ts_right
       FROM a
+    ), range_part AS (
+      SELECT 'range' AS part, c.event_id, p.value AS v1, p.ts AS ts_right
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    ), overlap_part AS (
+      SELECT 'overlap' AS part, p.event_id, e.value AS v1, e.ts AS ts_right
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+        ON p.user_id = e.user_id
+       AND p.ts <= e.ts + INTERVAL 30 MINUTE
+       AND e.ts <= p.ts + INTERVAL 1 HOUR
     )
     SELECT * FROM json_part
     UNION ALL SELECT * FROM asof_part
     UNION ALL SELECT * FROM tol_part
+    UNION ALL SELECT * FROM range_part
+    UNION ALL SELECT * FROM overlap_part
     """,
 )
 def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,13 +367,21 @@ def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (user_id, ts) first so the boundary pick is engine-independent;
     - part='asof_tol': the same join with a 2-hour tolerance — matches
       older than left_ts - 2h are voided to NULL (pandas/DuckDB
-      tolerance semantics).
+      tolerance semantics);
+    - part='range': point-in-interval range join
+      (operators.interval.range_join) — every click paired with EVERY
+      same-user purchase whose 1-hour window contains it (vs the as-of
+      leg's single latest match);
+    - part='overlap': interval×interval overlap — purchase windows
+      [ts, ts+1h] × error windows [ts, ts+30m] per user.
 
     100 TB shape: the as-of legs are the union + single key shuffle +
-    partition-local running window documented in operators/asof.py —
-    no range join, no per-key cartesian; cost is one shuffle of
-    |clicks|+|views| regardless of match distance, and both tolerance
-    and plain forms share the one resolved frame."""
+    partition-local running window documented in operators/asof.py;
+    the range legs are binned equi-joins on (user_id, hour-bin) with
+    exactly-once anchor-bin emission (operators/interval.py) — no leg
+    contains a per-key cartesian or a nested-loop join, and the oracle
+    states the range legs as the raw BETWEEN predicates the binned
+    plan must reproduce."""
     ev = _t(spark, sf_dir, "events")
     json_part = ev.filter(F.col("event_id") <= 2000).select(
         F.lit("json").alias("part"),
@@ -364,4 +414,41 @@ def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("value")).alias("v1"),
         F.when(in_tol, F.col("ts_right")).alias("ts_right"),
     )
-    return json_part.unionByName(asof_part).unionByName(tol_part)
+    clicks = left
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+        F.col("value").alias("p_value"),
+    )
+    range_part = range_join(
+        clicks, purchases, on=["user_id"], left_start="ts",
+        right_start="p_start", right_end="p_end", bin_seconds=3600,
+    ).select(
+        F.lit("range").alias("part"),
+        "event_id",
+        F.col("p_value").alias("v1"),
+        F.col("p_start").alias("ts_right"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e_end"),
+        F.col("value").alias("e_value"),
+    )
+    overlap_part = range_join(
+        purchases, errors, on=["user_id"], left_start="p_start", left_end="p_end",
+        right_start="e_start", right_end="e_end", bin_seconds=3600,
+    ).select(
+        F.lit("overlap").alias("part"),
+        F.col("p_id").alias("event_id"),
+        F.col("e_value").alias("v1"),
+        F.col("e_start").alias("ts_right"),
+    )
+    return (
+        json_part.unionByName(asof_part)
+        .unionByName(tol_part)
+        .unionByName(range_part)
+        .unionByName(overlap_part)
+    )

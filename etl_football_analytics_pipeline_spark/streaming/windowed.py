@@ -108,6 +108,81 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+#: tier → (spark date_trunc unit) in coarsening order; date_trunc
+#: semantics agree between Spark and DuckDB for all three (weeks start
+#: Monday in both), which is what lets the oracle state the rollup
+#: without epoch arithmetic.
+ROLLUP_TIERS = ("hour", "day", "week")
+
+
+def rollup_time(
+    events: DataFrame,
+    resolutions: tuple[str, ...] = ROLLUP_TIERS,
+    ts: str = "ts",
+    key: str = "event_type",
+    materialize: bool = True,
+) -> DataFrame:
+    """Multi-resolution tumbling rollup — the hypertable
+    continuous-aggregate pattern — in ONE scan of the raw events.
+
+    Output: (resolution, bucket, {key}, n_events, total_value), one row
+    per (tier, bucket, key). Only the FINEST tier touches the raw
+    table; every coarser tier re-aggregates the previous tier's
+    partials (counts and exact decimal sums are associative, so the
+    hierarchy is lossless — asserted tier-vs-direct in
+    tests/test_interval.py). At 100 TB that is the difference between
+    one raw shuffle plus two partial-sized ones and three full raw
+    shuffles; it is also exactly how a materialized rollup refreshes
+    incrementally (each tier is a valid windowed streaming aggregate
+    over the tier below).
+
+    `materialize` persists the finest tier before fanning out —
+    required for the one-raw-scan property because Catalyst does NOT
+    share a common subtree across union branches (each tier would
+    silently recompute from the raw scan; plan-asserted in
+    tests/test_interval.py). In production the finest tier is a
+    written rollup table; the persist models that here. The cached
+    partials are tiny (one row per (finest bucket, key)).
+
+    `resolutions` must be ordered finest → coarsest, each a
+    `date_trunc` unit that is a refinement of the next (hour ⊂ day ⊂
+    week).
+    """
+    tiers: list[DataFrame] = []
+    finest = (
+        events.groupBy(F.date_trunc(resolutions[0], F.col(ts)).alias("bucket"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact order-independent partial (see tumbling_agg); kept
+            # as decimal so coarser tiers re-aggregate it exactly
+            exact_scaled_sum(scaled_long("value"), 2).alias("__v"),
+        )
+    )
+    if materialize:
+        finest = finest.persist()
+    tiers.append(finest)
+    for res in resolutions[1:]:
+        prev = tiers[-1]
+        tiers.append(
+            prev.groupBy(F.date_trunc(res, F.col("bucket")).alias("bucket"), key)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("__v").cast("decimal(18,2)").alias("__v"),
+            )
+        )
+    out = None
+    for res, tier in zip(resolutions, tiers):
+        leg = tier.select(
+            F.lit(res).alias("resolution"),
+            "bucket",
+            key,
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("__v").cast("double").alias("total_value"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
 def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
     """Sliding-window (hopping) count per event_type — each event lands
     in width/slide windows; Spark enumerates them, state is bounded by

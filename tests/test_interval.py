@@ -1,0 +1,190 @@
+"""Range-join and multi-resolution-rollup tests.
+
+range_join: parity with raw SQL BETWEEN predicates (DuckDB), bin-width
+invariance, exactly-once emission, point-in-interval special case, and
+a plan-shape assertion that the binned form never degrades into a
+nested-loop/cartesian join. rollup_time: every tier equals a direct
+single-tier aggregate, and only the finest tier scans the raw table.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.interval import range_join
+from etl_football_analytics_pipeline_spark.sources.registry import load_table
+from etl_football_analytics_pipeline_spark.streaming.windowed import rollup_time
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events").cache()
+
+
+def _clicks(events):
+    return events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+
+
+def _purchases(events):
+    return events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_point_in_interval_matches_sql(spark, events):
+    got = range_join(
+        _clicks(events), _purchases(events), on=["user_id"],
+        left_start="ts", right_start="p_start", right_end="p_end",
+    )
+    got_rows = sorted((r.event_id, r.p_id) for r in got.collect())
+    exp = sorted(
+        tuple(r)
+        for r in _duck(
+            """
+            SELECT c.event_id, p.event_id
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
+            JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+            """
+        )
+    )
+    assert got_rows == exp
+    assert len(got_rows) > 0, "fixture produced no overlaps — test is vacuous"
+
+
+def test_interval_overlap_matches_sql(spark, events):
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        "user_id",
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e_end"),
+    )
+    got = range_join(
+        _purchases(events), errors, on=["user_id"],
+        left_start="p_start", left_end="p_end",
+        right_start="e_start", right_end="e_end",
+    )
+    got_rows = sorted((r.p_id, r.e_id) for r in got.collect())
+    exp = sorted(
+        tuple(r)
+        for r in _duck(
+            """
+            SELECT p.event_id, e.event_id
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+            JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type='error') e
+              ON p.user_id = e.user_id
+             AND p.ts <= e.ts + INTERVAL 30 MINUTE
+             AND e.ts <= p.ts + INTERVAL 1 HOUR
+            """
+        )
+    )
+    assert got_rows == exp
+    assert len(got_rows) > 0
+
+
+def test_bin_width_invariance_and_exactly_once(spark, events):
+    """Same pairs at 15-min, 1-h and 8-h bins, and no pair twice —
+    the anchor-bin emission is exactly-once by construction."""
+    results = []
+    for bin_s in (900, 3600, 28800):
+        got = range_join(
+            _clicks(events), _purchases(events), on=["user_id"],
+            left_start="ts", right_start="p_start", right_end="p_end",
+            bin_seconds=bin_s,
+        )
+        rows = [(r.event_id, r.p_id) for r in got.collect()]
+        assert len(rows) == len(set(rows)), f"duplicate pairs at bin={bin_s}"
+        results.append(sorted(rows))
+    assert results[0] == results[1] == results[2]
+
+
+def test_empty_interval_rows_dropped(spark, events):
+    """end < start describes an empty interval: contributes nothing."""
+    bad = _purchases(events).withColumn("p_end", F.col("p_start") - F.expr("INTERVAL 1 HOUR"))
+    got = range_join(
+        _clicks(events), bad, on=["user_id"],
+        left_start="ts", right_start="p_start", right_end="p_end",
+    )
+    assert got.count() == 0
+
+
+def test_no_nested_loop_join_in_plan(spark, events):
+    plan = range_join(
+        _clicks(events), _purchases(events), on=["user_id"],
+        left_start="ts", right_start="p_start", right_end="p_end",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_tiers_equal_direct_aggregation(spark, events):
+    """Hierarchical re-aggregation is lossless: each tier's rows equal
+    a direct date_trunc aggregate of the raw events at that tier."""
+    out = rollup_time(events).cache()
+    for res in ("hour", "day", "week"):
+        got = sorted(
+            (str(r.bucket), r.event_type, r.n_events, r.total_value)
+            for r in out.filter(F.col("resolution") == res).collect()
+        )
+        direct = sorted(
+            (str(r.bucket), r.event_type, r.n_events, r.total_value)
+            for r in events.groupBy(
+                F.date_trunc(res, "ts").alias("bucket"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .cast("double")
+                .alias("total_value"),
+            )
+            .collect()
+        )
+        assert got == direct, f"tier {res} diverges from direct aggregate"
+    out.unpersist()
+
+
+def test_rollup_scans_raw_once(spark):
+    """Only the finest tier touches the raw table: the physical plan
+    contains exactly one events scan, and the coarser tiers read the
+    materialized hourly partials (InMemoryTableScan). Without the
+    persist, Catalyst re-derives every tier from the raw scan (it does
+    not share common subtrees across union branches) — pinned by the
+    materialize=False counter-assertion."""
+    # a synthetic frame that matches NOTHING already in the session
+    # cache (the module fixture caches the parquet events plan, which
+    # the cache manager would substitute into any load_table-based
+    # check and muddy both assertions)
+    raw = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "click", 1.25), ("2024-01-02 05:10:00", "view", 2.50)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # counter-assertion FIRST (before rollup_time persists the hourly
+    # subtree): without materialization every tier recomputes from raw
+    plan_nomat = (
+        rollup_time(raw, materialize=False)._jdf.queryExecution().withCachedData().toString()
+    )
+    assert "InMemoryRelation" not in plan_nomat
+    plan = rollup_time(raw)._jdf.queryExecution().withCachedData().toString()
+    # all three tiers read the cached hourly partials — no raw-input
+    # subtree survives outside the three cache reads
+    assert plan.count("InMemoryRelation") == 3, plan
+    assert "LocalTableScan" not in plan.split("InMemoryRelation")[0], plan
