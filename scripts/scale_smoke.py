@@ -42,8 +42,11 @@ from etl_football_analytics_pipeline_spark.operators.similarity import (
     pq_topk,
     pq_train_codebooks,
 )
+from etl_football_analytics_pipeline_spark.operators.asof import asof_join
+from etl_football_analytics_pipeline_spark.operators.interval import range_join
 from etl_football_analytics_pipeline_spark.session import get_spark
 from etl_football_analytics_pipeline_spark.sources.registry import load_table
+from etl_football_analytics_pipeline_spark.streaming.windowed import rollup_time
 
 SF = "/root/testdata/sf0.1"
 
@@ -71,9 +74,73 @@ def amplify_emb(emb, k: int):
     )
 
 
+def amplify_events(ev, k: int):
+    """K× the event stream by cloning it onto K disjoint user-id (and
+    event-id) ranges — per-key event density stays constant, which is
+    how a real stream grows (more users, not denser users)."""
+    copies = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__c")
+    return ev.select("event_id", "user_id", "ts", "event_type", "value", copies).select(
+        (F.col("event_id") + F.col("__c").cast("long") * 1_000_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("__c").cast("long") * 1_000_000).alias("user_id"),
+        "ts",
+        "event_type",
+        "value",
+    )
+
+
+def temporal_section(spark, scale: int) -> str:
+    """As-of join, range join, and multi-resolution rollup on a
+    scale×-amplified event stream. All three are one-key-shuffle plans
+    (asof: union+window; range: binned equi-join; rollup: one raw agg
+    + partial re-aggs), so wall should track rows ~linearly."""
+    from pyspark.sql import Window
+
+    ev = amplify_events(load_table(spark, SF, "events"), scale).cache()
+    n_ev = ev.count()
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    t0 = time.time()
+    n_asof = asof_join(clicks, views, on=["user_id"], value_cols=["value"]).count()
+    t_asof = time.time() - t0
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    t0 = time.time()
+    n_range = range_join(
+        clicks, purchases, on=["user_id"], left_start="ts",
+        right_start="p_start", right_end="p_end", bin_seconds=3600,
+    ).count()
+    t_range = time.time() - t0
+    t0 = time.time()
+    n_roll = rollup_time(ev).count()
+    t_roll = time.time() - t0
+    ev.unpersist()
+    spark.catalog.clearCache()  # drop the rollup's materialized partials
+    return (
+        f"events={n_ev:8d}  asof={t_asof:5.1f}s (rows={n_asof})  "
+        f"range={t_range:5.1f}s (pairs={n_range})  rollup={t_roll:5.1f}s (rows={n_roll})"
+    )
+
+
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--temporal"]
+    temporal_only = "--temporal" in sys.argv[1:]
+    k = int(args[0]) if args else 10
     spark = get_spark(app_name="scale-smoke")
+    if temporal_only:
+        for scale in (1, k):
+            print(f"scale={scale:3d}  {temporal_section(spark, scale)}", flush=True)
+        spark.stop()
+        return 0
     docs1 = load_table(spark, SF, "documents")
     emb1 = load_table(spark, SF, "embeddings")
     for scale in (1, k):
@@ -144,6 +211,8 @@ def main() -> int:
         )
         docs.unpersist()
         emb.unpersist()
+    for scale in (1, k):
+        print(f"scale={scale:3d}  {temporal_section(spark, scale)}", flush=True)
     spark.stop()
     return 0
 
