@@ -534,10 +534,20 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - part='pct': per-group approx_percentile p50/p95 over
       l_extendedprice (Greenwald-Khanna summaries, accuracy 10000) —
       bounded-memory mergeable summaries instead of a sort.
+    - part='hllds': the PRE-AGGREGATED SKETCH TABLE pattern — Apache
+      DataSketches HLL built per SEGMENT (l_returnflag ×
+      l_linestatus via `hll_sketch_agg`), then `hll_union_agg`-merged
+      to the per-flag estimate (v1), alongside the one-shot sketch of
+      the raw rows (v2). At 100 TB this is how distinct counts stay
+      interactive: store one ~KB sketch per partition/day, answer
+      any rollup by unioning sketches — no raw re-scan. The merged
+      estimate is partitioning-independent (asserted), and merged vs
+      one-shot differ only within sketch error (the union path is a
+      different but equally valid estimator).
 
     DuckDB's sketches differ bit-wise, so no cross-engine oracle;
     tests pin each estimate within its error bound of the EXACT
-    answer and the HLL path's partitioning-independence."""
+    answer and the HLL paths' partitioning-independence."""
     li = _t(spark, sf_dir, "lineitem")
     hll = li.groupBy(F.col("l_returnflag").alias("key")).agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).cast("double").alias("v1"),
@@ -549,41 +559,108 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pct").alias("part"), "key",
         F.col("__p")[0].alias("v1"), F.col("__p")[1].alias("v2"),
     )
-    return hll.unionByName(pct)
+    segs = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("__sk")
+    )
+    hllds = (
+        segs.groupBy(F.col("l_returnflag").alias("key"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).cast("double").alias("v1"))
+        .join(
+            li.groupBy(F.col("l_returnflag").alias("key")).agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey"))
+                .cast("double")
+                .alias("v2")
+            ),
+            "key",
+        )
+        .select(F.lit("hllds").alias("part"), "key", "v1", "v2")
+    )
+    return hll.unionByName(pct).unionByName(hllds)
 
 
 @query(
     "a5_conditional_agg_pivot",
     oracle="""
-    SELECT o_orderstatus,
-           CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS urgent_price,
-           CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS low_price,
-           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
-           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
-    FROM orders
-    GROUP BY o_orderstatus
+    WITH pivot_part AS (
+      SELECT 'pivot' AS part, o_orderstatus AS k1, CAST(NULL AS VARCHAR) AS k2,
+             CAST(NULL AS BIGINT) AS gid,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS v1,
+             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS v2
+      FROM orders
+      GROUP BY o_orderstatus
+    ), cube_part AS (
+      SELECT 'cube' AS part, o_orderstatus AS k1, o_orderpriority AS k2,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n1,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS v1,
+             CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS v2
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    )
+    SELECT * FROM pivot_part UNION ALL SELECT * FROM cube_part
     """,
 )
 def a5_conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 — conditional aggregation (pivot-style SUM(CASE WHEN ...),
-    the home/away points split at `scr/ui.py:199-215`)."""
+    """A5 — conditional aggregation, plus the OLAP grouping-sets family:
+
+    - part='pivot': pivot-style SUM(CASE WHEN ...) (the home/away
+      points split at `scr/ui.py:199-215`) — n1/v1 = urgent
+      count/price, n2/v2 = low count/price per order status;
+    - part='cube': native `DataFrame.cube` over
+      (status, priority) with `grouping_id()` — all four grouping
+      sets (both, status-only, priority-only, grand total) in one
+      Expand + single aggregate, checked value-for-value against
+      DuckDB's GROUP BY CUBE + GROUPING() (Spark's grouping_id bit
+      order matches DuckDB's GROUPING argument order).
+
+    100 TB shape: both legs are single partial-agg shuffles; cube's
+    Expand emits 4 rows per input row BEFORE the partial aggregate,
+    so the exchange still carries only group rows (`rollup()` /
+    explicit grouping sets plan identically)."""
     orders = _t(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority") == "1-URGENT"
     low = F.col("o_orderpriority") == "5-LOW"
     price = dec("o_totalprice")
     zero = F.lit(0).cast("decimal(18,2)")
-    return orders.groupBy("o_orderstatus").agg(
+    pivot_part = orders.groupBy("o_orderstatus").agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(urgent, price).otherwise(zero))
         .cast("decimal(18,2)")
         .cast("double")
-        .alias("urgent_price"),
+        .alias("v1"),
+        F.sum(F.when(low, 1).otherwise(0)).alias("n2"),
         F.sum(F.when(low, price).otherwise(zero))
         .cast("decimal(18,2)")
         .cast("double")
-        .alias("low_price"),
-        F.sum(F.when(urgent, 1).otherwise(0)).alias("urgent_count"),
-        F.sum(F.when(low, 1).otherwise(0)).alias("low_count"),
+        .alias("v2"),
+    ).select(
+        F.lit("pivot").alias("part"),
+        F.col("o_orderstatus").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("gid"),
+        "n1", "v1", "n2", "v2",
     )
+    cube_part = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(price).cast("decimal(18,2)").cast("double").alias("v1"),
+        )
+        .select(
+            F.lit("cube").alias("part"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "gid",
+            "n1",
+            "v1",
+            F.lit(None).cast("long").alias("n2"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+    )
+    return pivot_part.unionByName(cube_part)
 
 
 @query(

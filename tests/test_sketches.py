@@ -68,3 +68,44 @@ def test_hll_is_partitioning_independent(spark):
         .collect()
     )
     assert est(li) == est(li.repartition(17)) == est(li.repartition(3, "l_orderkey"))
+
+
+def test_hllds_merged_sketches_track_exact(spark):
+    """The pre-aggregated-sketch-table leg: per-segment DataSketches
+    HLL unioned to the group estimate (v1) and the one-shot sketch
+    (v2) both land within sketch error of the exact distinct count."""
+    out = {
+        r["key"]: (r["v1"], r["v2"])
+        for r in sketch_suite(spark, SF).collect()
+        if r["part"] == "hllds"
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for key, n in exact.items():
+        merged, direct = out[key]
+        assert abs(merged - n) / n < 0.05, (key, merged, n)
+        assert abs(direct - n) / n < 0.05, (key, direct, n)
+
+
+def test_hllds_merge_is_partitioning_independent(spark):
+    """Sketch union is a commutative merge: the unioned estimate must
+    not depend on the physical layout of the segment build."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    def merged(df):
+        return sorted(
+            tuple(r)
+            for r in df.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+            .groupBy("l_returnflag")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("v"))
+            .collect()
+        )
+
+    assert merged(li) == merged(li.repartition(17)) == merged(li.repartition(3, "l_orderkey"))
