@@ -148,23 +148,39 @@ def rollup_time(
     `date_trunc` unit that is a refinement of the next (hour ⊂ day ⊂
     week).
     """
-    tiers: list[DataFrame] = []
-    finest = (
-        events.groupBy(F.date_trunc(resolutions[0], F.col(ts)).alias("bucket"), key)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            # exact order-independent partial (see tumbling_agg); kept
-            # as decimal so coarser tiers re-aggregate it exactly
-            exact_scaled_sum(scaled_long("value"), 2).alias("__v"),
-        )
-    )
+    finest = _finest_partials(events, resolutions[0], ts, key)
     if materialize:
         finest = finest.persist()
-    tiers.append(finest)
+    out = _cascade(finest, resolutions, key)
+    return out.select(
+        "resolution",
+        "bucket",
+        key,
+        "n_events",
+        F.col("__v").cast("double").alias("total_value"),
+    )
+
+
+def _finest_partials(events: DataFrame, resolution: str, ts: str, key: str) -> DataFrame:
+    """Hourly-tier partials: (bucket, key, n_events, __v) — `__v` is the
+    exact decimal sum kept INTERNAL so coarser tiers (and incremental
+    refreshes) re-aggregate losslessly; the double cast happens only at
+    the public output boundary."""
+    return events.groupBy(F.date_trunc(resolution, F.col(ts)).alias("bucket"), key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # exact order-independent partial (see tumbling_agg)
+        exact_scaled_sum(scaled_long("value"), 2).alias("__v"),
+    )
+
+
+def _cascade(finest: DataFrame, resolutions: tuple[str, ...], key: str) -> DataFrame:
+    """Re-aggregate the finest-tier partials up the resolution ladder
+    and union all tiers as (resolution, bucket, key, n_events, __v)."""
+    tiers = [finest]
     for res in resolutions[1:]:
-        prev = tiers[-1]
         tiers.append(
-            prev.groupBy(F.date_trunc(res, F.col("bucket")).alias("bucket"), key)
+            tiers[-1]
+            .groupBy(F.date_trunc(res, F.col("bucket")).alias("bucket"), key)
             .agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("__v").cast("decimal(18,2)").alias("__v"),
@@ -177,10 +193,85 @@ def rollup_time(
             "bucket",
             key,
             F.col("n_events").cast("long").alias("n_events"),
-            F.col("__v").cast("double").alias("total_value"),
+            "__v",
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+def rollup_init(events: DataFrame, table_dir: str, *,
+                resolutions: tuple[str, ...] = ROLLUP_TIERS,
+                ts: str = "ts", key: str = "event_type") -> int:
+    """Materialize the full multi-resolution rollup of `events` as a
+    snapshot-versioned table (sources/versioned.py) and return the
+    committed version. The stored schema keeps the internal exact
+    decimal partial (`__v`) so later `rollup_refresh` calls fold new
+    data losslessly; read it back through `read_rollup`."""
+    from ..sources.versioned import commit_version
+
+    finest = _finest_partials(events, resolutions[0], ts, key).persist()
+    try:
+        return commit_version(_cascade(finest, resolutions, key), table_dir)
+    finally:
+        finest.unpersist()
+
+
+def rollup_refresh(spark, table_dir: str, new_events: DataFrame, *,
+                   resolutions: tuple[str, ...] = ROLLUP_TIERS,
+                   ts: str = "ts", key: str = "event_type") -> int:
+    """Fold a micro-batch into the persisted rollup WITHOUT re-scanning
+    historical raw data — the continuous-aggregate refresh:
+
+    1. aggregate the batch to finest-tier partials (the only work
+       proportional to the batch);
+    2. merge them into the stored finest tier (union + re-group — the
+       rollup table holds one row per (bucket, key), so this shuffle is
+       partial-sized, orders of magnitude below the raw table);
+    3. re-derive the coarser tiers from the merged finest partials and
+       commit the result as a NEW snapshot version (readers keep
+       snapshot isolation; a crash leaves the previous version live).
+
+    Counts and decimal partials are associative, so
+    init(b1) + refresh(b2) ≡ init(b1 ∪ b2) exactly (asserted in
+    tests/test_interval.py). Exactly-once is the caller's contract:
+    fold each batch once (foreachBatch epoch gating — the same
+    contract as pipeline/llm_corpus.curation_sink).
+    """
+    from ..sources.versioned import commit_version, read_latest
+
+    old = read_latest(spark, table_dir)
+    old_fin = old.filter(F.col("resolution") == resolutions[0]).select(
+        "bucket", key, "n_events", "__v"
+    )
+    delta_fin = _finest_partials(new_events, resolutions[0], ts, key)
+    merged_fin = (
+        old_fin.unionByName(delta_fin)
+        .groupBy("bucket", key)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__v").cast("decimal(18,2)").alias("__v"),
+        )
+        .persist()
+    )
+    try:
+        return commit_version(_cascade(merged_fin, resolutions, key), table_dir)
+    finally:
+        merged_fin.unpersist()
+
+
+def read_rollup(spark, table_dir: str, key: str = "event_type") -> DataFrame:
+    """Public view of a persisted rollup: the internal decimal partial
+    becomes `total_value` (double at the output boundary, matching
+    `rollup_time`'s live schema)."""
+    from ..sources.versioned import read_latest
+
+    return read_latest(spark, table_dir).select(
+        "resolution",
+        "bucket",
+        key,
+        "n_events",
+        F.col("__v").cast("double").alias("total_value"),
+    )
 
 
 def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:

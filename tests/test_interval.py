@@ -188,3 +188,40 @@ def test_rollup_scans_raw_once(spark):
     # subtree survives outside the three cache reads
     assert plan.count("InMemoryRelation") == 3, plan
     assert "LocalTableScan" not in plan.split("InMemoryRelation")[0], plan
+
+
+def test_rollup_incremental_refresh_exact(spark, events, tmp_path):
+    """init(batch1) + refresh(batch2) produces exactly the rollup of
+    batch1 ∪ batch2 — counts and decimal partials are associative, so
+    the incremental path is lossless. The refresh never re-aggregates
+    raw history: it merges the stored finest partials with the batch's
+    partials (both partial-sized)."""
+    from etl_football_analytics_pipeline_spark.streaming.windowed import (
+        read_rollup,
+        rollup_init,
+        rollup_refresh,
+    )
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        current_version,
+        read_version,
+    )
+
+    table = str(tmp_path / "rollup")
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)
+    v1 = rollup_init(b1, table)
+    v2 = rollup_refresh(spark, table, b2)
+    assert (v1, v2) == (1, 2) and current_version(table) == 2
+
+    def canon(df):
+        return sorted(
+            (r.resolution, str(r.bucket), r.event_type, r.n_events, r.total_value)
+            for r in df.collect()
+        )
+
+    assert canon(read_rollup(spark, table)) == canon(rollup_time(events))
+    # snapshot isolation: v1 is still the rollup of batch1 alone
+    old = read_version(spark, table, 1).withColumn(
+        "total_value", F.col("__v").cast("double")
+    ).drop("__v")
+    assert canon(old) == canon(rollup_time(b1))
