@@ -1,0 +1,235 @@
+"""Slowly-changing-dimension history (SCD Type 2) and snapshot CDC.
+
+The reference warehouse keeps dimensions current-state-only: its
+upserts overwrite attributes in place (`scr/Load.py:79-89`, ON
+CONFLICT DO UPDATE), so a team that changes stadium or a player that
+changes squad silently loses history. These operators add the
+warehouse-standard remedy on top of the same merge machinery:
+
+- `scd2_build` — derive a full Type-2 history (effective_from /
+  effective_to / is_current / version) from a change feed, collapsing
+  consecutive no-op changes;
+- `scd2_apply` — merge one new snapshot into an existing Type-2
+  dimension: close changed current rows, append their replacements,
+  open rows for brand-new keys;
+- `table_diff` — CDC between two table versions (e.g. two snapshots
+  of `sources.versioned`): one row per inserted / deleted / updated
+  key with both images, the change feed that drives incremental
+  downstream refresh.
+
+Scale shape: every operator is one hash shuffle on the dimension key
+(a window or a single full-outer join) — no driver state, no
+broadcast that grows with the table, no global window. Dimension keys
+are near-unique, so the per-key window partitions are tiny and skew
+is impossible by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_build", "scd2_apply", "table_diff"]
+
+
+def _attrs_differ(left_prefix: str, attr_cols: Sequence[str]) -> F.Column:
+    """True when any attribute differs (null-safe) between the row's
+    attrs and their `left_prefix`-prefixed counterparts."""
+    cond = F.lit(False)
+    for a in attr_cols:
+        cond = cond | ~F.col(a).eqNullSafe(F.col(f"{left_prefix}{a}"))
+    return cond
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Type-2 dimension history from a change feed.
+
+    `changes` carries one row per observed state (key, attrs, ts).
+    Output: one row per *distinct consecutive state* per key with
+
+      effective_from  — the ts the state first appeared,
+      effective_to    — the next state's ts (null while current),
+      is_current      — effective_to is null,
+      version         — 1-based change ordinal per key.
+
+    Consecutive rows with identical attrs collapse into one interval
+    (the standard SCD2 no-op-change rule). Ordering within a key is
+    (ts, tiebreak) so equal-timestamp feeds stay deterministic —
+    pass a unique tiebreak (e.g. the source row id) whenever ts can
+    tie.
+
+    One shuffle: every window below partitions by the key, so the
+    whole derivation is a single hash exchange on `key_cols` followed
+    by partition-local sorts. No global window, no driver state.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = changes
+    for a in attr_cols:
+        prev = prev.withColumn(f"__prev_{a}", F.lag(a).over(w))
+    # lag(ts) is null only on the key's first row (ts itself is
+    # non-null in a change feed), which distinguishes "first row" from
+    # "previous attr was genuinely null".
+    starts = (
+        prev.withColumn(
+            "__is_start",
+            F.lag(F.col(ts_col)).over(w).isNull() | _attrs_differ("__prev_", attr_cols),
+        )
+        .filter(F.col("__is_start"))
+        .drop("__is_start", *[f"__prev_{a}" for a in attr_cols])
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        starts.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .withColumn("version", F.row_number().over(w2))
+        # canonical dimension schema only — the feed's ts/tiebreak and
+        # any payload columns do not belong to the dimension row
+        .select(
+            *key_cols,
+            *attr_cols,
+            "effective_from",
+            "effective_to",
+            "is_current",
+            "version",
+        )
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    snapshot_ts,
+) -> DataFrame:
+    """Merge one new full snapshot into an existing Type-2 dimension.
+
+    `dim` has the scd2_build schema (key, attrs, effective_from,
+    effective_to, is_current, version); `snapshot` has (key, attrs)
+    observed at `snapshot_ts` (a literal or Column). Produces the
+    updated dimension:
+
+    - history rows (is_current = false) pass through untouched;
+    - current rows whose key is absent from the snapshot pass through
+      (absence is not deletion in SCD2 — the entity just wasn't
+      re-observed);
+    - current rows whose snapshot attrs are unchanged pass through;
+    - current rows whose attrs changed are CLOSED (effective_to =
+      snapshot_ts, is_current = false) and a new current row is
+      appended with version + 1;
+    - brand-new keys open at version 1.
+
+    ONE full-outer hash join between the current slice and the
+    snapshot covers every branch (changed / unchanged / unobserved /
+    brand-new key) — a single shuffle on `key_cols`, no second
+    anti-join pass over the dimension. Output column order matches
+    `dim`.
+    """
+    ts = snapshot_ts if isinstance(snapshot_ts, F.Column) else F.lit(snapshot_ts)
+    to_type = dict(dim.dtypes)["effective_to"]
+    history = dim.filter(~F.col("is_current"))
+    current = dim.filter(F.col("is_current"))
+    # markers tell apart "key absent from that side" from "attr is
+    # null" — attrs can be legitimately null on either side
+    snap = snapshot.select(
+        *key_cols, *[F.col(a).alias(f"__new_{a}") for a in attr_cols]
+    ).withColumn("__observed", F.lit(True))
+    j = current.withColumn("__existing", F.lit(True)).join(
+        snap, list(key_cols), "full_outer"
+    )
+    observed = F.col("__observed").isNotNull()
+    existing = F.col("__existing").isNotNull()
+    changed = existing & observed & _attrs_differ("__new_", attr_cols)
+    # unchanged current rows + rows for keys the snapshot didn't
+    # re-observe (absence is not deletion in SCD2)
+    unchanged_rows = j.filter(existing & ~changed).select(dim.columns)
+    closed_rows = (
+        j.filter(changed)
+        .withColumn("effective_to", ts)
+        .withColumn("is_current", F.lit(False))
+        .select(dim.columns)
+    )
+    replacement_rows = j.filter(changed).select(
+        *key_cols,
+        *[F.col(f"__new_{a}").alias(a) for a in attr_cols],
+        ts.alias("effective_from"),
+        F.lit(None).cast(to_type).alias("effective_to"),
+        F.lit(True).alias("is_current"),
+        (F.col("version") + 1).alias("version"),
+    ).select(dim.columns)
+    new_keys = j.filter(observed & ~existing).select(
+        *key_cols,
+        *[F.col(f"__new_{a}").alias(a) for a in attr_cols],
+        ts.alias("effective_from"),
+        F.lit(None).cast(to_type).alias("effective_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).cast("int").alias("version"),
+    ).select(dim.columns)
+    return (
+        history.unionByName(unchanged_rows)
+        .unionByName(closed_rows)
+        .unionByName(replacement_rows)
+        .unionByName(new_keys)
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC diff between two versions of a table.
+
+    One row per key whose presence or `compare_cols` image changed:
+
+      change_type — 'insert' (key only in new), 'delete' (key only in
+                    old), 'update' (present in both, any compare col
+                    differs null-safely);
+      old_<col> / new_<col> — both images (null on the absent side).
+
+    Unchanged keys are dropped. This is the feed `scd2_apply` and the
+    incremental-rollup refresh consume between warehouse snapshots
+    (pair with sources.versioned.read_version to diff time-travel
+    snapshots).
+
+    Scale: ONE full-outer hash join on the key — both sides shuffle
+    once, nothing is collected, and the output is bounded by the
+    churn, not the table. Column pruning keeps the scan at key +
+    compare cols.
+    """
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__in_new", F.lit(True))
+    j = o.join(n, list(key_cols), "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

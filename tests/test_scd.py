@@ -1,0 +1,122 @@
+"""SCD Type-2 history + snapshot CDC (operators/scd.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.scd import (
+    scd2_apply,
+    scd2_build,
+    table_diff,
+)
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day)
+
+
+def _feed(spark):
+    # key 1: A@1, A@2 (no-op, collapses), B@3, B@5 (no-op), A@7
+    # key 2: X@2 only
+    # key 3: null@1, Y@4  (null attr is a real state)
+    rows = [
+        (1, "A", _ts(1), 10),
+        (1, "A", _ts(2), 11),
+        (1, "B", _ts(3), 12),
+        (1, "B", _ts(5), 13),
+        (1, "A", _ts(7), 14),
+        (2, "X", _ts(2), 15),
+        (3, None, _ts(1), 16),
+        (3, "Y", _ts(4), 17),
+    ]
+    return spark.createDataFrame(rows, "k int, attr string, ts timestamp, src_id int")
+
+
+def test_scd2_build_collapses_and_orders(spark):
+    hist = scd2_build(_feed(spark), ["k"], ["attr"], "ts", "src_id")
+    got = {
+        (r.k, r.version): (r.attr, r.effective_from, r.effective_to, r.is_current)
+        for r in hist.collect()
+    }
+    assert got[(1, 1)] == ("A", _ts(1), _ts(3), False)
+    assert got[(1, 2)] == ("B", _ts(3), _ts(7), False)
+    assert got[(1, 3)] == ("A", _ts(7), None, True)
+    assert got[(2, 1)] == ("X", _ts(2), None, True)
+    assert got[(3, 1)] == (None, _ts(1), _ts(4), False)
+    assert got[(3, 2)] == ("Y", _ts(4), None, True)
+    assert len(got) == 6
+    # exactly one current row per key
+    cur = hist.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_build_equal_ts_tiebreak(spark):
+    rows = [(1, "B", _ts(1), 2), (1, "A", _ts(1), 1)]
+    feed = spark.createDataFrame(rows, "k int, attr string, ts timestamp, src_id int")
+    hist = scd2_build(feed, ["k"], ["attr"], "ts", "src_id")
+    got = {r.version: r.attr for r in hist.collect()}
+    assert got == {1: "A", 2: "B"}  # src_id breaks the ts tie
+
+
+def test_scd2_apply_closes_opens_and_passes_through(spark):
+    hist = scd2_build(_feed(spark), ["k"], ["attr"], "ts", "src_id")
+    snap = spark.createDataFrame(
+        [(1, "Z"), (3, "Y"), (9, "NEW")], "k int, attr string"
+    )  # k=1 changed, k=3 unchanged, k=2 unobserved, k=9 new
+    out = scd2_apply(hist, snap, ["k"], ["attr"], _ts(9))
+    rows = {(r.k, r.version): r for r in out.collect()}
+    assert len(rows) == 8  # 6 prior + 1 replacement + 1 new key
+    closed = rows[(1, 3)]
+    assert closed.attr == "A" and closed.effective_to == _ts(9) and not closed.is_current
+    opened = rows[(1, 4)]
+    assert opened.attr == "Z" and opened.effective_from == _ts(9) and opened.is_current
+    assert rows[(3, 2)].is_current and rows[(3, 2)].attr == "Y"  # unchanged
+    assert rows[(2, 1)].is_current  # unobserved key untouched
+    new = rows[(9, 1)]
+    assert new.attr == "NEW" and new.is_current and new.effective_from == _ts(9)
+    # idempotence: re-applying the same snapshot changes nothing
+    again = scd2_apply(out, snap, ["k"], ["attr"], _ts(10))
+    assert again.count() == out.count()
+    assert (
+        again.filter("is_current").count() == out.filter("is_current").count()
+    )
+
+
+def test_table_diff_images_and_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    d = {r.k: r for r in table_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert set(d) == {2, 4, 5}  # 1 and 3 (null-safe equal) unchanged
+    assert d[2].change_type == "update" and d[2].old_s == "b" and d[2].new_s == "B"
+    assert d[4].change_type == "delete" and d[4].new_s is None and d[4].old_v == 4.0
+    assert d[5].change_type == "insert" and d[5].old_s is None and d[5].new_v == 5.0
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """The history build is one hash exchange on the key."""
+    feed = _feed(spark)
+    plan = scd2_build(feed, ["k"], ["attr"], "ts", "src_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_table_diff_prunes_columns(spark, sf_dir):
+    """Only key + compare columns reach the parquet scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0)
+    new = orders.filter(F.col("o_orderkey") % 2 == 0)
+    plan = (
+        table_diff(old, new, ["o_orderkey"], ["o_orderstatus"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "o_totalprice" not in plan
