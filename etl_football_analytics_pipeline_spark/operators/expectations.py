@@ -1,0 +1,103 @@
+"""Data-quality expectations: declarative rules → valid / quarantine
+splits and a per-rule violation report, all in one scan.
+
+The reference's quality layer is implicit — malformed-row drops during
+CSV ingest (`scr/Transform.py:60-75`, modeled by plans/coverage S4)
+and the FK audit join (`scr/Load.py:210-239`, J8/A11). This module
+generalizes both into the expectations pattern (the shape Delta Live
+Tables / Great Expectations standardized): a rule is a named boolean
+Column; rows failing any rule are quarantined with the list of rules
+they failed; a report counts violations per rule.
+
+Null semantics: a rule PASSES only when its predicate evaluates to
+TRUE — a null predicate (e.g. `col > 0` on a null) counts as a
+violation, matching DQ-tool convention rather than SQL CHECK's
+null-passes convention. Write `col.isNull() | (col > 0)` to opt out
+per rule.
+
+Scale shape: everything is computed from ONE projection that attaches
+the violation array to each row — no per-rule pass, no join, no
+shuffle for the splits (narrow filters), and the report is a single
+map-side-combined global aggregate (one row per task reaches the
+exchange) unpivoted to (rule, n_violations) rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_violations", "expect_split", "expect_report"]
+
+VIOLATIONS_COL = "violations"
+
+
+def _violation_array(rules: Mapping[str, F.Column]) -> F.Column:
+    """Array of names of failed rules (null-as-violation semantics),
+    empty when the row passes everything."""
+    tagged = [
+        F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+        for name, pred in rules.items()
+    ]
+    return F.array_compact(F.array(*tagged))
+
+
+def with_violations(df: DataFrame, rules: Mapping[str, F.Column]) -> DataFrame:
+    """df plus a `violations: array<string>` column naming every rule
+    the row fails. Pure projection — zero shuffle."""
+    return df.withColumn(VIOLATIONS_COL, _violation_array(rules))
+
+
+def expect_split(
+    df: DataFrame, rules: Mapping[str, F.Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine): valid rows drop the violations column,
+    quarantined rows keep it for triage. Two narrow filters over the
+    same tagged projection — Catalyst shares the scan when both sides
+    are consumed in one action, and either side alone reads the
+    source exactly once."""
+    tagged = with_violations(df, rules)
+    valid = tagged.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
+    quarantine = tagged.filter(F.size(VIOLATIONS_COL) > 0)
+    return valid, quarantine
+
+
+def expect_report(df: DataFrame, rules: Mapping[str, F.Column]) -> DataFrame:
+    """One row per rule: (rule, n_violations, n_checked, pass_rate).
+
+    Single global aggregate — each rule folds to one SUM(CASE) slot,
+    so the scan emits ONE partial row per task regardless of input
+    size, and the unpivot to per-rule rows runs on that single merged
+    row. Adding rules widens the row, never adds passes.
+    """
+    names = list(rules)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(rules[n], F.lit(False)), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"__v_{i}")
+        for i, n in enumerate(names)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rule"), F.col(f"__v_{i}").alias("n_violations")
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"), F.col("__n").alias("n_checked"))
+        .select(
+            F.col("p.rule").alias("rule"),
+            F.col("p.n_violations").alias("n_violations"),
+            "n_checked",
+            F.round(
+                (F.col("n_checked") - F.col("p.n_violations"))
+                / F.col("n_checked").cast("double"),
+                6,
+            ).alias("pass_rate"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Data-quality expectations (operators/expectations.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.expectations import (
+    expect_report,
+    expect_split,
+    with_violations,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "B"),   # fails positive
+            (3, None, "A"),   # fails positive (null-as-violation)
+            (4, 3.0, "Z"),    # fails known_kind
+            (5, -1.0, None),  # fails positive + known_kind
+        ],
+        "id int, v double, kind string",
+    )
+
+
+def _rules():
+    # built lazily: pyspark 4 Column construction needs an active session
+    return {
+        "positive": F.col("v") > 0,
+        "known_kind": F.col("kind").isin("A", "B"),
+    }
+
+
+def test_violation_tagging(spark):
+    got = {
+        r.id: sorted(r.violations)
+        for r in with_violations(_df(spark), _rules()).collect()
+    }
+    assert got == {
+        1: [],
+        2: ["positive"],
+        3: ["positive"],
+        4: ["known_kind"],
+        5: ["known_kind", "positive"],
+    }
+
+
+def test_split(spark):
+    valid, quarantine = expect_split(_df(spark), _rules())
+    assert [r.id for r in valid.orderBy("id").collect()] == [1]
+    assert "violations" not in valid.columns
+    assert sorted(r.id for r in quarantine.collect()) == [2, 3, 4, 5]
+
+
+def test_report(spark):
+    rep = {r.rule: r for r in expect_report(_df(spark), _rules()).collect()}
+    assert rep["positive"].n_violations == 3
+    assert rep["known_kind"].n_violations == 2
+    assert all(r.n_checked == 5 for r in rep.values())
+    assert rep["positive"].pass_rate == 0.4
+
+
+def test_null_optout(spark):
+    rules = {"positive_or_null": F.col("v").isNull() | (F.col("v") > 0)}
+    rep = expect_report(_df(spark), rules).collect()[0]
+    assert rep.n_violations == 2  # only the genuinely negative rows
+
+
+def test_report_plan_is_single_partial_agg(spark, sf_dir):
+    """The report folds to one partial-agg row per task: two
+    HashAggregates around one (AQE-coalesced) exchange, no window,
+    no join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rules = {
+        "qty_range": F.col("l_quantity").between(1, 50),
+        "disc_range": F.col("l_discount").between(0, 1),
+    }
+    plan = expect_report(li, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "Window" not in plan
