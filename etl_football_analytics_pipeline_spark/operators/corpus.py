@@ -277,3 +277,113 @@ def _pack_bucketed(
         F.floor(pos / seq_len).cast("long").alias("seq_id"),
         (pos % seq_len).cast("long").alias("seq_offset"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    word-token windows of `chunk_size` tokens advancing by
+    `chunk_size - overlap` — the retrieval/embedding preprocessing
+    step (chunk → embed → ANN-index, feeding operators.similarity).
+
+    Output: (id, chunk_id, chunk_text, n_tokens) with chunk_id 0-based
+    in document order. Every document emits at least one chunk (short
+    and empty docs yield one chunk with whatever tokens exist), the
+    final chunk may be short, and a document's token stream is exactly
+    reconstructable from its chunks minus the overlaps.
+
+    Pure narrow plan: whitespace-split → posexplode over a
+    `sequence()` of chunk starts → `slice` + `array_join`. Zero
+    shuffle, zero UDFs; chunking 100 TB is embarrassingly parallel
+    and this plan keeps it that way.
+    """
+    if chunk_size <= 0 or overlap < 0 or overlap >= chunk_size:
+        raise ValueError("need chunk_size > 0 and 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # trim('') splits to [''] — treat as zero tokens
+    n_words = F.when(
+        (F.size(words) == 1) & (F.element_at(words, 1) == ""), F.lit(0)
+    ).otherwise(F.size(words))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n_words - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("__w"),
+            n_words.alias("__nw"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__w"), F.col("__start") * stride + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_size), F.col("__nw") - F.col("__start") * stride
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    k: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACT-size stratified sample: the k rows of each stratum whose
+    md5(salt:id) keys are smallest — deterministic across runs,
+    engines, partitionings, and cluster sizes (hash_sample's seedless
+    membership idea, upgraded from a fraction to an exact per-stratum
+    count; different salts draw independent samples).
+
+    Scale shape: the naive plan is one row_number window per stratum —
+    correct, but a giant stratum funnels through a single partition's
+    sort. This plan puts a partition-local Arrow combiner in front:
+    each input partition keeps only its own k smallest keys per
+    stratum (bounded state: k rows x strata per partition), so the
+    window's exchange carries at most k x num_partitions rows per
+    stratum instead of the stratum itself. The combiner never changes
+    the answer — a row in the global top-k is in its partition's
+    top-k — and the final window runs on the reduced set.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow combiner only
+
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    tagged = df.withColumn("__sk", key)
+    schema = tagged.schema
+
+    def local_topk(batches):
+        best: dict[object, pd.DataFrame] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pool = (
+                pd.concat([*best.values(), pdf], ignore_index=True)
+                if best
+                else pdf
+            )
+            best = {
+                s: g.sort_values("__sk", kind="stable").head(k)
+                for s, g in pool.groupby(stratum_col, dropna=False, sort=False)
+            }
+        if best:
+            yield pd.concat(best.values(), ignore_index=True)
+
+    reduced = tagged.mapInPandas(local_topk, schema)
+    w = Window.partitionBy(stratum_col).orderBy(F.asc("__sk"))
+    return (
+        reduced.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__sk", "__rn")
+    )

@@ -1,0 +1,103 @@
+"""Document chunking + exact stratified sampling (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    stratified_sample,
+)
+
+
+def test_chunk_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = {
+        r.chunk_id: (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=1).collect()
+    }
+    # stride 3: starts 0,3,6,9 → ceil((10-1)/3)=3 chunks
+    assert got == {
+        0: ("w0 w1 w2 w3", 4),
+        1: ("w3 w4 w5 w6", 4),
+        2: ("w6 w7 w8 w9", 4),
+    }
+    # reconstruction: drop each later chunk's overlap prefix
+    tokens = got[0][0].split()
+    for cid in (1, 2):
+        tokens += got[cid][0].split()[1:]
+    assert tokens == text.split()
+
+
+def test_chunk_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   ")], "doc_id int, text string"
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=1).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 3  # one chunk each
+    assert by_doc[1].chunk_text == "a b" and by_doc[1].n_tokens == 2
+    assert by_doc[2].chunk_text == "" and by_doc[2].n_tokens == 0
+    assert by_doc[3].chunk_text == "" and by_doc[3].n_tokens == 0
+
+
+def test_chunk_exact_boundary(spark):
+    # exactly chunk_size tokens → one chunk, not an empty trailing one
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    rows = chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=2).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 4
+
+
+def test_chunk_validates_params(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_chunk_plan_is_narrow(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        chunk_documents(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # zero shuffle
+
+
+def test_stratified_sample_exact_and_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = stratified_sample(docs, "doc_id", "source", k=7)
+    sizes = {r.source: r["count"] for r in got.groupBy("source").count().collect()}
+    full = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    for s, n in full.items():
+        assert sizes[s] == min(7, n)
+    # combiner must not change the answer: compare against the naive
+    # single-window reference computed driver-side
+    ids = sorted(r.doc_id for r in got.collect())
+    rows = docs.select("doc_id", "source").collect()
+    by_stratum: dict[str, list[tuple[str, int]]] = {}
+    for r in rows:
+        h = hashlib.md5(f"strat:{r.doc_id}".encode()).hexdigest()
+        by_stratum.setdefault(r.source, []).append((h, r.doc_id))
+    expect = sorted(
+        d for pairs in by_stratum.values() for _, d in sorted(pairs)[:7]
+    )
+    assert ids == expect
+    # repartitioning the input changes nothing
+    again = stratified_sample(docs.repartition(13), "doc_id", "source", k=7)
+    assert sorted(r.doc_id for r in again.collect()) == ids
+
+
+def test_stratified_sample_keeps_all_columns(spark):
+    df = spark.createDataFrame(
+        [(i, "s" if i % 2 else "t", f"p{i}") for i in range(40)],
+        "id int, grp string, payload string",
+    )
+    out = stratified_sample(df, "id", "grp", k=3)
+    assert set(out.columns) == {"id", "grp", "payload"}
+    assert out.count() == 6
