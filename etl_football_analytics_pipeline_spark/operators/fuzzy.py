@@ -1,0 +1,105 @@
+"""Blocked fuzzy string matching: edit-distance near-dup pairs.
+
+The reference canonicalizes entity names through hand-maintained
+dictionaries (`scr/Transform.py:137-176` team-name maps — modeled by
+plans/coverage X3). That only catches spellings someone already saw.
+This operator finds the *unknown* variants: pairs of names within a
+bounded Levenshtein distance, discovered at corpus scale via blocking
+— the classic entity-resolution step (and, over document titles/URLs,
+another near-dup signal alongside the MinHash/SimHash family).
+
+Blocking semantics are EXPLICIT, not heuristic hand-waving: candidate
+pairs are exactly those sharing at least one block key (the union
+over `blocks` expressions evaluated on the normalized name), then
+every candidate is verified with the exact Levenshtein distance.
+Recall therefore equals block-design recall — e.g. with the default
+prefix+suffix blocks, a single typo in the middle of a name is always
+caught, while simultaneous head-and-tail edits are not; callers
+needing guarantees supply blocks matching their invariant (the
+PassJoin segment family slots straight in as `blocks`). Everything is
+deterministic, so the whole operator is SQL-expressible and fully
+value-oracled.
+
+Scale shape: block keys fan out map-side (one unioned projection),
+candidates come from a `shuffle_hash` equi-join on (block_idx, key) —
+never a corpus broadcast, never a cartesian — pairs dedup BEFORE the
+verify, and `max_block_size` drops degenerate hot keys (e.g. an empty
+name) with an aggregate-and-semi-join guard whose cost is one extra
+hash agg over the key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["default_blocks", "fuzzy_pairs"]
+
+
+def default_blocks(width: int = 4) -> list[Callable[[F.Column], F.Column]]:
+    """Prefix + suffix blocks: catch any single interior edit run —
+    two names within distance d share an unedited head or tail
+    whenever all edits fall in one half, and `width` chars of it
+    survive as a shared key for names longer than width + d."""
+    return [
+        lambda c: F.substring(c, 1, width),
+        lambda c: F.substring(F.reverse(c), 1, width),
+    ]
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    blocks: Sequence[Callable[[F.Column], F.Column]] | None = None,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) whose normalized names share a block key
+    and sit within Levenshtein `max_dist`.
+
+    Output: (id_a, id_b, name_a, name_b, dist), dedup'd across blocks.
+    Normalization is lower(trim(.)); distance is on normalized names.
+    `max_block_size` (optional) excludes block keys matching more than
+    that many names — the skew guard for degenerate keys; exclusion is
+    deterministic and part of the operator's contract, so oracles
+    reproduce it with GROUP BY/HAVING.
+    """
+    block_fns = list(blocks) if blocks is not None else default_blocks()
+    norm = F.lower(F.trim(F.col(name_col)))
+    base = df.select(F.col(id_col).alias("__id"), norm.alias("__name"))
+    keyed = None
+    for i, fn in enumerate(block_fns):
+        part = base.select(
+            "__id", "__name", F.lit(i).alias("__bidx"), fn(F.col("__name")).alias("__bkey")
+        )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    keyed = keyed.filter(F.col("__bkey").isNotNull())
+    if max_block_size is not None:
+        small = (
+            keyed.groupBy("__bidx", "__bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_block_size)
+            .select("__bidx", "__bkey")
+        )
+        keyed = keyed.join(small, ["__bidx", "__bkey"], "left_semi")
+    a = keyed.select(
+        F.col("__id").alias("id_a"), F.col("__name").alias("name_a"), "__bidx", "__bkey"
+    )
+    b = keyed.select(
+        F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), "__bidx", "__bkey"
+    )
+    cand = (
+        a.hint("shuffle_hash")
+        .join(b, ["__bidx", "__bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

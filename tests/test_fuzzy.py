@@ -1,0 +1,98 @@
+"""Blocked fuzzy matching (operators/fuzzy.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.fuzzy import (
+    default_blocks,
+    fuzzy_pairs,
+)
+
+
+def _names(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Manchester United"),
+            (2, "Manchester Utd"),       # suffix edit, shares prefix
+            (3, "manchester united "),   # normalizes to 1 → dist 0
+            (4, "Mancester United"),     # interior typo, shares both blocks
+            (5, "Liverpool"),
+            (6, "Liverpol"),             # deletion, shares prefix
+            (7, "XXiverpool"),           # head edits, shares suffix
+        ],
+        "id int, name string",
+    )
+
+
+def test_finds_expected_pairs(spark):
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(_names(spark), "id", "name", max_dist=3).collect()
+    }
+    assert got[(1, 3)] == 0  # normalization collapses case/trailing space
+    assert got[(1, 4)] == 1
+    assert got[(5, 6)] == 1
+    assert got[(5, 7)] == 2  # caught by the SUFFIX block
+    assert (1, 5) not in got and (1, 2) in got
+
+
+def test_blocking_bounds_candidates(spark):
+    # names sharing neither 4-prefix nor 4-suffix are never candidates,
+    # even within max_dist — documented block-design recall
+    df = spark.createDataFrame(
+        [(1, "abcdWXYZ"), (2, "abXdWXeZ")], "id int, name string"
+    )
+    # dist('abcdwxyz','abxdwxez') = 2 ≤ max_dist, but prefix blocks
+    # 'abcd' != 'abxd' and suffix blocks 'zyxw' != 'zexw' → never a
+    # candidate: blocking recall is the contract, not a bug
+    assert fuzzy_pairs(df, "id", "name", max_dist=3).count() == 0
+    # a block design matching the invariant (here: chars 4..6 'dwx'
+    # untouched in both) recovers the pair
+    mid = [lambda c: F.substring(c, 4, 3)]
+    got = fuzzy_pairs(df, "id", "name", max_dist=3, blocks=mid).collect()
+    assert len(got) == 1 and got[0].dist == 2
+
+
+def test_max_block_size_drops_hot_keys(spark):
+    rows = [(i, f"same{i % 2}") for i in range(20)] + [(100, "uniq"), (101, "uniqX")]
+    df = spark.createDataFrame(rows, "id int, name string")
+    out = fuzzy_pairs(df, "id", "name", max_dist=2, max_block_size=5).collect()
+    # the 'same*' keys blow the cap and are excluded; the uniq pair stays
+    assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
+
+
+def test_no_cartesian_and_shuffle_hash(spark, sf_dir):
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    plan = (
+        fuzzy_pairs(sup, "s_suppkey", "s_name", max_dist=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_supplier_names_ground_truth(spark, sf_dir):
+    """Supplier names are 'Supplier#NNNNNNNNN' — every pair differing
+    in ≤1 digit positions is within dist 1 and shares the 4-prefix
+    block, so recall here is total."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").limit(60)
+    got = fuzzy_pairs(sup, "s_suppkey", "s_name", max_dist=1)
+    names = {r.s_suppkey: r.s_name.lower().strip() for r in sup.collect()}
+    import itertools
+
+    def lev1(x, y):
+        if x == y:
+            return True
+        if len(x) == len(y):
+            return sum(a != b for a, b in zip(x, y)) <= 1
+        return False  # equal-length ids here
+
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev1(names[a], names[b])
+    }
+    assert {(r.id_a, r.id_b) for r in got.collect()} == expect
