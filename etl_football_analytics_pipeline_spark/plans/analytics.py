@@ -26,66 +26,66 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "w1_rank_standings",
+    "w_window_suite",
     oracle="""
-    SELECT c_nationkey,
-           c_custkey,
-           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
-           RANK()       OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_rank,
-           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_dense_rank,
-           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC) AS bal_row_number
+    SELECT 'rank' AS part, CAST(c_nationkey AS BIGINT) AS k1, c_custkey AS k2,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS v1,
+           RANK()       OVER w AS n1,
+           DENSE_RANK() OVER w AS n2,
+           ROW_NUMBER() OVER w AS n3
     FROM customer
     WHERE c_custkey <= 1500
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey ASC)
+    UNION ALL
+    SELECT 'rolling' AS part, o_custkey AS k1, o_orderkey AS k2,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER r AS DECIMAL(18,2)) AS DOUBLE) AS v1,
+           COUNT(*) OVER r AS n1,
+           CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3
+    FROM orders WHERE o_custkey <= 300
+    WINDOW r AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
 )
-def w1_rank_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 standings semantics — league-table ranking
-    (`scr/ui.py:53-71` orders by Rank the reference scraped as data;
-    here rank is computed: rank/dense_rank/row_number over
-    partitionBy(group).orderBy(desc(metric), tiebreak))."""
+def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 windows — ranking + rolling frames, one suite.
+
+    - part='rank': league-table ranking (`scr/ui.py:53-71` orders by
+      Rank the reference scraped as data; here rank is computed:
+      rank/dense_rank/row_number over
+      partitionBy(group).orderBy(desc(metric), tiebreak));
+    - part='rolling': last-5 rolling frame (`rowsBetween(-4, 0)`;
+      reference scrapes `Recent_Form` at `scr/Extract.py:166-174`,
+      dashboard reads last-5 at `scr/ui.py:272-292`).
+    """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1500)
     bal = dec("c_acctbal")
     w = Window.partitionBy("c_nationkey").orderBy(bal.desc(), F.asc("c_custkey"))
-    return cust.select(
-        "c_nationkey",
-        "c_custkey",
-        bal.cast("double").alias("acctbal"),
-        F.rank().over(w).cast("long").alias("bal_rank"),
-        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
-        F.row_number().over(w).cast("long").alias("bal_row_number"),
+    rank = cust.select(
+        F.lit("rank").alias("part"),
+        F.col("c_nationkey").cast("long").alias("k1"),
+        F.col("c_custkey").alias("k2"),
+        bal.cast("double").alias("v1"),
+        F.rank().over(w).cast("long").alias("n1"),
+        F.dense_rank().over(w).cast("long").alias("n2"),
+        F.row_number().over(w).cast("long").alias("n3"),
     )
-
-
-@query(
-    "w2_rolling_recent_form",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS rolling_5_spend,
-           COUNT(*) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_5_n
-    FROM orders WHERE o_custkey <= 300
-    """,
-)
-def w2_rolling_recent_form(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 recent-form semantics — last-5 rolling frame
-    (`rowsBetween(-4, 0)`; reference scrapes `Recent_Form` as data at
-    `scr/Extract.py:166-174`, dashboard reads last-5 at
-    `scr/ui.py:272-292`)."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
-    w = (
+    r = (
         Window.partitionBy("o_custkey")
         .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(-4, 0)
     )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(dec("o_totalprice")).over(w).cast("decimal(18,2)").cast("double").alias("rolling_5_spend"),
-        F.count(F.lit(1)).over(w).alias("rolling_5_n"),
+    rolling = orders.select(
+        F.lit("rolling").alias("part"),
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.sum(dec("o_totalprice")).over(r).cast("decimal(18,2)").cast("double").alias("v1"),
+        F.count(F.lit(1)).over(r).alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
     )
+    return rank.unionByName(rolling)
 
 
 @query(

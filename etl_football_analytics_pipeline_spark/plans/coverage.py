@@ -83,7 +83,7 @@ def x3_dict_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f6_numeric_parseable",
+    "cast_parse_suite",
     oracle="""
     WITH mixed AS (
       SELECT o_orderkey,
@@ -91,14 +91,30 @@ def x3_dict_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE string_split(o_orderpriority, '-')[1] END AS rank_raw
       FROM orders
     )
-    SELECT o_orderkey, CAST(rank_raw AS BIGINT) AS rank_num
+    SELECT 'parseable' AS part, o_orderkey AS k,
+           CAST(NULL AS VARCHAR) AS dt,
+           CAST(rank_raw AS BIGINT) AS n1, CAST(NULL AS DOUBLE) AS v1
     FROM mixed WHERE TRY_CAST(rank_raw AS BIGINT) IS NOT NULL
+    UNION ALL
+    SELECT 'lenient' AS part, event_id AS k,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+           TRY_CAST(props AS BIGINT) AS n1,
+           TRY_CAST(event_type AS DOUBLE) AS v1
+    FROM events WHERE event_id <= 2000
     """,
 )
-def f6_numeric_parseable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 + N2 — keep rows whose string parses as a number, then cast
-    (the reference's Rank fallback, `scr/Transform.py:779-785`): a
-    mixed column of digits and letters; `try_cast` NULL rows drop."""
+def cast_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/N2 + D1/N1 — the parse/cast layer, one suite.
+
+    - part='parseable': keep rows whose string parses as a number,
+      then cast (the reference's Rank fallback,
+      `scr/Transform.py:779-785`) — a mixed column of digits and
+      letters; `try_cast` NULL rows drop;
+    - part='lenient': date derivation and lenient casts where invalid
+      input yields NULL (`pd.to_numeric(errors='coerce')`,
+      `scr/Transform.py:122,261`; date parse `:358-359`). Spark's
+      try_cast has coerce semantics natively (≡ DuckDB TRY_CAST).
+    """
     orders = _t(spark, sf_dir, "orders")
     mixed = orders.withColumn(
         "rank_raw",
@@ -106,11 +122,26 @@ def f6_numeric_parseable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("o_orderpriority"), "-").getItem(0)
         ),
     )
-    return (
-        mixed.withColumn("rank_num", F.col("rank_raw").try_cast("long"))
-        .filter(F.col("rank_num").isNotNull())
-        .select("o_orderkey", "rank_num")
+    parseable = (
+        mixed.withColumn("n1", F.col("rank_raw").try_cast("long"))
+        .filter(F.col("n1").isNotNull())
+        .select(
+            F.lit("parseable").alias("part"),
+            F.col("o_orderkey").alias("k"),
+            F.lit(None).cast("string").alias("dt"),
+            "n1",
+            F.lit(None).cast("double").alias("v1"),
+        )
     )
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    lenient = ev.select(
+        F.lit("lenient").alias("part"),
+        F.col("event_id").alias("k"),
+        F.col("ts").cast("date").cast("string").alias("dt"),
+        F.col("props").try_cast("long").alias("n1"),
+        F.col("event_type").try_cast("double").alias("v1"),
+    )
+    return parseable.unionByName(lenient)
 
 
 # ---------------------------------------------------------------------------

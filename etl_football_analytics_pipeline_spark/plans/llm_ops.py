@@ -750,11 +750,21 @@ _SPLIT_CASE = """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' 
       SELECT 'sample' AS part, source AS key,
              COUNT(*) AS n1, CAST(SUM(n_tokens) AS DOUBLE) AS v1
       FROM samp JOIN toks USING (doc_id) GROUP BY source
+    ), strat_part AS (
+      SELECT 'strat' AS part, CAST(doc_id AS VARCHAR) AS key,
+             n_chars AS n1, CAST(NULL AS DOUBLE) AS v1
+      FROM (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC) AS rn
+        FROM documents
+      ) WHERE rn <= 50
     )
     SELECT * FROM split_part
     UNION ALL SELECT * FROM decontam_part
     UNION ALL SELECT * FROM pack_part
     UNION ALL SELECT * FROM sample_part
+    UNION ALL SELECT * FROM strat_part
     """,
 )
 def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,13 +788,18 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       mixture_sample — keep all of src0, half of src1, a quarter of
       every other source via seedless md5-threshold membership; one
       literal-CASE map over the scan, no RNG, no shuffle) with
-      per-surviving-domain doc and token accounting.
+      per-surviving-domain doc and token accounting;
+    - part='strat': EXACT-size stratified sample, 50 docs per source
+      (operators.corpus.stratified_sample — k smallest md5(salt:id)
+      keys per stratum; the partition-local Arrow combiner bounds the
+      window exchange and provably cannot change the answer).
     """
     from ..operators.corpus import (
         deterministic_split,
         mixture_sample,
         ngram_containment,
         pack_sequences,
+        stratified_sample,
         whitespace_token_counts,
     )
 
@@ -828,10 +843,60 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("sample").alias("part"), "key", "n1", "v1")
     )
+    strat_part = stratified_sample(docs, "doc_id", "source", k=50).select(
+        F.lit("strat").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_chars").alias("n1"),
+        F.lit(None).cast("double").alias("v1"),
+    )
     return (
         split_part.unionByName(decontam_part)
         .unionByName(pack_part)
         .unionByName(sample_part)
+        .unionByName(strat_part)
     )
 
 
+
+
+@query(
+    "doc_chunk_suite",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), nw AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS n
+      FROM w
+    ), nc AS (
+      SELECT doc_id, w, n,
+             GREATEST(1, CAST(CEIL((n - 16) / 48.0) AS INTEGER)) AS n_chunks
+      FROM nw
+    ), st AS (
+      SELECT doc_id, w, n, UNNEST(generate_series(0, n_chunks - 1)) AS cid FROM nc
+    )
+    SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+           md5(array_to_string(w[cid * 48 + 1 : cid * 48 + 64], ' ')) AS chunk_md5,
+           CAST(LEAST(64, n - cid * 48) AS INTEGER) AS n_tokens
+    FROM st
+    """,
+)
+def doc_chunk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators.corpus.
+    chunk_documents): 64-token windows, 16-token overlap — the
+    retrieval/embedding preprocessing step upstream of the ANN
+    operators. Value-checked to the byte: the oracle recomputes every
+    chunk's md5 from DuckDB's own list slicing, so window boundaries,
+    overlap arithmetic, short-doc and empty-doc edges all hash-match.
+    Plan is pure narrow (split → posexplode over chunk starts → slice)
+    — zero shuffle, zero UDFs."""
+    from ..operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_size=64, overlap=16
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )

@@ -1,0 +1,264 @@
+"""Registry entries for the warehouse-history and data-quality layers:
+SCD Type-2 + snapshot CDC, declarative expectations, and blocked fuzzy
+matching — every leg fully value-oracled (no RNG, no hash seeds the
+oracle can't mirror).
+
+These extend the reference's warehouse semantics the way production
+deployments do: its dims are current-state-only (`scr/Load.py:79-89`
+overwrites in place), its quality checks are implicit (malformed-row
+drops + the FK audit), and its name canonicalization is a static
+dictionary (`scr/Transform.py:137-176`). SCD2 adds history, the
+expectations suite generalizes the checks, fuzzy matching finds the
+name variants no dictionary anticipated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import dec
+from ..operators.expectations import expect_report, with_violations
+from ..operators.fuzzy import fuzzy_pairs
+from ..operators.scd import scd2_build, table_diff
+from ..sources.registry import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "warehouse_history_suite",
+    oracle="""
+    WITH feed AS (
+      SELECT o_custkey AS k, o_orderstatus AS attr, o_orderdate AS ts, o_orderkey AS tb
+      FROM orders WHERE o_custkey <= 2000
+    ), prev AS (
+      SELECT k, attr, ts, tb,
+             LAG(attr) OVER w AS pattr, LAG(ts) OVER w AS pts
+      FROM feed WINDOW w AS (PARTITION BY k ORDER BY ts ASC, tb ASC)
+    ), starts AS (
+      SELECT * FROM prev WHERE pts IS NULL OR attr IS DISTINCT FROM pattr
+    ), hist AS (
+      SELECT k, attr, ts,
+             LEAD(ts) OVER w2 AS eff_to,
+             ROW_NUMBER() OVER w2 AS version
+      FROM starts WINDOW w2 AS (PARTITION BY k ORDER BY ts ASC, tb ASC)
+    ), old AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), diff AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.status IS DISTINCT FROM n.status
+                       OR o.price IS DISTINCT FROM n.price THEN 'update' END AS change_type,
+             o.status AS old_status, n.status AS new_status,
+             o.price AS old_price, n.price AS new_price
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT 'scd2' AS part, k AS k1, CAST(version AS BIGINT) AS k2,
+           attr AS s1, CAST(ts AS VARCHAR) AS s2, CAST(eff_to AS VARCHAR) AS s3,
+           CASE WHEN eff_to IS NULL THEN 1.0 ELSE 0.0 END AS v1,
+           CAST(NULL AS DOUBLE) AS v2
+    FROM hist
+    UNION ALL
+    SELECT 'cdc' AS part, k AS k1, CAST(NULL AS BIGINT) AS k2,
+           change_type AS s1, old_status AS s2, new_status AS s3,
+           old_price AS v1, new_price AS v2
+    FROM diff WHERE change_type IS NOT NULL
+    """,
+)
+def warehouse_history_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 + snapshot CDC (operators/scd.py), one suite.
+
+    - part='scd2': full Type-2 history of each customer's order-status
+      state over time (scd2_build: one key-partitioned window pass,
+      consecutive no-op changes collapse, effective_from/to + version);
+    - part='cdc': insert/update/delete change rows between two
+      simulated warehouse snapshots of orders (table_diff: ONE
+      full-outer hash join, null-safe compares, output bounded by the
+      churn). The snapshots reuse the merge-suite convention of
+      carving old/new from orders by key predicates.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    feed = orders.filter(F.col("o_custkey") <= 2000).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderstatus").alias("attr"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    hist = scd2_build(feed, ["k"], ["attr"], "ts", "tb")
+    scd2 = hist.select(
+        F.lit("scd2").alias("part"),
+        F.col("k").alias("k1"),
+        F.col("version").cast("long").alias("k2"),
+        F.col("attr").alias("s1"),
+        F.col("effective_from").cast("string").alias("s2"),
+        F.col("effective_to").cast("string").alias("s3"),
+        F.when(F.col("is_current"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        dec("o_totalprice").cast("double").alias("price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        (
+            dec("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("price"),
+    )
+    cdc = table_diff(old, new, ["o_orderkey"], ["status", "price"]).select(
+        F.lit("cdc").alias("part"),
+        F.col("o_orderkey").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("change_type").alias("s1"),
+        F.col("old_status").alias("s2"),
+        F.col("new_status").alias("s3"),
+        F.col("old_price").alias("v1"),
+        F.col("new_price").alias("v2"),
+    )
+    return scd2.unionByName(cdc)
+
+
+# rule order matters: the quarantine leg joins violation names in
+# DEFINITION order, and the oracle's concat_ws mirrors it
+_DQ_RULES = (
+    ("qty_le_25", "l_quantity <= 25"),
+    ("discount_le_5pct", "l_discount <= 0.05"),
+    ("flag_not_returned", "l_returnflag <> 'R'"),
+    ("shipped_by_1997", "YEAR(l_shipdate) <= 1997"),
+)
+
+
+@query(
+    "dq_expectations_suite",
+    oracle=f"""
+    WITH t AS (
+      SELECT (NOT COALESCE({_DQ_RULES[0][1]}, FALSE)) AS v0,
+             (NOT COALESCE({_DQ_RULES[1][1]}, FALSE)) AS v1x,
+             (NOT COALESCE({_DQ_RULES[2][1]}, FALSE)) AS v2x,
+             (NOT COALESCE({_DQ_RULES[3][1]}, FALSE)) AS v3x
+      FROM lineitem
+    ), rep AS (
+      SELECT '{_DQ_RULES[0][0]}' AS rule, SUM(CASE WHEN v0 THEN 1 ELSE 0 END) AS nv, COUNT(*) AS nc FROM t
+      UNION ALL
+      SELECT '{_DQ_RULES[1][0]}', SUM(CASE WHEN v1x THEN 1 ELSE 0 END), COUNT(*) FROM t
+      UNION ALL
+      SELECT '{_DQ_RULES[2][0]}', SUM(CASE WHEN v2x THEN 1 ELSE 0 END), COUNT(*) FROM t
+      UNION ALL
+      SELECT '{_DQ_RULES[3][0]}', SUM(CASE WHEN v3x THEN 1 ELSE 0 END), COUNT(*) FROM t
+    )
+    SELECT 'report' AS part, rule AS s1, nv AS k1, nc AS k2,
+           ROUND((nc - nv) / CAST(nc AS DOUBLE), 6) AS v1
+    FROM rep
+    UNION ALL
+    SELECT 'quarantine' AS part, viol AS s1, COUNT(*) AS k1,
+           CAST(NULL AS BIGINT) AS k2, CAST(NULL AS DOUBLE) AS v1
+    FROM (
+      SELECT concat_ws(',',
+               CASE WHEN v0 THEN '{_DQ_RULES[0][0]}' END,
+               CASE WHEN v1x THEN '{_DQ_RULES[1][0]}' END,
+               CASE WHEN v2x THEN '{_DQ_RULES[2][0]}' END,
+               CASE WHEN v3x THEN '{_DQ_RULES[3][0]}' END) AS viol
+      FROM t
+    ) WHERE viol <> '' GROUP BY viol
+    """,
+)
+def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over lineitem
+    (operators/expectations.py), one suite.
+
+    - part='report': per-rule (violations, checked, pass_rate) — one
+      map-side-combined global aggregate, every rule a SUM(CASE) slot;
+    - part='quarantine': quarantined-row counts grouped by the exact
+      violation set (the triage view) — violation names join in rule
+      DEFINITION order on both engines.
+
+    The rules deliberately include failing ones; a report full of
+    100% pass rates would test nothing.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_le_25": F.col("l_quantity") <= 25,
+        "discount_le_5pct": F.col("l_discount") <= 0.05,
+        "flag_not_returned": F.col("l_returnflag") != "R",
+        "shipped_by_1997": F.year("l_shipdate") <= 1997,
+    }
+    report = expect_report(li, rules).select(
+        F.lit("report").alias("part"),
+        F.col("rule").alias("s1"),
+        F.col("n_violations").alias("k1"),
+        F.col("n_checked").alias("k2"),
+        F.col("pass_rate").alias("v1"),
+    )
+    quarantine = (
+        with_violations(li, rules)
+        .filter(F.size("violations") > 0)
+        .groupBy(F.array_join("violations", ",").alias("s1"))
+        .agg(F.count(F.lit(1)).alias("k1"))
+        .select(
+            F.lit("quarantine").alias("part"),
+            "s1",
+            "k1",
+            F.lit(None).cast("long").alias("k2"),
+            F.lit(None).cast("double").alias("v1"),
+        )
+    )
+    return report.unionByName(quarantine)
+
+
+@query(
+    "fuzzy_match_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT s_suppkey AS id, LOWER(TRIM(s_name)) AS nm FROM supplier
+    ), k AS (
+      SELECT id, nm, 0 AS bi, SUBSTRING(nm, 10, 5) AS bk FROM n
+      UNION ALL
+      SELECT id, nm, 1 AS bi, SUBSTRING(nm, 15, 4) AS bk FROM n
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
+      FROM k a JOIN k b ON a.bi = b.bi AND a.bk = b.bk AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def fuzzy_match_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching over supplier names
+    (operators/fuzzy.fuzzy_pairs): pairs within Levenshtein 1.
+
+    Block design exploits the name shape 'supplier#ddddddddd' for
+    TOTAL recall at distance 1: blocks are digit positions 1-5 and
+    6-9, so any single substitution leaves at least one block intact.
+    Candidates come from a shuffle_hash equi-join on (block, key) —
+    no broadcast, no cartesian — then the exact distance verifies.
+    Fully deterministic, hence the complete value oracle.
+    """
+    sup = _t(spark, sf_dir, "supplier")
+    blocks = [
+        lambda c: F.substring(c, 10, 5),
+        lambda c: F.substring(c, 15, 4),
+    ]
+    return fuzzy_pairs(
+        sup, "s_suppkey", "s_name", max_dist=1, blocks=blocks
+    ).withColumn("dist", F.col("dist").cast("int"))

@@ -755,48 +755,66 @@ def a9_a10_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "t2_recent_k_per_group",
+    "t_order_suite",
     oracle="""
-    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+    SELECT 'recent_k' AS part, o_custkey AS key_num, o_orderkey AS key_num2,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS key_str,
+           CAST(NULL AS DOUBLE) AS val
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       FROM orders
     ) WHERE rn <= 3
+    UNION ALL
+    SELECT 'bottom_k' AS part, s_suppkey AS key_num, CAST(NULL AS BIGINT) AS key_num2,
+           s_name AS key_str, acctbal AS val
+    FROM (
+      SELECT s_suppkey, s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+      FROM supplier
+      ORDER BY acctbal ASC, s_suppkey ASC
+      LIMIT 10
+    )
     """,
 )
-def t2_recent_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2/T5 — recent-k per key (last 5 matches, `scr/ui.py:289-290`),
-    generalized from the reference's global LIMIT to the per-group
-    window form that actually distributes."""
+def t_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 + T5 — ordering semantics, one suite.
+
+    - part='recent_k': recent-k per key (last 5 matches,
+      `scr/ui.py:289-290`), generalized from the reference's global
+      LIMIT to the per-group window form that actually distributes;
+    - part='bottom_k': bottom-k slicing (`tail(5)`/`nlargest`,
+      `scr/ui.py:621,738-761`) as ORDER BY ASC + LIMIT with unique
+      tiebreak — planned as sort + pushed-down local limits, so the
+      single-partition merge sees ≤ k rows per task, never the table.
+    """
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-    return (
+    recent = (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .select(
+            F.lit("recent_k").alias("part"),
+            F.col("o_custkey").alias("key_num"),
+            F.col("o_orderkey").alias("key_num2"),
+            F.col("o_orderdate").cast("date").cast("string").alias("key_str"),
+            F.lit(None).cast("double").alias("val"),
+        )
     )
-
-
-@query(
-    "t5_bottom_k",
-    oracle="""
-    SELECT s_suppkey, s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
-    FROM supplier
-    ORDER BY acctbal ASC, s_suppkey ASC
-    LIMIT 10
-    """,
-)
-def t5_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 — bottom-k slicing (`tail(5)`/`nlargest`, `scr/ui.py:621,738-761`)
-    as ORDER BY ASC + LIMIT with unique tiebreak."""
     sup = _t(spark, sf_dir, "supplier")
-    return (
+    bottom = (
         sup.select("s_suppkey", "s_name", dec("s_acctbal").cast("double").alias("acctbal"))
         .orderBy(F.asc("acctbal"), F.asc("s_suppkey"))
         .limit(10)
+        .select(
+            F.lit("bottom_k").alias("part"),
+            F.col("s_suppkey").alias("key_num"),
+            F.lit(None).cast("long").alias("key_num2"),
+            F.col("s_name").alias("key_str"),
+            F.col("acctbal").alias("val"),
+        )
     )
+    return recent.unionByName(bottom)
 
 
 @query(
@@ -876,7 +894,7 @@ def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m1_merge_replace",
+    "merge_upsert_suite",
     oracle="""
     WITH old AS (
       SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
@@ -884,20 +902,36 @@ def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), new AS (
       SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
       FROM orders WHERE o_orderkey % 2 = 0
+    ), target AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+    ), src AS (
+      SELECT o_orderkey, 'NEW' AS o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
     )
-    SELECT o_orderkey, totalprice FROM new
+    SELECT 'replace' AS part, o_orderkey, totalprice AS val, CAST(NULL AS VARCHAR) AS status FROM new
     UNION ALL
-    SELECT o.o_orderkey, o.totalprice FROM old o
+    SELECT 'replace' AS part, o.o_orderkey, o.totalprice AS val, CAST(NULL AS VARCHAR) AS status FROM old o
     WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.o_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'if_absent' AS part, o_orderkey, CAST(NULL AS DOUBLE) AS val, o_orderstatus AS status FROM target
+    UNION ALL
+    SELECT 'if_absent' AS part, s.o_orderkey, CAST(NULL AS DOUBLE) AS val, s.o_orderstatus AS status FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
     """,
 )
-def m1_merge_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1/M2 — key-based incremental MERGE, new-wins (the reference's
-    raw-layer upsert `scr/Extract.py:262-303` and dim ON CONFLICT DO
-    UPDATE `scr/Load.py:79-89`): anti-join old against new keys, union
-    new. Implemented by operators.merge.merge_replace; this query
-    simulates old/new snapshots by splitting orders on key predicates."""
-    from ..operators.merge import merge_replace
+def merge_upsert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 + M2 + M3 — both keyed-MERGE semantics, one suite (old/new
+    snapshots simulated by splitting orders on key predicates):
+
+    - part='replace': incremental MERGE, new-wins (the reference's
+      raw-layer upsert `scr/Extract.py:262-303` and dim ON CONFLICT DO
+      UPDATE `scr/Load.py:79-89`) — anti-join old against new keys,
+      union new (operators.merge.merge_replace; broadcast_src variant
+      value+plan-tested in tests/test_merge.py);
+    - part='if_absent': insert-if-absent, old-wins (`ON CONFLICT DO
+      NOTHING`, `scr/Load.py:276-302`) — src anti-join target, append
+      (operators.merge.insert_if_absent).
+    """
+    from ..operators.merge import insert_if_absent, merge_replace
 
     orders = _t(spark, sf_dir, "orders")
     old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
@@ -907,34 +941,23 @@ def m1_merge_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (dec("o_totalprice") + F.lit(1)).cast("decimal(18,2)").cast("double").alias("totalprice"),
     )
-    return merge_replace(old, new, ["o_orderkey"])
-
-
-@query(
-    "m3_insert_if_absent",
-    oracle="""
-    WITH target AS (
-      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
-    ), src AS (
-      SELECT o_orderkey, 'NEW' AS o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    replace = merge_replace(old, new, ["o_orderkey"]).select(
+        F.lit("replace").alias("part"),
+        "o_orderkey",
+        F.col("totalprice").alias("val"),
+        F.lit(None).cast("string").alias("status"),
     )
-    SELECT o_orderkey, o_orderstatus FROM target
-    UNION ALL
-    SELECT s.o_orderkey, s.o_orderstatus FROM src s
-    WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
-    """,
-)
-def m3_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 — insert-if-absent, old-wins (`ON CONFLICT DO NOTHING`,
-    `scr/Load.py:276-302`): src anti-join target, append."""
-    from ..operators.merge import insert_if_absent
-
-    orders = _t(spark, sf_dir, "orders")
     target = orders.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_orderstatus")
     src = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", F.lit("NEW").alias("o_orderstatus")
     )
-    return insert_if_absent(target, src, ["o_orderkey"])
+    absent = insert_if_absent(target, src, ["o_orderkey"]).select(
+        F.lit("if_absent").alias("part"),
+        "o_orderkey",
+        F.lit(None).cast("double").alias("val"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return replace.unionByName(absent)
 
 
 # ---------------------------------------------------------------------------
@@ -1049,25 +1072,5 @@ def x7_x8_encode_form_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x7.unionByName(x8)
 
 
-@query(
-    "d1_n1_lenient_casts",
-    oracle="""
-    SELECT event_id,
-           CAST(ts AS DATE) AS event_date,
-           TRY_CAST(props AS BIGINT) AS props_as_long,
-           TRY_CAST(event_type AS DOUBLE) AS type_as_double
-    FROM events WHERE event_id <= 2000
-    """,
-)
-def d1_n1_lenient_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 + N1/N2 — date derivation and lenient casts where invalid
-    input yields NULL (`pd.to_numeric(errors='coerce')`,
-    `scr/Transform.py:122,261`; date parse `:358-359`). Spark's CAST has
-    coerce semantics natively (≡ DuckDB TRY_CAST)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
-    return ev.select(
-        "event_id",
-        F.col("ts").cast("date").alias("event_date"),
-        F.col("props").try_cast("long").alias("props_as_long"),
-        F.col("event_type").try_cast("double").alias("type_as_double"),
-    )
+# D1/N1's lenient-cast leg lives in plans/coverage.cast_parse_suite
+# (merged with F6/N2's numeric-parseable filter).

@@ -64,8 +64,12 @@ def test_star_join_broadcasts_every_dim(plans):
 
 
 def test_topk_is_take_ordered_not_global_sort(plans):
-    for name in ("a1_grouped_sum_topk", "t5_bottom_k"):
-        assert "TakeOrderedAndProject" in plans[name], name
+    assert "TakeOrderedAndProject" in plans["a1_grouped_sum_topk"]
+    # t5's bottom-k now lives inside t_order_suite's union: the limit
+    # can't plan as TakeOrderedAndProject there, but it must still push
+    # down as per-partition local limits (merge sees ≤ k rows per task,
+    # never the table)
+    assert "LocalLimit" in plans["t_order_suite"] or "TakeOrderedAndProject" in plans["t_order_suite"]
 
 
 def test_aggregates_are_partial_final_hash(plans):
@@ -98,6 +102,8 @@ def test_relational_plans_stay_jvm_side(plans):
         "dedup_embedding_cosine", "dedup_embedding_lsh",
         "dedup_minhash_suite", "dedup_ngram_jaccard", "dedup_simhash",
         "mm_decode_suite", "mm_image_near_dup",
+        # stratified_sample's partition-local top-k combiner
+        "corpus_mixture_suite",
     }
     for name, plan in plans.items():
         if name in kernel_queries:
