@@ -1,17 +1,18 @@
 """Coverage queries for §2 operators not exercised by the core suites:
 the CSV ingestion layer S3/S4/S5 + P3 resolver as end-to-end
-roundtrips, the X3 dictionary mapping, and the F6 parse filter.
+roundtrips, the X3 dictionary mapping, and the F6+D1 parse/cast suite.
 
 Formerly-separate coverage queries were folded into other registry
 entries so the whole registry fits the driver's ~50-entry sampling
 window (every entry gets a CORRECTNESS row):
 - a2_grouped_multisum  → q1_pricing_summary (same grouped multi-SUM);
 - a8_global_mean       → a3_a8_global_aggs (plans.relational);
-- m2_upsert_dims       → m1_merge_replace (same merge_replace
-  operator; the broadcast_src variant stays plan-shape-tested in
-  tests/test_plan_shape.py and value-tested in tests/test_merge.py);
+- m2_upsert_dims       → merge_upsert_suite part='replace' (same
+  merge_replace operator; the broadcast_src variant stays
+  plan-shape-tested in tests/test_plan_shape.py and value-tested in
+  tests/test_merge.py);
 - m3_audit_counts      → j8_a11_fk_audit (audit aggregate) +
-  m3_insert_if_absent (operator semantics);
+  merge_upsert_suite part='if_absent' (operator semantics);
 - x5_x6_split_pad      → x_string_suite (plans.relational);
 - x8_recent_form_string → x7_x8_encode_form_suite (plans.relational).
 """
