@@ -22,10 +22,13 @@ value-oracled.
 
 Scale shape: block keys fan out map-side (one unioned projection),
 candidates come from a `shuffle_hash` equi-join on (block_idx, key) —
-never a corpus broadcast, never a cartesian — pairs dedup BEFORE the
-verify, and `max_block_size` drops degenerate hot keys (e.g. an empty
-name) with an aggregate-and-semi-join guard whose cost is one extra
-hash agg over the key column.
+never a corpus broadcast, never a cartesian — the cheap exact verify
+prunes candidates BEFORE the cross-block dedup shuffle, and
+`max_block_size` drops degenerate hot keys (e.g. an empty name) with
+an aggregate-and-semi-join guard whose cost is one extra hash agg
+over the key column. For the shared-long-prefix regime (dense
+'Entity#000...' ids) use `pigeonhole_blocks`, whose keys keep block
+sizes bounded as the name space grows.
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["default_blocks", "fuzzy_pairs"]
+__all__ = ["default_blocks", "fuzzy_pairs", "pigeonhole_blocks"]
 
 
 def default_blocks(width: int = 4) -> list[Callable[[F.Column], F.Column]]:
@@ -47,6 +50,40 @@ def default_blocks(width: int = 4) -> list[Callable[[F.Column], F.Column]]:
         lambda c: F.substring(c, 1, width),
         lambda c: F.substring(F.reverse(c), 1, width),
     ]
+
+
+def pigeonhole_blocks(
+    start: int, width: int, parts: int = 3
+) -> list[Callable[[F.Column], F.Column]]:
+    """PassJoin-style pigeonhole blocks over a fixed varying span:
+    split `width` chars at 1-based `start` into `parts` disjoint
+    regions; each block key concatenates one (parts-1)-subset of the
+    regions. A single substitution inside the span touches one region,
+    so the subset excluding it is shared verbatim — FULL recall at
+    distance 1 (per extra allowed edit, increase `parts` so parts-1
+    regions still cover every edit pattern... parts = max_dist + 2
+    regions with max_dist-subset keys generalizes; this helper emits
+    the distance-1 form).
+
+    The scale property vs a plain prefix/suffix split: every key spans
+    (parts-1)/parts of the varying chars, so key cardinality grows
+    with the name space and block sizes stay bounded even when all
+    names share a long constant prefix (the 'Customer#000...' regime
+    that degenerates naive prefix blocking into one corpus-sized
+    block).
+    """
+    if parts < 2 or width < parts:
+        raise ValueError("need parts >= 2 and width >= parts")
+    bounds = [start + (width * i) // parts for i in range(parts + 1)]
+    regions = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(parts)]
+
+    def key_without(skip: int) -> Callable[[F.Column], F.Column]:
+        kept = [r for i, r in enumerate(regions) if i != skip]
+        return lambda c, _kept=tuple(kept): F.concat(
+            *[F.substring(c, p, w) for p, w in _kept]
+        )
+
+    return [key_without(i) for i in range(parts)]
 
 
 def fuzzy_pairs(
@@ -91,15 +128,16 @@ def fuzzy_pairs(
     b = keyed.select(
         F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), "__bidx", "__bkey"
     )
-    cand = (
+    # verify BEFORE the distinct: levenshtein is a cheap per-row JVM
+    # expression and prunes candidates by orders of magnitude, so the
+    # dedup shuffle carries survivors only (the filter-before-distinct
+    # pattern the simhash/minhash family uses)
+    return (
         a.hint("shuffle_hash")
         .join(b, ["__bidx", "__bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .distinct()
     )

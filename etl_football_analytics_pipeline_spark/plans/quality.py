@@ -232,33 +232,38 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (
       SELECT s_suppkey AS id, LOWER(TRIM(s_name)) AS nm FROM supplier
     ), k AS (
-      SELECT id, nm, 0 AS bi, SUBSTRING(nm, 10, 5) AS bk FROM n
+      SELECT id, nm, 0 AS bi, SUBSTRING(nm, 13, 6) AS bk FROM n
       UNION ALL
-      SELECT id, nm, 1 AS bi, SUBSTRING(nm, 15, 4) AS bk FROM n
+      SELECT id, nm, 1 AS bi, SUBSTRING(nm, 10, 3) || SUBSTRING(nm, 16, 3) AS bk FROM n
+      UNION ALL
+      SELECT id, nm, 2 AS bi, SUBSTRING(nm, 10, 6) AS bk FROM n
     ), cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
       FROM k a JOIN k b ON a.bi = b.bi AND a.bk = b.bk AND a.id < b.id
+      WHERE levenshtein(a.nm, b.nm) <= 1
     )
     SELECT id_a, id_b, name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
-    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    FROM cand
     """,
 )
 def fuzzy_match_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching over supplier names
-    (operators/fuzzy.fuzzy_pairs): pairs within Levenshtein 1.
+    (operators/fuzzy.fuzzy_pairs + pigeonhole_blocks): pairs within
+    Levenshtein 1.
 
-    Block design exploits the name shape 'supplier#ddddddddd' for
-    TOTAL recall at distance 1: blocks are digit positions 1-5 and
-    6-9, so any single substitution leaves at least one block intact.
-    Candidates come from a shuffle_hash equi-join on (block, key) —
-    no broadcast, no cartesian — then the exact distance verifies.
-    Fully deterministic, hence the complete value oracle.
+    The name shape 'supplier#ddddddddd' is the degenerate regime for
+    naive prefix blocking (every name shares the prefix), so the
+    blocks are the 3-region pigeonhole over the 9 varying digits:
+    each key concatenates 2 of the 3 digit regions, so one
+    substitution anywhere leaves a full key intact (TOTAL recall at
+    distance 1) while key cardinality grows with the corpus and block
+    sizes stay bounded. shuffle_hash candidate join, exact verify
+    before the cross-block dedup. Fully deterministic, hence the
+    complete value oracle.
     """
+    from ..operators.fuzzy import pigeonhole_blocks
+
     sup = _t(spark, sf_dir, "supplier")
-    blocks = [
-        lambda c: F.substring(c, 10, 5),
-        lambda c: F.substring(c, 15, 4),
-    ]
     return fuzzy_pairs(
-        sup, "s_suppkey", "s_name", max_dist=1, blocks=blocks
+        sup, "s_suppkey", "s_name", max_dist=1, blocks=pigeonhole_blocks(10, 9)
     ).withColumn("dist", F.col("dist").cast("int"))

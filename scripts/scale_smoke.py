@@ -131,14 +131,100 @@ def temporal_section(spark, scale: int) -> str:
     )
 
 
+def quality_section(spark, scale: int) -> str:
+    """SCD2 history, CDC diff, chunking, stratified sampling, DQ
+    report, and blocked fuzzy matching on scale×-amplified inputs.
+    Expected shapes: scd2 is one key-window pass (keys constant,
+    rows/key grow ×scale); cdc one full-outer join; chunking/DQ are
+    map-only; stratified's combiner bounds its window exchange at
+    k×partitions rows; fuzzy joins on digit-block keys."""
+    from etl_football_analytics_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        stratified_sample,
+    )
+    from etl_football_analytics_pipeline_spark.operators.expectations import (
+        expect_report,
+    )
+    from etl_football_analytics_pipeline_spark.operators.fuzzy import fuzzy_pairs
+    from etl_football_analytics_pipeline_spark.operators.scd import (
+        scd2_build,
+        table_diff,
+    )
+
+    ev = amplify_events(load_table(spark, SF, "events"), scale).cache()
+    n_ev = ev.count()
+    feed = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("attr"),
+        "ts",
+        F.col("event_id").alias("tb"),
+    )
+    t0 = time.time()
+    n_scd = scd2_build(feed, ["k"], ["attr"], "ts", "tb").count()
+    t_scd = time.time() - t0
+    old = ev.filter(F.col("event_id") % 3 != 0).select("event_id", "value")
+    new = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        (F.col("value") + F.when(F.col("event_id") % 7 == 0, 1).otherwise(0)).alias("value"),
+    )
+    t0 = time.time()
+    n_cdc = table_diff(old, new, ["event_id"], ["value"]).count()
+    t_cdc = time.time() - t0
+    docs = amplify_docs(load_table(spark, SF, "documents"), scale).cache()
+    nd = docs.count()
+    t0 = time.time()
+    n_chunk = chunk_documents(docs, "doc_id", "text", 64, 16).count()
+    t_chunk = time.time() - t0
+    t0 = time.time()
+    n_strat = stratified_sample(
+        docs.withColumn("stratum", F.col("doc_id") % 40), "doc_id", "stratum", k=100
+    ).count()
+    t_strat = time.time() - t0
+    t0 = time.time()
+    rep = expect_report(
+        ev,
+        {
+            "value_nonneg": F.col("value") >= 0,
+            "known_type": F.col("event_type").isin("click", "view", "purchase"),
+            "value_cap": F.col("value") <= 100,
+        },
+    ).count()
+    t_dq = time.time() - t0
+    from etl_football_analytics_pipeline_spark.operators.fuzzy import pigeonhole_blocks
+
+    # dense shared-prefix ids — the regime that degenerates naive
+    # prefix blocking; pigeonhole keys keep blocks bounded as N grows
+    names = spark.range(30_000 * scale).select(
+        F.col("id").alias("nid"), F.format_string("Entity#%09d", F.col("id")).alias("nm")
+    )
+    t0 = time.time()
+    n_fuzzy = fuzzy_pairs(
+        names, "nid", "nm", max_dist=1, blocks=pigeonhole_blocks(8, 9)
+    ).count()
+    t_fuzzy = time.time() - t0
+    ev.unpersist()
+    docs.unpersist()
+    return (
+        f"events={n_ev:8d} docs={nd:7d}  scd2={t_scd:5.1f}s (rows={n_scd})  "
+        f"cdc={t_cdc:5.1f}s (changes={n_cdc})  chunk={t_chunk:5.1f}s (chunks={n_chunk})  "
+        f"strat={t_strat:5.1f}s (rows={n_strat})  dq={t_dq:5.1f}s (rules={rep})  "
+        f"fuzzy={t_fuzzy:5.1f}s (pairs={n_fuzzy})"
+    )
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--temporal"]
-    temporal_only = "--temporal" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 10
     spark = get_spark(app_name="scale-smoke")
-    if temporal_only:
+    if "--temporal" in flags:
         for scale in (1, k):
             print(f"scale={scale:3d}  {temporal_section(spark, scale)}", flush=True)
+        spark.stop()
+        return 0
+    if "--quality" in flags:
+        for scale in (1, k):
+            print(f"scale={scale:3d}  {quality_section(spark, scale)}", flush=True)
         spark.stop()
         return 0
     docs1 = load_table(spark, SF, "documents")

@@ -96,3 +96,46 @@ def test_supplier_names_ground_truth(spark, sf_dir):
         if lev1(names[a], names[b])
     }
     assert {(r.id_a, r.id_b) for r in got.collect()} == expect
+
+
+def test_pigeonhole_blocks_total_recall_dist1(spark):
+    """Any single substitution in the varying span is caught: one of
+    the three 2-region keys is shared verbatim."""
+    from etl_football_analytics_pipeline_spark.operators.fuzzy import (
+        pigeonhole_blocks,
+    )
+
+    # base name + one variant per digit position (9 variants)
+    base = "entity#123456789"
+    rows = [(0, base)] + [
+        (p + 1, base[: 7 + p] + "x" + base[8 + p :]) for p in range(9)
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(
+            df, "id", "name", max_dist=1, blocks=pigeonhole_blocks(8, 9)
+        ).collect()
+    }
+    # every variant pairs with the base
+    assert {(0, i) for i in range(1, 10)} <= got
+
+
+def test_pigeonhole_blocks_bound_block_sizes(spark):
+    """On dense ids every pigeonhole key spans 6 of 9 digits, so block
+    sizes stay bounded (~10^3) instead of one corpus-sized prefix
+    block."""
+    from etl_football_analytics_pipeline_spark.operators.fuzzy import (
+        pigeonhole_blocks,
+    )
+
+    names = spark.range(5000).select(
+        F.col("id").alias("nid"),
+        F.format_string("Entity#%09d", F.col("id")).alias("nm"),
+    )
+    norm = F.lower(F.trim(F.col("nm")))
+    for fn in pigeonhole_blocks(8, 9):
+        biggest = (
+            names.groupBy(fn(norm).alias("bk")).count().agg(F.max("count")).collect()[0][0]
+        )
+        assert biggest <= 1000
