@@ -131,3 +131,30 @@ def merge_commit(
             else merge_replace(live, delta, keys)
         )
     return commit_version(merged, table_dir)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC between two committed snapshots of a versioned table: one
+    row per key inserted / deleted / updated between `v_old` and
+    `v_new`, with both images (operators.scd.table_diff — ONE
+    full-outer hash join, output bounded by the churn).
+
+    This is what incremental consumers poll instead of re-reading the
+    table: downstream rollup refresh, SCD2 history capture, reverse
+    ETL. Both versions are immutable directories, so the diff is
+    reproducible forever (until vacuum retires a side)."""
+    from ..operators.scd import table_diff
+
+    return table_diff(
+        read_version(spark, table_dir, v_old),
+        read_version(spark, table_dir, v_new),
+        keys,
+        compare_cols,
+    )

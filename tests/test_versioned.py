@@ -153,3 +153,48 @@ def test_versioned_warehouse_retention_bounds_history(spark, table_dir):
     kept = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
     assert kept == ["v00003", "v00004"]
     assert _rows(read_version(spark, tdir, 3))  # newest-but-one readable
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
+        snapshot_diff,
+    )
+
+    d = str(tmp_path / "t")
+    v1 = commit_version(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, s string"), d
+    )
+    v2 = commit_version(
+        spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "k int, s string"), d
+    )
+    got = {r.k: r for r in snapshot_diff(spark, d, v1, v2, ["k"], ["s"]).collect()}
+    assert got[2].change_type == "update" and got[2].new_s == "B"
+    assert got[3].change_type == "delete"
+    assert got[4].change_type == "insert"
+    assert 1 not in got
+
+
+def test_write_dim_scd2_loads(spark, tmp_path):
+    import datetime as dt
+
+    from etl_football_analytics_pipeline_spark.pipeline.warehouse import write_dim_scd2
+
+    d = str(tmp_path / "dim")
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    snap1 = spark.createDataFrame([(1, "home_a"), (2, "home_b")], "team_id int, stadium string")
+    dim = write_dim_scd2(spark, d, snap1, ["team_id"], ["stadium"], t1)
+    assert dim.count() == 2 and dim.filter("is_current").count() == 2
+    # team 1 moves stadium; team 3 appears
+    snap2 = spark.createDataFrame([(1, "home_x"), (2, "home_b"), (3, "home_c")], "team_id int, stadium string")
+    dim = write_dim_scd2(spark, d, snap2, ["team_id"], ["stadium"], t2)
+    rows = {(r.team_id, r.version): r for r in dim.collect()}
+    assert len(rows) == 4
+    closed = rows[(1, 1)]
+    assert not closed.is_current and closed.effective_to == t2 and closed.stadium == "home_a"
+    assert rows[(1, 2)].is_current and rows[(1, 2)].stadium == "home_x"
+    assert rows[(2, 1)].is_current  # unchanged
+    assert rows[(3, 1)].is_current and rows[(3, 1)].effective_from == t2
+    # the reference's current-state view is one filter away
+    cur = {r.team_id: r.stadium for r in dim.filter("is_current").collect()}
+    assert cur == {1: "home_x", 2: "home_b", 3: "home_c"}
