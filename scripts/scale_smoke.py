@@ -192,16 +192,29 @@ def quality_section(spark, scale: int) -> str:
     t_dq = time.time() - t0
     from etl_football_analytics_pipeline_spark.operators.fuzzy import pigeonhole_blocks
 
-    # dense shared-prefix ids — the regime that degenerates naive
-    # prefix blocking; pigeonhole keys keep blocks bounded as N grows
-    names = spark.range(30_000 * scale).select(
-        F.col("id").alias("nid"), F.format_string("Entity#%09d", F.col("id")).alias("nm")
+    # realistic sparse name space (multiplicative-hashed ids) + 1%
+    # injected single-char typos: pigeonhole blocks stay ~singleton,
+    # so candidates — and wall — grow linearly with N, and every
+    # injected typo must be recovered (distance-1 recall guarantee).
+    # The DENSE shared-prefix regime (consecutive ids, quadratic true-
+    # pair structure) is exercised at bounded size by the registered
+    # fuzzy_match_dedup query; amplifying it would measure emitting
+    # O(N·10^3) true pairs, not the blocking.
+    base = spark.range(30_000 * scale).select(
+        F.col("id").alias("nid"),
+        F.format_string("Entity#%09d", (F.col("id") * 2654435761) % 1_000_000_000).alias("nm"),
     )
+    typos = base.filter(F.col("nid") % 100 == 0).select(
+        (F.col("nid") + 100_000_000).alias("nid"),
+        F.concat(F.substring("nm", 1, 10), F.lit("x"), F.substring("nm", 12, 5)).alias("nm"),
+    )
+    names = base.unionByName(typos)
     t0 = time.time()
     n_fuzzy = fuzzy_pairs(
         names, "nid", "nm", max_dist=1, blocks=pigeonhole_blocks(8, 9)
     ).count()
     t_fuzzy = time.time() - t0
+    assert n_fuzzy >= typos.count(), "pigeonhole recall lost an injected typo"
     ev.unpersist()
     docs.unpersist()
     return (
