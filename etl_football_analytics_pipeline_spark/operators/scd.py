@@ -12,6 +12,8 @@ warehouse-standard remedy on top of the same merge machinery:
 - `scd2_apply` — merge one new snapshot into an existing Type-2
   dimension: close changed current rows, append their replacements,
   open rows for brand-new keys;
+- `scd2_lookup` — point-in-time fact enrichment: join each fact to
+  the attribute state valid at the fact's own timestamp;
 - `table_diff` — CDC between two table versions (e.g. two snapshots
   of `sources.versioned`): one row per inserted / deleted / updated
   key with both images, the change feed that drives incremental
@@ -31,7 +33,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_build", "scd2_apply", "table_diff"]
+__all__ = ["scd2_build", "scd2_apply", "scd2_lookup", "table_diff"]
 
 
 def _attrs_differ(left_prefix: str, attr_cols: Sequence[str]) -> F.Column:
@@ -232,4 +234,37 @@ def table_diff(
             *[f"old_{c}" for c in compare_cols],
             *[f"new_{c}" for c in compare_cols],
         )
+    )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """POINT-IN-TIME dimension lookup — the consumer side of SCD2:
+    each fact row is enriched with the dimension attributes that were
+    valid at its own timestamp (`effective_from <= ts < effective_to`,
+    open-ended current rows match everything after their start).
+
+    This is the join the reference cannot express at all — its dims
+    are current-state-only, so a 2019 match joined today gets the
+    team's 2024 stadium. With a Type-2 dim the same join is
+    time-correct, and the guarantee is structural: a key's intervals
+    partition its timeline (scd2_build/apply construct them from
+    consecutive change timestamps), so each fact matches AT MOST one
+    version — empty intervals (same-timestamp change bursts) match
+    nothing by the half-open predicate.
+
+    Scale shape: one hash equi-join on the dimension key; the range
+    predicate prunes join output to ≤ 1 row per fact, and the
+    replication factor is versions-per-key (small by construction),
+    NOT fact × dim. Facts with no valid version (ts before the key's
+    first interval, or unknown key) are dropped (inner semantics) —
+    left-join wrapping is one unionByName away when audit rows
+    matter."""
+    return facts.join(dim, list(key_cols), "inner").filter(
+        (F.col(ts_col) >= F.col("effective_from"))
+        & (F.col("effective_to").isNull() | (F.col(ts_col) < F.col("effective_to")))
     )

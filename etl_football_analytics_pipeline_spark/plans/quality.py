@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.cleaning import dec
 from ..operators.expectations import expect_report, with_violations
 from ..operators.fuzzy import fuzzy_pairs
-from ..operators.scd import scd2_build, table_diff
+from ..operators.scd import scd2_build, scd2_lookup, table_diff
 from ..sources.registry import load_table
 from .registry import query
 
@@ -76,6 +76,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            change_type AS s1, old_status AS s2, new_status AS s3,
            old_price AS v1, new_price AS v2
     FROM diff WHERE change_type IS NOT NULL
+    UNION ALL
+    SELECT 'lookup' AS part, o.tb AS k1, CAST(h.version AS BIGINT) AS k2,
+           h.attr AS s1, CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM feed o JOIN hist h ON h.k = o.k
+     AND o.ts >= h.ts AND (h.eff_to IS NULL OR o.ts < h.eff_to)
     """,
 )
 def warehouse_history_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +94,12 @@ def warehouse_history_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       simulated warehouse snapshots of orders (table_diff: ONE
       full-outer hash join, null-safe compares, output bounded by the
       churn). The snapshots reuse the merge-suite convention of
-      carving old/new from orders by key predicates.
+      carving old/new from orders by key predicates;
+    - part='lookup': POINT-IN-TIME enrichment (scd2_lookup) — every
+      order joined to the status state valid at its own order date
+      (half-open intervals; one hash equi-join, ≤1 match per fact by
+      construction). The join the reference's current-state-only dims
+      cannot express.
     """
     orders = _t(spark, sf_dir, "orders")
     feed = orders.filter(F.col("o_custkey") <= 2000).select(
@@ -136,7 +147,17 @@ def warehouse_history_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_price").alias("v1"),
         F.col("new_price").alias("v2"),
     )
-    return scd2.unionByName(cdc)
+    lookup = scd2_lookup(feed.select("k", "ts", "tb"), hist, ["k"], "ts").select(
+        F.lit("lookup").alias("part"),
+        F.col("tb").alias("k1"),
+        F.col("version").cast("long").alias("k2"),
+        F.col("attr").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.lit(None).cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return scd2.unionByName(cdc).unionByName(lookup)
 
 
 # rule order matters: the quarantine leg joins violation names in

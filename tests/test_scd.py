@@ -120,3 +120,36 @@ def test_table_diff_prunes_columns(spark, sf_dir):
         .toString()
     )
     assert "o_totalprice" not in plan
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from etl_football_analytics_pipeline_spark.operators.scd import scd2_lookup
+
+    hist = scd2_build(_feed(spark), ["k"], ["attr"], "ts", "src_id")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts(1)),   # at interval start → A
+            (101, 1, _ts(2)),   # inside [1,3) → A
+            (102, 1, _ts(3)),   # boundary → B (half-open)
+            (103, 1, _ts(20)),  # current → A (v3)
+            (104, 2, _ts(1)),   # before key 2's first interval → dropped
+            (105, 9, _ts(5)),   # unknown key → dropped
+        ],
+        "fact_id int, k int, ts timestamp",
+    )
+    got = {r.fact_id: (r.attr, r.version) for r in scd2_lookup(facts, hist, ["k"], "ts").collect()}
+    assert got == {100: ("A", 1), 101: ("A", 1), 102: ("B", 2), 103: ("A", 3)}
+
+
+def test_scd2_lookup_at_most_one_match(spark):
+    """Same-timestamp change bursts create empty intervals; the
+    half-open predicate keeps every fact's match unique."""
+    from etl_football_analytics_pipeline_spark.operators.scd import scd2_lookup
+
+    rows = [(1, "A", _ts(1), 1), (1, "B", _ts(1), 2), (1, "C", _ts(1), 3)]
+    feed = spark.createDataFrame(rows, "k int, attr string, ts timestamp, src_id int")
+    hist = scd2_build(feed, ["k"], ["attr"], "ts", "src_id")
+    facts = spark.createDataFrame([(1, 1, _ts(1)), (2, 1, _ts(9))], "fact_id int, k int, ts timestamp")
+    got = scd2_lookup(facts, hist, ["k"], "ts").collect()
+    assert len(got) == 2
+    assert all(r.attr == "C" for r in got)  # only the surviving burst state matches
