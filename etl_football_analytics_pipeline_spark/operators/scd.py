@@ -118,8 +118,10 @@ def scd2_apply(
 
     `dim` has the scd2_build schema (key, attrs, effective_from,
     effective_to, is_current, version); `snapshot` has (key, attrs)
-    observed at `snapshot_ts` (a literal or Column). Produces the
-    updated dimension:
+    observed at `snapshot_ts` — a literal (one timestamp for the whole
+    snapshot) or a Column evaluated against `snapshot` (per-row
+    observation times, the CDC-feed form: each key closes/opens at its
+    OWN change time). Produces the updated dimension:
 
     - history rows (is_current = false) pass through untouched;
     - current rows whose key is absent from the snapshot pass through
@@ -137,15 +139,21 @@ def scd2_apply(
     anti-join pass over the dimension. Output column order matches
     `dim`.
     """
-    ts = snapshot_ts if isinstance(snapshot_ts, F.Column) else F.lit(snapshot_ts)
+    ts_expr = snapshot_ts if isinstance(snapshot_ts, F.Column) else F.lit(snapshot_ts)
     to_type = dict(dim.dtypes)["effective_to"]
     history = dim.filter(~F.col("is_current"))
     current = dim.filter(F.col("is_current"))
     # markers tell apart "key absent from that side" from "attr is
-    # null" — attrs can be legitimately null on either side
-    snap = snapshot.select(
-        *key_cols, *[F.col(a).alias(f"__new_{a}") for a in attr_cols]
-    ).withColumn("__observed", F.lit(True))
+    # null" — attrs can be legitimately null on either side; the
+    # observation time rides along as __ts so a Column snapshot_ts
+    # resolves against the snapshot even after the join
+    snap = snapshot.withColumn("__ts", ts_expr).select(
+        *key_cols,
+        *[F.col(a).alias(f"__new_{a}") for a in attr_cols],
+        "__ts",
+        F.lit(True).alias("__observed"),
+    )
+    ts = F.col("__ts")
     j = current.withColumn("__existing", F.lit(True)).join(
         snap, list(key_cols), "full_outer"
     )
