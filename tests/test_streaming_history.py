@@ -79,3 +79,47 @@ def test_scd2_stream_batch_replay_is_idempotent(spark, tmp_path):
     _run_stream(spark, in_dir, table_dir, str(tmp_path / "ck2"))
     after = sorted(map(tuple, read_latest(spark, table_dir).collect()))
     assert after == before
+
+
+def test_expectations_sink_splits_and_reports(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_football_analytics_pipeline_spark.streaming.quality import (
+        expectations_sink,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 50.0)], "id int, v double"
+    ).write.mode("append").parquet(in_dir)
+    rules = lambda: {"pos": F.col("v") > 0, "small": F.col("v") < 10}  # noqa: E731
+    stream = spark.readStream.schema("id int, v double").parquet(in_dir)
+    q = (
+        stream.writeStream.foreachBatch(expectations_sink(out_dir, rules))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    valid = spark.read.parquet(f"{out_dir}/valid")
+    quar = spark.read.parquet(f"{out_dir}/quarantine")
+    rep = spark.read.parquet(f"{out_dir}/report")
+    assert [r.id for r in valid.collect()] == [1]
+    assert {r.id: sorted(r.violations) for r in quar.collect()} == {
+        2: ["pos"],
+        3: ["small"],
+    }
+    got = {r.rule: r.n_violations for r in rep.collect()}
+    assert got == {"pos": 1, "small": 1}
+    # replay with a fresh checkpoint: batch-id partitioning overwrites,
+    # never duplicates
+    q = (
+        spark.readStream.schema("id int, v double")
+        .parquet(in_dir)
+        .writeStream.foreachBatch(expectations_sink(out_dir, rules))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/valid").count() == 1
