@@ -29,7 +29,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_violations", "expect_split", "expect_report"]
+__all__ = ["with_violations", "expect_split", "expect_report", "profile_table"]
 
 VIOLATIONS_COL = "violations"
 
@@ -101,3 +101,43 @@ def expect_report(df: DataFrame, rules: Mapping[str, F.Column]) -> DataFrame:
             ).alias("pass_rate"),
         )
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column profile: one row per column with (column, n_nulls,
+    n_distinct, min_str, max_str) — the summary a data engineer pulls
+    before writing expectations (which null rates are real, which
+    "enum" column has 40 values, whether a date column leaks 1970s).
+
+    n_distinct is EXACT (count distinct excludes nulls, SQL
+    semantics); min/max are canonicalized to strings so one schema
+    profiles every column type. Single aggregate pass: each column
+    contributes four slots to one global agg (multi-count-distinct
+    plans as Spark's Expand — rows × profiled columns before the
+    partial agg, the standard exact shape; swap in
+    approx_count_distinct when estimates suffice at 100 TB), then the
+    merged row unpivots to per-column rows.
+    """
+    names = cols if cols is not None else df.columns
+    aggs = []
+    for i, c in enumerate(names):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{i}"),
+        ]
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{i}").alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_str"),
+                F.col(f"__mx_{i}").alias("max_str"),
+            )
+            for i, c in enumerate(names)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("p")).select("p.*")

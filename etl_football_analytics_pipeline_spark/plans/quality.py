@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import dec
-from ..operators.expectations import expect_report, with_violations
+from ..operators.expectations import expect_report, profile_table, with_violations
 from ..operators.fuzzy import fuzzy_pairs
 from ..operators.scd import scd2_build, scd2_lookup, table_diff
 from ..sources.registry import load_table
@@ -202,6 +202,36 @@ _DQ_RULES = (
                CASE WHEN v3x THEN '{_DQ_RULES[3][0]}' END) AS viol
       FROM t
     ) WHERE viol <> '' GROUP BY viol
+    UNION ALL
+    SELECT 'profile' AS part,
+           'l_orderkey' || '|' || CAST(MIN(l_orderkey) AS VARCHAR) || '|' || CAST(MAX(l_orderkey) AS VARCHAR) AS s1,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS k1,
+           COUNT(DISTINCT l_orderkey) AS k2, CAST(NULL AS DOUBLE) AS v1
+    FROM lineitem
+    UNION ALL
+    SELECT 'profile',
+           'l_linenumber' || '|' || CAST(MIN(l_linenumber) AS VARCHAR) || '|' || CAST(MAX(l_linenumber) AS VARCHAR),
+           SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_linenumber), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'profile',
+           'l_returnflag' || '|' || MIN(l_returnflag) || '|' || MAX(l_returnflag),
+           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_returnflag), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'profile',
+           'l_shipdate' || '|' || CAST(MIN(l_shipdate) AS VARCHAR) || '|' || CAST(MAX(l_shipdate) AS VARCHAR),
+           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_shipdate), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'profile',
+           'l_quantity' || '|' || CAST(MIN(l_quantity) AS VARCHAR) || '|' || CAST(MAX(l_quantity) AS VARCHAR),
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_quantity), CAST(NULL AS DOUBLE)
+    FROM lineitem
     """,
 )
 def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,6 +243,11 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - part='quarantine': quarantined-row counts grouped by the exact
       violation set (the triage view) — violation names join in rule
       DEFINITION order on both engines.
+
+    - part='profile': exact column profile (operators.expectations.
+      profile_table) — per column null count, exact distinct count,
+      canonicalized min/max; one aggregate pass (multi-count-distinct
+      via Spark's Expand).
 
     The rules deliberately include failing ones; a report full of
     100% pass rates would test nothing.
@@ -244,7 +279,18 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("v1"),
         )
     )
-    return report.unionByName(quarantine)
+    profile = profile_table(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity"]
+    ).select(
+        F.lit("profile").alias("part"),
+        F.concat_ws(
+            "|", "column", F.coalesce("min_str", F.lit("")), F.coalesce("max_str", F.lit(""))
+        ).alias("s1"),
+        F.col("n_nulls").alias("k1"),
+        F.col("n_distinct").alias("k2"),
+        F.lit(None).cast("double").alias("v1"),
+    )
+    return report.unionByName(quarantine).unionByName(profile)
 
 
 @query(

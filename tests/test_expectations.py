@@ -79,3 +79,19 @@ def test_report_plan_is_single_partial_agg(spark, sf_dir):
     plan = expect_report(li, rules)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_profile_table(spark):
+    from etl_football_analytics_pipeline_spark.operators.expectations import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.0)],
+        "k int, s string, v double",
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["k"].n_nulls == 0 and got["k"].n_distinct == 2
+    assert got["k"].min_str == "1" and got["k"].max_str == "2"
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert got["v"].n_nulls == 1 and got["v"].min_str == "5.0"
