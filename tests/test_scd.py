@@ -153,3 +153,72 @@ def test_scd2_lookup_at_most_one_match(spark):
     got = scd2_lookup(facts, hist, ["k"], "ts").collect()
     assert len(got) == 2
     assert all(r.attr == "C" for r in got)  # only the surviving burst state matches
+
+
+# -- randomized SCD2 equivalence (hypothesis) ---------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    # per key: a few (day, attr) observations on distinct days
+    feeds = st.dictionaries(
+        keys=st.integers(1, 4),
+        values=st.lists(
+            st.tuples(st.integers(1, 5), st.sampled_from(["A", "B", "C", None])),
+            min_size=1,
+            max_size=5,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(feed=feeds)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_scd2_apply_fold_equals_build(spark, feed):
+        """THE SCD2 equivalence: folding day-by-day snapshots through
+        scd2_apply produces byte-identical history to scd2_build on
+        the concatenated change feed — close timestamps, version
+        numbers, is_current flags, no-op collapses, null attrs, all
+        of it. This is what makes the streaming sink
+        (streaming/history.py) the batch operator run incrementally."""
+        from etl_football_analytics_pipeline_spark.operators.scd import (
+            scd2_apply,
+            scd2_build,
+        )
+
+        rows = [
+            (k, attr, _ts(day), k * 100 + day)
+            for k, obs in feed.items()
+            for day, attr in obs
+        ]
+        full = spark.createDataFrame(
+            rows, "k int, attr string, ts timestamp, src_id int"
+        )
+        expect = sorted(map(tuple, scd2_build(full, ["k"], ["attr"], "ts", "src_id").collect()), key=repr)
+
+        days = sorted({day for obs in feed.values() for day, _ in obs})
+        first = [r for r in rows if r[2] == _ts(days[0])]
+        dim = scd2_build(
+            spark.createDataFrame(first, "k int, attr string, ts timestamp, src_id int"),
+            ["k"], ["attr"], "ts", "src_id",
+        )
+        for d in days[1:]:
+            snap_rows = [(r[0], r[1]) for r in rows if r[2] == _ts(d)]
+            snap = spark.createDataFrame(snap_rows, "k int, attr string")
+            # truncate the fold's lineage — without this, each apply
+            # stacks a full-outer join + unions on the previous plan and
+            # analysis time grows superlinearly with the day count
+            dim = scd2_apply(dim, snap, ["k"], ["attr"], _ts(d)).localCheckpoint()
+        got = sorted(map(tuple, dim.collect()), key=repr)
+        assert got == expect
