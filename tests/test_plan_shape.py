@@ -178,3 +178,31 @@ def test_sketch_suite_is_partial_aggregated(plans):
     plan = plans["sketch_suite"]
     assert "partial_approx_count_distinct" in plan or "ObjectHashAggregate" in plan
     assert "SinglePartition" not in plan
+
+
+def test_new_suites_avoid_cartesian_and_nested_loop(plans):
+    """The r4 additions keep the join discipline: candidate/merge
+    joins are hash joins on keys, never cartesian or nested-loop."""
+    for name in (
+        "warehouse_history_suite",
+        "dq_expectations_suite",
+        "fuzzy_match_dedup",
+        "doc_chunk_suite",
+        "merge_upsert_suite",
+        "cast_parse_suite",
+        "t_order_suite",
+        "w_window_suite",
+    ):
+        plan = plans[name]
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_doc_chunk_plan_is_shuffle_free(plans):
+    """Chunking is embarrassingly parallel and must stay that way —
+    no exchange anywhere in the plan."""
+    assert "Exchange" not in plans["doc_chunk_suite"]
+
+
+def test_fuzzy_suite_candidates_are_shuffle_hash(plans):
+    assert "ShuffledHashJoin" in plans["fuzzy_match_dedup"]
