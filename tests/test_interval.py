@@ -225,3 +225,55 @@ def test_rollup_incremental_refresh_exact(spark, events, tmp_path):
         "total_value", F.col("__v").cast("double")
     ).drop("__v")
     assert canon(old) == canon(rollup_time(b1))
+
+
+def test_rollup_apply_cdc_exact(spark, events, tmp_path):
+    """init(v1) + apply_cdc(diff(v1, v2)) ≡ init(v2) bit-for-bit —
+    the update/delete-aware refresh retracts old images and adds new
+    ones through the abelian-group partials, including events that
+    move across buckets (ts edit) and keys (type edit), and drops
+    emptied cells."""
+    from etl_football_analytics_pipeline_spark.operators.scd import table_diff
+    from etl_football_analytics_pipeline_spark.streaming.windowed import (
+        read_rollup,
+        rollup_apply_cdc,
+        rollup_init,
+        rollup_time,
+    )
+
+    v1 = events
+    # v2: drop %7 events, bump value of %5, shift ts of %11 by 2 hours
+    # (bucket move), retype %13 (key move)
+    v2 = (
+        events.filter(F.col("event_id") % 7 != 0)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 5 == 0, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.when(
+                F.col("event_id") % 11 == 0, F.col("ts") + F.expr("INTERVAL 2 HOURS")
+            ).otherwise(F.col("ts")),
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 13 == 0, F.lit("retyped")).otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+    table = str(tmp_path / "rollup")
+    rollup_init(v1, table)
+    changes = table_diff(v1, v2, ["event_id"], ["ts", "event_type", "value"])
+    rollup_apply_cdc(spark, table, changes)
+
+    def canon(df):
+        return sorted(
+            (r.resolution, str(r.bucket), r.event_type, r.n_events, r.total_value)
+            for r in df.collect()
+        )
+
+    assert canon(read_rollup(spark, table)) == canon(rollup_time(v2))
