@@ -170,6 +170,26 @@ def quality_section(spark, scale: int) -> str:
     t0 = time.time()
     n_cdc = table_diff(old, new, ["event_id"], ["value"]).count()
     t_cdc = time.time() - t0
+    # CDC-driven rollup maintenance: init on the amplified events, then
+    # fold a full change feed (drops + value bumps) — work is
+    # |changes| + |partials|, never a raw re-scan
+    import tempfile
+
+    from etl_football_analytics_pipeline_spark.streaming.windowed import (
+        rollup_apply_cdc,
+        rollup_init,
+    )
+
+    ev2 = ev.filter(F.col("event_id") % 7 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1).otherwise(F.col("value")),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        rollup_init(ev, f"{td}/rollup")
+        ch = table_diff(ev, ev2, ["event_id"], ["ts", "event_type", "value"])
+        t0 = time.time()
+        rollup_apply_cdc(spark, f"{td}/rollup", ch)
+        t_rcdc = time.time() - t0
     docs = amplify_docs(load_table(spark, SF, "documents"), scale).cache()
     nd = docs.count()
     t0 = time.time()
@@ -219,7 +239,7 @@ def quality_section(spark, scale: int) -> str:
     docs.unpersist()
     return (
         f"events={n_ev:8d} docs={nd:7d}  scd2={t_scd:5.1f}s (rows={n_scd})  "
-        f"cdc={t_cdc:5.1f}s (changes={n_cdc})  chunk={t_chunk:5.1f}s (chunks={n_chunk})  "
+        f"cdc={t_cdc:5.1f}s (changes={n_cdc})  rollup_cdc={t_rcdc:5.1f}s  chunk={t_chunk:5.1f}s (chunks={n_chunk})  "
         f"strat={t_strat:5.1f}s (rows={n_strat})  dq={t_dq:5.1f}s (rules={rep})  "
         f"fuzzy={t_fuzzy:5.1f}s (pairs={n_fuzzy})"
     )
