@@ -253,3 +253,59 @@ def redact_pii(
             continue
         col = F.regexp_replace(col, pat, f"<{name.upper()}>")
     return df.withColumn(out_col, col)
+
+
+def strip_common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 2,
+    sep: str = "\n",
+    out_col: str = "text_cleaned",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/RefinedWeb line-dedup
+    rule): drop every line that appears verbatim in MORE than `max_df`
+    documents — navigation chrome, cookie banners, license footers —
+    and rebuild each document from its surviving lines in order.
+
+    Within-document structure is preserved exactly: kept lines keep
+    their relative order and the separator; a document whose every
+    line is boilerplate comes back as ''. Comparison is on the line's
+    md5 (byte-exact lines only; pair with functions.cleaning normalize
+    for whitespace-insensitive matching).
+
+    Scale shape: three keyed shuffles, all hash-partitioned — explode
+    to (line_hash) → count DISTINCT docs per line (map-side partial
+    agg collapses within-doc repeats first), anti-join lines against
+    the over-threshold set (left_anti on the hash — no broadcast that
+    grows with the corpus), and one groupBy(doc) to reassemble. The
+    common-line set is typically tiny relative to the corpus, but the
+    plan never assumes it.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__idx", "__line"),
+    ).withColumn("__lh", F.md5(F.col("__line")))
+    common = (
+        lines.select("__lh", "__id")
+        .distinct()  # within-doc repeats count once toward document frequency
+        .groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__lh")
+    )
+    kept = lines.join(common, "__lh", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda x: x["__line"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .drop("__id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )

@@ -47,3 +47,55 @@ def test_quality_scores_bounded(spark, docs):
 def test_language_id_covers_known_langs(spark, docs):
     preds = {r.predicted_lang for r in language_id(docs, "doc_id", "text").collect()}
     assert preds <= {"de", "en", "es", "fr", "und"}
+
+
+def test_strip_common_lines(spark):
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        strip_common_lines,
+    )
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nreal content one\nmore real text"),
+            (2, f"{boiler}\nother content"),
+            (3, f"{boiler}\nthird body\n{boiler}"),  # repeats within doc
+            (4, boiler),                              # only boilerplate
+            (5, "fully unique document"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.text_cleaned
+        for r in strip_common_lines(docs, "doc_id", "text", max_df=2).collect()
+    }
+    assert out[1] == "real content one\nmore real text"
+    assert out[2] == "other content"
+    assert out[3] == "third body"
+    assert out[4] == ""  # fully-boilerplate doc survives as empty
+    assert out[5] == "fully unique document"
+    # within-doc repeats count once: a line in only 2 DOCS stays even
+    # if one doc repeats it 5 times
+    docs2 = spark.createDataFrame(
+        [(1, "x\nx\nx\nx\nx"), (2, "x\ny")], "doc_id int, text string"
+    )
+    out2 = {
+        r.doc_id: r.text_cleaned
+        for r in strip_common_lines(docs2, "doc_id", "text", max_df=2).collect()
+    }
+    assert out2[1] == "x\nx\nx\nx\nx" and out2[2] == "x\ny"
+
+
+def test_strip_common_lines_plan_has_no_corpus_broadcast(spark):
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        strip_common_lines,
+    )
+
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id int, text string")
+    plan = (
+        strip_common_lines(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
