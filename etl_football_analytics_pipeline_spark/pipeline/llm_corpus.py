@@ -64,6 +64,7 @@ def curate_corpus(
     max_dup_line_frac: float | None = None,
     max_top_word_frac: float | None = None,
     min_compression_ratio: float | None = None,
+    strip_lines_max_df: int | None = None,
     with_stats: bool = False,
 ) -> DataFrame | tuple[DataFrame, CurationStats]:
     """Quality-gate, dedup (exact then near-dup), and token-account a
@@ -73,12 +74,24 @@ def curate_corpus(
     The optional repetition/compression knobs add the C4/Gopher-style
     gates (operators.text.repetition_signals / compression_ratio) to
     the quality stage — repetitive boilerplate is cheaper to drop
-    before the dedup shuffles than after.
+    before the dedup shuffles than after. `strip_lines_max_df` runs
+    cross-document boilerplate-line removal FIRST
+    (operators.text.strip_common_lines): stripping shared chrome
+    before hashing keeps near-identical pages from surviving dedup on
+    the strength of their navigation text.
 
     Keep rules are deterministic everywhere (lowest id wins), so the
     curated set is identical under any partitioning — the property
     that makes re-runs and incremental curation reproducible.
     """
+    if strip_lines_max_df is not None:
+        from ..operators.text import strip_common_lines
+
+        docs = (
+            strip_common_lines(docs, id_col, text_col, max_df=strip_lines_max_df)
+            .drop(text_col)
+            .withColumnRenamed("text_cleaned", text_col)
+        )
     quality = quality_scores(docs, id_col, text_col)
     good_ids = quality.filter(F.col("quality_score") >= min_quality).select(id_col)
     if max_dup_line_frac is not None or max_top_word_frac is not None:

@@ -209,3 +209,28 @@ def test_streaming_curation_sink(spark, tmp_path):
     run(ckpt2)
     rows2 = {r["doc_id"]: r["text"] for r in read_latest(spark, corpus_dir).collect()}
     assert rows2 == rows
+
+
+def test_curate_with_line_stripping(spark):
+    """Shared boilerplate is removed before hashing, so two pages that
+    differ only in chrome dedup down to one."""
+    from etl_football_analytics_pipeline_spark.pipeline.llm_corpus import (
+        curate_corpus,
+    )
+
+    chrome = "subscribe now for updates and offers today"
+    body = "a genuinely long unique body with plenty of distinct words " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{chrome}\n{body}"),
+            (2, f"{chrome}\n{body}"),   # exact dup after stripping
+            (3, f"{chrome}\n" + "some other sufficiently long unique body text " * 3),
+        ],
+        "doc_id int, text string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.9, strip_lines_max_df=2
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 3]
+    assert all(chrome not in r.text for r in out.collect())
