@@ -39,6 +39,7 @@ def run_corpus_pipeline(
     seq_len: int = 2048,
     mixture: dict[str, float] | None = None,
     group_col: str = "source",
+    strip_lines_max_df: int | None = None,
     retries: int = 2,
     retry_delay_s: float = 0.0,
 ) -> EtlReport:
@@ -60,6 +61,7 @@ def run_corpus_pipeline(
             text_col,
             min_quality=min_quality,
             jaccard_threshold=jaccard_threshold,
+            strip_lines_max_df=strip_lines_max_df,
         ),
         retries,
         retry_delay_s,
@@ -109,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--jaccard-threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--strip-lines-max-df", type=int, default=None,
+        help="drop lines shared verbatim by more than this many docs "
+        "(cross-document boilerplate removal) before curation",
+    )
     ap.add_argument("--retries", type=int, default=2)
     ap.add_argument("--retry-delay", type=float, default=0.0)
     args = ap.parse_args(argv)
@@ -120,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
         args.out_dir,
         min_quality=args.min_quality,
         jaccard_threshold=args.jaccard_threshold,
+        strip_lines_max_df=args.strip_lines_max_df,
         seq_len=args.seq_len,
         retries=args.retries,
         retry_delay_s=args.retry_delay,
