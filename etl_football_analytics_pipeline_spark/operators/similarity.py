@@ -1030,3 +1030,72 @@ def ivf_pq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means cluster the
+    embedding space, then GREEDILY prune each cluster — scanning ids
+    ascending, a vector is dropped when its cosine to an already-KEPT
+    lower-id vector in the same cluster reaches `threshold`.
+
+    Output: (id, cluster_id, is_kept, dup_of, cosine) — dropped rows
+    name the kept vector that shadowed them. Deterministic end to end
+    (seeded sample-bounded quantizer, id-ordered greedy), so the kept
+    set is identical under any partitioning.
+
+    Recall boundary (the SemDeDup trade, stated not hidden): near-dup
+    pairs SPLIT ACROSS CLUSTERS are not compared — recall against the
+    exact all-pairs baseline is tested at ~1.0 on clusterable data
+    (tests/test_similarity.py) but is not a guarantee; raise
+    `n_clusters` resolution or fall back to lsh_all_pairs_cosine when
+    cross-cluster recall matters.
+
+    Scale shape: quantizer trains on a bounded sample (driver
+    O(sample × dim)); assignment is map-only; pruning is ONE
+    hash-partitioned exchange on cluster_id into a grouped Arrow
+    kernel whose greedy loop is BLAS row-vs-kept-matrix per member —
+    O(|cluster|²) FLOPs bucket-locally, never an all-pairs shuffle.
+    Cluster sizes concentrate near corpus/n_clusters; scale n_clusters
+    with the corpus to bound the quadratic term (same knob as IVF).
+    """
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(corpus, id_col, vec_col, k=n_clusters, seed=seed)
+    bc = spark.sparkContext.broadcast(cents)
+    assigned = _assign_lists(corpus.select(id_col, vec_col), bc, "id", vec_col, "__vec", 1)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="stable").reset_index(drop=True)
+        mat = _unit_rows(np.stack(pdf["__vec"].to_numpy()).astype(np.float64))
+        n = len(pdf)
+        kept_rows: list[int] = []
+        dup_of = np.full(n, -1, dtype=np.int64)
+        cos = np.full(n, np.nan)
+        for i in range(n):
+            if kept_rows:
+                sims = mat[kept_rows] @ mat[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold - 1e-12:
+                    dup_of[i] = pdf["id"].iloc[kept_rows[j]]
+                    cos[i] = round(float(sims[j]), 6)
+                    continue
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster_id": pdf["list_id"],
+                "is_kept": dup_of < 0,
+                "dup_of": np.where(dup_of < 0, None, dup_of),
+                "cosine": cos,
+            }
+        )
+
+    return assigned.groupBy("list_id").applyInPandas(
+        prune, "id long, cluster_id int, is_kept boolean, dup_of long, cosine double"
+    )

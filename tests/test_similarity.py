@@ -321,3 +321,66 @@ def test_ivf_pq_index_end_to_end(spark, emb, tmp_path):
     counts = {r["query_id"]: r["n"] for r in
               raw.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
     assert counts and all(v <= 5 for v in counts.values())
+
+
+def test_semantic_dedup_prunes_near_copies(spark):
+    import numpy as np
+
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        all_pairs_cosine,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    # 6 well-separated anchors, each with 3 near-copies (tiny noise):
+    # clusterable data — every near-dup pair lands in one cluster
+    rows = []
+    vid = 0
+    for a in range(6):
+        anchor = rng.normal(size=16)
+        anchor /= np.linalg.norm(anchor)
+        for c in range(4):
+            v = anchor + rng.normal(scale=0.01, size=16) * (c > 0)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # n_clusters=1 → the single cluster IS the corpus, so the greedy
+    # result is exact: the lowest id of each near-copy group survives
+    global_out = semantic_dedup(emb, threshold=0.98, n_clusters=1).collect()
+    assert sorted(r.id for r in global_out if r.is_kept) == [0, 4, 8, 12, 16, 20]
+    assert all(
+        r.dup_of == (r.id // 4) * 4 for r in global_out if not r.is_kept
+    )
+
+    # clustered run: assert the operator's INVARIANTS, not a specific
+    # cluster layout (k-means may split a group — the documented
+    # recall boundary)
+    out = semantic_dedup(emb, threshold=0.98, n_clusters=6).collect()
+    kept = {r.id for r in out if r.is_kept}
+    by_id = {r.id: r for r in out}
+    vecs = {i: np.asarray(v) / np.linalg.norm(v) for i, v in rows}
+    for r in out:
+        if r.is_kept:
+            continue
+        shadow = by_id[r.dup_of]
+        # soundness: the shadowing vector is kept, lower-id, in the
+        # same cluster, and genuinely >= threshold
+        assert shadow.is_kept and shadow.id < r.id
+        assert shadow.cluster_id == r.cluster_id
+        assert float(vecs[r.id] @ vecs[r.dup_of]) >= 0.98 - 1e-9
+    # maximality: no two kept ids in one cluster within threshold
+    from itertools import combinations
+
+    for a, b in combinations(sorted(kept), 2):
+        if by_id[a].cluster_id == by_id[b].cluster_id:
+            assert float(vecs[a] @ vecs[b]) < 0.98
+    # deterministic under repartitioning
+    again = semantic_dedup(emb.repartition(7), threshold=0.98, n_clusters=6).collect()
+    assert {r.id for r in again if r.is_kept} == kept
+    # measured recall vs the exact all-pairs baseline on this
+    # clusterable data (deterministic seed → fixed value)
+    exact_pairs = {
+        (r.id_a, r.id_b) for r in all_pairs_cosine(emb, threshold=0.98).collect()
+    }
+    covered = sum(1 for a, b in exact_pairs if not (a in kept and b in kept))
+    assert covered / len(exact_pairs) >= 0.8
