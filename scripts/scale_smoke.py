@@ -235,13 +235,42 @@ def quality_section(spark, scale: int) -> str:
     ).count()
     t_fuzzy = time.time() - t0
     assert n_fuzzy >= typos.count(), "pigeonhole recall lost an injected typo"
+    # cross-doc boilerplate stripping: every amplified doc gets the
+    # same injected chrome line — it must vanish corpus-wide
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        strip_common_lines,
+    )
+
+    chromed = docs.select(
+        "doc_id",
+        F.concat(F.lit("subscribe to our newsletter\n"), F.col("text")).alias("text"),
+    )
+    t0 = time.time()
+    n_strip = (
+        strip_common_lines(chromed, "doc_id", "text", max_df=2)
+        .filter(F.col("text_cleaned").contains("subscribe to our"))
+        .count()
+    )
+    t_strip = time.time() - t0
+    assert n_strip == 0, "boilerplate line survived the strip"
+    # SemDeDup over the amplified embedding corpus (copies are 1e-4
+    # perturbations of the base vectors → heavy near-dup structure)
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = amplify_emb(load_table(spark, SF, "embeddings"), scale)
+    t0 = time.time()
+    n_sem = semantic_dedup(emb, threshold=0.999, n_clusters=64).filter("is_kept").count()
+    t_sem = time.time() - t0
     ev.unpersist()
     docs.unpersist()
     return (
         f"events={n_ev:8d} docs={nd:7d}  scd2={t_scd:5.1f}s (rows={n_scd})  "
         f"cdc={t_cdc:5.1f}s (changes={n_cdc})  rollup_cdc={t_rcdc:5.1f}s  chunk={t_chunk:5.1f}s (chunks={n_chunk})  "
         f"strat={t_strat:5.1f}s (rows={n_strat})  dq={t_dq:5.1f}s (rules={rep})  "
-        f"fuzzy={t_fuzzy:5.1f}s (pairs={n_fuzzy})"
+        f"fuzzy={t_fuzzy:5.1f}s (pairs={n_fuzzy})  strip={t_strip:5.1f}s  "
+        f"semdedup={t_sem:5.1f}s (kept={n_sem})"
     )
 
 
