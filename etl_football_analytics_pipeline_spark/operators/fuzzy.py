@@ -35,10 +35,10 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["default_blocks", "fuzzy_pairs", "pigeonhole_blocks"]
+__all__ = ["default_blocks", "fuzzy_join", "fuzzy_pairs", "pigeonhole_blocks"]
 
 
 def default_blocks(width: int = 4) -> list[Callable[[F.Column], F.Column]]:
@@ -140,4 +140,83 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
         .distinct()
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    max_dist: int = 2,
+    blocks: Sequence[Callable[[F.Column], F.Column]] | None = None,
+    max_block_size: int | None = None,
+    best_match_only: bool = False,
+) -> DataFrame:
+    """Cross-table RECORD LINKAGE: rows of `left` matched to rows of
+    `right` whose normalized names sit within Levenshtein `max_dist`,
+    candidates generated by the same explicit blocking contract as
+    fuzzy_pairs (shared block key → candidate; exact verify).
+
+    This is the systematic form of the reference's hand-maintained
+    team-name dictionary (`scr/Transform.py:137-176`): instead of
+    enumerating API-spelling → scraped-spelling by hand, link the two
+    sources' name columns and review the survivors.
+
+    Output: (left_id, right_id, left_name, right_name, dist).
+    `best_match_only` keeps each left row's single closest match
+    (ties broken by lowest right id) — the lookup/canonicalization
+    flavor — via one window over the (small) verified-match set,
+    partitioned by left id so no global sort exists.
+
+    Scale shape: identical to fuzzy_pairs — map-side block fan-out on
+    both sides, one shuffle_hash equi-join on (block_idx, key), verify
+    before the cross-block dedup. Neither table is broadcast.
+    """
+    block_fns = list(blocks) if blocks is not None else default_blocks()
+
+    def keyed(df: DataFrame, id_c: str, name_c: str, id_alias: str, name_alias: str):
+        norm = F.lower(F.trim(F.col(name_c)))
+        base = df.select(F.col(id_c).alias(id_alias), norm.alias(name_alias))
+        out = None
+        for i, fn in enumerate(block_fns):
+            part = base.select(
+                id_alias,
+                name_alias,
+                F.lit(i).alias("__bidx"),
+                fn(F.col(name_alias)).alias("__bkey"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.filter(F.col("__bkey").isNotNull())
+
+    a = keyed(left, left_id, left_name, "left_id", "left_name")
+    b = keyed(right, right_id, right_name, "right_id", "right_name")
+    if max_block_size is not None:
+        sizes = (
+            a.select("__bidx", "__bkey")
+            .unionByName(b.select("__bidx", "__bkey"))
+            .groupBy("__bidx", "__bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_block_size)
+            .select("__bidx", "__bkey")
+        )
+        a = a.join(sizes, ["__bidx", "__bkey"], "left_semi")
+        b = b.join(sizes, ["__bidx", "__bkey"], "left_semi")
+    matches = (
+        a.hint("shuffle_hash")
+        .join(b, ["__bidx", "__bkey"])
+        .withColumn("dist", F.levenshtein("left_name", "right_name"))
+        .filter(F.col("dist") <= max_dist)
+        .select("left_id", "right_id", "left_name", "right_name", "dist")
+        .distinct()
+    )
+    if not best_match_only:
+        return matches
+    w = Window.partitionBy("left_id").orderBy(F.asc("dist"), F.asc("right_id"))
+    return (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )

@@ -308,29 +308,85 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
       FROM k a JOIN k b ON a.bi = b.bi AND a.bk = b.bk AND a.id < b.id
       WHERE levenshtein(a.nm, b.nm) <= 1
+    ), rt AS (
+      SELECT id + 100000 AS rid,
+             SUBSTRING(nm, 1, 11) || 'x' || SUBSTRING(nm, 13) AS rnm
+      FROM n
+    ), rk AS (
+      SELECT rid, rnm, 0 AS bi, SUBSTRING(rnm, 13, 6) AS bk FROM rt
+      UNION ALL
+      SELECT rid, rnm, 1 AS bi, SUBSTRING(rnm, 10, 3) || SUBSTRING(rnm, 16, 3) AS bk FROM rt
+      UNION ALL
+      SELECT rid, rnm, 2 AS bi, SUBSTRING(rnm, 10, 6) AS bk FROM rt
+    ), xmatch AS (
+      SELECT DISTINCT l.id, r.rid, l.nm, r.rnm, levenshtein(l.nm, r.rnm) AS dist
+      FROM k l JOIN rk r ON l.bi = r.bi AND l.bk = r.bk
+      WHERE levenshtein(l.nm, r.rnm) <= 1
+    ), best AS (
+      SELECT id, rid, nm, rnm, dist,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, rid ASC) AS rn
+      FROM xmatch
     )
-    SELECT id_a, id_b, name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+    SELECT 'self' AS part, id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
     FROM cand
+    UNION ALL
+    SELECT 'join' AS part, id AS id_a, rid AS id_b, nm AS name_a, rnm AS name_b,
+           CAST(dist AS INTEGER) AS dist
+    FROM best WHERE rn = 1
     """,
 )
 def fuzzy_match_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching over supplier names
-    (operators/fuzzy.fuzzy_pairs + pigeonhole_blocks): pairs within
-    Levenshtein 1.
+    (operators/fuzzy.py + pigeonhole_blocks), one suite.
 
-    The name shape 'supplier#ddddddddd' is the degenerate regime for
-    naive prefix blocking (every name shares the prefix), so the
-    blocks are the 3-region pigeonhole over the 9 varying digits:
-    each key concatenates 2 of the 3 digit regions, so one
-    substitution anywhere leaves a full key intact (TOTAL recall at
-    distance 1) while key cardinality grows with the corpus and block
-    sizes stay bounded. shuffle_hash candidate join, exact verify
-    before the cross-block dedup. Fully deterministic, hence the
-    complete value oracle.
+    - part='self': within-table pairs within Levenshtein 1
+      (fuzzy_pairs). The name shape 'supplier#ddddddddd' is the
+      degenerate regime for naive prefix blocking (every name shares
+      the prefix), so the blocks are the 3-region pigeonhole over the
+      9 varying digits: each key concatenates 2 of the 3 digit
+      regions, so one substitution anywhere leaves a full key intact
+      (TOTAL recall at distance 1) while key cardinality grows with
+      the corpus and block sizes stay bounded;
+    - part='join': cross-table RECORD LINKAGE (fuzzy_join,
+      best_match_only) — every supplier linked to its closest name in
+      a deterministically typo'd copy (digit 3 replaced by 'x'), ties
+      broken by lowest right id; the systematic form of the
+      reference's hand-maintained name dictionary.
+
+    shuffle_hash candidate joins, exact verify before the cross-block
+    dedup, nothing broadcast. Fully deterministic, hence the complete
+    value oracle.
     """
-    from ..operators.fuzzy import pigeonhole_blocks
+    from ..operators.fuzzy import fuzzy_join, pigeonhole_blocks
 
     sup = _t(spark, sf_dir, "supplier")
-    return fuzzy_pairs(
-        sup, "s_suppkey", "s_name", max_dist=1, blocks=pigeonhole_blocks(10, 9)
-    ).withColumn("dist", F.col("dist").cast("int"))
+    blocks = pigeonhole_blocks(10, 9)
+    self_part = fuzzy_pairs(
+        sup, "s_suppkey", "s_name", max_dist=1, blocks=blocks
+    ).select(
+        F.lit("self").alias("part"),
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.col("dist").cast("int").alias("dist"),
+    )
+    typod = sup.select(
+        (F.col("s_suppkey") + 100000).alias("rid"),
+        F.concat(
+            F.substring("s_name", 1, 11), F.lit("x"), F.substring("s_name", 13, 1 << 20)
+        ).alias("rnm"),
+    )
+    join_part = fuzzy_join(
+        sup, typod, "s_suppkey", "s_name", "rid", "rnm",
+        max_dist=1, blocks=blocks, best_match_only=True,
+    ).select(
+        F.lit("join").alias("part"),
+        F.col("left_id").alias("id_a"),
+        F.col("right_id").alias("id_b"),
+        F.col("left_name").alias("name_a"),
+        F.col("right_name").alias("name_b"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+    return self_part.unionByName(join_part)

@@ -139,3 +139,40 @@ def test_pigeonhole_blocks_bound_block_sizes(spark):
             names.groupBy(fn(norm).alias("bk")).count().agg(F.max("count")).collect()[0][0]
         )
         assert biggest <= 1000
+
+
+def test_fuzzy_join_links_sources(spark):
+    from etl_football_analytics_pipeline_spark.operators.fuzzy import fuzzy_join
+
+    api = spark.createDataFrame(
+        [(1, "Manchester United"), (2, "Liverpool"), (3, "Arsenal")],
+        "id int, name string",
+    )
+    scraped = spark.createDataFrame(
+        [(10, "manchester unitedd"), (11, "Liverpol"), (12, "Chelsea"), (13, "LIVERPOOL ")],
+        "sid int, sname string",
+    )
+    got = fuzzy_join(api, scraped, "id", "name", "sid", "sname", max_dist=2)
+    pairs = {(r.left_id, r.right_id): r.dist for r in got.collect()}
+    assert pairs[(1, 10)] == 1 and pairs[(2, 11)] == 1 and pairs[(2, 13)] == 0
+    assert not any(l == 3 for l, _ in pairs)  # Chelsea ≠ Arsenal
+    best = fuzzy_join(
+        api, scraped, "id", "name", "sid", "sname", max_dist=2, best_match_only=True
+    )
+    bm = {r.left_id: (r.right_id, r.dist) for r in best.collect()}
+    assert bm == {1: (10, 1), 2: (13, 0)}  # exact beats dist-1; one row per left
+
+
+def test_fuzzy_join_no_broadcast_of_either_side(spark, sf_dir):
+    from etl_football_analytics_pipeline_spark.operators.fuzzy import fuzzy_join
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = (
+        fuzzy_join(sup, cust, "s_suppkey", "s_name", "c_custkey", "c_name", max_dist=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
