@@ -462,6 +462,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean_price,
              ROUND(CAST(SUM(CAST(c_acctbal   AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean_acctbal
       FROM orders JOIN customer ON o_custkey = c_custkey
+    ) CROSS JOIN (
+      SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+             ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+      FROM orders
     )
     """,
 )
@@ -473,8 +477,14 @@ def a3_a8_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - a8: global means over a join (`attack_defense[...].mean()`,
       `scr/ui.py:697-698`), stated as exact decimal SUM / COUNT with
       one double division on both engines (engine-native AVG result
-      types differ).
-    Two single-row aggregates cross-joined — one plan, one job, the
+      types differ);
+    - EXACT percentiles (median/p90, linear interpolation — Spark
+      `percentile` ≡ DuckDB `quantile_cont`). Tier note: exact
+      percentile buffers the column per group (ObjectHashAggregate) —
+      right for dimension-scale inputs and bounded groups; the
+      100 TB path is sketch_suite's approx_percentile/GK tier, and
+      this pairing is the documented exact-vs-approx boundary.
+    Three single-row aggregates cross-joined — one plan, one job, the
     Spark form of the reference's separate round-trips.
     """
     orders = _t(spark, sf_dir, "orders")
@@ -495,7 +505,11 @@ def a3_a8_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1)), 4
         ).alias("mean_acctbal"),
     )
-    return a3.crossJoin(a8)
+    pct = orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+    return a3.crossJoin(a8).crossJoin(pct)
 
 
 @query(
