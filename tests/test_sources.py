@@ -77,3 +77,51 @@ def test_resolve_columns_projection(spark):
     )
     assert out.columns == ["team_id", "stadium_name"]
     assert out.collect()[0].team_id == 7
+
+
+def test_scan_ready_path_compacts_and_noops(spark, tmp_path):
+    """Single giant-row-group files get a multi-row-group mirror
+    (keyed by mtime — rebuilt when the source changes); already-chunked
+    files, directories, and tiny tables pass through untouched; values
+    are identical through the mirror."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_football_analytics_pipeline_spark.sources.registry import (
+        scan_ready_path,
+    )
+
+    src = str(tmp_path / "one_group.parquet")
+    tb = pa.table({"id": list(range(10000)), "v": [i * 0.5 for i in range(10000)]})
+    pq.write_table(tb, src)  # one row group
+    out = scan_ready_path(src, parallelism=8)
+    assert out != src
+    md = pq.ParquetFile(out).metadata
+    assert md.num_row_groups > 4
+    assert md.num_rows == 10000
+    got = spark.read.parquet(out).orderBy("id").collect()
+    want = spark.read.parquet(src).orderBy("id").collect()
+    assert got == want
+    # cached: same mirror on the second call
+    assert scan_ready_path(src, parallelism=8) == out
+
+    # no-op: already chunked
+    chunked = str(tmp_path / "chunked.parquet")
+    pq.write_table(tb, chunked, row_group_size=1000)
+    assert scan_ready_path(chunked, parallelism=8) == chunked
+    # no-op: tiny
+    tiny = str(tmp_path / "tiny.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3]}), tiny)
+    assert scan_ready_path(tiny, parallelism=8) == tiny
+    # no-op: directory
+    assert scan_ready_path(str(tmp_path), parallelism=8) == str(tmp_path)
+
+    # source update -> new mirror
+    import os
+    import time as _time
+
+    pq.write_table(pa.table({"id": list(range(20000))}), src)
+    os.utime(src, (_time.time() + 10, _time.time() + 10))
+    out2 = scan_ready_path(src, parallelism=8)
+    assert out2 != out
+    assert pq.ParquetFile(out2).metadata.num_rows == 20000
