@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .dedup import normalized_text
 
@@ -302,6 +303,145 @@ def strip_common_lines(
                 lambda x: x["__line"],
             ),
             sep,
+        ).alias(out_col)
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .drop("__id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    scope: str = "cross_doc",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Substring-level exact-duplicate detection (the suffix-array
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", re-expressed relationally): find maximal token
+    spans of length >= `min_tokens` whose content appears elsewhere in
+    the corpus, per document.
+
+    Method: every doc emits its overlapping `min_tokens`-token windows
+    (whitespace tokens, window content hashed with xxhash64 — any
+    duplicated span of length >= min_tokens is a run of >= 1 duplicated
+    windows, and overlapping duplicated windows merge back into the
+    maximal span). One groupBy on the window hash finds duplicates:
+    scope='cross_doc' counts distinct documents (within-doc repetition
+    is repetition_signals' job), scope='global' counts occurrences.
+    With keep_first=True the globally first occurrence of each window
+    (lowest (doc_id, start)) is NOT counted as covered — the canonical
+    copy of a duplicated passage survives, later copies are flagged,
+    matching the keep-one-copy dedup policy.
+
+    Returns (id_col, span_start, span_end, span_tokens): inclusive
+    token offsets of each maximal duplicated span.
+
+    Scale shape: window emission is map-only off the doc scan
+    (O(tokens x min_tokens) hash work, no python); duplicate detection
+    is ONE hash-partitioned groupBy on a long key with map-side
+    partial aggregation; coverage joins back on the same key; span
+    merging is a per-document window scan (partition-parallel across
+    docs, the interval-merge via running-max trick — no range join).
+    Nothing is broadcast or collected; every stage hash-shuffles on
+    window-hash or doc id, so the plan survives corpus growth.
+    """
+    if scope not in ("cross_doc", "global"):
+        raise ValueError(f"scope must be 'cross_doc' or 'global', got {scope!r}")
+    k = int(min_tokens)
+    if k < 2:
+        raise ValueError("min_tokens must be >= 2")
+    wins = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {k} + 1, 0)),"
+                f" i -> xxhash64(array_join(slice(split(trim({text_col}), '\\\\s+'), i, {k}), ' ')))"
+            )
+        ).alias("__start", "__wh"),
+    )
+    grouped = wins.groupBy("__wh").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("__id").alias("__nd"),
+        F.min(F.struct("__id", "__start")).alias("__first"),
+    )
+    dup = grouped.filter(
+        (F.col("__nd") >= 2) if scope == "cross_doc" else (F.col("__n") >= 2)
+    ).select("__wh", "__first")
+    covered = wins.hint("shuffle_hash").join(dup, "__wh")
+    if keep_first:
+        covered = covered.filter(
+            ~(
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("__start") == F.col("__first.__start"))
+            )
+        )
+    w_doc = W.partitionBy("__id").orderBy("__start")
+    w_prev = w_doc.rowsBetween(W.unboundedPreceding, -1)
+    spans = (
+        covered.select("__id", "__start", (F.col("__start") + k - 1).alias("__end"))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__start") > F.coalesce(F.max("__end").over(w_prev), F.lit(-1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__span", F.sum("__new").over(w_doc))
+        .groupBy("__id", "__span")
+        .agg(F.min("__start").alias("span_start"), F.max("__end").alias("span_end"))
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+    return spans
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    scope: str = "cross_doc",
+    keep_first: bool = True,
+    out_col: str = "text_cleaned",
+) -> DataFrame:
+    """Rebuild each document with its duplicated spans (see
+    duplicated_spans) removed — the enforcement half of substring
+    dedup. Tokens inside any flagged span are dropped; survivors are
+    rejoined with single spaces in order (whitespace-normalized
+    rebuild, same contract as strip_common_lines). With
+    keep_first=True the corpus keeps exactly the first copy of every
+    duplicated passage.
+
+    The span -> token expansion stays relational: spans explode to
+    their covered positions (total size = covered tokens <= corpus
+    tokens) and tokens drop by left_anti on (doc, position) — an
+    equi-join, not a range join."""
+    spans = duplicated_spans(df, id_col, text_col, min_tokens, scope, keep_first)
+    covered_pos = spans.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("__pos"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
+    )
+    kept = toks.join(covered_pos, ["__id", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+            " ",
         ).alias(out_col)
     )
     return (

@@ -99,3 +99,100 @@ def test_strip_common_lines_plan_has_no_corpus_broadcast(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (repeated-span detection / removal)
+# ---------------------------------------------------------------------------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_spans_keep_first_and_maximal(spark):
+    """A shared passage longer than min_tokens merges into ONE maximal
+    span, flagged only on the later copy (keep_first); the stripped
+    corpus keeps exactly the first copy."""
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    df = _mk_docs(
+        spark,
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "delta " + shared + " epsilon zeta"),
+            (3, "unrelated text with no duplication at all in this one"),
+        ],
+    )
+    spans = duplicated_spans(df, "doc_id", "text", min_tokens=5).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # doc 2 tokens: delta(0) w0..w11(1..12) epsilon zeta -> one maximal span
+    assert (s.doc_id, s.span_start, s.span_end, s.span_tokens) == (2, 1, 12, 12)
+    out = {
+        r.doc_id: r.text_cleaned
+        for r in strip_duplicated_spans(df, "doc_id", "text", min_tokens=5).collect()
+    }
+    assert out[1] == "alpha beta " + shared + " gamma"
+    assert out[2] == "delta epsilon zeta"
+    assert out[3] == "unrelated text with no duplication at all in this one"
+
+
+def test_duplicated_spans_below_threshold_not_flagged(spark):
+    from etl_football_analytics_pipeline_spark.operators.text import duplicated_spans
+
+    shared = "a b c d"  # 4 tokens < min_tokens=5
+    df = _mk_docs(spark, [(1, "x " + shared + " y"), (2, "p " + shared + " q r")])
+    assert duplicated_spans(df, "doc_id", "text", min_tokens=5).count() == 0
+
+
+def test_duplicated_spans_scope_global_vs_cross_doc(spark):
+    """Within-doc repetition trips scope='global' but not
+    'cross_doc' (that axis belongs to repetition_signals)."""
+    from etl_football_analytics_pipeline_spark.operators.text import duplicated_spans
+
+    phrase = " ".join(f"t{i}" for i in range(6))
+    df = _mk_docs(spark, [(1, phrase + " mid " + phrase)])
+    assert duplicated_spans(df, "doc_id", "text", min_tokens=6).count() == 0
+    got = duplicated_spans(
+        df, "doc_id", "text", min_tokens=6, scope="global"
+    ).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
+    # keep_first spares the first occurrence: flagged span is the SECOND
+    assert got[0].span_start == 7 and got[0].span_end == 12
+
+
+def test_duplicated_spans_deterministic_under_repartition(spark):
+    from etl_football_analytics_pipeline_spark.operators.text import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [(i, f"doc{i} " + (shared if i % 3 == 0 else f"own text {i} only here")
+             + f" tail{i}") for i in range(30)]
+    df = _mk_docs(spark, rows)
+    a = sorted(map(tuple, duplicated_spans(df, "doc_id", "text", 5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicated_spans(df.repartition(7, "doc_id"), "doc_id", "text", 5).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+    # keep_first: exactly one sharing doc (the lowest id, 0) is unflagged
+    flagged = {t[0] for t in a}
+    sharers = {i for i in range(30) if i % 3 == 0}
+    assert flagged == sharers - {min(sharers)}
+
+
+def test_duplicated_spans_rejects_bad_args(spark):
+    import pytest
+
+    from etl_football_analytics_pipeline_spark.operators.text import duplicated_spans
+
+    df = _mk_docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        duplicated_spans(df, "doc_id", "text", min_tokens=1)
+    with pytest.raises(ValueError):
+        duplicated_spans(df, "doc_id", "text", scope="nope")
