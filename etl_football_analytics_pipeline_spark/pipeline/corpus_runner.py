@@ -40,6 +40,7 @@ def run_corpus_pipeline(
     mixture: dict[str, float] | None = None,
     group_col: str = "source",
     strip_lines_max_df: int | None = None,
+    strip_span_min_tokens: int | None = None,
     retries: int = 2,
     retry_delay_s: float = 0.0,
 ) -> EtlReport:
@@ -62,6 +63,7 @@ def run_corpus_pipeline(
             min_quality=min_quality,
             jaccard_threshold=jaccard_threshold,
             strip_lines_max_df=strip_lines_max_df,
+            strip_span_min_tokens=strip_span_min_tokens,
         ),
         retries,
         retry_delay_s,
@@ -116,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
         help="drop lines shared verbatim by more than this many docs "
         "(cross-document boilerplate removal) before curation",
     )
+    ap.add_argument(
+        "--strip-span-min-tokens", type=int, default=None,
+        help="strip passages of at least this many tokens duplicated "
+        "across documents (substring-level exact dedup, keep-first) "
+        "before curation",
+    )
     ap.add_argument("--retries", type=int, default=2)
     ap.add_argument("--retry-delay", type=float, default=0.0)
     args = ap.parse_args(argv)
@@ -128,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         min_quality=args.min_quality,
         jaccard_threshold=args.jaccard_threshold,
         strip_lines_max_df=args.strip_lines_max_df,
+        strip_span_min_tokens=args.strip_span_min_tokens,
         seq_len=args.seq_len,
         retries=args.retries,
         retry_delay_s=args.retry_delay,

@@ -65,6 +65,7 @@ def curate_corpus(
     max_top_word_frac: float | None = None,
     min_compression_ratio: float | None = None,
     strip_lines_max_df: int | None = None,
+    strip_span_min_tokens: int | None = None,
     with_stats: bool = False,
 ) -> DataFrame | tuple[DataFrame, CurationStats]:
     """Quality-gate, dedup (exact then near-dup), and token-account a
@@ -78,7 +79,12 @@ def curate_corpus(
     cross-document boilerplate-line removal FIRST
     (operators.text.strip_common_lines): stripping shared chrome
     before hashing keeps near-identical pages from surviving dedup on
-    the strength of their navigation text.
+    the strength of their navigation text. `strip_span_min_tokens`
+    then runs substring-level exact dedup
+    (operators.text.strip_duplicated_spans, keep-first): passages of
+    >= that many tokens duplicated across documents survive only in
+    their first document — the within-document-boundary duplication
+    that document-level dedup cannot see.
 
     Keep rules are deterministic everywhere (lowest id wins), so the
     curated set is identical under any partitioning — the property
@@ -89,6 +95,16 @@ def curate_corpus(
 
         docs = (
             strip_common_lines(docs, id_col, text_col, max_df=strip_lines_max_df)
+            .drop(text_col)
+            .withColumnRenamed("text_cleaned", text_col)
+        )
+    if strip_span_min_tokens is not None:
+        from ..operators.text import strip_duplicated_spans
+
+        docs = (
+            strip_duplicated_spans(
+                docs, id_col, text_col, min_tokens=strip_span_min_tokens
+            )
             .drop(text_col)
             .withColumnRenamed("text_cleaned", text_col)
         )

@@ -234,3 +234,31 @@ def test_curate_with_line_stripping(spark):
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [1, 3]
     assert all(chrome not in r.text for r in out.collect())
+
+
+def test_curate_with_span_stripping(spark):
+    """A long passage quoted across documents survives only in its
+    first document after the substring-dedup stage; quoting documents
+    keep their own text."""
+    from etl_football_analytics_pipeline_spark.pipeline.llm_corpus import (
+        curate_corpus,
+    )
+
+    quoted = " ".join(f"quote{i}" for i in range(15))
+    own = lambda i: f"original analysis {i} with plenty of distinct words here " * 3  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, own(1) + " " + quoted),
+            (2, own(2) + " " + quoted),
+            (3, own(3)),
+        ],
+        "doc_id int, text string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.95, strip_span_min_tokens=10
+    )
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert "quote0" in rows[1]       # first copy kept
+    assert "quote0" not in rows[2]   # later copy stripped
+    assert "original analysis 2" in rows[2]
