@@ -519,3 +519,131 @@ def strip_duplicated_spans(
         .drop("__id")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
     )
+
+
+def ngram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train a corpus n-gram language model: (context, token) counts
+    plus context totals, the sufficient statistics for conditional
+    token probabilities P(token | previous n-1 tokens).
+
+    This is the model behind the CCNet/RefinedWeb-style perplexity
+    quality gate: score candidate documents against an LM trained on
+    a trusted corpus (ngram_lm_score) and drop the tails. Tokens are
+    lowercased whitespace words with BOS padding, so the first token
+    of every document is conditioned and scored like any other.
+
+    Returns (context, token, cnt, ctx_total): `context` is the
+    space-joined n-1 previous tokens ('' for unigram models).
+    `min_count` prunes rare n-grams AFTER totals are taken, so
+    pruning thins the table without biasing surviving estimates.
+
+    Scale shape: one explode of the corpus tokens, ONE hash-partitioned
+    groupBy for the n-gram counts, and a context-window total over the
+    grouped (already tiny) table — no driver state; the model IS a
+    DataFrame, joined (never collected) at scoring time.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    bos = " ".join(["<s>"] * (n - 1))
+    toks = df.select(
+        F.split(
+            F.trim(F.concat(F.lit(bos + " " if bos else ""), F.lower(F.col(text_col)))),
+            r"\s+",
+        ).alias("__t")
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {n} THEN "
+                f"transform(sequence(1, size(__t) - {n} + 1),"
+                f" i -> struct(array_join(slice(__t, i, {n - 1}), ' ') AS context,"
+                f" element_at(__t, i + {n - 1}) AS token)) "
+                f"ELSE array() END"
+            )
+        ).alias("__g")
+    ).select("__g.context", "__g.token")
+    counts = grams.groupBy("context", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w_ctx = W.partitionBy("context")
+    return counts.withColumn("ctx_total", F.sum("cnt").over(w_ctx)).filter(
+        F.col("cnt") >= min_count
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    alpha: float = 0.1,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Score each document against an n-gram LM (ngram_lm_train):
+    mean token log-probability under add-alpha smoothing,
+    log P(tok|ctx) = log((cnt + alpha) / (ctx_total + alpha * V)).
+    Unseen (context, token) pairs fall back to cnt=0 against the
+    context's total (unseen contexts: total=0, pure 1/V mass), so
+    every token scores and OOV text is penalized, not skipped.
+
+    Returns (id_col, n_scored, lm_logprob) — lm_logprob is the mean
+    per-token natural-log probability (higher = more in-distribution;
+    CCNet keeps the head/middle of this distribution). `vocab_size`
+    defaults to the LM's distinct-token count (one tiny agg).
+
+    Scale shape: docs explode to their n-grams once, LEFT join to the
+    LM on (context, token) — both sides hash-partitioned on the same
+    key; the LM is dim-like after pruning and broadcast-eligible, but
+    nothing requires it — then context totals arrive the same way and
+    one groupBy(doc) averages. No driver state, no collect.
+    """
+    if vocab_size is None:
+        vocab_size = lm.select("token").distinct().count() or 1
+    bos = " ".join(["<s>"] * (n - 1))
+    grams = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(
+                F.trim(
+                    F.concat(F.lit(bos + " " if bos else ""), F.lower(F.col(text_col)))
+                ),
+                r"\s+",
+            ).alias("__t"),
+        )
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__t) >= {n} THEN "
+                    "transform(sequence(1, size(__t) - {n} + 1),"
+                    " i -> struct(array_join(slice(__t, i, {nm1}), ' ') AS context,"
+                    " element_at(__t, i + {nm1}) AS token)) "
+                    "ELSE array() END".format(n=n, nm1=n - 1)
+                )
+            ).alias("__g"),
+        )
+        .select("__id", "__g.context", "__g.token")
+    )
+    ctx_totals = lm.select("context", "ctx_total").distinct()
+    scored = (
+        grams.join(lm.select("context", "token", "cnt"), ["context", "token"], "left")
+        .join(ctx_totals, "context", "left")
+        .select(
+            "__id",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
+                / (
+                    F.coalesce(F.col("ctx_total"), F.lit(0))
+                    + F.lit(float(alpha * vocab_size))
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg("__lp").alias("lm_logprob"),
+    ).select(F.col("__id").alias(id_col), "n_scored", "lm_logprob")

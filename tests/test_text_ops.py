@@ -196,3 +196,93 @@ def test_duplicated_spans_rejects_bad_args(spark):
         duplicated_spans(df, "doc_id", "text", min_tokens=1)
     with pytest.raises(ValueError):
         duplicated_spans(df, "doc_id", "text", scope="nope")
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM quality gate (CCNet/KenLM-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+def test_ngram_lm_exact_and_ordering(spark):
+    """Scores match hand-computed add-alpha bigram log-probs exactly;
+    in-distribution text outscores OOV text and degenerate repetition."""
+    import math
+
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    train = _mk_docs(
+        spark,
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "the cat ran"),
+        ],
+    )
+    lm = ngram_lm_train(train, "text", n=2).cache()
+    model = {(r.context, r.token): (r.cnt, r.ctx_total) for r in lm.collect()}
+    assert model[("<s>", "the")] == (3, 3)
+    assert model[("the", "cat")] == (2, 5)
+    test = _mk_docs(
+        spark,
+        [
+            (10, "the cat sat"),
+            (11, "zq xv qqq unknown words entirely"),
+            (12, "the the the"),
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in ngram_lm_score(test, lm, "doc_id", "text", n=2).collect()
+    }
+    V = len({t for (_, t) in model})
+    a = 0.1
+    totals = {c: t for (c, _), (_, t) in model.items()}
+
+    def lp(c, t):
+        cnt = model.get((c, t), (0, 0))[0]
+        tot = totals.get(c, 0)
+        return math.log((cnt + a) / (tot + a * V))
+
+    want = (lp("<s>", "the") + lp("the", "cat") + lp("cat", "sat")) / 3
+    assert abs(got[10].lm_logprob - want) < 1e-12
+    assert got[10].n_scored == 3
+    assert got[10].lm_logprob > got[11].lm_logprob
+    assert got[10].lm_logprob > got[12].lm_logprob
+
+
+def test_ngram_lm_unigram_and_pruning(spark):
+    """n=1 trains a unigram model (empty context); min_count prunes
+    rows but totals stay unbiased (taken before the prune)."""
+    from etl_football_analytics_pipeline_spark.operators.text import ngram_lm_train
+
+    train = _mk_docs(spark, [(1, "a a a b"), (2, "a b c")])
+    uni = {r.token: (r.cnt, r.ctx_total) for r in
+           ngram_lm_train(train, "text", n=1).collect()}
+    assert uni == {"a": (4, 7), "b": (2, 7), "c": (1, 7)}
+    pruned = {r.token: (r.cnt, r.ctx_total) for r in
+              ngram_lm_train(train, "text", n=1, min_count=2).collect()}
+    assert pruned == {"a": (4, 7), "b": (2, 7)}  # totals still include 'c'
+
+
+def test_ngram_lm_deterministic_under_repartition(spark):
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    rows = [(i, f"common words here plus token{i % 5} again") for i in range(40)]
+    docs = _mk_docs(spark, rows)
+    lm = ngram_lm_train(docs, "text", n=2)
+    a = sorted(map(tuple, ngram_lm_score(docs, lm, "doc_id", "text", n=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ngram_lm_score(
+                docs.repartition(7), ngram_lm_train(docs.repartition(5), "text", n=2),
+                "doc_id", "text", n=2,
+            ).collect(),
+        )
+    )
+    assert a == b
