@@ -66,6 +66,8 @@ def curate_corpus(
     min_compression_ratio: float | None = None,
     strip_lines_max_df: int | None = None,
     strip_span_min_tokens: int | None = None,
+    min_lm_logprob: float | None = None,
+    lm_reference: DataFrame | None = None,
     with_stats: bool = False,
 ) -> DataFrame | tuple[DataFrame, CurationStats]:
     """Quality-gate, dedup (exact then near-dup), and token-account a
@@ -89,6 +91,14 @@ def curate_corpus(
     Keep rules are deterministic everywhere (lowest id wins), so the
     curated set is identical under any partitioning — the property
     that makes re-runs and incremental curation reproducible.
+
+    `min_lm_logprob` adds the CCNet-style perplexity gate: documents
+    scoring below that mean bigram log-probability under an n-gram LM
+    (operators.text.ngram_lm_train/score) are dropped with the other
+    quality filters. The LM trains on `lm_reference` when given (the
+    trusted-corpus setup CCNet uses — e.g. a wiki snapshot) and on the
+    input corpus itself otherwise (self-scoring: outliers against the
+    corpus's own distribution go).
     """
     if strip_lines_max_df is not None:
         from ..operators.text import strip_common_lines
@@ -122,6 +132,16 @@ def curate_corpus(
             F.col("compression_ratio") >= min_compression_ratio
         )
         good_ids = good_ids.join(cz.select(id_col), id_col)
+    if min_lm_logprob is not None:
+        from ..operators.text import ngram_lm_score, ngram_lm_train
+
+        lm = ngram_lm_train(
+            lm_reference if lm_reference is not None else docs, text_col, n=2
+        )
+        fluent = ngram_lm_score(docs, lm, id_col, text_col, n=2).filter(
+            F.col("lm_logprob") >= min_lm_logprob
+        )
+        good_ids = good_ids.join(fluent.select(id_col), id_col)
     good = docs.join(good_ids, id_col)
 
     exact_keep = exact_dedup(good, id_col, text_col).select(

@@ -262,3 +262,30 @@ def test_curate_with_span_stripping(spark):
     assert "quote0" in rows[1]       # first copy kept
     assert "quote0" not in rows[2]   # later copy stripped
     assert "original analysis 2" in rows[2]
+
+
+def test_curate_with_lm_gate(spark):
+    """The perplexity gate drops the document whose bigrams the
+    reference LM has never seen, keeps in-distribution ones."""
+    from etl_football_analytics_pipeline_spark.pipeline.llm_corpus import (
+        curate_corpus,
+    )
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(5)],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "zq wv xk jj qp mn zz vv kk pp qq ww"),
+        ],
+        "doc_id int, text string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.99,
+        min_lm_logprob=-1.5, lm_reference=ref,  # OOV floor here is log(1/V) ≈ -2.48
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1]
