@@ -186,6 +186,14 @@ def test_streaming_curation_sink(spark, tmp_path):
                  schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])),
         f"{src}/f2.parquet",
     )
+    # the file source orders batches by modification time; back-to-back
+    # writes can tie at mtime granularity and flip the order under
+    # load — pin strictly increasing mtimes so f1 is always batch 1
+    import time as _time
+
+    now = _time.time()
+    os.utime(f"{src}/f1.parquet", (now - 10, now - 10))
+    os.utime(f"{src}/f2.parquet", (now, now))
 
     def run(ckpt):
         stream = (
