@@ -599,10 +599,18 @@ def ngram_lm_score(
     LM on (context, token) — both sides hash-partitioned on the same
     key; the LM is dim-like after pruning and broadcast-eligible, but
     nothing requires it — then context totals arrive the same way and
-    one groupBy(doc) averages. No driver state, no collect.
+    one groupBy(doc) averages. The default vocab size rides in as a
+    ONE-ROW broadcast cross join (kept lazy — no driver action at
+    plan-build time; pass an explicit `vocab_size` to skip even
+    that). Callers scoring repeatedly should `.cache()` the lm frame
+    — three plan branches read it (counts, totals, vocab).
     """
     if vocab_size is None:
-        vocab_size = lm.select("token").distinct().count() or 1
+        v_col = F.greatest(F.col("__V"), F.lit(1)).cast("double")
+        v_df = lm.agg(F.count_distinct("token").alias("__V"))
+    else:
+        v_col = F.lit(float(vocab_size))
+        v_df = None
     bos = " ".join(["<s>"] * (n - 1))
     grams = (
         df.select(
@@ -629,19 +637,20 @@ def ngram_lm_score(
         .select("__id", "__g.context", "__g.token")
     )
     ctx_totals = lm.select("context", "ctx_total").distinct()
-    scored = (
-        grams.join(lm.select("context", "token", "cnt"), ["context", "token"], "left")
-        .join(ctx_totals, "context", "left")
-        .select(
-            "__id",
-            F.log(
-                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
-                / (
-                    F.coalesce(F.col("ctx_total"), F.lit(0))
-                    + F.lit(float(alpha * vocab_size))
-                )
-            ).alias("__lp"),
-        )
+    scored = grams.join(
+        lm.select("context", "token", "cnt"), ["context", "token"], "left"
+    ).join(ctx_totals, "context", "left")
+    if v_df is not None:
+        scored = scored.crossJoin(F.broadcast(v_df))
+    scored = scored.select(
+        "__id",
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
+            / (
+                F.coalesce(F.col("ctx_total"), F.lit(0))
+                + F.lit(float(alpha)) * v_col
+            )
+        ).alias("__lp"),
     )
     return scored.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_scored"),

@@ -646,7 +646,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_ngram_topk",
+    "text_ngram_suite",
     oracle=f"""
     WITH docs AS (
       SELECT doc_id, {_WORDS} AS w FROM documents
@@ -655,32 +655,72 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
                                    i -> w[i] || ' ' || w[i + 1])) AS gram
       FROM docs
+    ), topk AS (
+      SELECT 'topk' AS part, gram AS s1,
+             COUNT(*) AS k1,
+             CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS v1
+      FROM grams
+      GROUP BY gram
+      ORDER BY COUNT(*) DESC, gram ASC
+      LIMIT 50
+    ), lm_toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(concat('<s> ', lower(text))), '\\s+') AS t
+      FROM documents
+    ), lm_grams AS (
+      SELECT doc_id, t[i] AS context, t[i + 1] AS token
+      FROM lm_toks,
+           LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ), lm AS (
+      SELECT context, token, COUNT(*) AS cnt FROM lm_grams GROUP BY 1, 2
+    ), totals AS (
+      SELECT context, SUM(cnt) AS ctx_total FROM lm GROUP BY 1
+    ), scored AS (
+      SELECT g.doc_id,
+             ln((COALESCE(l.cnt, 0) + 0.1)
+                / (COALESCE(t.ctx_total, 0)
+                   + 0.1 * (SELECT COUNT(DISTINCT token) FROM lm))) AS lp
+      FROM lm_grams g
+      LEFT JOIN lm l ON g.context = l.context AND g.token = l.token
+      LEFT JOIN totals t ON g.context = t.context
+    ), lm_part AS (
+      SELECT 'lm' AS part, CAST(doc_id AS VARCHAR) AS s1,
+             COUNT(*) AS k1, ROUND(AVG(lp), 4) AS v1
+      FROM scored GROUP BY doc_id
     )
-    SELECT gram,
-           COUNT(*) AS occurrences,
-           COUNT(DISTINCT doc_id) AS doc_frequency
-    FROM grams
-    GROUP BY gram
-    ORDER BY occurrences DESC, gram ASC
-    LIMIT 50
+    SELECT * FROM topk UNION ALL SELECT * FROM lm_part
     """,
 )
-def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level n-gram statistics (SURVEY.md §7: n-gram counts via
-    explode + A1): bigram occurrences + document frequency, top-50 with
-    a deterministic tiebreak. The explode shuffles one row per gram
-    OCCURRENCE — at 100 TB this is the heaviest text shuffle, which is
-    why partial hash aggregation (map-side combine on the gram key)
-    and the TakeOrderedAndProject top-k matter: only (gram, counts)
-    pairs reach the exchange, and no global sort materializes."""
+def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics AND the n-gram LM quality gate as one
+    suite (the former text_ngram_topk plus the CCNet-style scorer,
+    part-discriminated to hold the registry at the driver's 50-entry
+    cap; both parts keep full value oracles):
+
+    - part='topk' (s1=gram, k1=occurrences, v1=doc_frequency):
+      bigram stats, top-50 with a deterministic tiebreak (SURVEY.md
+      §7: n-gram counts via explode + A1). The explode shuffles one
+      row per gram OCCURRENCE — at 100 TB this is the heaviest text
+      shuffle, which is why partial hash aggregation (map-side
+      combine on the gram key) and the TakeOrderedAndProject top-k
+      matter: only (gram, counts) pairs reach the exchange, no
+      global sort materializes.
+    - part='lm' (s1=doc_id, k1=n_scored, v1=mean bigram log-prob,
+      4dp): every document scored against the corpus-trained bigram
+      LM (operators.text.ngram_lm_train/ngram_lm_score, add-0.1
+      smoothing) — the perplexity-style fluency gate, value-checked
+      against DuckDB computing the identical model and smoothing.
+      The model is a DataFrame joined on (context, token); nothing
+      collects (the vocab size is one scalar count)."""
     docs = _docs(spark, sf_dir)
     from ..operators.dedup import normalized_text, word_ngrams
+    from ..operators.text import ngram_lm_score, ngram_lm_train
 
     grams = (
         docs.withColumn("__words", F.split(normalized_text("text"), " "))
         .select(F.col("doc_id"), F.explode(word_ngrams("__words", 2)).alias("gram"))
     )
-    return (
+    topk = (
         grams.groupBy("gram")
         .agg(
             F.count(F.lit(1)).alias("occurrences"),
@@ -688,7 +728,21 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("occurrences"), F.asc("gram"))
         .limit(50)
+        .select(
+            F.lit("topk").alias("part"),
+            F.col("gram").alias("s1"),
+            F.col("occurrences").alias("k1"),
+            F.col("doc_frequency").cast("double").alias("v1"),
+        )
     )
+    lm = ngram_lm_train(docs, "text", n=2).cache()
+    lm_part = ngram_lm_score(docs, lm, "doc_id", "text", n=2).select(
+        F.lit("lm").alias("part"),
+        F.col("doc_id").cast("string").alias("s1"),
+        F.col("n_scored").alias("k1"),
+        F.round("lm_logprob", 4).alias("v1"),
+    )
+    return topk.unionByName(lm_part)
 
 
 # ---------------------------------------------------------------------------

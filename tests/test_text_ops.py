@@ -274,15 +274,16 @@ def test_ngram_lm_deterministic_under_repartition(spark):
 
     rows = [(i, f"common words here plus token{i % 5} again") for i in range(40)]
     docs = _mk_docs(spark, rows)
-    lm = ngram_lm_train(docs, "text", n=2)
-    a = sorted(map(tuple, ngram_lm_score(docs, lm, "doc_id", "text", n=2).collect()))
-    b = sorted(
-        map(
-            tuple,
-            ngram_lm_score(
-                docs.repartition(7), ngram_lm_train(docs.repartition(5), "text", n=2),
-                "doc_id", "text", n=2,
-            ).collect(),
-        )
-    )
+
+    def run(d, lm_src):
+        out = ngram_lm_score(d, ngram_lm_train(lm_src, "text", n=2),
+                             "doc_id", "text", n=2).collect()
+        # mean log-prob is a float average — partial-sum order moves
+        # the last ulp with partitioning, so compare at the rounded
+        # precision every consumer (the registered suite, the
+        # curation gate) actually uses
+        return sorted((r.doc_id, r.n_scored, round(r.lm_logprob, 9)) for r in out)
+
+    a = run(docs, docs)
+    b = run(docs.repartition(7), docs.repartition(5))
     assert a == b
