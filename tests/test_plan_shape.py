@@ -84,8 +84,9 @@ def test_aggregates_are_partial_final_hash(plans):
 
 def test_relational_plans_have_no_cartesian_product(plans):
     # a3_a8_global_aggs cross-joins two SINGLE-ROW aggregates into one
-    # suite row — constant-size by construction, not a data join
-    allowed_constant_cross = {"a3_a8_global_aggs"}
+    # suite row, text_ngram_suite broadcasts its ONE-ROW vocab-size
+    # scalar — constant-size by construction, not data joins
+    allowed_constant_cross = {"a3_a8_global_aggs", "text_ngram_suite"}
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         if name not in allowed_constant_cross:
@@ -206,3 +207,21 @@ def test_doc_chunk_plan_is_shuffle_free(plans):
 
 def test_fuzzy_suite_candidates_are_shuffle_hash(plans):
     assert "ShuffledHashJoin" in plans["fuzzy_match_dedup"]
+
+
+def test_text_ngram_suite_plan_shape(plans):
+    """The LM leg joins the model relationally: vocab size arrives as
+    a one-row BROADCAST (never a driver collect at build time), the
+    (context, token) joins are shuffle/broadcast hash joins — no
+    nested-loop except the single-row vocab cross join — and the
+    top-k leg still compiles to TakeOrderedAndProject."""
+    plan = plans["text_ngram_suite"]
+    assert "TakeOrderedAndProject" in plan
+    # the only BroadcastNestedLoopJoin node allowed is the 1-row
+    # vocab-size scalar (formatted explain prints each node twice:
+    # once in the tree, once in the numbered detail section)
+    import re
+
+    bnl_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnl_nodes) <= 1, plan
+    assert "CartesianProduct" not in plan
