@@ -455,9 +455,15 @@ def duplicated_spans(
     spans = (
         covered.select("__id", "__start", (F.col("__start") + k - 1).alias("__end"))
         .withColumn(
+            # a new span starts only when this window's range neither
+            # overlaps NOR abuts the furthest end so far — abutting
+            # covered ranges ([0,1] + [2,3]) are one maximal run of
+            # covered tokens, caught by the property test against the
+            # brute-force reference
             "__new",
             F.when(
-                F.col("__start") > F.coalesce(F.max("__end").over(w_prev), F.lit(-1)),
+                F.col("__start")
+                > F.coalesce(F.max("__end").over(w_prev), F.lit(-2)) + 1,
                 1,
             ).otherwise(0),
         )

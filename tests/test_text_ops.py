@@ -287,3 +287,88 @@ def test_ngram_lm_deterministic_under_repartition(spark):
     a = run(docs, docs)
     b = run(docs.repartition(7), docs.repartition(5))
     assert a == b
+
+
+# -- randomized span-dedup equality vs brute force (hypothesis) ---------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+def _brute_spans(texts, k, scope, keep_first):
+    """Reference implementation: enumerate every k-token window,
+    find duplicated window contents, merge covered positions into
+    maximal spans per doc."""
+    wins = []  # (doc, start, content)
+    for doc, text in enumerate(texts):
+        toks = text.strip().split()
+        for i in range(max(len(toks) - k + 1, 0)):
+            wins.append((doc, i, tuple(toks[i : i + k])))
+    by_content = {}
+    for doc, start, content in wins:
+        by_content.setdefault(content, []).append((doc, start))
+    covered = set()
+    for content, occs in by_content.items():
+        docs_set = {d for d, _ in occs}
+        dup = len(docs_set) >= 2 if scope == "cross_doc" else len(occs) >= 2
+        if not dup:
+            continue
+        first = min(occs)
+        for occ in occs:
+            if keep_first and occ == first:
+                continue
+            covered.add(occ)
+    spans = []
+    by_doc = {}
+    for doc, start in covered:
+        by_doc.setdefault(doc, []).append(start)
+    for doc, starts in by_doc.items():
+        starts.sort()
+        cur_s, cur_e = starts[0], starts[0] + k - 1
+        for s in starts[1:]:
+            if s <= cur_e + 1:
+                cur_e = max(cur_e, s + k - 1)
+            else:
+                spans.append((doc, cur_s, cur_e, cur_e - cur_s + 1))
+                cur_s, cur_e = s, s + k - 1
+        spans.append((doc, cur_s, cur_e, cur_e - cur_s + 1))
+    return sorted(spans)
+
+
+if _HAS_HYPOTHESIS:
+    _w = st.sampled_from(["aa", "bb", "cc", "dd"])
+    _txt = st.lists(_w, min_size=0, max_size=10).map(" ".join)
+    _docs_strat = st.lists(_txt, min_size=1, max_size=8)
+
+    @given(
+        texts=_docs_strat,
+        k=st.sampled_from([2, 3]),
+        scope=st.sampled_from(["cross_doc", "global"]),
+        keep_first=st.booleans(),
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_duplicated_spans_equal_brute_force(spark, texts, k, scope, keep_first):
+        """The distributed span detector must agree with a brute-force
+        reference on ANY corpus — tiny alphabet so windows collide
+        hard, plus empty docs and within-doc repeats."""
+        from etl_football_analytics_pipeline_spark.operators.text import (
+            duplicated_spans,
+        )
+
+        df = _mk_docs(spark, list(enumerate(texts)))
+        got = sorted(
+            tuple(r)
+            for r in duplicated_spans(
+                df, "doc_id", "text", min_tokens=k, scope=scope, keep_first=keep_first
+            ).collect()
+        )
+        assert got == _brute_spans(texts, k, scope, keep_first)
