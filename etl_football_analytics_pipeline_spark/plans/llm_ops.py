@@ -687,8 +687,43 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'lm' AS part, CAST(doc_id AS VARCHAR) AS s1,
              COUNT(*) AS k1, ROUND(AVG(lp), 4) AS v1
       FROM scored GROUP BY doc_id
+    ), sp_toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sp_wins AS (
+      SELECT doc_id, i - 1 AS s,
+             array_to_string(t[i:i+7], ' ') AS content
+      FROM sp_toks,
+           LATERAL unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ), sp_stats AS (
+      SELECT content, COUNT(DISTINCT doc_id) AS nd,
+             MIN(doc_id * 1000000 + s) AS first_key
+      FROM sp_wins GROUP BY content
+    ), sp_covered AS (
+      SELECT w.doc_id, w.s
+      FROM sp_wins w JOIN sp_stats st USING (content)
+      WHERE st.nd >= 2 AND (w.doc_id * 1000000 + w.s) <> st.first_key
+    ), sp_marked AS (
+      SELECT doc_id, s, s + 7 AS e,
+             CASE WHEN s > COALESCE(MAX(s + 7) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM sp_covered
+    ), sp_grp AS (
+      SELECT doc_id, s, e,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS g
+      FROM sp_marked
+    ), span_part AS (
+      SELECT 'span' AS part,
+             CAST(doc_id AS VARCHAR) || ':' || CAST(MIN(s) AS VARCHAR) AS s1,
+             MAX(e) AS k1,
+             CAST(MAX(e) - MIN(s) + 1 AS DOUBLE) AS v1
+      FROM sp_grp GROUP BY doc_id, g
     )
-    SELECT * FROM topk UNION ALL SELECT * FROM lm_part
+    SELECT * FROM topk
+    UNION ALL SELECT * FROM lm_part
+    UNION ALL SELECT * FROM span_part
     """,
 )
 def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,7 +746,15 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       smoothing) — the perplexity-style fluency gate, value-checked
       against DuckDB computing the identical model and smoothing.
       The model is a DataFrame joined on (context, token); nothing
-      collects (the vocab size is one scalar count)."""
+      collects (the vocab size is one scalar count).
+    - part='span' (s1=doc_id:span_start, k1=span_end, v1=span_tokens):
+      substring-level exact dedup (operators.text.duplicated_spans,
+      min_tokens=8, cross-doc, keep-first) — maximal duplicated token
+      spans per document. The operator keys windows on a 64-bit
+      content hash; the ORACLE recomputes the identical spans from
+      window CONTENT equality directly (DuckDB has no xxhash64), so
+      the value check covers the whole pipeline modulo the documented
+      2^-64 collision odds."""
     docs = _docs(spark, sf_dir)
     from ..operators.dedup import normalized_text, word_ngrams
     from ..operators.text import ngram_lm_score, ngram_lm_train
@@ -742,7 +785,16 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_scored").alias("k1"),
         F.round("lm_logprob", 4).alias("v1"),
     )
-    return topk.unionByName(lm_part)
+    from ..operators.text import duplicated_spans
+
+    span_part = duplicated_spans(docs, "doc_id", "text", min_tokens=8).select(
+        F.lit("span").alias("part"),
+        F.concat_ws(":", F.col("doc_id").cast("string"),
+                    F.col("span_start").cast("string")).alias("s1"),
+        F.col("span_end").cast("long").alias("k1"),
+        F.col("span_tokens").cast("double").alias("v1"),
+    )
+    return topk.unionByName(lm_part).unionByName(span_part)
 
 
 # ---------------------------------------------------------------------------

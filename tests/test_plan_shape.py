@@ -105,6 +105,9 @@ def test_relational_plans_stay_jvm_side(plans):
         "mm_decode_suite", "mm_image_near_dup",
         # stratified_sample's partition-local top-k combiner
         "corpus_mixture_suite",
+        # span leg's vectorized window-hash kernel (one xxhash64 per
+        # token JVM-side, numpy polynomial combine per window)
+        "text_ngram_suite",
     }
     for name, plan in plans.items():
         if name in kernel_queries:
