@@ -334,10 +334,14 @@ def _window_hashes(
 
     from ..utils import spread
 
+    # NULL text must behave like '' (zero windows), matching the null
+    # tolerance of the sibling operators — without the coalesce the
+    # kernel would see a None array and kill the job
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.expr(
-            f"transform(split(trim({text_col}), '\\\\s+'), t -> xxhash64(t))"
+            "transform(split(trim(coalesce(%s, '')), '\\\\s+'), t -> xxhash64(t))"
+            % text_col
         ).alias("__th"),
     )
 
@@ -353,6 +357,8 @@ def _window_hashes(
             starts: list[np.ndarray] = []
             hashes: list[np.ndarray] = []
             for did, th in zip(pdf["__id"], pdf["__th"]):
+                if th is None:
+                    continue
                 a = np.asarray(th, dtype=np.int64).view(np.uint64)
                 if a.size < k:
                     continue
@@ -492,32 +498,63 @@ def strip_duplicated_spans(
     """Rebuild each document with its duplicated spans (see
     duplicated_spans) removed — the enforcement half of substring
     dedup. Tokens inside any flagged span are dropped; survivors are
-    rejoined with single spaces in order (whitespace-normalized
-    rebuild, same contract as strip_common_lines). With
-    keep_first=True the corpus keeps exactly the first copy of every
-    duplicated passage.
+    rejoined with single spaces WITHIN each line and the document's
+    LINE structure is preserved (lines rejoined with '\\n', a line
+    whose every token is covered survives as '') — so downstream
+    line-based signals (dup_line_frac, strip_common_lines) still see
+    the document's real line layout; only intra-line spacing is
+    normalized. With keep_first=True the corpus keeps exactly the
+    first copy of every duplicated passage.
 
-    The span -> token expansion stays relational: spans explode to
-    their covered positions (total size = covered tokens <= corpus
-    tokens) and tokens drop by left_anti on (doc, position) — an
-    equi-join, not a range join."""
+    Positions line up exactly with duplicated_spans' global \\s+
+    tokenization: each line's non-empty tokens concatenated in line
+    order ARE that token sequence, and the per-line cumulative offset
+    is one window pass. The span -> token expansion stays relational:
+    spans explode to their covered positions (total size = covered
+    tokens <= corpus tokens) and tokens drop by left_anti on
+    (doc, position) — an equi-join, not a range join."""
     spans = duplicated_spans(df, id_col, text_col, min_tokens, scope, keep_first)
     covered_pos = spans.select(
         F.col(id_col).alias("__id"),
         F.explode(F.sequence("span_start", "span_end")).alias("__pos"),
     )
-    toks = df.select(
+    lines = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit("\n"))
+        ).alias("__li", "__line"),
+    ).withColumn("__lt", F.expr("filter(split(trim(__line), '\\\\s+'), t -> t != '')"))
+    w_prev_lines = (
+        W.partitionBy("__id").orderBy("__li").rowsBetween(W.unboundedPreceding, -1)
     )
+    lines = lines.withColumn(
+        "__off", F.coalesce(F.sum(F.size("__lt")).over(w_prev_lines), F.lit(0))
+    )
+    toks = lines.select(
+        "__id", "__li", "__off", F.posexplode("__lt").alias("__p", "__tok")
+    ).withColumn("__pos", F.col("__off") + F.col("__p"))
     kept = toks.join(covered_pos, ["__id", "__pos"], "left_anti")
-    rebuilt = kept.groupBy("__id").agg(
+    rebuilt_lines = kept.groupBy("__id", "__li").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                F.array_sort(F.collect_list(F.struct("__p", "__tok"))),
                 lambda x: x["__tok"],
             ),
             " ",
+        ).alias("__lr")
+    )
+    all_lines = (
+        lines.select("__id", "__li")
+        .join(rebuilt_lines, ["__id", "__li"], "left")
+        .withColumn("__lr", F.coalesce("__lr", F.lit("")))
+    )
+    rebuilt = all_lines.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__li", "__lr"))),
+                lambda x: x["__lr"],
+            ),
+            "\n",
         ).alias(out_col)
     )
     return (
@@ -525,6 +562,41 @@ def strip_duplicated_spans(
         .drop("__id")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
     )
+
+
+def _lm_grams(df: DataFrame, text_col: str, n: int, id_col: str | None = None):
+    """(context, token) rows for every n-gram of every document —
+    the ONE tokenization both ngram_lm_train and ngram_lm_score use
+    (BOS padding, lowercase, \\s+ split, NULL text ≡ ''), factored so
+    train and score can never drift apart on the gram inventory.
+    With `id_col`, rows carry the doc id as __id."""
+    bos = " ".join(["<s>"] * (n - 1))
+    cols = [F.col(id_col).alias("__id")] if id_col else []
+    toks = df.select(
+        *cols,
+        F.split(
+            F.trim(
+                F.concat(
+                    F.lit(bos + " " if bos else ""),
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                )
+            ),
+            r"\s+",
+        ).alias("__t"),
+    )
+    out_cols = ["__id"] if id_col else []
+    return toks.select(
+        *out_cols,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {n} THEN "
+                f"transform(sequence(1, size(__t) - {n} + 1),"
+                f" i -> struct(array_join(slice(__t, i, {n - 1}), ' ') AS context,"
+                f" element_at(__t, i + {n - 1}) AS token)) "
+                f"ELSE array() END"
+            )
+        ).alias("__g"),
+    ).select(*out_cols, "__g.context", "__g.token")
 
 
 def ngram_lm_train(
@@ -555,24 +627,7 @@ def ngram_lm_train(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    bos = " ".join(["<s>"] * (n - 1))
-    toks = df.select(
-        F.split(
-            F.trim(F.concat(F.lit(bos + " " if bos else ""), F.lower(F.col(text_col)))),
-            r"\s+",
-        ).alias("__t")
-    )
-    grams = toks.select(
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(__t) >= {n} THEN "
-                f"transform(sequence(1, size(__t) - {n} + 1),"
-                f" i -> struct(array_join(slice(__t, i, {n - 1}), ' ') AS context,"
-                f" element_at(__t, i + {n - 1}) AS token)) "
-                f"ELSE array() END"
-            )
-        ).alias("__g")
-    ).select("__g.context", "__g.token")
+    grams = _lm_grams(df, text_col, n)
     counts = grams.groupBy("context", "token").agg(F.count(F.lit(1)).alias("cnt"))
     w_ctx = W.partitionBy("context")
     return counts.withColumn("ctx_total", F.sum("cnt").over(w_ctx)).filter(
@@ -596,10 +651,15 @@ def ngram_lm_score(
     context's total (unseen contexts: total=0, pure 1/V mass), so
     every token scores and OOV text is penalized, not skipped.
 
-    Returns (id_col, n_scored, lm_logprob) — lm_logprob is the mean
-    per-token natural-log probability (higher = more in-distribution;
-    CCNet keeps the head/middle of this distribution). `vocab_size`
-    defaults to the LM's distinct-token count (one tiny agg).
+    Returns (id_col, n_scored, lm_logprob) — ONE row per input
+    document: lm_logprob is the mean per-token natural-log
+    probability (higher = more in-distribution; CCNet keeps the
+    head/middle of this distribution), and a document yielding zero
+    n-grams (empty/whitespace/NULL text shorter than the order) gets
+    n_scored=0 with lm_logprob NULL — no evidence, not a low score,
+    so threshold gates must decide explicitly (the curation gate
+    passes them through). `vocab_size` defaults to the LM's
+    distinct-token count (one tiny agg).
 
     Scale shape: docs explode to their n-grams once, LEFT join to the
     LM on (context, token) — both sides hash-partitioned on the same
@@ -617,31 +677,7 @@ def ngram_lm_score(
     else:
         v_col = F.lit(float(vocab_size))
         v_df = None
-    bos = " ".join(["<s>"] * (n - 1))
-    grams = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.split(
-                F.trim(
-                    F.concat(F.lit(bos + " " if bos else ""), F.lower(F.col(text_col)))
-                ),
-                r"\s+",
-            ).alias("__t"),
-        )
-        .select(
-            "__id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(__t) >= {n} THEN "
-                    "transform(sequence(1, size(__t) - {n} + 1),"
-                    " i -> struct(array_join(slice(__t, i, {nm1}), ' ') AS context,"
-                    " element_at(__t, i + {nm1}) AS token)) "
-                    "ELSE array() END".format(n=n, nm1=n - 1)
-                )
-            ).alias("__g"),
-        )
-        .select("__id", "__g.context", "__g.token")
-    )
+    grams = _lm_grams(df, text_col, n, id_col=id_col)
     ctx_totals = lm.select("context", "ctx_total").distinct()
     scored = grams.join(
         lm.select("context", "token", "cnt"), ["context", "token"], "left"
@@ -658,7 +694,18 @@ def ngram_lm_score(
             )
         ).alias("__lp"),
     )
-    return scored.groupBy("__id").agg(
+    agg = scored.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.avg("__lp").alias("lm_logprob"),
-    ).select(F.col("__id").alias(id_col), "n_scored", "lm_logprob")
+    )
+    # zero-gram docs have no gram rows — restore them with an explicit
+    # (0, NULL) score so absence of evidence is visible, not a drop
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+            "lm_logprob",
+        )
+    )

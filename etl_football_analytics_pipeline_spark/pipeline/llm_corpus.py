@@ -135,11 +135,16 @@ def curate_corpus(
     if min_lm_logprob is not None:
         from ..operators.text import ngram_lm_score, ngram_lm_train
 
+        # cache: three plan branches read the model (counts, totals,
+        # vocab) — uncached, the full train lineage would re-execute
+        # for each
         lm = ngram_lm_train(
             lm_reference if lm_reference is not None else docs, text_col, n=2
-        )
+        ).cache()
+        # zero-gram docs score NULL (no evidence): pass them through —
+        # the length/quality gates own empty-text policy
         fluent = ngram_lm_score(docs, lm, id_col, text_col, n=2).filter(
-            F.col("lm_logprob") >= min_lm_logprob
+            (F.col("lm_logprob") >= min_lm_logprob) | F.col("lm_logprob").isNull()
         )
         good_ids = good_ids.join(fluent.select(id_col), id_col)
     good = docs.join(good_ids, id_col)

@@ -683,10 +683,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lm_grams g
       LEFT JOIN lm l ON g.context = l.context AND g.token = l.token
       LEFT JOIN totals t ON g.context = t.context
-    ), lm_part AS (
-      SELECT 'lm' AS part, CAST(doc_id AS VARCHAR) AS s1,
-             COUNT(*) AS k1, ROUND(AVG(lp), 4) AS v1
+    ), lm_agg AS (
+      SELECT doc_id, COUNT(*) AS k1, ROUND(AVG(lp), 4) AS v1
       FROM scored GROUP BY doc_id
+    ), lm_part AS (
+      SELECT 'lm' AS part, CAST(d.doc_id AS VARCHAR) AS s1,
+             COALESCE(a.k1, 0) AS k1, a.v1 AS v1
+      FROM documents d LEFT JOIN lm_agg a ON d.doc_id = a.doc_id
     ), sp_toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ), sp_wins AS (

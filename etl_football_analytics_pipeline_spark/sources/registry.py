@@ -205,17 +205,23 @@ def scan_ready_path(path: str, parallelism: int) -> str:
     out = os.path.join(_COMPACT_ROOT, key, os.path.basename(path))
     if os.path.exists(out):
         return out
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    table = pq.read_table(path)
-    rows_per_group = max(1024, table.num_rows // max(2 * parallelism, 1))
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out), suffix=".tmp")
-    os.close(fd)
+    # the mirror is an optimization, never a gate: any build failure
+    # (tmp full/read-only, permission clash with another user's cache
+    # dir, transient IO) falls back to reading the source verbatim
     try:
-        pq.write_table(table, tmp, row_group_size=rows_per_group, version="2.6")
-        os.replace(tmp, out)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        table = pq.read_table(path)
+        rows_per_group = max(1024, table.num_rows // max(2 * parallelism, 1))
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out), suffix=".tmp")
+        os.close(fd)
+        try:
+            pq.write_table(table, tmp, row_group_size=rows_per_group, version="2.6")
+            os.replace(tmp, out)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    except Exception:  # noqa: BLE001 — degraded layout beats a failed read
+        return path
     return out
 
 

@@ -239,7 +239,15 @@ def test_runtime_bloom_filter_injects_and_matches(spark, tmp_path):
     one_brand = part.select("p_brand").first().p_brand
     dim = spark.read.parquet(part_path).filter(F.col("p_brand") == one_brand)
 
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # restore EVERY touched conf to its prior value — the spark
+    # fixture is session-scoped, so leaked optimizer settings would
+    # make later tests order-dependent
+    touched = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    prev = {c: spark.conf.get(c, None) for c in touched}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     enable_runtime_bloom(spark, application_side_min_bytes=0)
     try:
@@ -249,8 +257,11 @@ def test_runtime_bloom_filter_injects_and_matches(spark, tmp_path):
         assert "bloom_filter_agg" in op, op
         n = q.count()
     finally:
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        for c, v in prev.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
     want = li.join(part.filter(F.col("p_brand") == one_brand),
                    li.l_partkey == part.p_partkey).count()
     assert n == want

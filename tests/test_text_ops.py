@@ -372,3 +372,55 @@ if _HAS_HYPOTHESIS:
             ).collect()
         )
         assert got == _brute_spans(texts, k, scope, keep_first)
+
+
+def test_span_ops_tolerate_null_and_preserve_lines(spark):
+    """NULL text behaves like '' (no crash, no spans); the stripped
+    rebuild preserves LINE structure — only intra-line spacing is
+    normalized — so downstream line-based signals still work."""
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    shared = " ".join(f"q{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [
+            (1, f"first line here\n{shared}\nlast line"),
+            (2, f"{shared}\nsecond doc tail line"),
+            (3, None),
+            (4, "one\n\nthree"),  # empty middle line survives
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(df, "doc_id", "text", min_tokens=6).collect()
+    assert {s.doc_id for s in spans} == {2}  # keep-first spares doc 1
+    out = {
+        r.doc_id: r.text_cleaned
+        for r in strip_duplicated_spans(df, "doc_id", "text", min_tokens=6).collect()
+    }
+    assert out[1] == f"first line here\n{shared}\nlast line"
+    assert out[2] == "\nsecond doc tail line"  # stripped line stays a line
+    assert out[3] == ""
+    assert out[4] == "one\n\nthree"
+
+
+def test_ngram_lm_score_emits_zero_gram_docs(spark):
+    """Docs yielding no n-grams score (0, NULL) instead of vanishing."""
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    train = _mk_docs(spark, [(1, "the cat sat")])
+    lm = ngram_lm_train(train, "text", n=2)
+    test = spark.createDataFrame(
+        [(10, "the cat"), (11, ""), (12, None), (13, "  ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_scored, r.lm_logprob)
+           for r in ngram_lm_score(test, lm, "doc_id", "text", n=2).collect()}
+    assert set(got) == {10, 11, 12, 13}
+    assert got[10][0] == 2 and got[10][1] is not None
+    for d in (11, 12, 13):
+        assert got[d] == (0, None)
