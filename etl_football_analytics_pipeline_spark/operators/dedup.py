@@ -872,25 +872,44 @@ def connected_components(
     return labels
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over the word bag: each word votes its hash bits
-    ±1; the signature is the sign vector packed into a long.
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
+    """SimHash over the word bag: each word votes its hash bits ±1;
+    the signature is the sign vector packed into a long.
 
     Map-only, ZERO shuffle (the explode → 64-conditional-sum groupBy
     formulation shuffles every word occurrence and JIT-compiles a
     64-aggregate monster — measured 75× slower at sf0.01). The JVM
-    computes one xxhash64 per word occurrence (codegen); an
-    Arrow-batched numpy kernel unpacks the 64 bit-planes, sums the
+    computes one word hash per occurrence (codegen); an
+    Arrow-batched numpy kernel unpacks the bit-planes, sums the
     ±1 votes and packs the sign vector — dense bit math is where
     interpreted higher-order folds lose ~10×. Returns (id, simhash
     long).
+
+    The word-hash family is pluggable by `portable`:
+    - default (False): xxhash64, 64-bit signature — the throughput
+      choice for production scans (xxhash64 is the cheapest 64-bit
+      hash Spark codegens);
+    - portable (True): the low 60 bits of md5 (15 hex chars via
+      conv(…,16,10) — 60 so the cast can never overflow a signed
+      long), 60-bit signature. Any engine with md5 reproduces it
+      bit-for-bit, which is what lets the registered query carry a
+      full DuckDB value oracle. Same asymptotics, ~same quality
+      (4 fewer signature bits), a few % more cycles per word.
     """
+    n_bits = 60 if portable else 64
+    word_hash = (
+        "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"
+        if portable
+        else "xxhash64(w)"
+    )
     hashed = (
         spread(df)
         .withColumn("__words", F.split(normalized_text(text_col), " "))
-        .select(F.col(id_col), F.expr("transform(__words, w -> xxhash64(w))").alias("__h"))
+        .select(F.col(id_col), F.expr(f"transform(__words, w -> {word_hash})").alias("__h"))
     )
-    shifts = np.arange(64, dtype=np.uint64)
+    shifts = np.arange(n_bits, dtype=np.uint64)
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -915,20 +934,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sim: DataFrame, id_col: str, max_hamming: int = 8
+    sim: DataFrame, id_col: str, max_hamming: int = 8, n_bits: int = 64
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidate generation bands the 64-bit signature into 4 × 16-bit
-    chunks (pigeonhole: distance ≤ 3 guarantees an equal chunk; larger
-    distances are found with high probability) and joins per chunk —
-    the same bucketed-join shape as LSH, no quadratic pass."""
+    Candidate generation bands the n_bits-bit signature into 4 chunks
+    of n_bits/4 bits (pigeonhole: distance ≤ 3 guarantees an equal
+    chunk; larger distances are found with high probability) and joins
+    per chunk — the same bucketed-join shape as LSH, no quadratic
+    pass. `n_bits` must match the signature width simhash() produced
+    (64 default, 60 portable)."""
+    chunk_w = n_bits // 4
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("ci"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), chunk_w * i)
+                .bitwiseAND(F.lit((1 << chunk_w) - 1))
                 .alias("cv"),
             )
             for i in range(4)

@@ -299,13 +299,52 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inflight.unionByName(probed)
 
 
-@query("dedup_simhash")  # xxhash64-based → rows-only
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS hv
+      FROM words
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 12
+      AND ( (a.s & 32767) = (b.s & 32767)
+         OR ((a.s >> 15) & 32767) = ((b.s >> 15) & 32767)
+         OR ((a.s >> 30) & 32767) = ((b.s >> 30) & 32767)
+         OR ((a.s >> 45) & 32767) = ((b.s >> 45) & 32767) )
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs with hamming ≤ 12
-    (operators.dedup.simhash + simhash_near_pairs); candidates via
-    16-bit chunk banding — same bucketed-join shape as LSH."""
-    sigs = simhash(_docs(spark, sf_dir), "doc_id", "text")
-    return simhash_near_pairs(sigs, "doc_id", max_hamming=12)
+    """SimHash near-dup pairs with hamming ≤ 12 (operators.dedup.
+    simhash + simhash_near_pairs); candidates via 4-chunk pigeonhole
+    banding — same bucketed-join shape as LSH. Registered with the
+    PORTABLE (md5-derived, 60-bit) hash family so DuckDB reproduces
+    every signature bit-for-bit and the driver value-checks the full
+    pipeline (signature → banding → hamming filter); the oracle
+    mirrors the banding recall predicate too (an equal 15-bit chunk),
+    not just the hamming bound, so both engines emit the identical
+    pair set. Production tier stays xxhash64/64-bit (simhash
+    default) — same plan, cheaper hash."""
+    sigs = simhash(_docs(spark, sf_dir), "doc_id", "text", portable=True)
+    return simhash_near_pairs(sigs, "doc_id", max_hamming=12, n_bits=60)
 
 
 @query(

@@ -206,6 +206,29 @@ def test_simhash_deterministic_under_repartition(spark, docs):
     assert one == other
 
 
+def test_simhash_portable_matches_reference_math(spark, docs):
+    """The portable (md5-derived 60-bit) family must reproduce a
+    from-scratch hashlib/python recomputation bit-for-bit — this is
+    the property the registered query's DuckDB oracle relies on."""
+    import hashlib
+    import re
+
+    rows = docs.limit(20).select("doc_id", "text").collect()
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash(docs.limit(20), "doc_id", "text", portable=True).collect()
+    }
+    for r in rows:
+        words = re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        votes = [0] * 60
+        for w in words:
+            hv = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        expect = sum(1 << b for b in range(60) if votes[b] > 0)
+        assert got[r.doc_id] == expect
+
+
 def test_simhash_near_pairs_hamming_bound(spark, docs):
     sigs = simhash(docs, "doc_id", "text")
     pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=8).collect()
