@@ -72,20 +72,37 @@ def word_ngrams(words_col_name: str, n: int) -> F.Column:
     return F.expr(_ngram_sql(words_col_name, n))
 
 
-def gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, array<long> xxhash64 of distinct word n-grams) in ONE
+def gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, portable: bool = False
+) -> DataFrame:
+    """(id, array<long> hashes of distinct word n-grams) in ONE
     projection. Keeping it to a single Project matters: a filter or
     second projection referencing the gram column makes Catalyst inline
     the whole gram-building tree at every reference (predicate pushdown
     substitutes aliases), and the interpreted-HOF tree is the most
     expensive expression in the engine. Rows whose gram set is empty
     (docs shorter than n words) are emitted with an empty array —
-    callers drop them batch-side where needed."""
+    callers drop them batch-side where needed.
+
+    `portable=False` (default): xxhash64 — cheapest 64-bit hash Spark
+    codegens, the production tier. `portable=True`: low 32 bits of md5
+    (8 hex chars) — reproducible in any engine with md5 (what lets the
+    registered suite carry a DuckDB value oracle), and small enough
+    that the 31-bit universal-hash minhash family multiplies it
+    without overflowing a signed 64-bit int in EITHER engine. Hash
+    collisions merely merge gram identities identically on both sides
+    (jaccard formulas are mirrored on the same multiset), so
+    portability never depends on collision-freeness."""
     words = F.split(normalized_text(text_col), " ")
+    gram_hash = (
+        "cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)"
+        if portable
+        else "xxhash64(g)"
+    )
     return spread(df).withColumn("__words", words).select(
         F.col(id_col),
         F.expr(
-            f"transform(array_distinct({_ngram_sql('__words', n)}), g -> xxhash64(g))"
+            f"transform(array_distinct({_ngram_sql('__words', n)}), g -> {gram_hash})"
         ).alias("__gh"),
     )
 
@@ -380,6 +397,33 @@ def ngram_jaccard_pairs_auto(
     return ngram_jaccard_pairs_blas(df, id_col, text_col, n, threshold, grams_pdf=pdf)
 
 
+MINHASH_MERSENNE_P = (1 << 31) - 1
+
+
+def minhash_params(
+    num_hashes: int, portable: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """The seeded universal-hash family (a_i, b_i) minhash_signatures
+    permutes gram hashes with. Factored out (single source of truth)
+    because the portable family's exact parameter values are ALSO
+    embedded as literals in the registered suite's DuckDB oracle SQL —
+    both engines must draw the identical coefficients.
+
+    default: uint64 wraparound family (odd a_i, mod 2^64) — cheapest
+    in numpy, not reproducible in engines without wrapping 64-bit
+    multiply. portable: Broder-style (a_i·h + b_i) mod p with the
+    Mersenne prime p = 2^31−1 and a_i,b_i < p; with 32-bit gram
+    hashes the product stays < 2^63, exact in any signed-64 engine."""
+    rng = np.random.default_rng(0xC0FFEE)
+    if portable:
+        a = rng.integers(1, MINHASH_MERSENNE_P, num_hashes, dtype=np.uint64)
+        b = rng.integers(0, MINHASH_MERSENNE_P, num_hashes, dtype=np.uint64)
+        return a, b
+    a = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -388,9 +432,10 @@ def minhash_signatures(
     shingle_n: int = 3,
     grams: DataFrame | None = None,
     keep_grams: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures: for each of `num_hashes` hash functions h_i,
-    sig[i] = min over shingles of xxhash64(i, shingle).
+    sig[i] = min over shingles of h_i(gram_hash(shingle)).
 
     Map-only, ZERO shuffle — the document's shingles never leave their
     row (the explode+groupBy formulation shuffles every shingle and
@@ -407,14 +452,18 @@ def minhash_signatures(
     pipelines that need both (LSH candidates + exact verification) get
     one shared per-doc frame instead of a grams⋈signatures join.
     """
-    rng = np.random.default_rng(0xC0FFEE)
-    a_co = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-    b_co = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    a_co, b_co = minhash_params(num_hashes, portable)
+    p = np.uint64(MINHASH_MERSENNE_P)
 
     # `grams` lets composed suites hand over an already-built (and
     # typically cached) gram_hashes frame so the expensive gram chain
     # is evaluated once across the signature and exact-verify stages
-    hashed = grams if grams is not None else gram_hashes(df, id_col, text_col, shingle_n)
+    # (the caller must have built it with the SAME `portable` flag)
+    hashed = (
+        grams
+        if grams is not None
+        else gram_hashes(df, id_col, text_col, shingle_n, portable)
+    )
 
     def minsig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -433,7 +482,12 @@ def minhash_signatures(
             flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in pdf["__gh"]]).view(
                 np.uint64
             )
-            perm = a_co[:, None] * flat[None, :] + b_co[:, None]  # wraparound mod 2^64
+            if portable:
+                # exact (a·h + b) mod p — h < 2^32, a < 2^31 keeps the
+                # product < 2^63, no wraparound anywhere
+                perm = (a_co[:, None] * flat[None, :] + b_co[:, None]) % p
+            else:
+                perm = a_co[:, None] * flat[None, :] + b_co[:, None]  # wraparound mod 2^64
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             mins = np.minimum.reduceat(perm, starts, axis=1)  # num_hashes × docs
             sigs = list(mins.T.view(np.int64))
@@ -453,19 +507,30 @@ def band_buckets(
     id_col: str,
     num_bands: int = 16,
     rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH band-bucket assignment: split each signature into
-    `num_bands` bands and hash each band to a 64-bit bucket key.
+    `num_bands` bands and key each band for the bucket equi-join.
     Map-only (one explode, no shuffle). Returns (__id, band, bucket) —
     the join key every LSH candidate generator (in-flight or
-    index-backed) equi-joins on."""
+    index-backed) equi-joins on.
+
+    Bucket key by `portable`: default xxhash64 of the band's
+    comma-joined components — a lean fixed-width 8-byte shuffle key
+    (the 100 TB choice; a hash collision can only ADD a candidate,
+    which the score threshold then filters). Portable: the comma-
+    joined component STRING itself — bucket equality becomes exactly
+    band-value equality (no collision term at all), and any engine
+    reproduces it, which is what the registered suite's DuckDB oracle
+    joins on. Wider keys, same join shape."""
     bands = []
     for b in range(num_bands):
         lo = b * rows_per_band + 1  # slice is 1-indexed
         band_slice = F.slice(F.col("signature"), lo, rows_per_band)
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws(",", band_slice.cast("array<string>"))).alias("bucket"))
-        )
+        key = F.concat_ws(",", band_slice.cast("array<string>"))
+        if not portable:
+            key = F.xxhash64(key)
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("bucket")))
     return signatures.select(
         F.col(id_col).alias("__id"), F.explode(F.array(*bands)).alias("bb")
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -476,6 +541,7 @@ def minhash_lsh_candidates(
     id_col: str,
     num_bands: int = 16,
     rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: split each signature into bands, hash each band,
     join docs landing in the same (band_index, band_hash) bucket.
@@ -485,7 +551,7 @@ def minhash_lsh_candidates(
     several buckets are deduplicated with distinct. Returns
     (id_a, id_b) candidate pairs (id_a < id_b).
     """
-    buckets = band_buckets(signatures, id_col, num_bands, rows_per_band)
+    buckets = band_buckets(signatures, id_col, num_bands, rows_per_band, portable)
     left = buckets.select(F.col("__id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("__id").alias("id_b"), "band", "bucket")
     # mapInPandas output has no stats, so Catalyst would pick a
@@ -622,6 +688,7 @@ def minhash_index_build(
     num_hashes: int = 64,
     num_bands: int = 16,
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> None:
     """Materialize a persisted NEAR-DUP INDEX: the per-doc
     (id, signature, gram-hash array) frame as parquet, plus the
@@ -644,18 +711,23 @@ def minhash_index_build(
     spark = df.sparkSession
     frame = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n,
-        grams=gram_hashes(df, id_col, text_col, shingle_n), keep_grams=True,
+        grams=gram_hashes(df, id_col, text_col, shingle_n, portable),
+        keep_grams=True, portable=portable,
     )
     frame.write.mode("overwrite").parquet(f"{path}/docs")
     spark.createDataFrame(
-        [(num_hashes, num_bands, shingle_n, id_col)],
-        "num_hashes int, num_bands int, shingle_n int, id_col string",
+        [(num_hashes, num_bands, shingle_n, id_col, portable)],
+        "num_hashes int, num_bands int, shingle_n int, id_col string, portable boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
-def _minhash_index_params(spark, path: str) -> tuple[int, int, int, str]:
-    r = spark.read.parquet(f"{path}/params").first()
-    return int(r.num_hashes), int(r.num_bands), int(r.shingle_n), r.id_col
+def _minhash_index_params(spark, path: str) -> tuple[int, int, int, str, bool]:
+    df = spark.read.parquet(f"{path}/params")
+    r = df.first()
+    # indexes written before the portable family existed lack the
+    # column — they were xxhash64-signed, so default False
+    portable = bool(r.portable) if "portable" in df.columns else False
+    return int(r.num_hashes), int(r.num_bands), int(r.shingle_n), r.id_col, portable
 
 
 def minhash_index_append(
@@ -668,10 +740,11 @@ def minhash_index_append(
     OWN parameters and append its (id, signature, grams) rows — no
     recompute of the resident corpus. Caller contract: delta ids are
     new (probe the delta first; ingest pipelines assign fresh ids)."""
-    num_hashes, _, shingle_n, id_col = _minhash_index_params(spark, path)
+    num_hashes, _, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     frame = minhash_signatures(
         delta, id_col, text_col, num_hashes, shingle_n,
-        grams=gram_hashes(delta, id_col, text_col, shingle_n), keep_grams=True,
+        grams=gram_hashes(delta, id_col, text_col, shingle_n, portable),
+        keep_grams=True, portable=portable,
     )
     frame.write.mode("append").parquet(f"{path}/docs")
 
@@ -703,18 +776,19 @@ def minhash_index_probe(
     index's own parameters, keep_grams=True) hand the
     (id, signature, __gh) frame over instead of re-running the gram +
     signature kernels."""
-    num_hashes, num_bands, shingle_n, id_col = _minhash_index_params(spark, path)
+    num_hashes, num_bands, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     rows_per_band = num_hashes // num_bands
     resident = spark.read.parquet(f"{path}/docs")
     frame_new = new_frame if new_frame is not None else minhash_signatures(
         new_docs, id_col, text_col, num_hashes, shingle_n,
-        grams=gram_hashes(new_docs, id_col, text_col, shingle_n), keep_grams=True,
+        grams=gram_hashes(new_docs, id_col, text_col, shingle_n, portable),
+        keep_grams=True, portable=portable,
     ).cache()
     nb = band_buckets(
-        frame_new.select(id_col, "signature"), id_col, num_bands, rows_per_band
+        frame_new.select(id_col, "signature"), id_col, num_bands, rows_per_band, portable
     )
     rb = band_buckets(
-        resident.select(id_col, "signature"), id_col, num_bands, rows_per_band
+        resident.select(id_col, "signature"), id_col, num_bands, rows_per_band, portable
     )
     cand = (
         nb.select(F.col("__id").alias("new_id"), "band", "bucket")

@@ -2,11 +2,15 @@
 extensions; BASELINE.json north star).
 
 Dedup, similarity search, and text analysis over the `documents` /
-`embeddings` tables. Exact variants carry full DuckDB oracles; the
-probabilistic variants (MinHash/SimHash/hyperplane LSH) hash with
-Spark's xxhash64, which DuckDB cannot reproduce, so they are
-registered without oracles — the driver records rows-only checks, and
-tests/test_dedup.py verifies them against the exact operators instead.
+`embeddings` tables. Exact variants carry full DuckDB oracles.
+MinHash and SimHash are registered with their PORTABLE hash families
+(md5-derived — see operators.dedup), so they carry full value oracles
+too: DuckDB recomputes signatures, banding, candidates and scores
+bit-for-bit. The remaining probabilistic entries (hyperplane LSH over
+float embeddings, seeded k-means IVF) stay rows-only — their outputs
+depend on float reduction order / iterative clustering no SQL oracle
+can mirror safely — and tests/test_dedup.py / test_similarity.py
+verify them against the exact operators instead.
 """
 
 from __future__ import annotations
@@ -188,7 +192,94 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_suite")  # xxhash64-based → no cross-engine oracle (rows-only)
+def _minhash_oracle_sql() -> str:
+    """DuckDB mirror of the WHOLE portable minhash suite — shingles →
+    32-bit md5 gram hashes → the identical seeded (a·h+b) mod 2^31−1
+    permutation family (coefficients embedded as literals from
+    operators.dedup.minhash_params, the single source of truth) →
+    band keys → candidates → estimated + exact Jaccard → the three
+    stage row sets. Formula-fidelity notes: `sizes` counts DISTINCT
+    grams (Spark's array length after array_distinct), the
+    intersection counts DISTINCT shared hash values (Spark's
+    array_intersect dedups), so even a 32-bit gram-hash collision
+    yields identical numbers in both engines."""
+    from ..operators.dedup import minhash_params
+
+    a, b = minhash_params(64, portable=True)
+    values = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws)::BIGINT)) AS i FROM w)
+    ),
+    gh AS (
+      SELECT doc_id, gram,
+             CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) AS hv
+      FROM grams
+    ),
+    params(i, a, b) AS (VALUES {values}),
+    sig AS (
+      SELECT doc_id, p.i, MIN((p.a * hv + p.b) % 2147483647) AS mv
+      FROM gh CROSS JOIN params p GROUP BY doc_id, p.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mv::VARCHAR, ',' ORDER BY i) AS bucket
+      FROM sig GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    ),
+    candx AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gh GROUP BY doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) / 64.0, 4) AS score
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    jacp AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(COUNT(DISTINCT ga.hv)
+                   / (sza.sz + szb.sz - COUNT(DISTINCT ga.hv))::DOUBLE, 4) AS score
+      FROM cand c
+      JOIN gh ga ON ga.doc_id = c.id_a
+      JOIN gh gb ON gb.doc_id = c.id_b AND gb.hv = ga.hv
+      JOIN sizes sza ON sza.doc_id = c.id_a
+      JOIN sizes szb ON szb.doc_id = c.id_b
+      GROUP BY c.id_a, c.id_b, sza.sz, szb.sz
+    ),
+    jacx AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(COUNT(DISTINCT ga.hv)
+                   / (sza.sz + szb.sz - COUNT(DISTINCT ga.hv))::DOUBLE, 4) AS score
+      FROM candx c
+      JOIN gh ga ON ga.doc_id = c.id_a
+      JOIN gh gb ON gb.doc_id = c.id_b AND gb.hv = ga.hv
+      JOIN sizes sza ON sza.doc_id = c.id_a
+      JOIN sizes szb ON szb.doc_id = c.id_b
+      GROUP BY c.id_a, c.id_b, sza.sz, szb.sz
+    )
+    SELECT 'lsh' AS stage, id_a, id_b, score FROM est WHERE score >= 0.2
+    UNION ALL
+    SELECT 'exact' AS stage, id_a, id_b, score FROM jacp WHERE score >= 0.2
+    UNION ALL
+    SELECT 'index' AS stage, id_a, id_b, score FROM jacx WHERE score >= 0.2
+    """
+
+
+@query("dedup_minhash_suite", oracle=_minhash_oracle_sql())
 def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup SUITE — both tiers of the probabilistic
     pipeline under one roof (formerly the separate dedup_minhash_lsh /
@@ -208,10 +299,16 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       path) — even-id docs as the resident corpus, odd-id docs as the
       delta (see the inline comment at the build site).
 
-    tests/test_dedup.py pins all three: LSH recall vs the exact
-    all-pairs baseline, every 'exact' pair appearing there with the
-    identical jaccard value, and the index probe identical to
-    in-flight union banding.
+    Registered with the PORTABLE hash family (md5-derived 32-bit gram
+    hashes, Mersenne-prime permutations, band-value bucket keys) so a
+    DuckDB oracle reproduces every signature component, candidate
+    pair, and score bit-for-bit — the driver value-checks the full
+    probabilistic pipeline instead of recording rows-only. Production
+    tier stays the xxhash64/mod-2^64 family (library defaults) — same
+    plans, cheaper hashes. tests/test_dedup.py pins the default tier:
+    LSH recall vs the exact all-pairs baseline, every 'exact' pair
+    appearing there with the identical jaccard value, and the index
+    probe identical to in-flight union banding.
 
     Physical shape: ONE per-doc frame carries both the signature and
     the gram array (minhash_signatures keep_grams=True — the kernel
@@ -226,9 +323,12 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     frame = minhash_signatures(
         docs, "doc_id", "text", 64, shingle_n=2,
-        grams=gram_hashes(docs, "doc_id", "text", 2), keep_grams=True,
+        grams=gram_hashes(docs, "doc_id", "text", 2, portable=True),
+        keep_grams=True, portable=True,
     ).cache()
-    cand = minhash_lsh_candidates(frame, "doc_id", num_bands=16, rows_per_band=4)
+    cand = minhash_lsh_candidates(
+        frame, "doc_id", num_bands=16, rows_per_band=4, portable=True
+    )
     fa = frame.select(
         F.col("doc_id").alias("id_a"),
         F.col("signature").alias("__sig_a"),
@@ -278,12 +378,12 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}"
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}_p1"
     path = os.path.join(tempfile.gettempdir(), f"spark_neardup_index_{tag}")
     if not os.path.exists(os.path.join(path, "docs", "_SUCCESS")):
         minhash_index_build(
             docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id", "text",
-            num_hashes=64, num_bands=16, shingle_n=2,
+            num_hashes=64, num_bands=16, shingle_n=2, portable=True,
         )
     # the suite's cached full frame already holds the odd docs'
     # signatures+grams — hand it over so the probe runs zero kernels

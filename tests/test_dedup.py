@@ -206,6 +206,47 @@ def test_simhash_deterministic_under_repartition(spark, docs):
     assert one == other
 
 
+def test_minhash_portable_matches_reference_math(spark, docs):
+    """The portable minhash family (md5-32 gram hashes, Mersenne-prime
+    permutations) must reproduce a from-scratch hashlib/python
+    recomputation exactly — the property the registered suite's DuckDB
+    oracle relies on."""
+    import hashlib
+    import re
+
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        MINHASH_MERSENNE_P,
+        gram_hashes,
+        minhash_params,
+        minhash_signatures,
+    )
+
+    sub = docs.limit(10)
+    got = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures(
+            sub, "doc_id", "text", 64, shingle_n=2,
+            grams=gram_hashes(sub, "doc_id", "text", 2, portable=True),
+            portable=True,
+        ).collect()
+    }
+    a, b = minhash_params(64, portable=True)
+    for r in sub.select("doc_id", "text").collect():
+        words = re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        grams = list(dict.fromkeys(
+            f"{words[i]} {words[i+1]}" for i in range(len(words) - 1)
+        ))
+        if not grams:
+            assert r.doc_id not in got
+            continue
+        hvs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        expect = [
+            min((int(a[i]) * h + int(b[i])) % MINHASH_MERSENNE_P for h in hvs)
+            for i in range(64)
+        ]
+        assert got[r.doc_id] == expect
+
+
 def test_simhash_portable_matches_reference_math(spark, docs):
     """The portable (md5-derived 60-bit) family must reproduce a
     from-scratch hashlib/python recomputation bit-for-bit — this is
