@@ -470,7 +470,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.45)
 
 
-@query("dedup_embedding_lsh")  # pseudorandom hyperplanes → rows-only
+def _plane_values(n_tables: int, n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """Literal (table, bit, plane_vector) VALUES rows reproducing the
+    EXACT seeded hyperplanes the LSH kernels broadcast (numpy
+    default_rng(seed).standard_normal fills row-major, plane idx =
+    t·n_planes + b — same layout the kernel reshapes). repr() of a
+    float64 round-trips, and DuckDB parses a decimal literal to the
+    nearest double, so both engines dot the identical plane values;
+    sign disagreement would need a dot within ~1e-13 of zero
+    (probability ~1e-9 across the whole sf corpus)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    rows = []
+    for idx in range(n_tables * n_planes):
+        t, b = divmod(idx, n_planes)
+        arr = ", ".join(repr(float(x)) for x in planes[idx])
+        rows.append(f"({t}, {b}, [{arr}])")
+    return ", ".join(rows)
+
+
+def _bucket_cte(n_tables: int, n_planes: int) -> str:
+    """Shared oracle CTEs: embeddings as doubles + per-(vector, table)
+    hyperplane sign-bucket keys — the DuckDB mirror of the LSH
+    kernels' bucket assignment."""
+    return f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes(t, b, p) AS (VALUES {_plane_values(n_tables, n_planes)}),
+    bk AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN list_dot_product(v.e, pl.p) >= 0
+                      THEN (1::BIGINT << pl.b) ELSE 0::BIGINT END) AS bucket
+      FROM v CROSS JOIN planes pl GROUP BY vec_id, t
+    )"""
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH {_bucket_cte(16, 4)},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+      WHERE x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b, ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+    FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.45
+    """,
+)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at 100 TB scale
     (operators.similarity.lsh_all_pairs_cosine): OR-amplified
@@ -478,7 +527,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned with nothing corpus-sized broadcast → exact einsum
     cosine on candidates only. Probabilistic recall (measured ≥0.9 vs
     dedup_embedding_cosine in tests/test_similarity.py), exact
-    precision — every returned pair carries its true cosine."""
+    precision — every returned pair carries its true cosine.
+
+    Value-oracled: the hyperplanes are seeded and embedded as literal
+    vectors in the oracle SQL (_plane_values), so DuckDB reproduces
+    bucket assignment, the candidate set, and the 4dp cosine of every
+    emitted pair."""
     return lsh_all_pairs_cosine(
         _emb(spark, sf_dir), "vec_id", "embedding",
         threshold=0.45, dim=64, n_planes=4, n_tables=16,
@@ -556,12 +610,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_index(spark, path, queries_df, "vec_id", "embedding", k=5, nprobe=4)
 
 
-@query("ann_lsh_topk")  # plan-identical check impossible in SQL (pseudorandom planes) → rows-only
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_bucket_cte(8, 4)},
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+      WHERE qb.vec_id < 10 AND qb.vec_id != cb.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+      FROM cand c
+      JOIN v a ON a.vec_id = c.query_id
+      JOIN v b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (operators.similarity.lsh_topk):
     hyperplane sign buckets → in-bucket exact ranking. The 100 TB
     plan: equi-join on bucket key instead of a nested loop. Recall vs
-    brute force is measured in tests/test_similarity.py."""
+    brute force is measured in tests/test_similarity.py.
+
+    Value-oracled like dedup_embedding_lsh: seeded hyperplanes as
+    literal vectors (8 tables × 4 planes here), candidate buckets,
+    4dp cosines and the deterministic (cosine DESC, neighbor ASC)
+    ranking all recomputed by DuckDB."""
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries_df, "vec_id", "embedding", k=5, dim=64, n_planes=4)
