@@ -17,7 +17,7 @@ from ..functions.cleaning import dec, exact_scaled_sum, scaled_long
 from ..operators.asof import asof_join
 from ..operators.interval import range_join
 from ..sources.registry import load_table
-from ..streaming.windowed import rollup_time, session_agg, sliding_agg
+from ..streaming.windowed import gapfill_time, rollup_time, session_agg, sliding_agg
 from .registry import query
 
 
@@ -148,6 +148,18 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'week', bucket, event_type, CAST(n AS BIGINT),
            CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE)
     FROM weekly
+    UNION ALL
+    SELECT 'hour_gapfill', g.bucket, g.event_type,
+           CAST(COALESCE(h.n, 0) AS BIGINT),
+           last_value(CAST(CAST(h.v AS DECIMAL(18,2)) AS DOUBLE) IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.bucket)
+    FROM (
+      SELECT k.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT DISTINCT event_type FROM hourly) k
+      CROSS JOIN (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly) b
+    ) g
+    LEFT JOIN hourly h ON h.event_type = g.event_type AND h.bucket = g.bucket
     """,
 )
 def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,8 +179,25 @@ def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays stream-unified via streaming.windowed.tumbling_agg, which
     runs as an incremental readStream query in
     tests/test_streaming.py; `window(ts, '1 hour').start ≡
-    date_trunc('hour', ts)`."""
-    return rollup_time(_t(spark, sf_dir, "events"))
+    date_trunc('hour', ts)`.
+
+    part resolution='hour_gapfill' adds the DENSE form of the hour
+    tier (streaming.windowed.gapfill_time — the hypertable
+    time_bucket_gapfill operator): every event_type gets one row per
+    hour across the global [min, max] bucket range, absent hours
+    synthesized with n_events=0 and total_value carried forward
+    (LOCF; leading gaps stay NULL). Fully value-oracled — DuckDB
+    regenerates the grid and the carry-forward window."""
+    base = rollup_time(_t(spark, sf_dir, "events"))
+    hourly = base.filter(F.col("resolution") == "hour").drop("resolution")
+    gap = gapfill_time(
+        hourly, "bucket", ["event_type"], step="1 hour",
+        zero_fill=["n_events"], locf_fill=["total_value"],
+    ).select(
+        F.lit("hour_gapfill").alias("resolution"),
+        "bucket", "event_type", "n_events", "total_value",
+    )
+    return base.unionByName(gap)
 
 
 def _sessionize_lag_form(ev: DataFrame) -> DataFrame:

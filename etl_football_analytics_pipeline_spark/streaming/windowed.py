@@ -274,6 +274,96 @@ def read_rollup(spark, table_dir: str, key: str = "event_type") -> DataFrame:
     )
 
 
+def gapfill_time(
+    buckets: DataFrame,
+    time_col: str,
+    keys: Sequence[str],
+    step: str = "1 hour",
+    zero_fill: Sequence[str] = (),
+    locf_fill: Sequence[str] = (),
+    interp_fill: Sequence[str] = (),
+    bounds: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Dense time-grid gap filling over a bucketed frame — the
+    hypertable `time_bucket_gapfill` operator. Every key gets one row
+    per `step` across [lo, hi]; buckets absent from the input are
+    synthesized and filled per column policy:
+
+    - `zero_fill`: missing → typed 0 (counts/sums of nothing);
+    - `locf_fill`: missing → last observed value for the key
+      (last-observation-carried-forward; leading gaps stay NULL);
+    - `interp_fill`: interior gaps → linear interpolation between the
+      neighboring observations (cast to double); leading/trailing
+      gaps stay NULL. Because the grid is REGULAR, linear-in-time ≡
+      linear-in-row-index, so the weights are pure long arithmetic —
+      no timestamp subtraction (which would tangle with
+      TIMESTAMP_NTZ interval semantics).
+
+    `bounds` pins [lo, hi] explicitly ('YYYY-MM-DD HH:MM:SS'
+    strings); default derives the GLOBAL min/max bucket with one
+    scalar aggregate that stays in-plan (1-row frame broadcast-cross-
+    joined into the grid — no driver collect).
+
+    100 TB shape: the key list is a distinct on the (already
+    aggregated) bucket frame, the grid is a per-key-row `sequence`
+    explode (rows ∝ keys × grid length, never corpus-sized driver
+    state), the left join hash-partitions on (keys, time), and every
+    fill is a key-partitioned window — Catalyst computes all fills
+    off ONE sort per key partition. Grid length is the caller's
+    lever: a year of hours is 8.8k rows per key.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    if bounds is not None:
+        bounds_df = buckets.sparkSession.range(1).select(
+            F.lit(bounds[0]).cast(buckets.schema[time_col].dataType).alias("__lo"),
+            F.lit(bounds[1]).cast(buckets.schema[time_col].dataType).alias("__hi"),
+        )
+    else:
+        bounds_df = buckets.agg(
+            F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+        )
+    grid = (
+        buckets.select(*keys)
+        .distinct()
+        .crossJoin(F.broadcast(bounds_df))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
+            ).alias(time_col),
+        )
+    )
+    out = grid.join(buckets, keys + [time_col], "left")
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    for c in zero_fill:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.lit(0).cast(out.schema[c].dataType))
+        )
+    for c in locf_fill:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(cum))
+    if interp_fill:
+        out = out.withColumn("__rn", F.row_number().over(w))
+        prevw = w.rowsBetween(Window.unboundedPreceding, -1)
+        nextw = w.rowsBetween(1, Window.unboundedFollowing)
+        for c in interp_fill:
+            val = F.col(c).cast("double")
+            pv = F.last(val, ignorenulls=True).over(prevw)
+            pr = F.last(
+                F.when(val.isNotNull(), F.col("__rn")), ignorenulls=True
+            ).over(prevw)
+            nv = F.first(val, ignorenulls=True).over(nextw)
+            nr = F.first(
+                F.when(val.isNotNull(), F.col("__rn")), ignorenulls=True
+            ).over(nextw)
+            frac = (F.col("__rn") - pr).cast("double") / (nr - pr).cast("double")
+            out = out.withColumn(c, F.coalesce(val, pv + (nv - pv) * frac))
+        out = out.drop("__rn")
+    return out
+
+
 def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
     """Sliding-window (hopping) count per event_type — each event lands
     in width/slide windows; Spark enumerates them, state is bounded by

@@ -277,3 +277,74 @@ def test_rollup_apply_cdc_exact(spark, events, tmp_path):
         )
 
     assert canon(read_rollup(spark, table)) == canon(rollup_time(v2))
+
+
+# ---------------------------------------------------------------------------
+# gapfill_time — the hypertable time_bucket_gapfill operator
+# ---------------------------------------------------------------------------
+
+
+def _gap_frame(spark):
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1, 10.0),
+        ("a", "2024-01-01 03:00:00", 2, 40.0),
+        ("b", "2024-01-01 01:00:00", 3, 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "k string, bucket string, n long, v double"
+    ).withColumn("bucket", F.col("bucket").cast("timestamp"))
+
+
+def test_gapfill_dense_grid_and_fills(spark):
+    from etl_football_analytics_pipeline_spark.streaming.windowed import gapfill_time
+
+    out = gapfill_time(
+        _gap_frame(spark), "bucket", ["k"], step="1 hour",
+        zero_fill=["n"], locf_fill=["v"],
+    )
+    got = {(r.k, r.bucket.hour): (r.n, r.v) for r in out.collect()}
+    # global [00:00, 03:00] grid for BOTH keys -> 8 rows
+    assert len(got) == 8
+    # zero-fill: synthesized hours count 0
+    assert got[("a", 1)][0] == 0 and got[("a", 2)][0] == 0
+    # locf: a carries 10.0 across the gap; observed rows keep their value
+    assert [got[("a", h)][1] for h in range(4)] == [10.0, 10.0, 10.0, 40.0]
+    # b: leading gap stays NULL, then carries 5.0 to the end of the grid
+    assert [got[("b", h)][1] for h in range(4)] == [None, 5.0, 5.0, 5.0]
+
+
+def test_gapfill_linear_interpolation(spark):
+    from etl_football_analytics_pipeline_spark.streaming.windowed import gapfill_time
+
+    out = gapfill_time(
+        _gap_frame(spark), "bucket", ["k"], step="1 hour", interp_fill=["v"]
+    )
+    got = {(r.k, r.bucket.hour): r.v for r in out.collect()}
+    # interior gap is linear between 10.0@00 and 40.0@03
+    assert [got[("a", h)] for h in range(4)] == [10.0, 20.0, 30.0, 40.0]
+    # boundary gaps (no neighbor on one side) stay NULL
+    assert got[("b", 0)] is None
+    assert got[("b", 2)] is None and got[("b", 3)] is None
+    assert got[("b", 1)] == 5.0
+
+
+def test_gapfill_explicit_bounds_and_determinism(spark):
+    from etl_football_analytics_pipeline_spark.streaming.windowed import gapfill_time
+
+    df = _gap_frame(spark)
+    out = gapfill_time(
+        df, "bucket", ["k"], step="1 hour",
+        zero_fill=["n"], locf_fill=["v"],
+        bounds=("2024-01-01 02:00:00", "2024-01-01 05:00:00"),
+    )
+    rows = sorted(tuple(r) for r in out.collect())
+    # pinned range overrides data range: hours 02..05 for both keys
+    assert len(rows) == 8
+    assert {r[1].hour for r in rows} == {2, 3, 4, 5}
+    # deterministic under repartitioning
+    out2 = gapfill_time(
+        df.repartition(7), "bucket", ["k"], step="1 hour",
+        zero_fill=["n"], locf_fill=["v"],
+        bounds=("2024-01-01 02:00:00", "2024-01-01 05:00:00"),
+    )
+    assert rows == sorted(tuple(r) for r in out2.collect())
