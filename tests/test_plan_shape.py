@@ -85,8 +85,12 @@ def test_aggregates_are_partial_final_hash(plans):
 def test_relational_plans_have_no_cartesian_product(plans):
     # a3_a8_global_aggs cross-joins two SINGLE-ROW aggregates into one
     # suite row, text_ngram_suite broadcasts its ONE-ROW vocab-size
-    # scalar — constant-size by construction, not data joins
-    allowed_constant_cross = {"a3_a8_global_aggs", "text_ngram_suite"}
+    # scalar, events_rollup_suite's gapfill leg broadcasts its ONE-ROW
+    # [min,max] bounds aggregate into the grid — constant-size by
+    # construction, not data joins
+    allowed_constant_cross = {
+        "a3_a8_global_aggs", "text_ngram_suite", "events_rollup_suite",
+    }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         if name not in allowed_constant_cross:
