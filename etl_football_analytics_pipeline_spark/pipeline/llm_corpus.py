@@ -68,6 +68,8 @@ def curate_corpus(
     strip_span_min_tokens: int | None = None,
     min_lm_logprob: float | None = None,
     lm_reference: DataFrame | None = None,
+    classifier_weights: "np.ndarray | None" = None,
+    min_classifier_prob: float = 0.5,
     with_stats: bool = False,
 ) -> DataFrame | tuple[DataFrame, CurationStats]:
     """Quality-gate, dedup (exact then near-dup), and token-account a
@@ -99,6 +101,12 @@ def curate_corpus(
     trusted-corpus setup CCNet uses — e.g. a wiki snapshot) and on the
     input corpus itself otherwise (self-scoring: outliers against the
     corpus's own distribution go).
+
+    `classifier_weights` adds the SUPERVISED gate
+    (operators.classifier): a hashed-BoW logistic model trained on a
+    labeled sample (`quality_train`) scores every document map-only;
+    those below `min_classifier_prob` are dropped alongside the other
+    quality filters — the fastText/DCLM-style fourth signal.
     """
     if strip_lines_max_df is not None:
         from ..operators.text import strip_common_lines
@@ -147,6 +155,16 @@ def curate_corpus(
             (F.col("lm_logprob") >= min_lm_logprob) | F.col("lm_logprob").isNull()
         )
         good_ids = good_ids.join(fluent.select(id_col), id_col)
+    if classifier_weights is not None:
+        # the supervised (fastText/DCLM-style) gate — weights come from
+        # operators.classifier.quality_train on a labeled sample;
+        # scoring is a map-only broadcast-weights pass
+        from ..operators.classifier import quality_score
+
+        liked = quality_score(docs, classifier_weights, id_col, text_col).filter(
+            F.col("quality_prob") >= min_classifier_prob
+        )
+        good_ids = good_ids.join(liked.select(id_col), id_col)
     good = docs.join(good_ids, id_col)
 
     exact_keep = exact_dedup(good, id_col, text_col).select(

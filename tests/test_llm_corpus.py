@@ -297,3 +297,36 @@ def test_curate_with_lm_gate(spark):
     )
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [1]
+
+
+def test_curate_with_classifier_gate(spark):
+    """The supervised gate drops documents the trained hashed-BoW
+    model scores as junk, keeps the clean ones."""
+    from etl_football_analytics_pipeline_spark.operators.classifier import (
+        quality_train,
+    )
+    from etl_football_analytics_pipeline_spark.pipeline.llm_corpus import (
+        curate_corpus,
+    )
+
+    clean = "the quick brown fox jumps over a lazy dog near the river"
+    junk = "buy cheap now click here winner free casino pills deal urgent"
+    labeled = spark.createDataFrame(
+        [(100 + i, clean, 1) for i in range(10)]
+        + [(200 + i, junk, 0) for i in range(10)],
+        "doc_id long, text string, label long",
+    )
+    w = quality_train(labeled, "text", "label", dim=256, iters=60)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps near a quiet river"),
+            (2, "click here buy cheap pills winner casino deal"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.99,
+        classifier_weights=w,
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1]
