@@ -123,11 +123,26 @@ def temporal_section(spark, scale: int) -> str:
     t0 = time.time()
     n_roll = rollup_time(ev).count()
     t_roll = time.time() - t0
+    # gapfill: dense hour grid per event_type with zero/LOCF fills —
+    # grid size is range-bound (amplification adds rows, not hours),
+    # so the cost that scales is the bucketed agg + the grid join
+    from etl_football_analytics_pipeline_spark.streaming.windowed import gapfill_time
+
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    t0 = time.time()
+    n_gap = gapfill_time(
+        hourly, "bucket", ["event_type"],
+        zero_fill=["n_events"], locf_fill=["total_value"],
+    ).count()
+    t_gap = time.time() - t0
     ev.unpersist()
     spark.catalog.clearCache()  # drop the rollup's materialized partials
     return (
         f"events={n_ev:8d}  asof={t_asof:5.1f}s (rows={n_asof})  "
-        f"range={t_range:5.1f}s (pairs={n_range})  rollup={t_roll:5.1f}s (rows={n_roll})"
+        f"range={t_range:5.1f}s (pairs={n_range})  rollup={t_roll:5.1f}s (rows={n_roll})  "
+        f"gapfill={t_gap:5.1f}s (rows={n_gap})"
     )
 
 
@@ -263,6 +278,23 @@ def quality_section(spark, scale: int) -> str:
     t0 = time.time()
     n_sem = semantic_dedup(emb, threshold=0.999, n_clusters=64).filter("is_kept").count()
     t_sem = time.time() - t0
+    # supervised quality gate: train on a BOUNDED labeled sample (the
+    # production shape — labels are scarce), score the full amplified
+    # corpus map-only. Scoring wall is the scaling-relevant number.
+    from etl_football_analytics_pipeline_spark.operators.classifier import (
+        quality_score,
+        quality_train,
+    )
+
+    sample = docs.filter(F.col("doc_id") % (10 * scale) == 0).withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("long")
+    )
+    t0 = time.time()
+    wts = quality_train(sample, "text", "label", dim=1024, iters=20)
+    t_clf_train = time.time() - t0
+    t0 = time.time()
+    n_scored = quality_score(docs, wts, "doc_id", "text").count()
+    t_clf = time.time() - t0
     ev.unpersist()
     docs.unpersist()
     return (
@@ -270,7 +302,8 @@ def quality_section(spark, scale: int) -> str:
         f"cdc={t_cdc:5.1f}s (changes={n_cdc})  rollup_cdc={t_rcdc:5.1f}s  chunk={t_chunk:5.1f}s (chunks={n_chunk})  "
         f"strat={t_strat:5.1f}s (rows={n_strat})  dq={t_dq:5.1f}s (rules={rep})  "
         f"fuzzy={t_fuzzy:5.1f}s (pairs={n_fuzzy})  strip={t_strip:5.1f}s  "
-        f"semdedup={t_sem:5.1f}s (kept={n_sem})"
+        f"semdedup={t_sem:5.1f}s (kept={n_sem})  "
+        f"clf_train={t_clf_train:5.1f}s clf_score={t_clf:5.1f}s (docs={n_scored})"
     )
 
 
