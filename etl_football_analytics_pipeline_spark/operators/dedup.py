@@ -515,20 +515,21 @@ def band_buckets(
     the join key every LSH candidate generator (in-flight or
     index-backed) equi-joins on.
 
-    Bucket key by `portable`: default xxhash64 of the band's
-    comma-joined components — a lean fixed-width 8-byte shuffle key
-    (the 100 TB choice; a hash collision can only ADD a candidate,
-    which the score threshold then filters). Portable: the comma-
-    joined component STRING itself — bucket equality becomes exactly
-    band-value equality (no collision term at all), and any engine
-    reproduces it, which is what the registered suite's DuckDB oracle
-    joins on. Wider keys, same join shape."""
+    Bucket key by `portable`: both are fixed-width 8-byte longs (the
+    lean shuffle-key shape at 100 TB; a hash collision can only ADD a
+    candidate, which the score threshold then filters). Default:
+    xxhash64 of the band's comma-joined components — the cheapest
+    64-bit hash Spark codegens. Portable: the low 60 bits of md5 of
+    the same string — reproducible in any engine with md5, which is
+    what the registered suite's DuckDB oracle joins on."""
     bands = []
     for b in range(num_bands):
         lo = b * rows_per_band + 1  # slice is 1-indexed
         band_slice = F.slice(F.col("signature"), lo, rows_per_band)
         key = F.concat_ws(",", band_slice.cast("array<string>"))
-        if not portable:
+        if portable:
+            key = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        else:
             key = F.xxhash64(key)
         bands.append(F.struct(F.lit(b).alias("band"), key.alias("bucket")))
     return signatures.select(

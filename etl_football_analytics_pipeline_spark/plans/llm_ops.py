@@ -227,7 +227,8 @@ def _minhash_oracle_sql() -> str:
     ),
     bands AS (
       SELECT doc_id, i // 4 AS band,
-             string_agg(mv::VARCHAR, ',' ORDER BY i) AS bucket
+             CAST(('0x' || substring(
+               md5(string_agg(mv::VARCHAR, ',' ORDER BY i)), 1, 15)) AS BIGINT) AS bucket
       FROM sig GROUP BY doc_id, i // 4
     ),
     cand AS (
