@@ -12,9 +12,16 @@ Spark-first split of work, same discipline as the dedup kernels:
 
 - **Featurization** is map-only: the JVM codegens one xxhash64 per
   token (cheapest 64-bit hash Spark has), and an Arrow-batched numpy
-  kernel folds the token hashes into an L1-normalized hashed
-  bag-of-words histogram (`dim` buckets + bias). ZERO shuffle — a
-  document's features never leave its row.
+  kernel works on the hashes directly. The hot corpus-wide passes
+  (training partials, scoring) never materialize the docs × dim
+  histogram — dot products and gradient transposes are computed in
+  the SPARSE token representation via bucket-gather + segmented
+  bincount, O(tokens) memory per batch (a dense 10k-row × 2k-dim
+  float64 batch would be ~160 MB per in-flight batch per core —
+  exactly what a 100 TB scoring pass must not allocate). Dense
+  L1-normalized rows exist only in `hashed_bow`, whose contract IS
+  the feature vector. ZERO shuffle either way — a document's tokens
+  never leave its row.
 - **Training** is full-batch gradient descent driven from the driver:
   each iteration is ONE job that maps the feature frame to per-batch
   gradient PARTIALS (a `dim+1` vector and a count per Arrow batch)
@@ -56,12 +63,66 @@ __all__ = [
 
 
 def _token_hashes(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
-    """(…id_cols, __h array<long>): one xxhash64 per token, JVM-side."""
+    """(…id_cols, __pid, __h array<long>): one xxhash64 per token,
+    JVM-side, plus the partition id (the training loop's deterministic
+    batch sort key). NULL text is treated as empty (same policy as the
+    operators.text gates — a NULL must not abort a corpus job)."""
+    safe = F.coalesce(F.col(text_col), F.lit(""))
     return (
         spread(df)
-        .withColumn("__words", F.split(normalized_text(text_col), " "))
-        .select(*id_cols, F.expr("transform(__words, w -> xxhash64(w))").alias("__h"))
+        .withColumn("__words", F.split(normalized_text(safe), " "))
+        .select(
+            *id_cols,
+            F.spark_partition_id().alias("__pid"),
+            F.expr("transform(__words, w -> xxhash64(w))").alias("__h"),
+        )
     )
+
+
+def _flat_buckets(
+    pdf: pd.DataFrame, dim: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lens, seg, buckets) — the SPARSE batch representation the
+    training/scoring kernels work in. Dense docs × dim matrices exist
+    only in hashed_bow (whose contract is the dense feature row);
+    the hot corpus-wide passes stay O(tokens) per batch."""
+    lens = pdf["__h"].map(len).to_numpy()
+    n = len(pdf)
+    if lens.sum() == 0:
+        return lens, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in pdf["__h"]])
+    buckets = (flat.view(np.uint64) % np.uint64(dim)).astype(np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return lens, seg, buckets
+
+
+def _dot_w(
+    lens: np.ndarray, seg: np.ndarray, buckets: np.ndarray, wv: np.ndarray, dim: int
+) -> np.ndarray:
+    """x_i · w for every row of the batch (L1-normalized histogram +
+    bias) WITHOUT materializing the histogram: gather w at each
+    token's bucket, segment-sum, divide by length. O(tokens) memory."""
+    dots = np.full(len(lens), wv[dim], dtype=np.float64)  # bias slot
+    if len(buckets):
+        sums = np.bincount(seg, weights=wv[buckets], minlength=len(lens))
+        dots += sums / np.maximum(lens, 1)
+    return dots
+
+
+def _xt_v(
+    lens: np.ndarray, seg: np.ndarray, buckets: np.ndarray, v: np.ndarray, dim: int
+) -> np.ndarray:
+    """X^T v for the same rows (the gradient partial), O(tokens + dim):
+    grad[j] = Σ over tokens landing in bucket j of v_row / len_row;
+    the bias slot is Σ v. bincount sums in index order, so the result
+    is deterministic for a fixed batch."""
+    g = np.zeros(dim + 1, dtype=np.float64)
+    if len(buckets):
+        g[:dim] = np.bincount(
+            buckets, weights=(v / np.maximum(lens, 1))[seg], minlength=dim
+        )
+    g[dim] = v.sum()
+    return g
 
 
 def _bow_rows(pdf: pd.DataFrame, dim: int) -> np.ndarray:
@@ -116,9 +177,12 @@ def quality_train(
     vector (`dim+1` float64, last = bias).
 
     Full-batch GD: per iteration ONE distributed job computes
-    per-Arrow-batch partials ``(X_b^T (σ(X_b w) − y_b), |b|)`` and the
-    driver sums them (sorted by an emitted batch key for
-    bit-determinism) — driver state O(batches × dim). L2 `reg`
+    per-Arrow-batch partials ``(X_b^T (σ(X_b w) − y_b), |b|)`` in the
+    sparse token representation (O(tokens) memory, see module notes)
+    and the driver sums them sorted by the emitted (partition id,
+    batch index) key — distinct and stable for a fixed layout, so
+    training is bit-deterministic — driver state O(batches × dim).
+    L2 `reg`
     excludes the bias. `lr` is scaled by 1/n via the collected counts,
     so the default works across corpus sizes."""
     hashed = _token_hashes(df, [label_col], text_col).persist()
@@ -131,30 +195,30 @@ def quality_train(
 
             def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 wv = bw.value
-                for pdf in batches:
+                for b_idx, pdf in enumerate(batches):
                     if pdf.empty:
                         continue
-                    x = _bow_rows(pdf, dim)
+                    lens, seg, buckets = _flat_buckets(pdf, dim)
                     y = pdf[label_col].to_numpy(dtype=np.float64)
-                    p = 1.0 / (1.0 + np.exp(-(x @ wv)))
-                    g = x.T @ (p - y)
-                    # one deterministic sort key per batch: the lowest
-                    # row fingerprint in the batch (content-derived, so
-                    # the same layout always sums in the same order)
-                    mins = [
-                        int(np.min(np.asarray(h, dtype=np.int64)))
-                        for h in pdf["__h"]
-                        if len(h)
-                    ]
-                    key = min(mins) if mins else 0
+                    p = 1.0 / (1.0 + np.exp(-_dot_w(lens, seg, buckets, wv, dim)))
+                    g = _xt_v(lens, seg, buckets, p - y, dim)
+                    # deterministic, DISTINCT sort key per batch:
+                    # (partition id, batch index within the partition)
+                    # — for a fixed layout both are stable, so the
+                    # driver always sums gradients in the same order
+                    pid = int(pdf["__pid"].iloc[0])
                     yield pd.DataFrame(
-                        {"bkey": [key], "grad": [g], "n": [float(len(pdf))]}
+                        {
+                            "bkey": [pid * 1_000_000 + b_idx],
+                            "grad": [g],
+                            "n": [float(len(pdf))],
+                        }
                     )
 
             rows = hashed.mapInPandas(
                 partials, "bkey long, grad array<double>, n double"
             ).collect()
-            rows.sort(key=lambda r: (r.bkey, r.n))
+            rows.sort(key=lambda r: r.bkey)
             n_total = sum(r.n for r in rows) or 1.0
             grad = np.zeros(w_len, dtype=np.float64)
             for r in rows:
@@ -188,8 +252,8 @@ def quality_score(
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = _bow_rows(pdf, dim)
-            p = 1.0 / (1.0 + np.exp(-(x @ wv)))
+            lens, seg, buckets = _flat_buckets(pdf, dim)
+            p = 1.0 / (1.0 + np.exp(-_dot_w(lens, seg, buckets, wv, dim)))
             yield pd.DataFrame({id_col: pdf[id_col], out: p})
 
     return hashed.mapInPandas(score, f"{id_col} long, {out} double")

@@ -286,8 +286,13 @@ def quality_section(spark, scale: int) -> str:
         quality_train,
     )
 
-    sample = docs.filter(F.col("doc_id") % (10 * scale) == 0).withColumn(
-        "label", (F.col("doc_id") % 2 == 0).cast("long")
+    # sample ~500 docs regardless of scale; the label must split the
+    # SAMPLE (ids surviving % (5*scale) are strided, so labeling on
+    # doc_id % 2 would leave a single class — label on the stride
+    # index instead)
+    stride = 5 * scale
+    sample = docs.filter(F.col("doc_id") % stride == 0).withColumn(
+        "label", ((F.col("doc_id") / stride) % 2 == 0).cast("long")
     )
     t0 = time.time()
     wts = quality_train(sample, "text", "label", dim=1024, iters=20)
