@@ -97,7 +97,7 @@ def expect_report(df: DataFrame, rules: Mapping[str, F.Column]) -> DataFrame:
             F.round(
                 (F.col("n_checked") - F.col("p.n_violations"))
                 / F.col("n_checked").cast("double"),
-                6,
+                4,
             ).alias("pass_rate"),
         )
     )

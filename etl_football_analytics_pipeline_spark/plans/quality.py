@@ -180,16 +180,16 @@ _DQ_RULES = (
              (NOT COALESCE({_DQ_RULES[3][1]}, FALSE)) AS v3x
       FROM lineitem
     ), rep AS (
-      SELECT '{_DQ_RULES[0][0]}' AS rule, SUM(CASE WHEN v0 THEN 1 ELSE 0 END) AS nv, COUNT(*) AS nc FROM t
+      SELECT '{_DQ_RULES[0][0]}' AS rule, CAST(SUM(CASE WHEN v0 THEN 1 ELSE 0 END) AS BIGINT) AS nv, COUNT(*) AS nc FROM t
       UNION ALL
-      SELECT '{_DQ_RULES[1][0]}', SUM(CASE WHEN v1x THEN 1 ELSE 0 END), COUNT(*) FROM t
+      SELECT '{_DQ_RULES[1][0]}', CAST(SUM(CASE WHEN v1x THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM t
       UNION ALL
-      SELECT '{_DQ_RULES[2][0]}', SUM(CASE WHEN v2x THEN 1 ELSE 0 END), COUNT(*) FROM t
+      SELECT '{_DQ_RULES[2][0]}', CAST(SUM(CASE WHEN v2x THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM t
       UNION ALL
-      SELECT '{_DQ_RULES[3][0]}', SUM(CASE WHEN v3x THEN 1 ELSE 0 END), COUNT(*) FROM t
+      SELECT '{_DQ_RULES[3][0]}', CAST(SUM(CASE WHEN v3x THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM t
     )
     SELECT 'report' AS part, rule AS s1, nv AS k1, nc AS k2,
-           ROUND((nc - nv) / CAST(nc AS DOUBLE), 6) AS v1
+           ROUND((nc - nv) / CAST(nc AS DOUBLE), 4) AS v1
     FROM rep
     UNION ALL
     SELECT 'quarantine' AS part, viol AS s1, COUNT(*) AS k1,
@@ -205,31 +205,31 @@ _DQ_RULES = (
     UNION ALL
     SELECT 'profile' AS part,
            'l_orderkey' || '|' || CAST(MIN(l_orderkey) AS VARCHAR) || '|' || CAST(MAX(l_orderkey) AS VARCHAR) AS s1,
-           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS k1,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k1,
            COUNT(DISTINCT l_orderkey) AS k2, CAST(NULL AS DOUBLE) AS v1
     FROM lineitem
     UNION ALL
     SELECT 'profile',
            'l_linenumber' || '|' || CAST(MIN(l_linenumber) AS VARCHAR) || '|' || CAST(MAX(l_linenumber) AS VARCHAR),
-           SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_linenumber), CAST(NULL AS DOUBLE)
     FROM lineitem
     UNION ALL
     SELECT 'profile',
            'l_returnflag' || '|' || MIN(l_returnflag) || '|' || MAX(l_returnflag),
-           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_returnflag), CAST(NULL AS DOUBLE)
     FROM lineitem
     UNION ALL
     SELECT 'profile',
            'l_shipdate' || '|' || CAST(MIN(l_shipdate) AS VARCHAR) || '|' || CAST(MAX(l_shipdate) AS VARCHAR),
-           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_shipdate), CAST(NULL AS DOUBLE)
     FROM lineitem
     UNION ALL
     SELECT 'profile',
            'l_quantity' || '|' || CAST(MIN(l_quantity) AS VARCHAR) || '|' || CAST(MAX(l_quantity) AS VARCHAR),
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_quantity), CAST(NULL AS DOUBLE)
     FROM lineitem
     """,
