@@ -62,19 +62,32 @@ __all__ = [
 ]
 
 
-def _token_hashes(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
-    """(…id_cols, __pid, __h array<long>): one xxhash64 per token,
+def _token_hashes(
+    df: DataFrame, id_cols: list[str], text_col: str, portable: bool = False
+) -> DataFrame:
+    """(…id_cols, __pid, __h array<long>): one 64-bit hash per token,
     JVM-side, plus the partition id (the training loop's deterministic
     batch sort key). NULL text is treated as empty (same policy as the
-    operators.text gates — a NULL must not abort a corpus job)."""
+    operators.text gates — a NULL must not abort a corpus job).
+
+    `portable=False` (default): xxhash64 — the cheapest 64-bit hash
+    Spark codegens, the production tier. `portable=True`: low 32 bits
+    of md5 (8 hex chars) — the same engine-reproducible family
+    operators.dedup uses, what lets a DuckDB oracle recompute every
+    feature bucket and value-check corpus-wide scoring."""
     safe = F.coalesce(F.col(text_col), F.lit(""))
+    tok_hash = (
+        "cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint)"
+        if portable
+        else "xxhash64(w)"
+    )
     return (
         spread(df)
         .withColumn("__words", F.split(normalized_text(safe), " "))
         .select(
             *id_cols,
             F.spark_partition_id().alias("__pid"),
-            F.expr("transform(__words, w -> xxhash64(w))").alias("__h"),
+            F.expr(f"transform(__words, w -> {tok_hash})").alias("__h"),
         )
     )
 
@@ -145,14 +158,15 @@ def _bow_rows(pdf: pd.DataFrame, dim: int) -> np.ndarray:
 
 
 def hashed_bow(
-    df: DataFrame, id_col: str, text_col: str, dim: int = 2048
+    df: DataFrame, id_col: str, text_col: str, dim: int = 2048,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, features array<double>) — the hashed bag-of-words features
     the classifier trains and scores on, exposed for inspection and
     for composing with other vector operators (e.g. the similarity
     family). Map-only; the dense row is `dim+1` doubles (last = bias).
     """
-    hashed = _token_hashes(df, [id_col], text_col)
+    hashed = _token_hashes(df, [id_col], text_col, portable)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,21 +186,29 @@ def quality_train(
     iters: int = 60,
     lr: float = 2.0,
     reg: float = 1e-4,
+    merge_fanin: int = 32,
+    portable: bool = False,
 ) -> np.ndarray:
     """Train the logistic-regression quality model. Returns the weight
     vector (`dim+1` float64, last = bias).
 
     Full-batch GD: per iteration ONE distributed job computes
     per-Arrow-batch partials ``(X_b^T (σ(X_b w) − y_b), |b|)`` in the
-    sparse token representation (O(tokens) memory, see module notes)
-    and the driver sums them sorted by the emitted (partition id,
-    batch index) key — distinct and stable for a fixed layout, so
-    training is bit-deterministic — driver state O(batches × dim).
-    L2 `reg`
-    excludes the bias. `lr` is scaled by 1/n via the collected counts,
-    so the default works across corpus sizes."""
-    hashed = _token_hashes(df, [label_col], text_col).persist()
+    sparse token representation (O(tokens) memory, see module notes),
+    then merges them EXECUTOR-SIDE down to a fixed fan-in before the
+    driver sees anything: partials shuffle on ``bkey % merge_fanin``
+    and each of the ≤`merge_fanin` groups sums its gradients sorted by
+    the (partition id, batch index) bkey. The driver collects at most
+    `merge_fanin` rows per iteration and folds them sorted by group
+    key — so driver state is O(merge_fanin × dim) REGARDLESS of corpus
+    partition/batch count (a million-batch corpus collects 32 rows,
+    not a million), and every summation order is fixed for a fixed
+    input layout, keeping training bit-deterministic run-to-run.
+    L2 `reg` excludes the bias. `lr` is scaled by 1/n via the merged
+    counts, so the default works across corpus sizes."""
+    hashed = _token_hashes(df, [label_col], text_col, portable).persist()
     w_len = dim + 1
+    fanin = max(1, int(merge_fanin))
     try:
         spark = df.sparkSession
         w = np.zeros(w_len, dtype=np.float64)
@@ -204,8 +226,8 @@ def quality_train(
                     g = _xt_v(lens, seg, buckets, p - y, dim)
                     # deterministic, DISTINCT sort key per batch:
                     # (partition id, batch index within the partition)
-                    # — for a fixed layout both are stable, so the
-                    # driver always sums gradients in the same order
+                    # — for a fixed layout both are stable, so every
+                    # level of the merge sums gradients in one order
                     pid = int(pdf["__pid"].iloc[0])
                     yield pd.DataFrame(
                         {
@@ -215,10 +237,26 @@ def quality_train(
                         }
                     )
 
-            rows = hashed.mapInPandas(
-                partials, "bkey long, grad array<double>, n double"
-            ).collect()
-            rows.sort(key=lambda r: r.bkey)
+            def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("bkey")
+                g = np.zeros(w_len, dtype=np.float64)
+                for arr in pdf["grad"]:
+                    g += np.asarray(arr, dtype=np.float64)
+                return pd.DataFrame(
+                    {
+                        "gkey": [int(pdf["bkey"].iloc[0]) % fanin],
+                        "grad": [g],
+                        "n": [float(pdf["n"].sum())],
+                    }
+                )
+
+            rows = (
+                hashed.mapInPandas(partials, "bkey long, grad array<double>, n double")
+                .groupBy((F.col("bkey") % fanin).alias("__g"))
+                .applyInPandas(merge_group, "gkey long, grad array<double>, n double")
+                .collect()
+            )
+            rows.sort(key=lambda r: r.gkey)
             n_total = sum(r.n for r in rows) or 1.0
             grad = np.zeros(w_len, dtype=np.float64)
             for r in rows:
@@ -239,13 +277,14 @@ def quality_score(
     text_col: str,
     dim: int | None = None,
     out: str = "quality_prob",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, quality_prob) — σ(features · w) per document. Map-only;
     the weight vector is broadcast (O(1) in the corpus)."""
     dim = (len(weights) - 1) if dim is None else dim
     spark = df.sparkSession
     bw = spark.sparkContext.broadcast(np.asarray(weights, dtype=np.float64))
-    hashed = _token_hashes(df, [id_col], text_col)
+    hashed = _token_hashes(df, [id_col], text_col, portable)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         wv = bw.value

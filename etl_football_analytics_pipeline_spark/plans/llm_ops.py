@@ -1030,6 +1030,29 @@ _SPLIT_CASE = """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' 
                  ELSE 'test' END"""
 
 
+# Pinned quality-classifier model for the 'clf' leg: 32 portable
+# (md5-bucket) hashed-BOW weights + bias, trained once by
+# scripts/train_clf_weights.py (fastText-style labels: stopword_ratio
+# above the sf0.01 median = 1). Literal here for the same reason the
+# LSH planes and minhash coefficients are literal — the oracle embeds
+# the exact values, so DuckDB recomputes every feature bucket, the dot
+# product, and the sigmoid, value-checking corpus-wide scoring.
+CLF_WEIGHTS = (
+    -0.15873192921450938, -0.4129983442853019, 0.0, 0.0,
+    0.1475325424246873, 0.0004748341708171633, 0.0, -0.28024177616203233,
+    0.0, -0.4859046231793358, -0.9453371065386753, 0.0,
+    -0.30528219511971805, 2.3616726171020233, -0.07386626255935837, 0.0,
+    -0.05080847401309474, 0.29650854723193354, 0.0, -0.6457495624406642,
+    0.0, 0.0, -0.38200237766803297, -0.05884010671888656,
+    -0.5226169465881679, 3.3099864169469484, -1.0338463978778925, -0.5036493671912268,
+    0.0, -0.23908025209537398, -0.3899359305770012, 0.11369314774846008,
+    -0.26725822245551295,
+)
+_CLF_DIM = 32
+_CLF_WLIST = "[" + ", ".join(repr(w) for w in CLF_WEIGHTS[:_CLF_DIM]) + "]"
+_CLF_BIAS = repr(CLF_WEIGHTS[_CLF_DIM])
+
+
 @query(
     "corpus_mixture_suite",
     oracle=f"""
@@ -1089,12 +1112,29 @@ _SPLIT_CASE = """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' 
                  ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC) AS rn
         FROM documents
       ) WHERE rn <= 50
+    ), clf_tok AS (
+      SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+    ), clf_b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % {_CLF_DIM} AS b
+      FROM clf_tok
+    ), clf_dot AS (
+      SELECT doc_id,
+             SUM(({_CLF_WLIST})[b + 1]) / COUNT(*) + {_CLF_BIAS} AS dot
+      FROM clf_b GROUP BY doc_id
+    ), clf_part AS (
+      SELECT 'clf' AS part, CAST(doc_id AS VARCHAR) AS key,
+             CASE WHEN 1.0 / (1.0 + exp(-dot)) >= 0.5
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n1,
+             ROUND(1.0 / (1.0 + exp(-dot)), 4) AS v1
+      FROM clf_dot
     )
     SELECT * FROM split_part
     UNION ALL SELECT * FROM decontam_part
     UNION ALL SELECT * FROM pack_part
     UNION ALL SELECT * FROM sample_part
     UNION ALL SELECT * FROM strat_part
+    UNION ALL SELECT * FROM clf_part
     """,
 )
 def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,8 +1162,19 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - part='strat': EXACT-size stratified sample, 50 docs per source
       (operators.corpus.stratified_sample — k smallest md5(salt:id)
       keys per stratum; the partition-local Arrow combiner bounds the
-      window exchange and provably cannot change the answer).
+      window exchange and provably cannot change the answer);
+    - part='clf': corpus-wide SUPERVISED quality scoring
+      (operators.classifier.quality_score) with the pinned
+      CLF_WEIGHTS model in the portable md5-bucket feature family —
+      per doc the sigmoid probability (4dp) and the ≥0.5 keep/drop
+      gate bit. Map-only: the weight vector broadcasts, a document's
+      tokens never leave its row; the oracle recomputes every bucket,
+      the L1-normalized dot product, and the sigmoid from the literal
+      weights. Training (iterative, driver-merged) is pinned by
+      pytest; scoring — the pass that actually touches 100 TB — is
+      value-checked here.
     """
+    from ..operators.classifier import quality_score
     from ..operators.corpus import (
         deterministic_split,
         mixture_sample,
@@ -1179,11 +1230,22 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("n1"),
         F.lit(None).cast("double").alias("v1"),
     )
+    import numpy as np
+
+    clf_part = quality_score(
+        docs, np.asarray(CLF_WEIGHTS), "doc_id", "text", portable=True
+    ).select(
+        F.lit("clf").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("quality_prob") >= 0.5).cast("long").alias("n1"),
+        F.round("quality_prob", 4).alias("v1"),
+    )
     return (
         split_part.unionByName(decontam_part)
         .unionByName(pack_part)
         .unionByName(sample_part)
         .unionByName(strat_part)
+        .unionByName(clf_part)
     )
 
 

@@ -77,6 +77,26 @@ def test_quality_gate_keeps_high_scoring_docs(spark):
     assert set(kept.columns) >= {"doc_id", "text", "label", "quality_prob"}
 
 
+def test_bounded_driver_collect_at_high_partition_count(spark):
+    """The executor-side merge bounds driver state structurally: the
+    per-iteration collect is grouped on ``bkey % merge_fanin``, so at
+    most `merge_fanin` rows ever reach the driver no matter how many
+    partitions/batches the corpus has. With a 48-partition input and
+    fanin=4 training must still be bit-deterministic run-to-run, and
+    the model must stay equivalent (the merge only re-associates the
+    same gradient sum)."""
+    df = _labeled(spark, n=120).repartition(48)
+    w1 = quality_train(df, "text", "label", dim=128, iters=15, merge_fanin=4)
+    w2 = quality_train(df, "text", "label", dim=128, iters=15, merge_fanin=4)
+    assert np.array_equal(w1, w2)
+    # re-association noise only — same model to float tolerance
+    w_wide = quality_train(df, "text", "label", dim=128, iters=15, merge_fanin=64)
+    np.testing.assert_allclose(w1, w_wide, rtol=1e-9, atol=1e-12)
+    # and the degenerate fanin=1 bound (ONE row collected per iter)
+    w_one = quality_train(df, "text", "label", dim=128, iters=15, merge_fanin=1)
+    np.testing.assert_allclose(w1, w_one, rtol=1e-9, atol=1e-12)
+
+
 def test_scoring_stable_under_repartitioning(spark):
     df = _labeled(spark, n=60)
     w = quality_train(df, "text", "label", dim=128, iters=30)
