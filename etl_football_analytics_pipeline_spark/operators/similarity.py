@@ -409,18 +409,26 @@ def ivf_build_index(
     vec_col: str = "embedding",
     n_lists: int = 16,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index: corpus parquet PARTITIONED BY
     list_id (each inverted list is its own directory — the bucketed
     storage layout where a probe reads only its lists' files) plus the
     trained centroids stored alongside. Returns the centroids.
 
+    `centroids` (optional): use this FIXED quantizer instead of
+    training — the deploy-a-frozen-model path, and what lets the
+    registered query pin literal centroids its oracle can replay.
+
     This is the persisted form of ivf_topk's in-flight assignment: at
     100 TB you pay the k-means + one partitioned write once, and every
     subsequent query prunes partitions instead of scanning the corpus.
     """
     spark = corpus.sparkSession
-    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_lists, seed=seed)
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_lists, seed=seed)
+    else:
+        centroids = _unit_rows(np.asarray(centroids, dtype=np.float64))
     bc = spark.sparkContext.broadcast(centroids)
     assigned = _assign_lists(corpus.select(id_col, vec_col), bc, id_col, vec_col, vec_col, 1)
     # repartition BY LIST before the partitioned write: without it every

@@ -577,37 +577,97 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, "vec_id", "embedding", k=5)
 
 
-@query("ann_ivf_topk")  # seeded k-means quantizer → rows-only
+def _ivf_cents_values() -> str:
+    """The pinned quantizer as a DuckDB VALUES list:
+    (list_id, [64 doubles])."""
+    from .ivf_model import IVF_CENTROIDS
+
+    return ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cents(list_id, c) AS (VALUES {_ivf_cents_values()}),
+    sim AS (
+      SELECT v.vec_id, ct.list_id,
+             list_cosine_similarity(v.e, ct.c) AS s
+      FROM v CROSS JOIN cents ct
+    ), cassign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, list_id ASC) AS rn
+        FROM sim) WHERE rn = 1
+    ), qassign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, list_id ASC) AS rn
+        FROM sim WHERE vec_id < 10) WHERE rn <= 4
+    ), cand AS (
+      SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id
+      FROM qassign q JOIN cassign c2 USING (list_id)
+      WHERE q.vec_id <> c2.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+      FROM cand JOIN v a ON a.vec_id = query_id
+                JOIN v b ON b.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k through the PERSISTED index
-    (operators.similarity.ivf_build_index / ivf_search_index): k-means
-    coarse quantizer → corpus parquet partitioned by list_id (each
+    (operators.similarity.ivf_build_index / ivf_search_index) with the
+    PINNED quantizer (plans/ivf_model.py — trained once, frozen, the
+    FAISS deploy pattern): corpus parquet partitioned by list_id (each
     inverted list its own directory) → probes prune partitions (the
     `list_id IN (...)` filter is a PartitionFilter — unprobed lists'
     files are never opened, asserted in tests/test_similarity.py) →
     exact in-list ranking. Build is paid once per (sf_dir, mtime) into
     a tmp path; every call after that is probe-only — the bucketed-
     storage shape where at 100 TB a query reads nprobe/n_lists of the
-    corpus bytes. Result-identical to the in-flight ivf_topk with the
-    same centroids (tested); recall vs brute force measured in
-    tests/test_similarity.py. Recall tuned by nprobe without
-    re-indexing."""
+    corpus bytes. Recall tuned by nprobe without re-indexing.
+
+    FULLY value-oracled: the literal centroids let DuckDB replay list
+    assignment (argmax cosine, list_id tie-break), the nprobe=4 probe
+    selection, the pruned candidate join, and every returned 4dp
+    cosine and rank."""
     import os
     import tempfile
+
+    import numpy as np
+
+    from .ivf_model import IVF_CENTROIDS
 
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     # deterministic per-corpus location; mtime in the tag invalidates
-    # the cached index if the underlying parquet is regenerated
+    # the cached index if the underlying parquet is regenerated, the
+    # model tag if the pinned quantizer changes
     src = os.path.join(sf_dir, "embeddings.parquet")
     mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}"
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}_pin1"
     path = os.path.join(tempfile.gettempdir(), f"spark_ivf_index_{tag}")
     if not (
         os.path.exists(os.path.join(path, "lists", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
     ):
-        ivf_build_index(emb, path, "vec_id", "embedding", n_lists=16)
+        ivf_build_index(
+            emb, path, "vec_id", "embedding", n_lists=16,
+            centroids=np.asarray(IVF_CENTROIDS, dtype=np.float64),
+        )
     return ivf_search_index(spark, path, queries_df, "vec_id", "embedding", k=5, nprobe=4)
 
 

@@ -17,6 +17,8 @@ Scale notes that apply across the module:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +31,7 @@ from ..functions.cleaning import (
     scaled_long,
     strip_tokens,
 )
+from ..sources.bucketed import write_bucketed
 from ..sources.registry import load_table
 from .registry import query
 
@@ -239,10 +242,65 @@ def j3_self_join_two_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_fact_mirrors(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(orders_table, lineitem_table): bucketed catalog mirrors of the
+    two fact tables, hash-clustered into 8 buckets on the order key
+    (sources.bucketed.write_bucketed — sorted buckets, so the
+    co-located SortMergeJoin skips both its Exchanges AND its sorts).
+    Built once per (sf_dir, mtime) into the per-user tmp cache —
+    the pay-the-shuffle-at-write-time layout that at 100 TB turns
+    every orders⋈lineitem into a local merge. Column-pruned to the
+    join/aggregate columns (a mirror is a layout, not a second copy
+    of the warehouse)."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}".replace(".", "_")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark-graft-bucketed-{getattr(os, 'getuid', lambda: 0)()}",
+        tag,
+    )
+    tbl_o, tbl_l = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    if not spark.catalog.tableExists(tbl_o):
+        write_bucketed(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            tbl_o, ["o_orderkey"], 8, path=os.path.join(root, "orders"),
+        )
+    if not spark.catalog.tableExists(tbl_l):
+        write_bucketed(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            tbl_l, ["l_orderkey"], 8, path=os.path.join(root, "lineitem"),
+        )
+    return tbl_o, tbl_l
+
+
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Exchange-FREE form of the fact⋈fact revenue rollup: both
+    facts read from co-bucketed mirrors (same bucket count, same key),
+    joined and aggregated ON the bucket key — Catalyst plans scan →
+    SortMergeJoin → HashAggregate with ZERO ShuffleExchange operators
+    end to end (asserted in tests/test_layout.py). The o_orderkey
+    residue filter prunes rows without disturbing bucketing."""
+    tbl_o, tbl_l = bucketed_fact_mirrors(spark, sf_dir)
+    orders = spark.table(tbl_o).filter(F.col("o_orderkey") % 97 == 0)
+    li = spark.table(tbl_l)
+    revenue_e4 = scaled_long("l_extendedprice") * (F.lit(100) - scaled_long("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(exact_scaled_sum(revenue_e4, 4).cast("double").alias("revenue"))
+        .select(F.col("o_orderkey").cast("string").alias("key"), "revenue")
+    )
+
+
 @query(
     "j6_star_join_agg",
     oracle="""
-    SELECT r_name AS region_name,
+    SELECT 'star' AS part, r_name AS key,
            CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
     FROM lineitem
@@ -251,13 +309,30 @@ def j3_self_join_two_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY r_name
+    UNION ALL
+    SELECT 'bucketed' AS part, CAST(o_orderkey AS VARCHAR) AS key,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderkey
     """,
 )
 def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 — multi-way star join + aggregate (the dashboard's fact ⋈ dims
-    pattern, `scr/ui.py:66-67,85-87,283-287`). lineitem⋈orders is the
-    only large-large join (sort-merge / shuffled-hash at scale); the
-    dims broadcast so the star adds no further shuffles.
+    """J6 — large-join + aggregate suite, two physical strategies:
+
+    - part='star': multi-way star join (the dashboard's fact ⋈ dims
+      pattern, `scr/ui.py:66-67,85-87,283-287`). lineitem⋈orders is
+      the only large-large join (sort-merge / shuffled-hash at
+      scale); the dims broadcast so the star adds no further
+      shuffles;
+    - part='bucketed': the SAME fact⋈fact join read from co-bucketed
+      mirrors (bucketed_order_revenue) — per-order revenue with ZERO
+      Exchange operators in the executed plan (the 100 TB layout
+      lever: the co-location shuffle was paid once, at write time).
+      Value-matched here against the oracle's shuffled computation,
+      Exchange-freeness plan-asserted in tests/test_layout.py.
 
     Revenue is accumulated via `exact_scaled_sum` (price and discount
     as e2 scaled longs, their product an e4 long): bit-identical to
@@ -270,14 +345,19 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
     revenue_e4 = scaled_long("l_extendedprice") * (F.lit(100) - scaled_long("l_discount"))
-    return (
+    star = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .groupBy(F.col("r_name").alias("region_name"))
+        .groupBy(F.col("r_name").alias("key"))
         .agg(exact_scaled_sum(revenue_e4, 4).cast("double").alias("revenue"))
+        .select(F.lit("star").alias("part"), "key", "revenue")
     )
+    bucketed = bucketed_order_revenue(spark, sf_dir).select(
+        F.lit("bucketed").alias("part"), "key", "revenue"
+    )
+    return star.unionByName(bucketed)
 
 
 @query(

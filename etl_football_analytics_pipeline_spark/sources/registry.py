@@ -144,7 +144,14 @@ def _parquet_ts_unit(path: str, col: str) -> str | None:
     return getattr(t, "unit", None)
 
 
-_COMPACT_ROOT = os.path.join(tempfile.gettempdir(), "spark-graft-compact")
+# Per-user cache root (uid in the name, created 0700, ownership
+# verified before any reuse): on a multi-user host a world-shared
+# fixed /tmp path would let another user pre-create the predictable
+# keyed mirror and have load_table silently read foreign data.
+_COMPACT_ROOT = os.path.join(
+    tempfile.gettempdir(),
+    f"spark-graft-compact-{getattr(os, 'getuid', lambda: 0)()}",
+)
 _COMPACT_MAX_BYTES = 1 << 30  # never bulk-copy beyond this; see docstring
 _COMPACT_MIN_GROUPS = 4
 _COMPACT_MIN_ROWS = 4096
@@ -204,11 +211,19 @@ def scan_ready_path(path: str, parallelism: int) -> str:
     ).hexdigest()[:16]
     out = os.path.join(_COMPACT_ROOT, key, os.path.basename(path))
     if os.path.exists(out):
-        return out
+        # trust the mirror only if this user owns it; a foreign-owned
+        # file under a predictable key is read-verbatim territory
+        try:
+            if os.stat(out).st_uid == getattr(os, "getuid", lambda: 0)():
+                return out
+        except OSError:
+            pass
+        return path
     # the mirror is an optimization, never a gate: any build failure
     # (tmp full/read-only, permission clash with another user's cache
     # dir, transient IO) falls back to reading the source verbatim
     try:
+        os.makedirs(_COMPACT_ROOT, mode=0o700, exist_ok=True)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         table = pq.read_table(path)
         rows_per_group = max(1024, table.num_rows // max(2 * parallelism, 1))

@@ -159,6 +159,30 @@ def test_bucketed_agg_skips_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
 
 
+def test_registered_bucketed_leg_is_exchange_free(spark):
+    """The driver-registered 'bucketed' part of j6_star_join_agg
+    (plans.relational.bucketed_order_revenue) executes with ZERO
+    Exchange operators: bucketed scan → SortMergeJoin → HashAggregate
+    on the bucket key, the write-time-shuffle layout the 100 TB story
+    rests on. Values are driver-checked against the shuffled oracle;
+    this asserts the physical plan is actually the co-located one."""
+    from etl_football_analytics_pipeline_spark.plans.relational import (
+        bucketed_order_revenue,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_order_revenue(spark, SF)
+        plan = _executed_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "ShuffleExchange" not in plan, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_cobucketed_join_rejects_spec_mismatch(spark, tmp_path):
     """Mismatched bucket counts would silently reinstate the shuffle —
     the join helper refuses instead."""
