@@ -305,7 +305,11 @@ def chunk_documents(
     if chunk_size <= 0 or overlap < 0 or overlap >= chunk_size:
         raise ValueError("need chunk_size > 0 and 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text follows the empty-doc contract ('' chunk, 0 tokens) —
+    # same coalesce policy as every other text operator; without it
+    # size(split(NULL)) propagates NULL through greatest/least and a
+    # NULL-text doc would emit (chunk_text=NULL, n_tokens=64)
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     # trim('') splits to [''] — treat as zero tokens
     n_words = F.when(
         (F.size(words) == 1) & (F.element_at(words, 1) == ""), F.lit(0)

@@ -1047,6 +1047,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_clusters: int = 16,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means cluster the
     embedding space, then GREEDILY prune each cluster — scanning ids
@@ -1074,7 +1075,12 @@ def semantic_dedup(
     with the corpus to bound the quadratic term (same knob as IVF).
     """
     spark = corpus.sparkSession
-    cents = kmeans_centroids(corpus, id_col, vec_col, k=n_clusters, seed=seed)
+    # `centroids`: use a FIXED quantizer (the frozen-model deploy path,
+    # and what lets the registered leg pin oracle-replayable literals)
+    if centroids is None:
+        cents = kmeans_centroids(corpus, id_col, vec_col, k=n_clusters, seed=seed)
+    else:
+        cents = _unit_rows(np.asarray(centroids, dtype=np.float64))
     bc = spark.sparkContext.broadcast(cents)
     assigned = _assign_lists(corpus.select(id_col, vec_col), bc, "id", vec_col, "__vec", 1)
 

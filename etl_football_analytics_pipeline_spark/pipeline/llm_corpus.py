@@ -143,12 +143,15 @@ def curate_corpus(
     if min_lm_logprob is not None:
         from ..operators.text import ngram_lm_score, ngram_lm_train
 
-        # cache: three plan branches read the model (counts, totals,
-        # vocab) — uncached, the full train lineage would re-execute
-        # for each
+        # eager localCheckpoint: three plan branches read the model
+        # (counts, totals, vocab) — unmaterialized, the full train
+        # lineage would re-execute for each; and unlike cache() the
+        # checkpoint storage is ContextCleaner-freed when the model
+        # frame goes out of scope, so repeated curation calls don't
+        # accumulate pinned executor storage
         lm = ngram_lm_train(
             lm_reference if lm_reference is not None else docs, text_col, n=2
-        ).cache()
+        ).localCheckpoint(eager=True)
         # zero-gram docs score NULL (no evidence): pass them through —
         # the length/quality gates own empty-text policy
         fluent = ngram_lm_score(docs, lm, id_col, text_col, n=2).filter(

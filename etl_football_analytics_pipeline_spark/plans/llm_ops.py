@@ -1062,7 +1062,13 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_frequency").cast("double").alias("v1"),
         )
     )
-    lm = ngram_lm_train(docs, "text", n=2).cache()
+    # eager localCheckpoint, not cache(): the scorer's plan branches
+    # reuse the materialized model without re-training, and the
+    # storage is ContextCleaner-freed once the frame is unreferenced —
+    # a cache() here would pin executor storage until someone calls
+    # unpersist, which a registered query can never do (the driver
+    # owns materialization)
+    lm = ngram_lm_train(docs, "text", n=2).localCheckpoint(eager=True)
     lm_part = ngram_lm_score(docs, lm, "doc_id", "text", n=2).select(
         F.lit("lm").alias("part"),
         F.col("doc_id").cast("string").alias("s1"),

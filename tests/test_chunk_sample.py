@@ -35,14 +35,16 @@ def test_chunk_windows_and_overlap(spark):
 
 def test_chunk_short_and_empty_docs(spark):
     df = spark.createDataFrame(
-        [(1, "a b"), (2, ""), (3, "   ")], "doc_id int, text string"
+        [(1, "a b"), (2, ""), (3, "   "), (4, None)], "doc_id int, text string"
     )
     rows = chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=1).collect()
     by_doc = {r.doc_id: r for r in rows}
-    assert len(rows) == 3  # one chunk each
+    assert len(rows) == 4  # one chunk each
     assert by_doc[1].chunk_text == "a b" and by_doc[1].n_tokens == 2
     assert by_doc[2].chunk_text == "" and by_doc[2].n_tokens == 0
     assert by_doc[3].chunk_text == "" and by_doc[3].n_tokens == 0
+    # NULL text follows the same empty-doc contract, not NULL propagation
+    assert by_doc[4].chunk_text == "" and by_doc[4].n_tokens == 0
 
 
 def test_chunk_exact_boundary(spark):
