@@ -60,6 +60,18 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
 
 
+def _ivf_cents_values() -> str:
+    """The pinned coarse quantizer (plans/ivf_model.py) as a DuckDB
+    VALUES list: (list_id, [64 doubles]). Shared by the ann_ivf_topk
+    and dedup_embedding_cosine (semdedup part) oracles."""
+    from .ivf_model import IVF_CENTROIDS
+
+    return ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -450,25 +462,103 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH v AS (
+    oracle=f"""
+    WITH RECURSIVE v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cents(list_id, c) AS (VALUES {_ivf_cents_values()}),
+    sim AS (
+      SELECT v.vec_id, ct.list_id, list_cosine_similarity(v.e, ct.c) AS s
+      FROM v CROSS JOIN cents ct
+    ), asg AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, list_id ASC) AS rn
+        FROM sim) WHERE rn = 1
+    ), m AS (
+      SELECT a.vec_id, a.list_id, v.e,
+             ROW_NUMBER() OVER (PARTITION BY a.list_id
+                                ORDER BY a.vec_id ASC) AS rn
+      FROM asg a JOIN v ON v.vec_id = a.vec_id
+    ), greedy(list_id, rn, vec_id, dup_of, cos, kept) AS (
+      SELECT list_id, rn, vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+             [vec_id]
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m2.list_id, m2.rn, m2.vec_id,
+             CASE WHEN b.c >= 0.45 - 1e-12 THEN b.id END,
+             CASE WHEN b.c >= 0.45 - 1e-12 THEN b.c END,
+             CASE WHEN b.c >= 0.45 - 1e-12 THEN g.kept
+                  ELSE list_append(g.kept, m2.vec_id) END
+      FROM greedy g
+      JOIN m m2 ON m2.list_id = g.list_id AND m2.rn = g.rn + 1
+      LEFT JOIN LATERAL (
+        SELECT kv.vec_id AS id, list_cosine_similarity(m2.e, kv.e) AS c
+        FROM unnest(g.kept) AS u(kid) JOIN v kv ON kv.vec_id = u.kid
+        ORDER BY c DESC, kv.vec_id ASC LIMIT 1
+      ) b ON TRUE
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT 'pairs' AS part, a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(NULL AS BIGINT) AS k1, CAST(NULL AS DOUBLE) AS kept,
            ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.45
+    UNION ALL
+    SELECT 'semdedup' AS part, vec_id AS id_a, dup_of AS id_b,
+           CAST(list_id AS BIGINT) AS k1,
+           CASE WHEN dup_of IS NULL THEN 1.0 ELSE 0.0 END AS kept,
+           ROUND(ROUND(cos, 6), 4) AS cosine
+    FROM greedy
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ threshold
-    (operators.similarity.all_pairs_cosine — broadcast corpus matrix,
-    BLAS batches, O(matches) shuffle). Threshold 0.45 because the
-    synthetic embeddings top out at pairwise cosine ≈0.51 — a 0.95
-    run would vacuously return 0 rows and prove nothing. The 100 TB
-    path is dedup_embedding_lsh below — same exact scoring, candidates
-    restricted to hyperplane buckets."""
-    return all_pairs_cosine(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.45)
+    """Embedding dedup suite, exact tier + SemDeDup tier:
+
+    - part='pairs': all pairs with cosine ≥ threshold
+      (operators.similarity.all_pairs_cosine — broadcast corpus
+      matrix, BLAS batches, O(matches) shuffle). Threshold 0.45
+      because the synthetic embeddings top out at pairwise cosine
+      ≈0.51 — a 0.95 run would vacuously return 0 rows and prove
+      nothing. The 100 TB path is dedup_embedding_lsh below — same
+      exact scoring, candidates restricted to hyperplane buckets;
+    - part='semdedup': SemDeDup-style semantic pruning
+      (operators.similarity.semantic_dedup) with the PINNED quantizer
+      (plans/ivf_model.py — shared with ann_ivf_topk): cluster on
+      argmax-cosine centroid, then greedily drop members whose cosine
+      to an already-kept lower-id member reaches the threshold.
+      Cluster-bucketed quadratic (never all-pairs); the oracle replays
+      the ENTIRE greedy cascade via a recursive CTE whose state
+      carries each cluster's kept-id list, value-checking cluster
+      assignment, every drop decision, the shadowing kept id, and the
+      recorded cosine."""
+    import numpy as np
+
+    from ..operators.similarity import semantic_dedup
+    from .ivf_model import IVF_CENTROIDS
+
+    emb = _emb(spark, sf_dir)
+    pairs = all_pairs_cosine(emb, "vec_id", "embedding", threshold=0.45).select(
+        F.lit("pairs").alias("part"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("long").alias("k1"),
+        F.lit(None).cast("double").alias("kept"),
+        "cosine",
+    )
+    sd = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.45,
+        centroids=np.asarray(IVF_CENTROIDS, dtype=np.float64),
+    ).select(
+        F.lit("semdedup").alias("part"),
+        F.col("id").alias("id_a"),
+        F.col("dup_of").alias("id_b"),
+        F.col("cluster_id").cast("long").alias("k1"),
+        F.when(F.col("is_kept"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("kept"),
+        F.when(F.col("is_kept"), F.lit(None).cast("double"))
+        .otherwise(F.round("cosine", 4))
+        .alias("cosine"),
+    )
+    return pairs.unionByName(sd)
 
 
 def _plane_values(n_tables: int, n_planes: int, dim: int = 64, seed: int = 42) -> str:
@@ -575,17 +665,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return brute_force_topk(emb, queries_df, "vec_id", "embedding", k=5)
-
-
-def _ivf_cents_values() -> str:
-    """The pinned quantizer as a DuckDB VALUES list:
-    (list_id, [64 doubles])."""
-    from .ivf_model import IVF_CENTROIDS
-
-    return ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in c)}])"
-        for i, c in enumerate(IVF_CENTROIDS)
-    )
 
 
 @query(
