@@ -840,12 +840,18 @@ def pq_topk(
                 cand = np.flatnonzero(mask)
                 if not len(cand):
                     continue
-                take = cand[np.argsort(-row[cand], kind="stable")[:k]]
+                # batch-local selection and the global merge share ONE
+                # total order — (unrounded est desc, id asc) — so the
+                # result is independent of batch/partition layout even
+                # when estimates tie after rounding (lexsort keys are
+                # last-primary)
+                order = np.lexsort((n_ids[cand], -row[cand]))
+                take = cand[order[:k]]
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(take), qid),
                         "neighbor_id": n_ids[take],
-                        "est_cosine": np.round(row[take], round_to),
+                        "est_cosine": row[take],
                     }
                 )
 
@@ -858,7 +864,12 @@ def pq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "est_cosine", "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("est_cosine", round_to).alias("est_cosine"),
+            "rank",
+        )
     )
 
 

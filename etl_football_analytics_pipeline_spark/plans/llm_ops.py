@@ -72,6 +72,18 @@ def _ivf_cents_values() -> str:
     )
 
 
+def _pq_books_values() -> str:
+    """The pinned PQ codebooks (plans/ivf_model.py) as a DuckDB VALUES
+    list: (subspace, code, [16 doubles]) — 64 rows."""
+    from .ivf_model import PQ_CODEBOOKS
+
+    return ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in PQ_CODEBOOKS[j][c])}])"
+        for j in range(len(PQ_CODEBOOKS))
+        for c in range(len(PQ_CODEBOOKS[j]))
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -637,7 +649,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_cosine_topk",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < 10
@@ -652,19 +664,95 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
       FROM scored
+    ), vq AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), vn AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM vq
+    ), books(j, code, b) AS (VALUES {_pq_books_values()}),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vn.vec_id, bk.j, bk.code,
+               -2 * list_dot_product(u[bk.j * 16 + 1 : bk.j * 16 + 16], bk.b)
+                 + list_dot_product(bk.b, bk.b) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY vn.vec_id, bk.j
+                                  ORDER BY d2 ASC, bk.code ASC) AS rn
+        FROM vn CROSS JOIN books bk)
+      WHERE rn = 1
+    ), encw AS (
+      SELECT vec_id,
+             MAX(CASE WHEN j = 0 THEN code END) AS c0,
+             MAX(CASE WHEN j = 1 THEN code END) AS c1,
+             MAX(CASE WHEN j = 2 THEN code END) AS c2,
+             MAX(CASE WHEN j = 3 THEN code END) AS c3
+      FROM enc GROUP BY vec_id
+    ), adc AS (
+      SELECT qn.vec_id AS query_id, w.vec_id AS neighbor_id,
+             ((list_dot_product(qn.u[1:16], b0.b)
+               + list_dot_product(qn.u[17:32], b1.b))
+               + list_dot_product(qn.u[33:48], b2.b))
+               + list_dot_product(qn.u[49:64], b3.b) AS est
+      FROM vn qn CROSS JOIN encw w
+      JOIN books b0 ON b0.j = 0 AND b0.code = w.c0
+      JOIN books b1 ON b1.j = 1 AND b1.code = w.c1
+      JOIN books b2 ON b2.j = 2 AND b2.code = w.c2
+      JOIN books b3 ON b3.j = 3 AND b3.code = w.c3
+      WHERE qn.vec_id < 10 AND qn.vec_id <> w.vec_id
+    ), pq_ranked AS (
+      SELECT query_id, neighbor_id, est,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY est DESC, neighbor_id ASC) AS rank
+      FROM adc
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    SELECT 'brute' AS part, query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'pq' AS part, query_id, neighbor_id,
+           ROUND(est, 4) AS cosine, CAST(rank AS INT) AS rank
+    FROM pq_ranked WHERE rank <= 5
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for 10 query vectors
-    (operators.similarity.brute_force_topk): queries broadcast, corpus
-    scanned once and never shuffled; dot products are codegen'd
-    zip_with/aggregate folds (deterministic summation order — matches
-    the oracle bit-for-bit before rounding)."""
+    """Similarity-search suite, exact tier + compressed tier:
+
+    - part='brute': brute-force cosine top-5 for 10 query vectors
+      (operators.similarity.brute_force_topk): queries broadcast,
+      corpus scanned once and never shuffled; dot products are
+      codegen'd zip_with/aggregate folds (deterministic summation
+      order — matches the oracle bit-for-bit before rounding);
+    - part='pq': the SAME search over PQ CODES (operators.similarity.
+      pq_encode + pq_topk, asymmetric-distance scoring) with the
+      PINNED codebooks (plans/ivf_model.PQ_CODEBOOKS, m=4 × 16 codes):
+      each corpus vector collapses to 4 code bytes, each query builds
+      a subspace lookup table, and estimated cosine is 4 table
+      gathers — no decompression, the byte-sized scan that makes a
+      100 TB embedding corpus searchable. The oracle replays encoding
+      (per-subspace argmin L2, code tie-break) and the full ADC
+      ranking from the literal codebooks; ranking uses the unrounded
+      estimate with id tie-break on BOTH engines, so batch layout and
+      4dp display rounding can't reorder it. Recall vs brute measured
+      in tests/test_similarity.py."""
+    import numpy as np
+
+    from ..operators.similarity import pq_encode, pq_topk
+    from .ivf_model import PQ_CODEBOOKS
+
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    brute = brute_force_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+        F.lit("brute").alias("part"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    books = np.asarray(PQ_CODEBOOKS, dtype=np.float64)
+    enc = pq_encode(emb, books, "vec_id", "embedding")
+    pq = pq_topk(enc, books, queries_df, "vec_id", "embedding", k=5).select(
+        F.lit("pq").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.col("est_cosine").alias("cosine"),
+        "rank",
+    )
+    return brute.unionByName(pq)
 
 
 @query(
