@@ -1022,6 +1022,31 @@ _PII_ORACLE_CTE = (
       SELECT doc_id, md5({_NORM}) AS md5_fingerprint FROM documents
     ), p AS (
       {_PII_ORACLE_CTE}
+    ), rg AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS ls,
+             list_transform(generate_series(1, greatest(len({_WORDS}) - 1, 0)),
+                            i -> ({_WORDS})[i] || ' ' || ({_WORDS})[i + 1]) AS bg
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             ROUND(CASE WHEN len(ls) > 0
+                        THEN (len(ls) - len(list_distinct(ls)))
+                             / CAST(len(ls) AS DOUBLE)
+                        ELSE 0.0 END, 4) AS dup_line_frac,
+             ROUND(CASE WHEN len(bg) > 0
+                        THEN (len(bg) - len(list_distinct(bg)))
+                             / CAST(len(bg) AS DOUBLE)
+                        ELSE 0.0 END, 4) AS dup_bigram_frac
+      FROM rg
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+      ) WHERE w <> '' GROUP BY doc_id, w
+    ), topw AS (
+      SELECT doc_id,
+             ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_word_frac
+      FROM wc GROUP BY doc_id
     )
     SELECT l.doc_id, l.hits_de, l.hits_en, l.hits_es, l.hits_fr,
            CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
@@ -1039,12 +1064,16 @@ _PII_ORACLE_CTE = (
              0.0), 1.0), 4) AS quality_score,
            t.ws_tokens, t.regex_tokens,
            f.md5_fingerprint,
-           p.n_email, p.n_url, p.n_ipv4, p.n_phone, p.redacted_len
+           p.n_email, p.n_url, p.n_ipv4, p.n_phone, p.redacted_len,
+           r.dup_line_frac, r.dup_bigram_frac,
+           COALESCE(topw.top_word_frac, 0.0) AS top_word_frac
     FROM l
     JOIN q USING (doc_id)
     JOIN t USING (doc_id)
     JOIN f USING (doc_id)
     JOIN p USING (doc_id)
+    JOIN r USING (doc_id)
+    LEFT JOIN topw USING (doc_id)
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,7 +1096,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       carries no natural PII, so both engines inject the same
       doc_id-keyed contact block first — `_PII_AUG` runs verbatim in
       Spark SQL and DuckDB): per-kind hit counts and the redacted
-      length, all chained `regexp_count`/`regexp_replace` Columns.
+      length, all chained `regexp_count`/`regexp_replace` Columns;
+    - repetition signals (operators.text.repetition_signals):
+      dup_line_frac / dup_bigram_frac (pure array ops, no shuffle)
+      and top_word_frac (relational mode: explode → (doc, word)
+      count → max/sum — one hash-partitioned shuffle, map-side
+      combined), the C4/Gopher-style repetition filters; 4dp-rounded
+      at the output boundary on both engines.
 
     All pure Column expressions; the four operator outputs join on
     doc_id and Catalyst collapses the self-joins of the same scan into
@@ -1084,12 +1119,21 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
+    from ..operators.text import repetition_signals
+
+    rep = repetition_signals(docs, "doc_id", "text").select(
+        "doc_id",
+        F.round("dup_line_frac", 4).alias("dup_line_frac"),
+        F.round("dup_bigram_frac", 4).alias("dup_bigram_frac"),
+        F.round("top_word_frac", 4).alias("top_word_frac"),
+    )
     return (
         language_id(docs, "doc_id", "text")
         .join(quality_scores(docs, "doc_id", "text"), "doc_id")
         .join(token_counts(docs, "doc_id", "text"), "doc_id")
         .join(fingerprints(docs, "doc_id", "text").select("doc_id", "md5_fingerprint"), "doc_id")
         .join(pii, "doc_id")
+        .join(rep, "doc_id")
     )
 
 
@@ -1171,10 +1215,35 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(e) AS k1,
              CAST(MAX(e) - MIN(s) + 1 AS DOUBLE) AS v1
       FROM sp_grp GROUP BY doc_id, g
+    ), bo_aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'chrome line ' || CAST(doc_id % 3 AS VARCHAR)
+                  || chr(10) || 'sig ' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    ), bo_ln AS (
+      SELECT doc_id, u.i AS idx, ls[u.i] AS line
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM bo_aug),
+           LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+    ), bo_common AS (
+      SELECT h FROM (
+        SELECT DISTINCT md5(line) AS h, doc_id FROM bo_ln
+      ) GROUP BY h HAVING COUNT(*) > 2
+    ), bo_built AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS cleaned
+      FROM bo_ln
+      WHERE md5(line) NOT IN (SELECT h FROM bo_common)
+      GROUP BY doc_id
+    ), boiler_part AS (
+      SELECT 'boiler' AS part,
+             CAST(d.doc_id AS VARCHAR) || ':' || md5(COALESCE(b.cleaned, '')) AS s1,
+             CAST(length(COALESCE(b.cleaned, '')) AS BIGINT) AS k1,
+             CAST(NULL AS DOUBLE) AS v1
+      FROM documents d LEFT JOIN bo_built b ON d.doc_id = b.doc_id
     )
     SELECT * FROM topk
     UNION ALL SELECT * FROM lm_part
     UNION ALL SELECT * FROM span_part
+    UNION ALL SELECT * FROM boiler_part
     """,
 )
 def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,7 +1320,37 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("long").alias("k1"),
         F.col("span_tokens").cast("double").alias("v1"),
     )
-    return topk.unionByName(lm_part).unionByName(span_part)
+    # part='boiler': C4-style cross-document boilerplate-line removal
+    # (operators.text.strip_common_lines). The synthetic corpus has no
+    # natural shared lines, so — PII-leg precedent — both engines
+    # append the same deterministic chrome first: a doc_id%3-keyed
+    # "chrome line" (lands in ~N/3 docs, provably stripped) and a
+    # per-doc unique "sig" line (df=1, provably KEPT, order
+    # preserved). s1 carries the md5 of the rebuilt text, so the
+    # value check covers the full strip → reassemble path.
+    from ..operators.text import strip_common_lines
+
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nchrome line "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\nsig "),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    boiler_part = strip_common_lines(aug, "doc_id", "t", max_df=2).select(
+        F.lit("boiler").alias("part"),
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.md5("text_cleaned")
+        ).alias("s1"),
+        F.length("text_cleaned").cast("long").alias("k1"),
+        F.lit(None).cast("double").alias("v1"),
+    )
+    return (
+        topk.unionByName(lm_part).unionByName(span_part).unionByName(boiler_part)
+    )
 
 
 # ---------------------------------------------------------------------------
