@@ -278,6 +278,61 @@ def bucketed_fact_mirrors(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return tbl_o, tbl_l
 
 
+def dpp_mirrors(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(fact_path, dim_path): a directory-partitioned mirror of orders
+    (partitionBy(o_orderpriority) — each priority its own directory,
+    the layout dynamic partition pruning prunes) plus a tiny priority
+    dim (priority, pri_rank) whose rank column is MATERIALIZED, not
+    derivable from the key — so a rank filter cannot be constant-
+    folded into a static partition filter and Catalyst must inject the
+    surviving keys at RUNTIME (`dynamicpruning#` subquery in the fact
+    scan's PartitionFilters). Built once per (sf_dir, mtime) into the
+    per-user tmp cache, like the bucketed mirrors above."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}".replace(".", "_")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark-graft-dpp-{getattr(os, 'getuid', lambda: 0)()}",
+        tag,
+    )
+    fact_path = os.path.join(root, "orders_by_priority")
+    dim_path = os.path.join(root, "priority_dim")
+    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact_path)
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        _t(spark, sf_dir, "orders").select("o_orderpriority").distinct().select(
+            "o_orderpriority",
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("pri_rank"),
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    return fact_path, dim_path
+
+
+def dpp_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order revenue where the fact scan reads ONLY the
+    partitions the filtered dim survives: dim filter pri_rank <= 2
+    keeps two of five priorities, and dynamic partition pruning
+    injects those keys into the partitioned fact scan at runtime —
+    3/5 of the fact's directories are never opened (plan-asserted in
+    tests/test_layout.py). Values match a plain filtered aggregate,
+    which is exactly what the oracle computes."""
+    fact_path, dim_path = dpp_mirrors(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("pri_rank") <= 2)
+    return (
+        fact.join(F.broadcast(dim.select("o_orderpriority")), "o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(
+            F.sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Exchange-FREE form of the fact⋈fact revenue rollup: both
     facts read from co-bucketed mirrors (same bucket count, same key),
@@ -317,6 +372,18 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderkey % 97 = 0
     GROUP BY o_orderkey
+    UNION ALL
+    SELECT 'dpp' AS part, o_orderpriority AS key,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderpriority IN (
+      SELECT o_orderpriority FROM (
+        SELECT DISTINCT o_orderpriority,
+               CAST(substring(o_orderpriority, 1, 1) AS INT) AS r
+        FROM orders
+      ) WHERE r <= 2
+    )
+    GROUP BY o_orderpriority
     """,
 )
 def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +399,15 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       Exchange operators in the executed plan (the 100 TB layout
       lever: the co-location shuffle was paid once, at write time).
       Value-matched here against the oracle's shuffled computation,
-      Exchange-freeness plan-asserted in tests/test_layout.py.
+      Exchange-freeness plan-asserted in tests/test_layout.py;
+    - part='dpp': DYNAMIC partition pruning (dpp_priority_revenue) —
+      a directory-partitioned orders mirror joined to a filtered
+      priority dim whose filter column is materialized (not
+      derivable from the key), so Catalyst must inject the surviving
+      partition keys at runtime and 3/5 of the fact's directories are
+      never opened (`dynamicpruning#` PartitionFilter, plan-asserted
+      in tests/test_layout.py). The oracle computes the plain
+      filtered aggregate.
 
     Revenue is accumulated via `exact_scaled_sum` (price and discount
     as e2 scaled longs, their product an e4 long): bit-identical to
@@ -357,7 +432,10 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = bucketed_order_revenue(spark, sf_dir).select(
         F.lit("bucketed").alias("part"), "key", "revenue"
     )
-    return star.unionByName(bucketed)
+    dpp = dpp_priority_revenue(spark, sf_dir).select(
+        F.lit("dpp").alias("part"), "key", "revenue"
+    )
+    return star.unionByName(bucketed).unionByName(dpp)
 
 
 @query(

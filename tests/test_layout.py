@@ -183,6 +183,22 @@ def test_registered_bucketed_leg_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_registered_dpp_leg_prunes_partitions(spark):
+    """The driver-registered 'dpp' part of j6_star_join_agg
+    (plans.relational.dpp_priority_revenue): the filtered priority dim
+    injects a dynamicpruning subquery into the partitioned fact scan,
+    and only the surviving priorities' directories are read."""
+    from etl_football_analytics_pipeline_spark.plans.relational import (
+        dpp_priority_revenue,
+    )
+
+    df = dpp_priority_revenue(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = {r.key: r.revenue for r in df.collect()}
+    assert set(rows) == {"1-URGENT", "2-HIGH"}
+
+
 def test_cobucketed_join_rejects_spec_mismatch(spark, tmp_path):
     """Mismatched bucket counts would silently reinstate the shuffle —
     the join helper refuses instead."""
