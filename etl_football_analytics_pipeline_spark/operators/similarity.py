@@ -882,6 +882,8 @@ def ivf_pq_build_index(
     m: int = 8,
     n_codes: int = 256,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> None:
     """IVF-PQ index: the production ANN layout — a coarse quantizer
     shards the corpus into inverted lists (partition pruning at probe
@@ -896,11 +898,18 @@ def ivf_pq_build_index(
     exact re-rank stage (ivf_pq_search's `rerank`) recovers what
     residual coding would; swap in residual encoding if search must be
     accurate WITHOUT a re-rank corpus. Both quantizers train on the
-    same bounded driver sample."""
+    same bounded driver sample; pass `centroids`/`codebooks` to deploy
+    FIXED frozen models instead (the pinned-literal registered path).
+    """
     spark = corpus.sparkSession
-    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_lists, seed=seed)
-    books = pq_train_codebooks(
-        corpus, id_col, vec_col, m=m, n_codes=n_codes, seed=seed
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_lists, seed=seed)
+    else:
+        centroids = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    books = (
+        pq_train_codebooks(corpus, id_col, vec_col, m=m, n_codes=n_codes, seed=seed)
+        if codebooks is None
+        else np.asarray(codebooks, dtype=np.float64)
     )
     bc = spark.sparkContext.broadcast(centroids)
     # persist the assignment for its two consumers (the encode pass
@@ -1001,12 +1010,17 @@ def ivf_pq_search(
                 if not len(cand):
                     continue
                 row = est[qi]
-                take = cand[np.argsort(-row[cand], kind="stable")[:kk]]
+                # batch selection and the global merge share ONE total
+                # order — (unrounded est desc, id asc) — so the result
+                # is independent of batch layout even when estimates
+                # tie after rounding (same discipline as pq_topk)
+                order = np.lexsort((n_ids[cand], -row[cand]))
+                take = cand[order[:kk]]
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(take), qid),
                         "neighbor_id": n_ids[take],
-                        "score": np.round(row[take], round_to),
+                        "score": row[take],
                     }
                 )
 
@@ -1017,7 +1031,10 @@ def ivf_pq_search(
     )
     if rerank is None:
         return shortlist.filter(F.col("rank") <= k).select(
-            "query_id", "neighbor_id", "score", "rank"
+            "query_id",
+            "neighbor_id",
+            F.round("score", round_to).alias("score"),
+            "rank",
         )
     vecs = rerank.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")

@@ -84,6 +84,47 @@ def _pq_books_values() -> str:
     )
 
 
+def _pq_cte_block() -> str:
+    """Shared oracle CTEs for the pinned-PQ tiers: unit-normalized
+    embeddings, the literal codebooks, per-subspace argmin-L2 encoding
+    (code tie-break) and the one-row-per-vector code tuple. Used by
+    the ann_cosine_topk (pq part) and ann_ivf_topk (ivfpq part)
+    oracles."""
+    return f"""vq AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), vn AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM vq
+    ), books(j, code, b) AS (VALUES {_pq_books_values()}),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vn.vec_id, bk.j, bk.code,
+               -2 * list_dot_product(u[bk.j * 16 + 1 : bk.j * 16 + 16], bk.b)
+                 + list_dot_product(bk.b, bk.b) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY vn.vec_id, bk.j
+                                  ORDER BY d2 ASC, bk.code ASC) AS rn
+        FROM vn CROSS JOIN books bk)
+      WHERE rn = 1
+    ), encw AS (
+      SELECT vec_id,
+             MAX(CASE WHEN j = 0 THEN code END) AS c0,
+             MAX(CASE WHEN j = 1 THEN code END) AS c1,
+             MAX(CASE WHEN j = 2 THEN code END) AS c2,
+             MAX(CASE WHEN j = 3 THEN code END) AS c3
+      FROM enc GROUP BY vec_id
+    )"""
+
+
+# explicit left-to-right association: both engines are internally
+# consistent, and identical code tuples therefore produce exact ties
+# broken by neighbor id on both sides
+_ADC_EST = """((list_dot_product(qn.u[1:16], b0.b)
+               + list_dot_product(qn.u[17:32], b1.b))
+               + list_dot_product(qn.u[33:48], b2.b))
+               + list_dot_product(qn.u[49:64], b3.b)"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -664,35 +705,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
       FROM scored
-    ), vq AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ), vn AS (
-      SELECT vec_id,
-             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
-      FROM vq
-    ), books(j, code, b) AS (VALUES {_pq_books_values()}),
-    enc AS (
-      SELECT vec_id, j, code FROM (
-        SELECT vn.vec_id, bk.j, bk.code,
-               -2 * list_dot_product(u[bk.j * 16 + 1 : bk.j * 16 + 16], bk.b)
-                 + list_dot_product(bk.b, bk.b) AS d2,
-               ROW_NUMBER() OVER (PARTITION BY vn.vec_id, bk.j
-                                  ORDER BY d2 ASC, bk.code ASC) AS rn
-        FROM vn CROSS JOIN books bk)
-      WHERE rn = 1
-    ), encw AS (
-      SELECT vec_id,
-             MAX(CASE WHEN j = 0 THEN code END) AS c0,
-             MAX(CASE WHEN j = 1 THEN code END) AS c1,
-             MAX(CASE WHEN j = 2 THEN code END) AS c2,
-             MAX(CASE WHEN j = 3 THEN code END) AS c3
-      FROM enc GROUP BY vec_id
-    ), adc AS (
+    ), {_pq_cte_block()}, adc AS (
       SELECT qn.vec_id AS query_id, w.vec_id AS neighbor_id,
-             ((list_dot_product(qn.u[1:16], b0.b)
-               + list_dot_product(qn.u[17:32], b1.b))
-               + list_dot_product(qn.u[33:48], b2.b))
-               + list_dot_product(qn.u[49:64], b3.b) AS est
+             {_ADC_EST} AS est
       FROM vn qn CROSS JOIN encw w
       JOIN books b0 ON b0.j = 0 AND b0.code = w.c0
       JOIN books b1 ON b1.j = 1 AND b1.code = w.c1
@@ -786,11 +801,31 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
       FROM cand JOIN v a ON a.vec_id = query_id
                 JOIN v b ON b.vec_id = neighbor_id
+    ), {_pq_cte_block()}, adc2 AS (
+      SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+             {_ADC_EST} AS est
+      FROM qassign q
+      JOIN cassign c2 USING (list_id)
+      JOIN vn qn ON qn.vec_id = q.vec_id
+      JOIN encw w ON w.vec_id = c2.vec_id
+      JOIN books b0 ON b0.j = 0 AND b0.code = w.c0
+      JOIN books b1 ON b1.j = 1 AND b1.code = w.c1
+      JOIN books b2 ON b2.j = 2 AND b2.code = w.c2
+      JOIN books b3 ON b3.j = 3 AND b3.code = w.c3
+      WHERE q.vec_id <> c2.vec_id
     )
-    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+    SELECT 'ivf' AS part, query_id, neighbor_id,
+           cosine AS score, CAST(rank AS INT) AS rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
+    ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivfpq' AS part, query_id, neighbor_id,
+           ROUND(est, 4) AS score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY est DESC, neighbor_id ASC) AS rank
+      FROM adc2
     ) WHERE rank <= 5
     """,
 )
@@ -807,16 +842,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage shape where at 100 TB a query reads nprobe/n_lists of the
     corpus bytes. Recall tuned by nprobe without re-indexing.
 
-    FULLY value-oracled: the literal centroids let DuckDB replay list
-    assignment (argmax cosine, list_id tie-break), the nprobe=4 probe
-    selection, the pruned candidate join, and every returned 4dp
-    cosine and rank."""
+    part='ivfpq' adds the COMPOSED production layout through its own
+    persisted index (operators.similarity.ivf_pq_build_index /
+    ivf_pq_search, both models pinned): the same partition-pruned
+    inverted lists, but each list stores m=4 PQ CODE BYTES per vector
+    instead of 256 float bytes — the probe reads nprobe/n_lists of
+    the corpus AND only code bytes, the two compressions multiplying.
+    Scores are ADC estimates ranked by the unrounded value with id
+    tie-break (same discipline as the pq part of ann_cosine_topk).
+
+    FULLY value-oracled: the literal centroids + codebooks let DuckDB
+    replay list assignment (argmax cosine, list_id tie-break), the
+    nprobe=4 probe selection, the pruned candidate join, PQ encoding,
+    ADC estimation, and every returned 4dp score and rank."""
     import os
     import tempfile
 
     import numpy as np
 
-    from .ivf_model import IVF_CENTROIDS
+    from .ivf_model import IVF_CENTROIDS, PQ_CODEBOOKS
 
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
@@ -835,7 +879,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, path, "vec_id", "embedding", n_lists=16,
             centroids=np.asarray(IVF_CENTROIDS, dtype=np.float64),
         )
-    return ivf_search_index(spark, path, queries_df, "vec_id", "embedding", k=5, nprobe=4)
+    ivf = ivf_search_index(
+        spark, path, queries_df, "vec_id", "embedding", k=5, nprobe=4
+    ).select(
+        F.lit("ivf").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.col("cosine").alias("score"),
+        "rank",
+    )
+    from ..operators.similarity import ivf_pq_build_index, ivf_pq_search
+
+    pq_path = os.path.join(tempfile.gettempdir(), f"spark_ivfpq_index_{tag}")
+    if not (
+        os.path.exists(os.path.join(pq_path, "lists", "_SUCCESS"))
+        and os.path.exists(os.path.join(pq_path, "centroids", "_SUCCESS"))
+        and os.path.exists(os.path.join(pq_path, "codebooks", "_SUCCESS"))
+    ):
+        ivf_pq_build_index(
+            emb, pq_path, "vec_id", "embedding", n_lists=16, m=4, n_codes=16,
+            centroids=np.asarray(IVF_CENTROIDS, dtype=np.float64),
+            codebooks=np.asarray(PQ_CODEBOOKS, dtype=np.float64),
+        )
+    ivfpq = ivf_pq_search(
+        spark, pq_path, queries_df, "vec_id", "embedding", k=5, nprobe=4
+    ).select(F.lit("ivfpq").alias("part"), "query_id", "neighbor_id", "score", "rank")
+    return ivf.unionByName(ivfpq)
 
 
 @query(
