@@ -232,3 +232,40 @@ def test_text_ngram_suite_plan_shape(plans):
     bnl_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     assert len(bnl_nodes) <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_classifier_scoring_is_map_only(spark):
+    """The corpus-wide classifier pass (quality_score) must stay a
+    map-only plan — broadcast weights, one ArrowEvalPython/mapInPandas
+    over the scan, ZERO Exchange: a document's tokens never leave its
+    row. This is the pass that actually touches 100 TB."""
+    import numpy as np
+
+    from etl_football_analytics_pipeline_spark.operators.classifier import (
+        quality_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = quality_score(docs, np.zeros(33), "doc_id", "text")
+    plan = plan_of(df)
+    # the only allowed Exchange is spread()'s round-robin widening of
+    # the single-file test corpus (a no-op at real scale); a KEYED
+    # shuffle would mean tokens left their row
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ encoding (the 16x corpus compression pass) is map-only:
+    codebooks broadcast, vectors never shuffle."""
+    import numpy as np
+
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df = pq_encode(emb, np.zeros((4, 16, 16)), "vec_id", "embedding")
+    plan = plan_of(df)
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
