@@ -583,7 +583,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       the ENTIRE greedy cascade via a recursive CTE whose state
       carries each cluster's kept-id list, value-checking cluster
       assignment, every drop decision, the shadowing kept id, and the
-      recorded cosine."""
+      recorded cosine.
+
+      Cross-engine float boundary (stated, same class as the LSH sign
+      boundary): each drop decision compares an engine-computed
+      float64 cosine against the threshold, and the greedy state makes
+      one flipped decision cascade through its cluster. A flip needs a
+      member's max-cosine-to-kept within ~1e-15 of the threshold
+      (engines agree to the last ulps; the 1e-12 epsilon absorbs exact-
+      representation cases) — odds ~1e-10 per member on continuous
+      synthetic cosines, verified green at sf0.001/0.01/0.1."""
     import numpy as np
 
     from ..operators.similarity import semantic_dedup
@@ -855,25 +864,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay list assignment (argmax cosine, list_id tie-break), the
     nprobe=4 probe selection, the pruned candidate join, PQ encoding,
     ADC estimation, and every returned 4dp score and rank."""
+    import hashlib
     import os
-    import tempfile
 
     import numpy as np
 
+    from ..sources.registry import owned_ready, user_cache_dir
     from .ivf_model import IVF_CENTROIDS, PQ_CODEBOOKS
 
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
-    # deterministic per-corpus location; mtime in the tag invalidates
-    # the cached index if the underlying parquet is regenerated, the
-    # model tag if the pinned quantizer changes
+    # deterministic per-corpus location under the per-user 0700 cache
+    # root (ownership-gated reuse): the corpus mtime in the tag
+    # invalidates the persisted index when the parquet is regenerated,
+    # and the MODEL HASH invalidates it mechanically when the pinned
+    # literals change — re-pinning the quantizer/codebooks cannot
+    # silently reuse an index built from the old models
     src = os.path.join(sf_dir, "embeddings.parquet")
     mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}_pin1"
-    path = os.path.join(tempfile.gettempdir(), f"spark_ivf_index_{tag}")
+    cent_h = hashlib.md5(repr(IVF_CENTROIDS).encode()).hexdigest()[:8]
+    book_h = hashlib.md5(repr(PQ_CODEBOOKS).encode()).hexdigest()[:8]
+    base = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}".replace(".", "_")
+    path = user_cache_dir("ivf-index", f"{base}_{cent_h}")
     if not (
-        os.path.exists(os.path.join(path, "lists", "_SUCCESS"))
-        and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
+        owned_ready(os.path.join(path, "lists"))
+        and owned_ready(os.path.join(path, "centroids"))
     ):
         ivf_build_index(
             emb, path, "vec_id", "embedding", n_lists=16,
@@ -890,11 +905,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.similarity import ivf_pq_build_index, ivf_pq_search
 
-    pq_path = os.path.join(tempfile.gettempdir(), f"spark_ivfpq_index_{tag}")
+    pq_path = user_cache_dir("ivfpq-index", f"{base}_{cent_h}_{book_h}")
     if not (
-        os.path.exists(os.path.join(pq_path, "lists", "_SUCCESS"))
-        and os.path.exists(os.path.join(pq_path, "centroids", "_SUCCESS"))
-        and os.path.exists(os.path.join(pq_path, "codebooks", "_SUCCESS"))
+        owned_ready(os.path.join(pq_path, "lists"))
+        and owned_ready(os.path.join(pq_path, "centroids"))
+        and owned_ready(os.path.join(pq_path, "codebooks"))
     ):
         ivf_pq_build_index(
             emb, pq_path, "vec_id", "embedding", n_lists=16, m=4, n_codes=16,

@@ -242,26 +242,35 @@ def j3_self_join_two_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mirror_tag(sf_dir: str, *tables: str) -> str:
+    """Cache tag from the sf_dir plus EVERY participating source's
+    mtime — regenerating any one source invalidates the mirror (a tag
+    keyed on a single table would silently serve stale rows for the
+    others)."""
+    mtimes = "_".join(
+        str(int(os.stat(p).st_mtime)) if os.path.exists(p) else "0"
+        for t in tables
+        for p in [os.path.join(sf_dir, f"{t}.parquet")]
+    )
+    return f"{sf_dir.strip('/').replace('/', '_')}_{mtimes}".replace(".", "_")
+
+
 def bucketed_fact_mirrors(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(orders_table, lineitem_table): bucketed catalog mirrors of the
     two fact tables, hash-clustered into 8 buckets on the order key
     (sources.bucketed.write_bucketed — sorted buckets, so the
     co-located SortMergeJoin skips both its Exchanges AND its sorts).
-    Built once per (sf_dir, mtime) into the per-user tmp cache —
-    the pay-the-shuffle-at-write-time layout that at 100 TB turns
-    every orders⋈lineitem into a local merge. Column-pruned to the
-    join/aggregate columns (a mirror is a layout, not a second copy
-    of the warehouse)."""
-    import tempfile
+    Built once per (sf_dir, source mtimes — BOTH facts participate in
+    the tag, so regenerating either invalidates) into the per-user
+    0700 tmp cache (sources.registry.user_cache_dir, ownership-
+    verified root) — the pay-the-shuffle-at-write-time layout that at
+    100 TB turns every orders⋈lineitem into a local merge.
+    Column-pruned to the join/aggregate columns (a mirror is a
+    layout, not a second copy of the warehouse)."""
+    from ..sources.registry import user_cache_dir
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}".replace(".", "_")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark-graft-bucketed-{getattr(os, 'getuid', lambda: 0)()}",
-        tag,
-    )
+    tag = _mirror_tag(sf_dir, "orders", "lineitem")
+    root = user_cache_dir("bucketed", tag)
     tbl_o, tbl_l = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     if not spark.catalog.tableExists(tbl_o):
         write_bucketed(
@@ -287,24 +296,18 @@ def dpp_mirrors(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     folded into a static partition filter and Catalyst must inject the
     surviving keys at RUNTIME (`dynamicpruning#` subquery in the fact
     scan's PartitionFilters). Built once per (sf_dir, mtime) into the
-    per-user tmp cache, like the bucketed mirrors above."""
-    import tempfile
+    per-user 0700 tmp cache; cross-session reuse is gated on
+    OWNERSHIP, not bare existence (sources.registry.owned_ready)."""
+    from ..sources.registry import owned_ready, user_cache_dir
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}".replace(".", "_")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark-graft-dpp-{getattr(os, 'getuid', lambda: 0)()}",
-        tag,
-    )
+    root = user_cache_dir("dpp", _mirror_tag(sf_dir, "orders"))
     fact_path = os.path.join(root, "orders_by_priority")
     dim_path = os.path.join(root, "priority_dim")
-    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+    if not owned_ready(fact_path):
         _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
         ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact_path)
-    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+    if not owned_ready(dim_path):
         _t(spark, sf_dir, "orders").select("o_orderpriority").distinct().select(
             "o_orderpriority",
             F.substring("o_orderpriority", 1, 1).cast("int").alias("pri_rank"),

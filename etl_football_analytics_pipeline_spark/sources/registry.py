@@ -293,3 +293,34 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     reference S9)."""
     for n in names or tuple(TABLES):
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def user_cache_dir(kind: str, tag: str) -> str:
+    """Per-user cache location `/tmp/spark-graft-<kind>-<uid>/<tag>`
+    for build-once artifacts (bucketed/partitioned mirrors, persisted
+    ANN indexes). The root is created 0700 and verified OWNED by this
+    user — on a multi-user host a predictable world-writable /tmp key
+    could otherwise be pre-seeded by someone else and silently read
+    back (the same hazard scan_ready_path defends against). A foreign-
+    owned root raises instead of degrading to silent foreign reads."""
+    uid = getattr(os, "getuid", lambda: 0)()
+    root = os.path.join(tempfile.gettempdir(), f"spark-graft-{kind}-{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if os.stat(root).st_uid != uid:
+        raise RuntimeError(
+            f"cache root {root} exists but is not owned by uid {uid}; "
+            "refusing to read or write through a foreign-owned directory"
+        )
+    return os.path.join(root, tag)
+
+
+def owned_ready(path: str, *markers: str) -> bool:
+    """True iff every `path/<marker>` exists AND `path` is owned by
+    this user — the reuse gate for build-once artifacts (existence
+    alone would trust whoever created the predictable key first)."""
+    try:
+        if os.stat(path).st_uid != getattr(os, "getuid", lambda: 0)():
+            return False
+    except OSError:
+        return False
+    return all(os.path.exists(os.path.join(path, m)) for m in (markers or ("_SUCCESS",)))

@@ -192,9 +192,18 @@ def test_registered_dpp_leg_prunes_partitions(spark):
         dpp_priority_revenue,
     )
 
+    import re
+
     df = dpp_priority_revenue(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower(), plan
+    # the dynamicpruning expression must sit INSIDE the fact scan's
+    # PartitionFilters clause — that is the position from which Spark
+    # evaluates the dim subquery and skips unmatched partition
+    # directories; an expression that drifted into a post-scan Filter
+    # would still contain the token but not prune
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*dynamicpruning", plan
+    ), plan
     rows = {r.key: r.revenue for r in df.collect()}
     assert set(rows) == {"1-URGENT", "2-HIGH"}
 
