@@ -20,7 +20,6 @@ window (every entry gets a CORRECTNESS row):
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +36,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _tmp(sf_dir: str, tag: str) -> str:
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_csv", os.path.basename(sf_dir.rstrip("/")))
+    """Scratch path for the CSV fixture round-trips — rewritten on
+    every call (never reused), under the engine's per-user 0700 cache
+    root for consistency with the build-once mirrors."""
+    from ..sources.registry import user_cache_dir
+
+    base = user_cache_dir("csv", os.path.basename(sf_dir.rstrip("/")))
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, tag)
 

@@ -438,15 +438,15 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only, O(delta+candidates) never O(corpus)). Probe ≡ in-flight
     # union banding is pinned in tests/test_dedup.py.
     import os
-    import tempfile
 
     from ..operators.dedup import minhash_index_build, minhash_index_probe
+    from ..sources.registry import owned_ready, user_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}_p1"
-    path = os.path.join(tempfile.gettempdir(), f"spark_neardup_index_{tag}")
-    if not os.path.exists(os.path.join(path, "docs", "_SUCCESS")):
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}_p1".replace(".", "_")
+    path = user_cache_dir("neardup-index", tag)
+    if not owned_ready(os.path.join(path, "docs")):
         minhash_index_build(
             docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id", "text",
             num_hashes=64, num_bands=16, shingle_n=2, portable=True,
