@@ -19,12 +19,16 @@ Schema contracts:
 
 The synthetic "SMF" (Synthetic Media Format) codec: a 16-byte header
 `SMF0` + width/height/format fields, then row-major uint8 pixels.
-Deterministic bytes derive from a seed id, so every test/oracle run
-sees identical media.
+Deterministic bytes derive from a seed id via a PORTABLE md5 block
+generator (pixel k of seed s = byte k%16 of md5("{s}:{k//16}")), so
+every test run sees identical media AND a SQL oracle can recompute
+every pixel (DuckDB's `md5()` emits the same hex digest) — the same
+portable-hash-family pattern the MinHash/SimHash oracles use.
 """
 
 from __future__ import annotations
 
+import hashlib
 import struct
 from collections.abc import Iterator
 
@@ -47,10 +51,20 @@ IMAGE_SCHEMA = "id long, content binary, meta struct<width:int, height:int, form
 # ---------------------------------------------------------------------------
 
 
+def portable_pixels(seed: int, n: int) -> np.ndarray:
+    """`n` deterministic uint8 pixels for image `seed`: byte j of
+    md5(f"{seed}:{block}") for block = k//16, j = k%16. Portable by
+    construction — a SQL engine recomputes pixel k as the hex pair at
+    substr(md5(seed || ':' || k//16), (k%16)*2+1, 2)."""
+    blocks = (n + 15) // 16
+    buf = b"".join(hashlib.md5(f"{seed}:{b}".encode()).digest() for b in range(blocks))
+    return np.frombuffer(buf[:n], dtype=np.uint8)
+
+
 def smf_encode(seed: int, width: int, height: int) -> bytes:
-    """Encode a deterministic fake image: seeded uint8 pixel grid."""
-    rng = np.random.default_rng(seed)
-    pixels = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    """Encode a deterministic fake image: portable md5-derived uint8
+    pixel grid (see portable_pixels — oracle-recomputable)."""
+    pixels = portable_pixels(seed, width * height).reshape(height, width)
     header = _MAGIC + struct.pack("<iii", width, height, 1)
     return header + pixels.tobytes()
 
@@ -121,7 +135,10 @@ def image_stats(images: DataFrame, min_partitions: int | None = None) -> DataFra
                 px = smf_decode(bytes(blob))
                 out["id"].append(i)
                 out["n_pixels"].append(int(px.size))
-                out["mean_px"].append(round(float(px.sum()) * (1.0 / px.size), 4))
+                # exact int sum ÷ exact int count: one correctly-rounded
+                # IEEE division, bit-identical in any engine (so the SQL
+                # oracle's SUM/COUNT division matches without rounding)
+                out["mean_px"].append(float(px.sum()) / px.size)
                 out["min_px"].append(int(px.min()))
                 out["max_px"].append(int(px.max()))
             yield pd.DataFrame(out)

@@ -965,33 +965,74 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sf_of(sf_dir: str) -> float:
-    """Scale-factor tag parsed from the testdata directory name
-    (…/sf0.1 → 0.1). The testdata ships no media table (and the
-    container no codecs — the SMF stub is the documented boundary), so
-    the mm_* inputs are synthesized; scaling their size off the tag
-    keeps the bench rows proportional to sf instead of constant."""
-    import os
-    import re
+def _media_corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    """Media corpus size = COUNT(documents). The testdata ships no
+    media table (and the container no codecs — the SMF stub is the
+    documented boundary), so the mm_* inputs are synthesized; keying
+    their size to a real table's row count keeps the bench rows
+    proportional to sf AND lets the static oracle SQL derive the SAME
+    size via `(SELECT COUNT(*) FROM documents)` — no sf tag parsing on
+    either side. Parquet footer count: no data pages read."""
+    from ..sources.registry import load_table
 
-    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
-    try:
-        return float(m.group(1)) if m else 0.01
-    except ValueError:
-        return 0.01
+    return load_table(spark, sf_dir, "documents").count()
 
 
-@query("mm_decode_suite")  # synthetic SMF codec → no SQL oracle (rows-only)
+# Shared by both mm oracles: pixel k of image `seed` is the hex pair
+# (k%16)*2+1..+2 of md5(seed || ':' || k//16) — the exact generator
+# operators.multimodal.portable_pixels runs (portable md5 block family).
+_HEXD = "'0123456789abcdef'"
+
+
+def _px_val(hx: str, j: str) -> str:
+    """DuckDB expression: byte value of hex pair j (0-based) in digest
+    column `hx` — (strpos of first nibble)*16 + strpos of second."""
+    return (
+        f"(strpos({_HEXD}, substr({hx}, ({j})*2+1, 1)) - 1) * 16 + "
+        f"strpos({_HEXD}, substr({hx}, ({j})*2+2, 1)) - 1"
+    )
+
+
+@query(
+    "mm_decode_suite",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT unnest(generate_series(0, (SELECT COUNT(*) FROM documents) - 1)) AS id
+    ), blocks AS (SELECT unnest(generate_series(0, 31)) AS b),
+    bytes AS (SELECT unnest(generate_series(0, 15)) AS j),
+    blk AS (
+      SELECT i.id, b.b, md5(i.id || ':' || b.b) AS hx
+      FROM imgs i CROSS JOIN blocks b
+    ), px AS (
+      SELECT blk.id, {_px_val('blk.hx', 'y.j')} AS val
+      FROM blk CROSS JOIN bytes y
+    )
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_px,
+           CAST(MIN(val) AS INT) AS min_px,
+           CAST(MAX(val) AS INT) AS max_px,
+           CAST(2 AS BIGINT) AS n_frames_sampled,
+           CAST(160 AS BIGINT) AS frame_bytes_total
+    FROM px GROUP BY id
+    """,
+)
 def mm_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-path suite over a binary media column: per-image stats
     (operators.multimodal.image_stats — pixels stay executor-local,
     only scalars shuffle) joined with per-container frame-sampling
     aggregates (operators.multimodal.frame_sample — the 1→n/k fan-out
-    shape, re-encoded frame blobs with typed metadata). Codec stubbed
-    (SMF synthetic format); exactness vs direct numpy decode is tested
-    in tests/test_multimodal.py. Input size scales with the sf tag
-    (200 at sf0.01 → 2,000 at sf0.1) so bench rows track scale."""
-    n = max(200, int(round(20_000 * _sf_of(sf_dir))))
+    shape, re-encoded frame blobs with typed metadata). FULL value
+    oracle: the portable md5 pixel codec lets DuckDB recompute every
+    pixel, so the stats leg is value-checked end-to-end; the frame
+    leg's expected counts/bytes are geometry constants (h/frame_rows
+    frames, every 4th sampled, 16-byte header + w*frame_rows pixel
+    bytes) the oracle pins, verifying Spark's fan-out and re-encode.
+    Exactness vs direct numpy decode is additionally tested in
+    tests/test_multimodal.py. Input size = COUNT(documents) (500 at
+    sf0.01 → 5,000 at sf0.1) so bench rows track scale and the static
+    oracle SQL derives the same corpus size from the same table."""
+    n = _media_corpus_n(spark, sf_dir)
     # partitioning scales with input (fixed min_partitions=1 would
     # serialize the decode kernels once n grows with the sf tag)
     parts = max(1, min(32, n // 100))
@@ -1008,15 +1049,65 @@ def mm_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(frames, "id")
 
 
-@query("mm_image_near_dup")  # rows-only
+@query(
+    "mm_image_near_dup",
+    oracle=f"""
+    WITH base AS (
+      SELECT unnest(generate_series(0, (SELECT COUNT(*) // 8 FROM documents) - 1)) AS id
+    ), imgs AS (
+      SELECT id AS img, id AS seed FROM base
+      UNION ALL
+      SELECT 100000 + d.id, d.id
+      FROM (SELECT unnest(generate_series(0, 9)) AS id) d
+    ), rk AS (
+      /* nearest-neighbor resize 32x24 -> 16x12: source linear index
+         k = (y*24//12)*32 + (x*32//16), row-major over w=32 */
+      SELECT (y.y * 24 // 12) * 32 + (x.x * 32 // 16) AS k
+      FROM (SELECT unnest(generate_series(0, 11)) AS y) y
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) x
+    ), rb AS (SELECT DISTINCT k // 16 AS b FROM rk),
+    blk AS (
+      SELECT i.img, rb.b, md5(i.seed || ':' || rb.b) AS hx
+      FROM imgs i CROSS JOIN rb
+    ), px AS (
+      SELECT blk.img, {_px_val('blk.hx', 'r.k % 16')} AS val
+      FROM rk r JOIN blk ON blk.b = r.k // 16
+    ), bins AS (SELECT unnest(generate_series(0, 15)) AS bin),
+    cnts AS (SELECT img, val // 16 AS bin, COUNT(*) AS c FROM px GROUP BY 1, 2),
+    hist AS (
+      /* float32 embedding exactly as the kernel: count * (1/192) in
+         double, then one rounding to REAL */
+      SELECT i.img, b.bin,
+             CAST(CAST(COALESCE(c.c, 0) AS DOUBLE) * (1.0 / 192.0) AS REAL) AS h
+      FROM imgs i CROSS JOIN bins b
+      LEFT JOIN cnts c ON c.img = i.img AND c.bin = b.bin
+    ), emb AS (
+      SELECT img, list(CAST(h AS DOUBLE) ORDER BY bin) AS e FROM hist GROUP BY img
+    )
+    SELECT a.img AS id_a, b.img AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+    FROM emb a JOIN emb b ON a.img < b.img
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.999
+    """,
+)
 def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media → embedding bridge: resize, histogram features, then the
     embedding near-dup operator (multimodal → similarity composition).
     Ids ≥ 100000 are re-labeled copies of ids 0-9 (same seed →
     identical pixels), so the result always contains those pairs at
-    cosine 1.0 — asserted in tests/test_multimodal.py. Input size
-    scales with the sf tag (60 at sf0.01 → 600 at sf0.1)."""
-    n = max(60, int(round(6_000 * _sf_of(sf_dir))))
+    cosine 1.0 — asserted in tests/test_multimodal.py.
+
+    FULL value oracle via the portable md5 pixel codec: DuckDB re-runs
+    generate → resize (index-map replay) → 16-bin histogram → float32
+    embedding → all-pairs cosine. Cross-engine float boundary (stated,
+    same class as dedup_embedding_cosine): numpy normalizes rows then
+    takes dot products, DuckDB divides the dot by the norm product —
+    last-ulp differences absorbed by the 4 dp round; a flip needs a
+    pair within ~1e-15 of the 0.999 threshold, and the measured
+    non-dup cosine maximum is 0.9913 at both sf0.01 and sf0.1
+    geometries (only exact-dup pairs at 1.0 cross). Input size =
+    COUNT(documents)//8 (62 at sf0.01 → 625 at sf0.1)."""
+    n = _media_corpus_n(spark, sf_dir) // 8
     base = synthetic_images(spark, n=n)
     dups = base.filter(F.col("id") < 10).withColumn("id", F.col("id") + 100_000)
     # partitioning scales with the input (a fixed min_partitions=1

@@ -97,3 +97,31 @@ def test_fused_feature_pipeline_equals_composition(spark):
     assert fused.keys() == composed.keys()
     for k in fused:
         assert fused[k] == composed[k]
+
+
+def test_portable_pixels_duckdb_parity():
+    """The SMF pixel generator is oracle-recomputable BY CONSTRUCTION:
+    DuckDB's md5() + hex-pair extraction must reproduce every pixel
+    hashlib emits — the guard behind the mm_* value oracles."""
+    import duckdb
+
+    from etl_football_analytics_pipeline_spark.operators.multimodal import portable_pixels
+
+    want = {s: portable_pixels(s, 50) for s in (0, 7, 100003)}
+    got = duckdb.sql(
+        """
+        WITH imgs AS (SELECT unnest([0, 7, 100003]) AS s),
+        ks AS (SELECT unnest(generate_series(0, 49)) AS k),
+        px AS (
+          SELECT i.s, ks.k,
+                 (strpos('0123456789abcdef',
+                         substr(md5(i.s || ':' || (ks.k // 16)), (ks.k % 16) * 2 + 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef',
+                          substr(md5(i.s || ':' || (ks.k // 16)), (ks.k % 16) * 2 + 2, 1)) - 1 AS val
+          FROM imgs i CROSS JOIN ks
+        )
+        SELECT s, list(val ORDER BY k) AS vals FROM px GROUP BY s
+        """
+    ).fetchall()
+    for s, vals in got:
+        assert vals == list(want[s]), f"seed {s} mismatch"
