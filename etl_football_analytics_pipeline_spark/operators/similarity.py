@@ -198,10 +198,43 @@ def lsh_all_pairs_cosine(
     seed: int = 42,
     round_to: int = 4,
     min_partitions: int | None = None,
+    center: bool = False,
+    scoring: str = "auto",
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold) via hyperplane-LSH
     bucketing — the 100 TB tier that replaces all_pairs_cosine's
     broadcast-corpus matrix.
+
+    `center=True` buckets on mean-centered projections (scoring stays
+    on the ORIGINAL vectors, so emitted cosines are unchanged): for
+    mean-dominated families — histogram features, frequency profiles —
+    every vector points near the corpus mean, all sign bits agree, and
+    the buckets degenerate to one quadratic blob per table. Subtracting
+    the mean spreads the residual directions so the 2^n_planes buckets
+    actually split. Centering is projection-side only: project(v - μ) =
+    project(v) - project(μ), so it costs one tiny avg-per-component
+    aggregate (map-side combined) plus a length-(tables·planes) offset
+    broadcast — nothing corpus-sized moves. Recall semantics under
+    centering: candidates are pairs with similar RESIDUALS (v - μ).
+    Exact duplicates center identically (recall 1.0), and true
+    near-dups of mean-dominated families (a re-encoded image, a
+    lightly edited document) share their residual pattern, so they
+    stay candidates. What centering deliberately drops: pairs whose
+    original-space cosine clears the threshold only because the
+    shared mean dominates independent residuals — at 0.999 on uniform
+    histograms those are the noise floor, not near-duplication. Both
+    sides of the boundary are pinned in tests/test_similarity.py.
+
+    `scoring` picks how candidates inside a (table, bucket) cell are
+    scored: 'bucket' = one dense matmul per group via applyInPandas
+    (wins when few planes → few, large buckets); 'join' = a
+    shuffle_hash self-equi-join on (table, bucket) followed by a
+    row-wise Arrow-batched cosine (wins when many planes → a huge
+    sparse bucket space where per-group pandas overhead on
+    near-singleton groups dominates). 'auto' switches to 'join' at
+    2^n_planes ≥ 4096. Both tiers emit identical pairs; cosines are
+    float64 unit-row dots rounded to `round_to` either way, deduped
+    per pair by max() below.
 
     OR-amplified sign-LSH: `n_tables` independent sets of `n_planes`
     hyperplanes; a pair is a candidate iff it lands in the same bucket
@@ -223,15 +256,28 @@ def lsh_all_pairs_cosine(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables * n_planes, dim))
     bp = spark.sparkContext.broadcast(planes)  # tables×planes×dim floats: O(1) in corpus
+    if center:
+        # one map-side-combined aggregate → a dim-length mean on the
+        # driver; folded into a constant per-plane offset so the sign
+        # kernel needs no per-row subtraction
+        mean_row = df.select(
+            *[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)]
+        ).first()
+        mu = np.array([mean_row[i] or 0.0 for i in range(dim)], dtype=np.float64)
+        offset = planes @ mu  # (tables·planes,)
+    else:
+        offset = np.zeros(n_tables * n_planes)
+    bo = spark.sparkContext.broadcast(offset)
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pl = bp.value
+        off = bo.value
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ pl.T) >= 0  # B × (tables·planes)
+            bits = (mat @ pl.T - off) >= 0  # B × (tables·planes)
             per_table = bits.reshape(len(pdf), n_tables, n_planes)
             bucket = (per_table.astype(np.int64) * weights).sum(axis=2)  # B × T
             nrows = len(pdf)
@@ -264,9 +310,49 @@ def lsh_all_pairs_cosine(
             {"id_a": ids[rows], "id_b": ids[cols], "cosine": cos[rows, cols]}
         )
 
-    scored = buckets.groupBy("table", "bucket").applyInPandas(
-        score_bucket, "id_a long, id_b long, cosine double"
-    )
+    if scoring == "auto":
+        # few planes → few big buckets: per-bucket dense matmul wins.
+        # many planes → bucket space (2^planes) dwarfs any realistic
+        # group size, applyInPandas would pay its per-GROUP pandas
+        # overhead on near-singleton groups (measured 2× slower than
+        # brute at 15k imgs / 16 planes) — the candidate equi-join
+        # pays per-CANDIDATE instead.
+        scoring = "join" if (1 << n_planes) >= 4096 else "bucket"
+    if scoring == "join":
+        a = buckets.select(
+            F.col("__id").alias("id_a"), F.col(vec_col).alias("__va"), "table", "bucket"
+        )
+        b = buckets.select(
+            F.col("__id").alias("id_b"), F.col(vec_col).alias("__vb"), "table", "bucket"
+        )
+        cand = (
+            a.hint("shuffle_hash")
+            .join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+        )
+
+        def score_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                va = _unit_rows(np.stack(pdf["__va"].to_numpy()).astype(np.float64))
+                vb = _unit_rows(np.stack(pdf["__vb"].to_numpy()).astype(np.float64))
+                cos = np.round(np.einsum("ij,ij->i", va, vb), round_to)
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                        "cosine": cos[keep],
+                    }
+                )
+
+        scored = cand.mapInPandas(score_pairs, "id_a long, id_b long, cosine double")
+    else:
+        scored = buckets.groupBy("table", "bucket").applyInPandas(
+            score_bucket, "id_a long, id_b long, cosine double"
+        )
     # dedup KEYED ON THE PAIR, not the float: BLAS reduction order
     # varies with bucket matrix shape, so a cosine at a 4dp rounding
     # boundary can round differently across buckets — distinct() over

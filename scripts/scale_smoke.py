@@ -312,6 +312,69 @@ def quality_section(spark, scale: int) -> str:
     )
 
 
+def media_section(spark, scale: int) -> str:
+    """Multimodal kernel path on a scale× synthetic media corpus
+    (portable md5 codec, 32×24 px): generate → per-image stats →
+    frame-sample fan-out, then the fused decode→resize→histogram
+    feature kernel into near-dup pairing. Generate / stats / frames /
+    features are map-only mapInPandas stages plus one tiny per-image
+    groupBy — wall should track rows. Near-dup is measured on BOTH
+    tiers: the brute all-pairs broadcast matrix (the small-n oracle
+    tier, expected quadratic — printed to quantify why the bucketed
+    tier exists) and hyperplane-LSH bucket-local scoring (the 100 TB
+    tier, expected ~linear). Histogram features are mean-dominated, so
+    the LSH leg buckets on centered projections (center=True) with
+    plane count tuned to the 0.999 threshold — without centering every
+    image lands in one blob bucket per table and the tier degenerates
+    to tables× the brute cost (measured: 156 s vs brute's 22 s at
+    30×; centered + join-scored: 1.7 s)."""
+    from etl_football_analytics_pipeline_spark.operators.multimodal import (
+        frame_sample,
+        image_feature_pipeline,
+        image_stats,
+        synthetic_images,
+    )
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        all_pairs_cosine,
+        lsh_all_pairs_cosine,
+    )
+
+    n = 500 * scale
+    imgs = synthetic_images(spark, n=n, width=32, height=24).cache()
+    t0 = time.time()
+    n_imgs = imgs.count()
+    t_gen = time.time() - t0
+    t0 = time.time()
+    n_stats = image_stats(imgs).count()
+    t_stats = time.time() - t0
+    t0 = time.time()
+    n_frames = frame_sample(imgs, every_k=2).count()
+    t_frames = time.time() - t0
+    t0 = time.time()
+    feats = image_feature_pipeline(imgs, 16, 12).cache()
+    feats.count()
+    t_feat = time.time() - t0
+    t0 = time.time()
+    n_brute = all_pairs_cosine(
+        feats, "id", "embedding", threshold=0.999
+    ).count()
+    t_brute = time.time() - t0
+    t0 = time.time()
+    n_lsh = lsh_all_pairs_cosine(
+        feats, "id", "embedding", threshold=0.999, dim=16,
+        n_planes=16, n_tables=4, center=True,
+    ).count()
+    t_lsh = time.time() - t0
+    feats.unpersist()
+    imgs.unpersist()
+    return (
+        f"images={n_imgs:7d}  gen={t_gen:5.1f}s  stats={t_stats:5.1f}s "
+        f"(rows={n_stats})  frames={t_frames:5.1f}s (rows={n_frames})  "
+        f"feat={t_feat:5.1f}s  brute={t_brute:5.1f}s (pairs={n_brute})  "
+        f"lsh={t_lsh:5.1f}s (pairs={n_lsh})"
+    )
+
+
 def layout_section(spark, scale: int) -> str:
     """Substring-span dedup and bucketed co-located joins on scale×
     inputs. Expected shapes: span dedup is one window-hash groupBy +
@@ -401,6 +464,11 @@ def main() -> int:
     if "--layout" in flags:
         for scale in (1, k):
             print(f"scale={scale:3d}  {layout_section(spark, scale)}", flush=True)
+        spark.stop()
+        return 0
+    if "--media" in flags:
+        for scale in (1, k):
+            print(f"scale={scale:3d}  {media_section(spark, scale)}", flush=True)
         spark.stop()
         return 0
     docs1 = load_table(spark, SF, "documents")

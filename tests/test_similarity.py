@@ -68,6 +68,59 @@ def test_lsh_all_pairs_recall_and_precision(spark, emb):
     assert len(lsh) / max(len(brute), 1) >= 0.9, f"recall {len(lsh)}/{len(brute)}"
 
 
+def test_lsh_all_pairs_scoring_tiers_agree(spark, emb):
+    """'bucket' (per-group matmul) and 'join' (candidate equi-join +
+    row-wise cosine) are alternative physical strategies for the same
+    operator — identical pairs, identical 4dp cosines."""
+    kw = dict(threshold=0.45, dim=64, n_planes=4, n_tables=16)
+    bucket = {(r.id_a, r.id_b): r.cosine for r in lsh_all_pairs_cosine(
+        emb, "vec_id", "embedding", scoring="bucket", **kw).collect()}
+    join = {(r.id_a, r.id_b): r.cosine for r in lsh_all_pairs_cosine(
+        emb, "vec_id", "embedding", scoring="join", **kw).collect()}
+    assert bucket == join
+
+
+def test_lsh_all_pairs_centered_mean_dominated(spark):
+    """center=True contract on a mean-dominated family (histogram-like
+    vectors = big uniform component + small residual): scored cosines
+    still come from the ORIGINAL vectors (subset-of-brute with equal
+    values); planted exact dups (identical vectors) and planted true
+    near-dups (SHARED residual + a much smaller perturbation — the
+    re-encoded-image shape) are all recovered. Mean-coincidence pairs
+    (independent residuals whose original cosine clears 0.999 only
+    because the shared mean dominates) are the documented drop side of
+    the centered-bucketing boundary — asserted absent."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = np.full(16, 1.0 / 16)
+    vecs = base + rng.normal(0, 0.004, size=(80, 16))
+    exact_dups = vecs[:5]  # ids 80-84 duplicate ids 0-4
+    near_dups = vecs[5:10] + rng.normal(0, 0.0002, size=(5, 16))  # ids 85-89 ≈ ids 5-9
+    vecs = np.vstack([vecs, exact_dups, near_dups])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": [r.astype("float32") for r in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    brute = {(r.id_a, r.id_b): r.cosine for r in all_pairs_cosine(
+        df, "vec_id", "embedding", threshold=0.999).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in lsh_all_pairs_cosine(
+        df, "vec_id", "embedding", threshold=0.999, dim=16,
+        n_planes=16, n_tables=8, center=True,
+    ).collect()}
+    assert set(lsh) <= set(brute)
+    for pair, cos in lsh.items():
+        assert cos == brute[pair]
+    for i in range(5):
+        assert (i, i + 80) in lsh, f"exact dup ({i},{i+80}) missed"
+        assert (i + 5, i + 85) in lsh, f"near dup ({i+5},{i+85}) missed"
+    # every surviving pair is planted-dup shaped; mean-coincidence
+    # pairs between independent draws are dropped by design
+    for id_a, id_b in lsh:
+        assert id_b - id_a == 80, f"unexpected candidate ({id_a},{id_b})"
+
+
 def test_hyperplane_buckets_deterministic(spark, emb):
     a = {r.vec_id: r.bucket for r in hyperplane_signatures(emb, n_planes=8).collect()}
     b = {
