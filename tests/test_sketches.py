@@ -1,59 +1,76 @@
 """Sketch-based approximate aggregates (sketch_suite): error bounds
-vs exact answers, and partitioning-independence of the HLL path."""
+vs exact answers, partitioning-independence of the HLL paths, and the
+portable (cross-engine value-oracled) HLL tier."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_football_analytics_pipeline_spark.operators.sketches import (
+    phll_constants,
+    portable_hll_distinct,
+)
 from etl_football_analytics_pipeline_spark.plans.relational import sketch_suite
 
 SF = "/root/testdata/sf0.01"
 
 
-def test_hll_within_rsd_of_exact(spark):
-    out = {
+def _suite(spark):
+    return {
         (r["part"], r["key"]): (r["v1"], r["v2"])
         for r in sketch_suite(spark, SF).collect()
     }
+
+
+def test_suite_exact_referees_and_bound_flags(spark):
+    """Registered contract (r5): native-sketch parts emit (exact
+    referee, bound flag) — v1 must equal the independently computed
+    exact value and every flag must be 1.0 (a 0.0 means an
+    engine-native sketch broke its documented error bound)."""
+    out = _suite(spark)
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     exact = {
-        r["l_returnflag"]: (r["n_supp"], r["n_ord"])
+        r["l_returnflag"]: (r["ns"], r["no"], r["p50"])
         for r in li.groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("l_orderkey").alias("n_ord"),
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.countDistinct("l_orderkey").alias("no"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
         )
         .collect()
     }
     assert {k for p, k in out if p == "hll"} == set(exact)
-    for key, (n_supp, n_ord) in exact.items():
-        est_supp, est_ord = out[("hll", key)]
+    for key, (ns, no, p50) in exact.items():
+        assert out[("hll", key)] == (float(ns), 1.0), key
+        assert out[("hllds", key)] == (float(no), 1.0), key
+        v1, flag = out[("pct", key)]
+        assert abs(v1 - round(p50, 4)) < 1e-9 and flag == 1.0, key
+        est, ref = out[("phll", key)]
+        assert ref == float(ns), key
+        # 1024 registers → rsd ~3.25%; 3x bound
+        assert abs(est - ns) / ns < 0.10, (key, est, ns)
+
+
+def test_native_estimates_within_error_of_exact(spark):
+    """The raw native estimates (no longer emitted by the registered
+    row) stay pinned within generous error bounds of exact."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct("l_orderkey").alias("no"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("es"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("eo"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("ap"),
+    ).collect()
+    for r in rows:
         # rsd=0.02 → generous 5x bound; a sketch that drifts past this
         # is broken, not unlucky
-        assert abs(est_supp - n_supp) / n_supp < 0.10, key
-        assert abs(est_ord - n_ord) / n_ord < 0.10, key
-
-
-def test_pct_within_tolerance_of_exact(spark):
-    out = {
-        r["key"]: (r["v1"], r["v2"])
-        for r in sketch_suite(spark, SF).collect()
-        if r["part"] == "pct"
-    }
-    li = spark.read.parquet(f"{SF}/lineitem.parquet")
-    exact = {
-        r["l_returnflag"]: (r["p50"], r["p95"])
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
-        )
-        .collect()
-    }
-    for key, (p50, p95) in exact.items():
-        a50, a95 = out[key]
-        assert abs(a50 - p50) / p50 < 0.05, key
-        assert abs(a95 - p95) / p95 < 0.05, key
+        assert abs(r["es"] - r["ns"]) / r["ns"] < 0.10, r["l_returnflag"]
+        assert abs(r["eo"] - r["no"]) / r["no"] < 0.10, r["l_returnflag"]
+        assert abs(r["ap"][0] - r["p50"]) / r["p50"] < 0.05, r["l_returnflag"]
+        assert abs(r["ap"][1] - r["p95"]) / r["p95"] < 0.05, r["l_returnflag"]
 
 
 def test_hll_is_partitioning_independent(spark):
@@ -72,25 +89,30 @@ def test_hll_is_partitioning_independent(spark):
 
 def test_hllds_merged_sketches_track_exact(spark):
     """The pre-aggregated-sketch-table leg: per-segment DataSketches
-    HLL unioned to the group estimate (v1) and the one-shot sketch
-    (v2) both land within sketch error of the exact distinct count."""
-    out = {
-        r["key"]: (r["v1"], r["v2"])
-        for r in sketch_suite(spark, SF).collect()
-        if r["part"] == "hllds"
-    }
+    HLL unioned to the group estimate (merged) and the one-shot sketch
+    both land within sketch error of the exact distinct count."""
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
-    exact = {
-        r["l_returnflag"]: r["n"]
-        for r in li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_orderkey").alias("n"))
+    merged = {
+        r["key"]: r["v"]
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+        .groupBy(F.col("l_returnflag").alias("key"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("v"))
         .collect()
     }
-    assert set(out) == set(exact)
-    for key, n in exact.items():
-        merged, direct = out[key]
-        assert abs(merged - n) / n < 0.05, (key, merged, n)
-        assert abs(direct - n) / n < 0.05, (key, direct, n)
+    direct = {
+        r["key"]: (r["v"], r["n"])
+        for r in li.groupBy(F.col("l_returnflag").alias("key"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("v"),
+            F.countDistinct("l_orderkey").alias("n"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for key, (one, n) in direct.items():
+        assert abs(merged[key] - n) / n < 0.05, (key, merged[key], n)
+        assert abs(one - n) / n < 0.05, (key, one, n)
 
 
 def test_hllds_merge_is_partitioning_independent(spark):
@@ -109,3 +131,26 @@ def test_hllds_merge_is_partitioning_independent(spark):
         )
 
     assert merged(li) == merged(li.repartition(17)) == merged(li.repartition(3, "l_orderkey"))
+
+
+def test_portable_hll_partitioning_independent_and_bounded(spark):
+    """The portable md5 HLL: estimate identical under any layout
+    (register max + exact integer sum), within 3x its rsd of exact on
+    both tracked columns, and the scaled register sum can never
+    overflow (m * 2^wbits = 2^60 < 2^63 by construction)."""
+    c = phll_constants()
+    assert c["m"] * (1 << c["wbits"]) == 1 << 60
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for col in ("l_suppkey", "l_orderkey"):
+        a = sorted(tuple(r) for r in portable_hll_distinct(li, "l_returnflag", col).collect())
+        b = sorted(
+            tuple(r)
+            for r in portable_hll_distinct(li.repartition(17), "l_returnflag", col).collect()
+        )
+        assert a == b
+        exact = {
+            r["l_returnflag"]: r["n"]
+            for r in li.groupBy("l_returnflag").agg(F.countDistinct(col).alias("n")).collect()
+        }
+        for key, est in ((k, v) for k, v in a):
+            assert abs(est - exact[key]) / exact[key] < 0.10, (col, key, est)
