@@ -31,7 +31,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["portable_hll_distinct", "PHLL_P", "phll_constants"]
+__all__ = [
+    "portable_hll_distinct",
+    "PHLL_P",
+    "phll_constants",
+    "portable_cms",
+    "portable_cms_point",
+    "misra_gries_topk",
+    "CMS_D",
+    "CMS_W",
+]
 
 # 60-bit hash (15 md5 hex chars — the repo's portable-family width,
 # chosen so the signed-64 cast can never overflow in either engine).
@@ -122,3 +131,181 @@ def portable_hll_distinct(
         F.lit(float(c["m"])) * F.log(F.lit(float(c["m"])) / v),
     ).otherwise(raw)
     return stats.select("key", F.round(est, round_to).alias("phll"))
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch (point frequency estimates)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row
+
+
+def _cms_bucket(val: Column, j: int, w: int) -> Column:
+    """Row-j bucket of a value: the portable-family 60-bit md5 hash of
+    'j:value', reduced mod w. Nonnegative in both engines (the 15-hex
+    hash can't set the sign bit)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), val.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % w
+
+
+def _cms_bucket_py(val: str, j: int, w: int) -> int:
+    """Driver-side mirror of _cms_bucket for literal query values."""
+    import hashlib
+
+    return int(hashlib.md5(f"{j}:{val}".encode()).hexdigest()[:15], 16) % w
+
+
+def portable_cms(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Per-group count-min sketch as a RELATION: (key, j, bucket, c)
+    with one counter row per non-empty cell — at most d×w rows per
+    group regardless of input size, the CMS analog of the phll
+    register table. Build is ONE scan: each input row explodes to its
+    d (row, bucket) cells and a map-side-combined groupBy sums them.
+    Every intermediate is md5/modular arithmetic, so any ANSI engine
+    replays the sketch bit-for-bit (the portable-family contract)."""
+    col = F.col(val_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_bucket(col, j, w).alias("bucket")
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.col(group_col).alias("key"), F.explode(cells).alias("__c"))
+        .select("key", F.col("__c.j").alias("j"), F.col("__c.bucket").alias("bucket"))
+        .groupBy("key", "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def portable_cms_point(
+    cms: DataFrame,
+    queries: list[str],
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point frequency estimates for literal query values against a
+    portable_cms relation: est(key, q) = min over the d rows of the
+    addressed counters (absent counter = 0). CMS never underestimates
+    — est >= true count always, and est <= true + eps*N with
+    probability 1-delta (eps = e/w, delta = e^-d) — the classic
+    Cormode-Muthukrishnan bounds, asserted in tests.
+
+    Returns (key, q, est long) for EVERY (group key, query) pair.
+    Scale shape: the (q, j, bucket) probe table is d×|queries| literal
+    rows broadcast against the sketch relation; per (key, q) the MIN
+    folds d values — no corpus-side work at all once the sketch
+    exists (the pre-aggregated sketch-table pattern: store the CMS
+    per partition/day, answer point queries by probing)."""
+    spark = cms.sparkSession
+    probe = spark.createDataFrame(
+        [(q, j, _cms_bucket_py(q, j, w)) for q in queries for j in range(d)],
+        "q string, j int, bucket long",
+    )
+    keys = cms.select("key").distinct()
+    full = keys.crossJoin(F.broadcast(probe))
+    return (
+        full.join(cms, ["key", "j", "bucket"], "left")
+        .groupBy("key", "q")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / Space-Saving heavy hitters (mergeable summaries)
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_topk(
+    df: DataFrame,
+    val_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Approximate heavy hitters with a k-counter Misra-Gries summary
+    per partition, merged once: returns (value, est, err_bound) where
+    est is a LOWER bound on the true count and est + err_bound an
+    upper bound (err_bound = the summary's total decrement weight).
+
+    GUARANTEE (asserted in tests): every value with true frequency
+    > n/(k+1) survives; reported est is within n·P/(k+1) of truth
+    for P merged partials. Use when the value domain is too large for
+    an exact groupBy (the full shuffle would carry every distinct
+    value) but only the dominant items matter — domain skimming for
+    dedup policy, hot-key detection before a join, vocabulary caps.
+
+    Scale shape: ONE mapInPandas pass emits <= k+1 rows per partition
+    ((value, weight) survivors plus one (NULL, decrements) row); the
+    driver-side merge touches only P·(k+1) rows. Nothing corpus-sized
+    leaves the executors, and there is no shuffle at all."""
+    import pandas as pd
+
+    def partials(batches):
+        counters: dict = {}
+        dec = 0
+        for pdf in batches:
+            for v in pdf[val_col].astype("string"):
+                if v is None or v is pd.NA:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step: one unit off every counter
+                    dec += 1
+                    dead = [u for u, c in counters.items() if c == 1]
+                    for u in dead:
+                        del counters[u]
+                    for u in list(counters):
+                        counters[u] -= 1
+        out = pd.DataFrame(
+            {
+                "value": list(counters) + [None],
+                "weight": list(counters.values()) + [0],
+                "dec": [0] * len(counters) + [dec],
+            }
+        )
+        yield out
+
+    summaries = df.select(val_col).mapInPandas(
+        partials, "value string, weight long, dec long"
+    ).collect()
+    counters: dict = {}
+    total_dec = 0
+    for r in summaries:
+        if r.value is None:
+            total_dec += r.dec
+        else:
+            counters[r.value] = counters.get(r.value, 0) + r.weight
+    spark = df.sparkSession
+    if not counters:
+        return spark.createDataFrame([], "value string, est long, err_bound long")
+    # proper MG merge reduction (Agarwal et al., mergeable summaries):
+    # summed weights can exceed k counters, so subtract the (k+1)-th
+    # largest weight from all and drop non-positives — NOT a plain
+    # top-k cut, which could evict a guaranteed heavy hitter whose
+    # lower-bound est trails an overcounted light item
+    if len(counters) > k:
+        t = sorted(counters.values(), reverse=True)[k]
+        total_dec += t
+        counters = {v: c - t for v, c in counters.items() if c - t > 0}
+    rows = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(v, c, total_dec) for v, c in rows],
+        "value string, est long, err_bound long",
+    )

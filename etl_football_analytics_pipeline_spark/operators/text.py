@@ -709,3 +709,127 @@ def ngram_lm_score(
             "lm_logprob",
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Distributed BM25 retrieval: top-``k`` documents per query under
+    the Robertson/Lucene BM25 scoring function
+
+        score(q, d) = sum_t idf(t) * tf * (k1+1)
+                              / (tf + k1 * (1 - b + b * dl/avgdl))
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    over the whitespace word bag of ``normalized_text`` (the corpus
+    layer's canonical tokenizer). This is the retrieval primitive of
+    an LLM-data pipeline — benchmark decontamination by query, nearest
+    textual neighbors for eval leakage checks, and lexical candidate
+    generation in front of the embedding rerankers
+    (operators/similarity.py). No reference counterpart — this is part
+    of the training-data extension surface.
+
+    Determinism contract (oracle-grade): queries are SMALL literal
+    term lists (<= 8 terms). Each (query, doc) score is assembled by
+    summing the per-term contributions in FIXED term-index order
+    (conditional-max pivot, then a literal left-to-right add), so the
+    double is bit-identical on any engine that evaluates the same
+    expression tree — no dependence on aggregation order. avgdl is
+    computed as exact-integer SUM(dl)/N in one double division for
+    the same reason. Ranking orders by the UNROUNDED score with a
+    doc-id tie-break; round only at the output boundary.
+
+    100 TB shape: tokens are filtered to the query vocabulary BEFORE
+    the (doc, term) tf aggregation, so the only corpus-wide shuffle
+    carries just the matching tokens; df counts aggregate that same
+    frame (map-side combined); N/avgdl ride in as a ONE-ROW broadcast;
+    the query-term table and per-term df are broadcast dims. The
+    per-query top-k is the salted two-stage pattern — row_number
+    within (query, doc_id % salt_buckets) keeps k per salt bucket,
+    then the final (query) window ranks <= k * salt_buckets survivors
+    — so no single task ever sorts a whole query's corpus-sized
+    posting list.
+
+    Returns (query_id, ``id_col``, rank, score) with score rounded to
+    4 dp; exactly min(k, matching docs) rows per query.
+    """
+    if not queries:
+        raise ValueError("queries must be a non-empty {query_id: [terms]} dict")
+    spark = df.sparkSession
+    max_terms = max(len(t) for t in queries.values())
+    q_rows = [
+        (qid, i + 1, term)
+        for qid, terms in sorted(queries.items())
+        for i, term in enumerate(terms)
+    ]
+    qdf = spark.createDataFrame(q_rows, "query_id string, tidx int, term string")
+    vocab = sorted({t for terms in queries.values() for t in terms})
+
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda w: w != F.lit(""),
+        ).alias("__w"),
+    )
+    # exact-integer corpus stats: one row, broadcast — avgdl is a
+    # single double division of two exact integers (bit-stable)
+    stats = words.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size("__w")).alias("__sdl"),
+    )
+    toks = words.select(
+        "__id", F.size("__w").alias("__dl"), F.explode("__w").alias("term")
+    ).filter(F.col("term").isin(vocab))
+    tfg = toks.groupBy("__id", "term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.min("__dl").alias("__dl")
+    )
+    dfreq = tfg.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    avgdl = F.col("__sdl").cast("double") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = idf * (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+    )
+    scored_terms = (
+        tfg.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "__id", "tidx", contrib.alias("__c"))
+    )
+    # fixed-order sum: pivot each term slot out, add left-to-right
+    slot = [
+        F.coalesce(F.max(F.when(F.col("tidx") == i, F.col("__c"))), F.lit(0.0))
+        for i in range(1, max_terms + 1)
+    ]
+    score_expr = slot[0]
+    for s in slot[1:]:
+        score_expr = score_expr + s
+    scores = scored_terms.groupBy("query_id", "__id").agg(score_expr.alias("__score"))
+
+    w_partial = W.partitionBy(
+        "query_id", F.pmod(F.col("__id"), F.lit(salt_buckets))
+    ).orderBy(F.desc("__score"), F.asc("__id"))
+    w_final = W.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("__id"))
+    return (
+        scores.withColumn("__rp", F.row_number().over(w_partial))
+        .filter(F.col("__rp") <= k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__id").alias(id_col),
+            "rank",
+            F.round("__score", 4).alias("score"),
+        )
+    )

@@ -1312,6 +1312,23 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval queries for the text_ngram_suite 'bm25' part: small
+# literal term lists drawn from the synthetic corpus vocabulary
+# (present at every SF). The same literals feed the Spark operator and
+# the DuckDB oracle, so both engines score the identical query set.
+BM25_QUERIES = {
+    "q1": ["hash", "join", "stream"],
+    "q2": ["vector", "scan", "merge"],
+    "q3": ["window", "agg", "filter"],
+}
+
+_BM25_VALUES = ", ".join(
+    f"('{qid}', {i + 1}, '{t}')"
+    for qid, terms in sorted(BM25_QUERIES.items())
+    for i, t in enumerate(terms)
+)
+
+
 @query(
     "text_ngram_suite",
     oracle=f"""
@@ -1414,11 +1431,56 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(COALESCE(b.cleaned, '')) AS BIGINT) AS k1,
              CAST(NULL AS DOUBLE) AS v1
       FROM documents d LEFT JOIN bo_built b ON d.doc_id = b.doc_id
+    ), bm_docs AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+                                                          '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bm_n AS (
+      SELECT COUNT(*) AS n, SUM(len(w)) AS sdl FROM bm_docs
+    ), bm_q(query_id, tidx, term) AS (
+      VALUES {_BM25_VALUES}
+    ), bm_tf AS (
+      SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM bm_docs
+    ), bm_tfg AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM bm_tf
+      WHERE term IN (SELECT term FROM bm_q)
+      GROUP BY doc_id, term
+    ), bm_df AS (
+      SELECT term, COUNT(*) AS df FROM bm_tfg GROUP BY term
+    ), bm_contrib AS (
+      SELECT q.query_id, t.doc_id, q.tidx,
+             ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (CAST(n.sdl AS DOUBLE) / n.n))) AS c
+      FROM bm_tfg t
+      JOIN bm_q q ON t.term = q.term
+      JOIN bm_df d ON t.term = d.term
+      CROSS JOIN bm_n n
+    ), bm_scores AS (
+      SELECT query_id, doc_id,
+             COALESCE(MAX(CASE WHEN tidx = 1 THEN c END), 0.0)
+               + COALESCE(MAX(CASE WHEN tidx = 2 THEN c END), 0.0)
+               + COALESCE(MAX(CASE WHEN tidx = 3 THEN c END), 0.0) AS score
+      FROM bm_contrib GROUP BY query_id, doc_id
+    ), bm_rank AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM bm_scores
+    ), bm25_part AS (
+      SELECT 'bm25' AS part,
+             query_id || ':' || CAST(doc_id AS VARCHAR) AS s1,
+             rnk AS k1, ROUND(score, 4) AS v1
+      FROM bm_rank WHERE rnk <= 10
     )
     SELECT * FROM topk
     UNION ALL SELECT * FROM lm_part
     UNION ALL SELECT * FROM span_part
     UNION ALL SELECT * FROM boiler_part
+    UNION ALL SELECT * FROM bm25_part
     """,
 )
 def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,7 +1511,13 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       content hash; the ORACLE recomputes the identical spans from
       window CONTENT equality directly (DuckDB has no xxhash64), so
       the value check covers the whole pipeline modulo the documented
-      2^-64 collision odds."""
+      2^-64 collision odds.
+    - part='bm25' (s1=query_id:doc_id, k1=rank, v1=score 4dp): BM25
+      top-10 retrieval for three literal queries
+      (operators.text.bm25_topk) — tokens filtered to the query
+      vocabulary BEFORE the tf shuffle, salted two-stage per-query
+      top-k, fixed-order term sums so the doubles are bit-identical
+      across engines; the oracle recomputes idf/tf/dl scoring whole."""
     docs = _docs(spark, sf_dir)
     from ..operators.dedup import normalized_text, word_ngrams
     from ..operators.text import ngram_lm_score, ngram_lm_train
@@ -1523,8 +1591,20 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text_cleaned").cast("long").alias("k1"),
         F.lit(None).cast("double").alias("v1"),
     )
+    # part='bm25': distributed BM25 retrieval (operators.text.bm25_topk)
+    # — top-10 docs per literal query, bit-deterministic fixed-order
+    # term sums; the oracle recomputes the full scoring function.
+    from ..operators.text import bm25_topk
+
+    bm25_part = bm25_topk(docs, "doc_id", "text", BM25_QUERIES, k=10).select(
+        F.lit("bm25").alias("part"),
+        F.concat_ws(":", "query_id", F.col("doc_id").cast("string")).alias("s1"),
+        F.col("rank").cast("long").alias("k1"),
+        F.col("score").alias("v1"),
+    )
     return (
-        topk.unionByName(lm_part).unionByName(span_part).unionByName(boiler_part)
+        topk.unionByName(lm_part).unionByName(span_part)
+        .unionByName(boiler_part).unionByName(bm25_part)
     )
 
 

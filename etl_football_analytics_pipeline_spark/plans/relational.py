@@ -31,7 +31,21 @@ from ..functions.cleaning import (
     scaled_long,
     strip_tokens,
 )
-from ..operators.sketches import phll_constants, portable_hll_distinct
+from ..operators.sketches import (
+    CMS_D,
+    CMS_W,
+    phll_constants,
+    portable_cms,
+    portable_cms_point,
+    portable_hll_distinct,
+)
+
+# literal point-query values for the sketch suite's portable-CMS part
+# (l_suppkey % 100 domain — present at every SF); shared verbatim by
+# the Spark leg and the oracle SQL
+CMS_QUERIES = ["0", "7", "13", "42", "99"]
+_CMS_QUERY_VALUES = ", ".join(f"('{q}')" for q in CMS_QUERIES)
+_CMS_QUERY_IN = ", ".join(f"'{q}'" for q in CMS_QUERIES)
 from ..sources.bucketed import write_bucketed
 from ..sources.registry import load_table
 from .registry import query
@@ -738,6 +752,36 @@ def _sketch_oracle() -> str:
                         THEN {float(c["m"])!r} * ln({float(c["m"])!r} / nz)
                         ELSE raw END, 4) AS est
       FROM ph_e
+    ), pc_vals AS (
+      SELECT l_returnflag AS g, CAST(l_suppkey % 100 AS VARCHAR) AS v
+      FROM lineitem
+    ), pc_cells AS (
+      SELECT g, j,
+             CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || v), 1, 15)) AS BIGINT)
+               % {CMS_W} AS bucket
+      FROM pc_vals, LATERAL unnest(generate_series(0, {CMS_D - 1})) AS u(j)
+    ), pc_cms AS (
+      SELECT g, j, bucket, COUNT(*) AS c FROM pc_cells GROUP BY 1, 2, 3
+    ), pc_probe AS (
+      SELECT q, j,
+             CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || q), 1, 15)) AS BIGINT)
+               % {CMS_W} AS bucket
+      FROM (VALUES {_CMS_QUERY_VALUES}) AS qq(q),
+           LATERAL unnest(generate_series(0, {CMS_D - 1})) AS u(j)
+    ), pc_keys AS (SELECT DISTINCT g FROM pc_vals),
+    pc_est AS (
+      SELECT k.g, p.q, MIN(COALESCE(s.c, 0)) AS est
+      FROM pc_keys k CROSS JOIN pc_probe p
+      LEFT JOIN pc_cms s ON s.g = k.g AND s.j = p.j AND s.bucket = p.bucket
+      GROUP BY 1, 2
+    ), pc_exact AS (
+      SELECT g, v AS q, COUNT(*) AS c FROM pc_vals
+      WHERE v IN ({_CMS_QUERY_IN}) GROUP BY 1, 2
+    ), pcms AS (
+      SELECT 'pcms' AS part, pe.g || ':' || pe.q AS key,
+             CAST(pe.est AS DOUBLE) AS v1,
+             CAST(COALESCE(e.c, 0) AS DOUBLE) AS v2
+      FROM pc_est pe LEFT JOIN pc_exact e ON pe.g = e.g AND pe.q = e.q
     )
     SELECT 'hll' AS part, key, CAST(ns AS DOUBLE) AS v1, CAST(1.0 AS DOUBLE) AS v2 FROM ex
     UNION ALL
@@ -746,6 +790,8 @@ def _sketch_oracle() -> str:
     SELECT 'hllds', key, CAST(no AS DOUBLE), CAST(1.0 AS DOUBLE) FROM ex
     UNION ALL
     SELECT 'phll', key, ph.est, CAST(ex.ns AS DOUBLE) FROM ph JOIN ex USING (key)
+    UNION ALL
+    SELECT part, key, v1, v2 FROM pcms
     """
 
 
@@ -794,7 +840,13 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     within error bounds in tests/test_sketches.py. The exact referees
     here exist to ARBITRATE the flags — the production 100 TB query
     runs the sketch alone. part='phll' emits the estimate itself
-    (v1) with the exact count as v2, both value-matched."""
+    (v1) with the exact count as v2, both value-matched.
+    - part='pcms': the PORTABLE count-min sketch
+      (operators/sketches.portable_cms) — md5-addressed d×w counter
+      relation, point estimates for the literal CMS_QUERIES (v1) next
+      to the exact counts (v2), both fully value-oracled; the
+      heavy-hitters / point-frequency member of the portable family
+      (misra_gries_topk is its bounded-memory library twin)."""
     li = _t(spark, sf_dir, "lineitem")
     key = F.col("l_returnflag").alias("key")
     # Plan shape: NO multi-distinct expand anywhere. Each exact
@@ -866,7 +918,38 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ns").cast("double").alias("v2"),
         )
     )
-    return hll.unionByName(pct).unionByName(hllds).unionByName(phll)
+    # part='pcms': the portable count-min sketch (operators/sketches.
+    # portable_cms) — point frequency estimates for the literal
+    # CMS_QUERIES over the l_suppkey%100 domain, per returnflag.
+    # v1 = the CMS estimate (min over d=4 md5-addressed counters),
+    # v2 = the exact count — BOTH fully value-oracled: DuckDB rebuilds
+    # every counter cell and replays every probe. est >= exact always
+    # (CMS never undercounts; asserted in tests/test_sketches.py with
+    # the eps*N overcount bound).
+    vals = li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_suppkey") % 100).cast("string").alias("v"),
+    )
+    cms = portable_cms(vals, "g", "v", d=CMS_D, w=CMS_W)
+    est = portable_cms_point(cms, CMS_QUERIES, d=CMS_D, w=CMS_W)
+    cms_exact = (
+        vals.filter(F.col("v").isin(CMS_QUERIES))
+        .groupBy(F.col("g").alias("key"), F.col("v").alias("q"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pcms = (
+        est.join(F.broadcast(cms_exact), ["key", "q"], "left")
+        .select(
+            F.lit("pcms").alias("part"),
+            F.concat_ws(":", "key", "q").alias("key"),
+            F.col("est").cast("double").alias("v1"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("v2"),
+        )
+    )
+    return (
+        hll.unionByName(pct).unionByName(hllds)
+        .unionByName(phll).unionByName(pcms)
+    )
 
 
 @query(

@@ -9,6 +9,7 @@ within-watermark deduplication, and a `foreachBatch` MERGE sink that
 reproduces the reference's exactly-once-by-key upsert semantics.
 """
 
+from .join import stream_stream_join
 from .windowed import (
     dedup_within_watermark,
     merge_sink,
@@ -24,5 +25,6 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stream_events",
+    "stream_stream_join",
     "tumbling_agg",
 ]

@@ -528,6 +528,18 @@ def main() -> int:
             .select("seq_id").distinct().count()
         )
         t_pack = time.time() - t0
+        # BM25 retrieval: query-vocab filter before the tf shuffle +
+        # salted two-stage top-k — wall should track the matching-token
+        # count (linear in rows), never a per-query global sort
+        from etl_football_analytics_pipeline_spark.operators.text import bm25_topk
+
+        t0 = time.time()
+        n_bm = bm25_topk(
+            docs, "doc_id", "text",
+            {"q1": ["hash", "join", "stream"], "q2": ["vector", "scan", "merge"]},
+            k=10,
+        ).count()
+        t_bm25 = time.time() - t0
         print(
             f"scale={scale:3d}  docs={nd:7d} emb={ne:7d}  "
             f"minhash+exact={t_minhash:6.1f}s (pairs={n_pairs})  "
@@ -536,7 +548,8 @@ def main() -> int:
             f"ivf={t_ivf:5.1f}s (rows={n_ivf})  "
             f"pq={t_pq:5.1f}s (coded={n_coded}, rows={n_pq})  "
             f"decontam={t_dec:5.1f}s (testdocs={n_dec})  "
-            f"pack={t_pack:5.1f}s (seqs={n_seq})",
+            f"pack={t_pack:5.1f}s (seqs={n_seq})  "
+            f"bm25={t_bm25:5.1f}s (rows={n_bm})",
             flush=True,
         )
         docs.unpersist()

@@ -154,3 +154,109 @@ def test_portable_hll_partitioning_independent_and_bounded(spark):
         }
         for key, est in ((k, v) for k, v in a):
             assert abs(est - exact[key]) / exact[key] < 0.10, (col, key, est)
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch + Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_portable_cms_never_undercounts_and_bounds_overcount(spark):
+    """CMS guarantees: est >= exact always; est <= exact + eps*N with
+    eps = e/w (here the deterministic md5 family makes the bound a
+    fixed property of this dataset, not a probability)."""
+    import math
+
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        portable_cms,
+        portable_cms_point,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    vals = li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_suppkey") % 100).cast("string").alias("v"),
+    )
+    cms = portable_cms(vals, "g", "v")
+    qs = [str(i) for i in range(0, 100, 9)]
+    est = {
+        (r.key, r.q): r.est for r in portable_cms_point(cms, qs).collect()
+    }
+    exact = {
+        (r.g, r.v): r["count"]
+        for r in vals.filter(F.col("v").isin(qs)).groupBy("g", "v").count().collect()
+    }
+    n_per_g = {r.g: r["count"] for r in vals.groupBy("g").count().collect()}
+    eps = math.e / CMS_W
+    assert est, "no estimates produced"
+    for (g, q), e in est.items():
+        true = exact.get((g, q), 0)
+        assert e >= true, (g, q, e, true)
+        assert e <= true + eps * n_per_g[g], (g, q, e, true, n_per_g[g])
+
+
+def test_portable_cms_partitioning_independent(spark):
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        portable_cms,
+        portable_cms_point,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").limit(5000)
+    vals = li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_suppkey") % 100).cast("string").alias("v"),
+    )
+    a = sorted(
+        map(tuple, portable_cms_point(portable_cms(vals, "g", "v"), ["7", "42"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            portable_cms_point(
+                portable_cms(vals.repartition(13), "g", "v"), ["7", "42"]
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_misra_gries_survival_and_error_bounds(spark):
+    """Every value with true frequency > n/(k+1) must appear, and for
+    each reported value est <= true <= est + err_bound."""
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        misra_gries_topk,
+    )
+
+    # skewed synthetic stream: value i has frequency ~ 6000/i
+    rows = [(f"v{i}",) for i in range(1, 80) for _ in range(6000 // i)]
+    df = spark.createDataFrame(rows, "x string").repartition(8)
+    n = len(rows)
+    k = 16
+    got = {r.value: (r.est, r.err_bound) for r in misra_gries_topk(df, "x", k=k).collect()}
+    true = {}
+    for (v,) in rows:
+        true[v] = true.get(v, 0) + 1
+    thresh = n / (k + 1)
+    for v, c in true.items():
+        if c > thresh:
+            assert v in got, (v, c, thresh, sorted(got))
+    for v, (est, err) in got.items():
+        assert est <= true.get(v, 0) <= est + err, (v, est, err, true.get(v, 0))
+
+
+def test_misra_gries_bounded_rows_per_partition(spark):
+    """The summary pass emits <= k+1 rows per partition — nothing
+    corpus-sized ever leaves the executors."""
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        misra_gries_topk,
+    )
+
+    df = (
+        spark.range(20000)
+        .select((F.col("id") % 500).cast("string").alias("x"))
+        .repartition(10)
+    )
+    out = misra_gries_topk(df, "x", k=8)
+    assert out.count() <= 8

@@ -148,3 +148,134 @@ def test_foreach_batch_merge_sink_idempotent_by_key(spark):
         assert out.select("event_id").distinct().count() == 200
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (streaming.join.stream_stream_join)
+# ---------------------------------------------------------------------------
+
+
+def _write_one_file(df, path, mtime):
+    """Write df as a single parquet file and pin its mtime (the file
+    source orders batches by mtime; under load two writes can land in
+    the same clock tick and flip batch order)."""
+    import glob
+    import os
+
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    for f in glob.glob(f"{path}/*.parquet"):
+        os.utime(f, (mtime, mtime))
+
+
+def test_stream_stream_inner_join_equals_batch(spark):
+    """Watermarked inner stream-stream join (views x purchases within
+    1 hour per user) must emit exactly the batch join's rows."""
+    from etl_football_analytics_pipeline_spark.streaming.join import (
+        stream_stream_join,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ss_join_")
+    try:
+        ev = load_table(spark, SF, "events")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id")
+        )
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("buy_id"), "value"
+        )
+        batch = stream_stream_join(
+            views, buys, on=["user_id"], within="1 hour"
+        )
+        _write_one_file(views, f"{tmp}/l", 1_000_000)
+        _write_one_file(buys, f"{tmp}/r", 1_000_000)
+        sl = (
+            spark.readStream.schema(views.schema).parquet(f"{tmp}/l")
+            .withWatermark("ts", "2 hours")
+        )
+        sr = (
+            spark.readStream.schema(buys.schema).parquet(f"{tmp}/r")
+            .withWatermark("ts", "2 hours")
+        )
+        sj = stream_stream_join(sl, sr, on=["user_id"], within="1 hour")
+        q = (
+            sj.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.read.parquet(f"{tmp}/out")
+        assert batch.count() > 0
+        assert _canon(streamed) == _canon(batch)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark):
+    """Left-outer stream-stream join: NULL-padded rows for unmatched
+    views may only emit once the right watermark proves no match can
+    arrive — a far-future sentinel file (second microbatch) advances
+    both watermarks past every real event, so the streamed result must
+    equal the batch left join exactly."""
+    from etl_football_analytics_pipeline_spark.streaming.join import (
+        stream_stream_join,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ss_louter_")
+    try:
+        ev = load_table(spark, SF, "events").filter(F.col("user_id") <= 200)
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id")
+        )
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("buy_id"), "value"
+        )
+        batch = stream_stream_join(
+            views, buys, on=["user_id"], within="1 hour", how="leftOuter"
+        )
+        far = "2100-01-01 00:00:00"
+        sent_l = spark.sql(
+            f"SELECT CAST(-1 AS BIGINT) user_id, TIMESTAMP'{far}' ts,"
+            " CAST(-1 AS BIGINT) view_id"
+        )
+        sent_r = spark.sql(
+            f"SELECT CAST(-1 AS BIGINT) user_id, TIMESTAMP'{far}' ts,"
+            " CAST(-1 AS BIGINT) buy_id, CAST(0.0 AS DOUBLE) value"
+        )
+        _write_one_file(views, f"{tmp}/l/b0", 1_000_000)
+        _write_one_file(sent_l, f"{tmp}/l/b1", 1_000_100)
+        _write_one_file(buys, f"{tmp}/r/b0", 1_000_000)
+        _write_one_file(sent_r, f"{tmp}/r/b1", 1_000_100)
+        sl = (
+            spark.readStream.schema(views.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/l")
+            .withWatermark("ts", "1 minute")
+        )
+        sr = (
+            spark.readStream.schema(buys.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/r")
+            .withWatermark("ts", "1 minute")
+        )
+        sj = stream_stream_join(
+            sl, sr, on=["user_id"], within="1 hour", how="leftOuter"
+        )
+        q = (
+            sj.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.read.parquet(f"{tmp}/out").filter(
+            F.col("user_id") >= 0
+        )
+        n_unmatched = batch.filter(F.col("buy_id").isNull()).count()
+        assert n_unmatched > 0  # the outer semantics are actually exercised
+        assert _canon(streamed) == _canon(batch)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

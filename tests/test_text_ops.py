@@ -424,3 +424,92 @@ def test_ngram_lm_score_emits_zero_gram_docs(spark):
     assert got[10][0] == 2 and got[10][1] is not None
     for d in (11, 12, 13):
         assert got[d] == (0, None)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (operators.text.bm25_topk)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_manual(corpus, queries, k1=1.2, b=0.75):
+    """Reference BM25 on a token-list corpus: {qid: [(doc_id, score)]}."""
+    import math
+
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for d, toks in corpus.items():
+            s = 0.0
+            for t in terms:
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+                )
+            if s > 0.0:
+                scores[d] = s
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    from etl_football_analytics_pipeline_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "spark shuffles the hash join keys".split(),
+        2: "hash hash hash everywhere hash".split(),
+        3: "a very long document about sort merge join ops " .split() * 4,
+        4: "nothing relevant here at all".split(),
+        5: "hash join".split(),
+    }
+    queries = {"qa": ["hash", "join"], "qb": ["sort", "merge"]}
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.score)
+        for r in bm25_topk(df, "doc_id", "text", queries, k=3).collect()
+    }
+    want = _bm25_manual(corpus, queries)
+    for qid, ranked in want.items():
+        for rank, (d, s) in enumerate(ranked[:3], start=1):
+            assert got[(qid, d)][0] == rank, (qid, d, got)
+            assert got[(qid, d)] == (rank, round(s, 4)), (qid, d, s)
+    # docs with zero matching terms never appear
+    assert (("qa", 4)) not in got
+    assert len([k for k in got if k[0] == "qb"]) == 1  # only doc 3 matches
+
+
+def test_bm25_deterministic_under_repartition_and_salt(spark):
+    from etl_football_analytics_pipeline_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, SF, "documents")
+    queries = {"q1": ["hash", "join", "stream"], "q2": ["vector", "scan", "merge"]}
+    a = bm25_topk(docs, "doc_id", "text", queries, k=10).collect()
+    b = bm25_topk(
+        docs.repartition(7), "doc_id", "text", queries, k=10, salt_buckets=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 20
+    # every query has contiguous ranks 1..10
+    for q in queries:
+        assert sorted(r.rank for r in a if r.query_id == q) == list(range(1, 11))
+
+
+def test_bm25_null_and_empty_text_excluded(spark):
+    from etl_football_analytics_pipeline_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "hash join"), (2, None), (3, "   "), (4, "join")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, "doc_id", "text", {"q": ["join"]}, k=10).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 4]
