@@ -762,23 +762,8 @@ def bm25_topk(
     """
     if not queries:
         raise ValueError("queries must be a non-empty {query_id: [terms]} dict")
-    spark = df.sparkSession
-    max_terms = max(len(t) for t in queries.values())
-    q_rows = [
-        (qid, i + 1, term)
-        for qid, terms in sorted(queries.items())
-        for i, term in enumerate(terms)
-    ]
-    qdf = spark.createDataFrame(q_rows, "query_id string, tidx int, term string")
     vocab = sorted({t for terms in queries.values() for t in terms})
-
-    words = df.select(
-        F.col(id_col).alias("__id"),
-        F.filter(
-            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
-            lambda w: w != F.lit(""),
-        ).alias("__w"),
-    )
+    words = _bm25_words(df, id_col, text_col)
     # exact-integer corpus stats: one row, broadcast — avgdl is a
     # single double division of two exact integers (bit-stable)
     stats = words.agg(
@@ -791,6 +776,44 @@ def bm25_topk(
     tfg = toks.groupBy("__id", "term").agg(
         F.count(F.lit(1)).alias("__tf"), F.min("__dl").alias("__dl")
     )
+    return _bm25_score(tfg, stats, queries, k, k1, b, salt_buckets, id_col)
+
+
+def _bm25_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __w): the non-empty normalized word bag per document —
+    the shared tokenizer of the in-flight and indexed BM25 paths."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda w: w != F.lit(""),
+        ).alias("__w"),
+    )
+
+
+def _bm25_score(
+    tfg: DataFrame,
+    stats: DataFrame,
+    queries: dict[str, list[str]],
+    k: int,
+    k1: float,
+    b: float,
+    salt_buckets: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail over a (__id, term, __tf, __dl) term
+    frequency frame already restricted to the query vocabulary, plus a
+    one-row (__n, __sdl) corpus-stats frame. Both the in-flight
+    operator and the persisted-index probe end here, so index ≡
+    in-flight is structural, not coincidental."""
+    spark = tfg.sparkSession
+    max_terms = max(len(t) for t in queries.values())
+    q_rows = [
+        (qid, i + 1, term)
+        for qid, terms in sorted(queries.items())
+        for i, term in enumerate(terms)
+    ]
+    qdf = spark.createDataFrame(q_rows, "query_id string, tidx int, term string")
     dfreq = tfg.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
 
     avgdl = F.col("__sdl").cast("double") / F.col("__n")
@@ -833,3 +856,121 @@ def bm25_topk(
             F.round("__score", 4).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index (build once, probe many)
+# ---------------------------------------------------------------------------
+
+BM25_TERM_BUCKETS = 64
+
+
+def _term_bucket(term: F.Column) -> F.Column:
+    """Partition bucket of a term — portable-family md5-60-bit hash mod
+    BM25_TERM_BUCKETS, nonnegative in both engines."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+        % BM25_TERM_BUCKETS
+    )
+
+
+def _term_bucket_py(term: str) -> int:
+    """Driver-side mirror of _term_bucket for probe-time pruning."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % BM25_TERM_BUCKETS
+
+
+def bm25_build_index(
+    df: DataFrame, id_col: str, text_col: str, out_dir: str
+) -> None:
+    """Materialize the corpus as a BM25 inverted index:
+
+    - ``out_dir/postings``: (__id, term, __tf, __dl) over the FULL
+      vocabulary, written `partitionBy` the term's md5 bucket — the
+      text-retrieval analog of the persisted IVF index's list dirs: a
+      probe's PartitionFilters open only the buckets its query terms
+      hash to, never the whole postings table.
+    - ``out_dir/stats``: one (n, sdl) row of exact-integer corpus
+      stats. Stored SUMMABLE (the probe aggregates all stats rows), so
+      bm25_append_index just appends another row.
+
+    Build is one tokenize + one (doc, term) groupBy — the same work a
+    single in-flight query does, paid once. At 100 TB the index is the
+    only way repeated retrieval is affordable: per query the probe
+    reads a handful of term buckets instead of re-tokenizing the
+    corpus."""
+    words = _bm25_words(df, id_col, text_col)
+    toks = words.select(
+        "__id", F.size("__w").alias("__dl"), F.explode("__w").alias("term")
+    )
+    postings = (
+        toks.groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.min("__dl").alias("__dl"))
+        .withColumn("tb", _term_bucket(F.col("term")))
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{out_dir}/postings"
+    )
+    words.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("__w")).alias("sdl")
+    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+
+
+def bm25_append_index(
+    df: DataFrame, id_col: str, text_col: str, index_dir: str
+) -> None:
+    """Add a document batch to an existing index without rebuilding:
+    the batch's postings append into their term-bucket dirs and its
+    (n, sdl) stats land as one more summable row. append ≡ rebuild on
+    the union corpus (asserted in tests) because postings rows are
+    per-(doc, term) and the probe sums all stats rows — df/idf/avgdl
+    derive identically either way."""
+    words = _bm25_words(df, id_col, text_col)
+    toks = words.select(
+        "__id", F.size("__w").alias("__dl"), F.explode("__w").alias("term")
+    )
+    (
+        toks.groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.min("__dl").alias("__dl"))
+        .withColumn("tb", _term_bucket(F.col("term")))
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(f"{index_dir}/postings")
+    )
+    words.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("__w")).alias("sdl")
+    ).write.mode("append").parquet(f"{index_dir}/stats")
+
+
+def bm25_search_index(
+    spark,
+    index_dir: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    salt_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 retrieval against a persisted index: prune the
+    postings scan to the query terms' buckets (PartitionFilters — the
+    unprobed bucket dirs never open, plan-asserted in tests), filter
+    to the exact vocabulary, fold the summable stats rows to one
+    (__n, __sdl) row, and run the SAME scoring tail as bm25_topk —
+    results are identical to the in-flight operator by construction
+    (asserted)."""
+    if not queries:
+        raise ValueError("queries must be a non-empty {query_id: [terms]} dict")
+    vocab = sorted({t for terms in queries.values() for t in terms})
+    buckets = sorted({_term_bucket_py(t) for t in vocab})
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(vocab))
+        .select("__id", "term", "__tf", "__dl")
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats").agg(
+        F.sum("n").alias("__n"), F.sum("sdl").alias("__sdl")
+    )
+    return _bm25_score(postings, stats, queries, k, k1, b, salt_buckets, id_col)

@@ -1513,11 +1513,15 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       the value check covers the whole pipeline modulo the documented
       2^-64 collision odds.
     - part='bm25' (s1=query_id:doc_id, k1=rank, v1=score 4dp): BM25
-      top-10 retrieval for three literal queries
-      (operators.text.bm25_topk) — tokens filtered to the query
-      vocabulary BEFORE the tf shuffle, salted two-stage per-query
-      top-k, fixed-order term sums so the doubles are bit-identical
-      across engines; the oracle recomputes idf/tf/dl scoring whole."""
+      top-10 retrieval for three literal queries, served from the
+      PERSISTED inverted index (operators.text.bm25_build_index /
+      bm25_search_index; built once per (sf_dir, mtime), probe-only
+      after — the ann_ivf_topk contract): the probe opens only the
+      query terms' md5-bucket postings dirs (PartitionFilters), then
+      runs the same scoring tail as the in-flight bm25_topk — salted
+      two-stage per-query top-k, fixed-order term sums so the doubles
+      are bit-identical across engines; the oracle recomputes
+      idf/tf/dl scoring whole."""
     docs = _docs(spark, sf_dir)
     from ..operators.dedup import normalized_text, word_ngrams
     from ..operators.text import ngram_lm_score, ngram_lm_train
@@ -1591,12 +1595,29 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text_cleaned").cast("long").alias("k1"),
         F.lit(None).cast("double").alias("v1"),
     )
-    # part='bm25': distributed BM25 retrieval (operators.text.bm25_topk)
-    # — top-10 docs per literal query, bit-deterministic fixed-order
-    # term sums; the oracle recomputes the full scoring function.
-    from ..operators.text import bm25_topk
+    # part='bm25': distributed BM25 retrieval, REGISTERED through the
+    # persisted inverted index (operators.text.bm25_build_index /
+    # bm25_search_index — the same build-once/probe-only contract as
+    # ann_ivf_topk): postings partitioned by md5 term bucket, probe
+    # prunes to the query terms' buckets via PartitionFilters. Probe ≡
+    # in-flight bm25_topk by construction (shared scoring tail,
+    # asserted in tests), so the oracle recomputes the full scoring
+    # function unchanged.
+    import os as _os
 
-    bm25_part = bm25_topk(docs, "doc_id", "text", BM25_QUERIES, k=10).select(
+    from ..operators.text import bm25_build_index, bm25_search_index
+    from ..sources.registry import owned_ready, user_cache_dir
+
+    _src = _os.path.join(sf_dir, "documents.parquet")
+    _mt = int(_os.stat(_src).st_mtime) if _os.path.exists(_src) else 0
+    _base = f"{sf_dir.strip('/').replace('/', '_')}_{_mt}".replace(".", "_")
+    _idx = user_cache_dir("bm25-index", _base)
+    if not (
+        owned_ready(_os.path.join(_idx, "postings"))
+        and owned_ready(_os.path.join(_idx, "stats"))
+    ):
+        bm25_build_index(docs, "doc_id", "text", _idx)
+    bm25_part = bm25_search_index(spark, _idx, BM25_QUERIES, k=10).select(
         F.lit("bm25").alias("part"),
         F.concat_ws(":", "query_id", F.col("doc_id").cast("string")).alias("s1"),
         F.col("rank").cast("long").alias("k1"),

@@ -513,3 +513,56 @@ def test_bm25_null_and_empty_text_excluded(spark):
     )
     rows = bm25_topk(df, "doc_id", "text", {"q": ["join"]}, k=10).collect()
     assert sorted(r.doc_id for r in rows) == [1, 4]
+
+
+def test_bm25_index_probe_equals_inflight_and_append_equals_rebuild(spark, tmp_path):
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_search_index,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    queries = {"q1": ["hash", "join", "stream"], "q2": ["vector", "scan", "merge"]}
+    inflight = sorted(map(tuple, bm25_topk(docs, "doc_id", "text", queries, k=10).collect()))
+
+    full = f"{tmp_path}/idx_full"
+    bm25_build_index(docs, "doc_id", "text", full)
+    probed = sorted(
+        map(tuple, bm25_search_index(spark, full, queries, k=10).collect())
+    )
+    assert probed == inflight
+
+    # build on half the corpus, append the other half: identical probe
+    half = f"{tmp_path}/idx_half"
+    bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", half)
+    bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", half)
+    appended = sorted(
+        map(tuple, bm25_search_index(spark, half, queries, k=10).collect())
+    )
+    assert appended == inflight
+
+
+def test_bm25_index_probe_prunes_term_buckets(spark, tmp_path):
+    """The probe's postings scan must carry PartitionFilters on the
+    term bucket — unprobed bucket dirs never open."""
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_search_index,
+        _term_bucket_py,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    idx = f"{tmp_path}/idx"
+    bm25_build_index(docs, "doc_id", "text", idx)
+    out = bm25_search_index(spark, idx, {"q": ["hash", "join"]}, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan, plan
+    # and the pruning is real: only the probed buckets' dirs are read
+    import re
+
+    want = sorted({_term_bucket_py(t) for t in ("hash", "join")})
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "tb" in m.group(1), plan
+    assert out.count() == 5  # one query, k=5
