@@ -141,25 +141,22 @@ CMS_D = 4  # hash rows
 CMS_W = 64  # counters per row
 
 
-def _cms_bucket(val: Column, j: int, w: int) -> Column:
-    """Row-j bucket of a value: the portable-family 60-bit md5 hash of
-    'j:value', reduced mod w. Nonnegative in both engines (the 15-hex
-    hash can't set the sign bit)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{j}:"), val.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % w
+def _cms_bucket(h60: Column, j: int, w: int) -> Column:
+    """Row-j bucket from a value's 60-bit md5 hash: row j reads its
+    own non-overlapping 15-bit slice of the ONE hash long and reduces
+    it mod w — d independent addresses for the price of a single md5 +
+    single base conversion per input row (both dominate the build
+    scan; hashing/converting once instead of d times is a straight d×
+    saving), pure bit arithmetic after. Nonnegative in both engines."""
+    return (F.shiftright(h60, 15 * j).bitwiseAND(F.lit(32767))) % w
 
 
 def _cms_bucket_py(val: str, j: int, w: int) -> int:
     """Driver-side mirror of _cms_bucket for literal query values."""
     import hashlib
 
-    return int(hashlib.md5(f"{j}:{val}".encode()).hexdigest()[:15], 16) % w
+    h60 = int(hashlib.md5(val.encode()).hexdigest()[:15], 16)
+    return ((h60 >> (15 * j)) & 32767) % w
 
 
 def portable_cms(
@@ -176,11 +173,13 @@ def portable_cms(
     d (row, bucket) cells and a map-side-combined groupBy sums them.
     Every intermediate is md5/modular arithmetic, so any ANSI engine
     replays the sketch bit-for-bit (the portable-family contract)."""
-    col = F.col(val_col)
+    h60 = F.conv(
+        F.substring(F.md5(F.col(val_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
     cells = F.array(
         *[
             F.struct(
-                F.lit(j).alias("j"), _cms_bucket(col, j, w).alias("bucket")
+                F.lit(j).alias("j"), _cms_bucket(h60, j, w).alias("bucket")
             )
             for j in range(d)
         ]
@@ -217,6 +216,12 @@ def portable_cms_point(
         [(q, j, _cms_bucket_py(q, j, w)) for q in queries for j in range(d)],
         "q string, j int, bucket long",
     )
+    # the probe reads the sketch TWICE (distinct keys + the counter
+    # join); an eager localCheckpoint materializes the tiny (<= d*w
+    # rows per group) counter relation once instead of re-running the
+    # corpus-sized build lineage per branch — ContextCleaner-freed,
+    # same discipline as the lm leg of text_ngram_suite
+    cms = cms.localCheckpoint(eager=True)
     keys = cms.select("key").distinct()
     full = keys.crossJoin(F.broadcast(probe))
     return (

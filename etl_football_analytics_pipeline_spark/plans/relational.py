@@ -755,16 +755,18 @@ def _sketch_oracle() -> str:
     ), pc_vals AS (
       SELECT l_returnflag AS g, CAST(l_suppkey % 100 AS VARCHAR) AS v
       FROM lineitem
+    ), pc_h AS (
+      SELECT g, v,
+             CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT) AS h60
+      FROM pc_vals
     ), pc_cells AS (
-      SELECT g, j,
-             CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || v), 1, 15)) AS BIGINT)
-               % {CMS_W} AS bucket
-      FROM pc_vals, LATERAL unnest(generate_series(0, {CMS_D - 1})) AS u(j)
+      SELECT g, j, ((h60 >> (15 * j)) & 32767) % {CMS_W} AS bucket
+      FROM pc_h, LATERAL unnest(generate_series(0, {CMS_D - 1})) AS u(j)
     ), pc_cms AS (
       SELECT g, j, bucket, COUNT(*) AS c FROM pc_cells GROUP BY 1, 2, 3
     ), pc_probe AS (
       SELECT q, j,
-             CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || q), 1, 15)) AS BIGINT)
+             ((CAST(('0x' || substring(md5(q), 1, 15)) AS BIGINT) >> (15 * j)) & 32767)
                % {CMS_W} AS bucket
       FROM (VALUES {_CMS_QUERY_VALUES}) AS qq(q),
            LATERAL unnest(generate_series(0, {CMS_D - 1})) AS u(j)

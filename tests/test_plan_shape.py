@@ -86,10 +86,13 @@ def test_relational_plans_have_no_cartesian_product(plans):
     # a3_a8_global_aggs cross-joins two SINGLE-ROW aggregates into one
     # suite row, text_ngram_suite broadcasts its ONE-ROW vocab-size
     # scalar, events_rollup_suite's gapfill leg broadcasts its ONE-ROW
-    # [min,max] bounds aggregate into the grid — constant-size by
-    # construction, not data joins
+    # [min,max] bounds aggregate into the grid, and sketch_suite's pcms
+    # probe crosses the distinct GROUP KEYS (|groups| rows) with the
+    # LITERAL d×|queries| probe table plus the bm25 one-row stats
+    # broadcast — constant-size by construction, not data joins
     allowed_constant_cross = {
         "a3_a8_global_aggs", "text_ngram_suite", "events_rollup_suite",
+        "sketch_suite",
     }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
@@ -224,13 +227,14 @@ def test_text_ngram_suite_plan_shape(plans):
     top-k leg still compiles to TakeOrderedAndProject."""
     plan = plans["text_ngram_suite"]
     assert "TakeOrderedAndProject" in plan
-    # the only BroadcastNestedLoopJoin node allowed is the 1-row
-    # vocab-size scalar (formatted explain prints each node twice:
-    # once in the tree, once in the numbered detail section)
+    # the only BroadcastNestedLoopJoin nodes allowed are the two
+    # ONE-ROW scalar broadcasts: the LM leg's vocab size and the bm25
+    # leg's (N, sum_dl) corpus stats (formatted explain prints each
+    # node once in the numbered detail section)
     import re
 
     bnl_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
-    assert len(bnl_nodes) <= 1, plan
+    assert len(bnl_nodes) <= 2, plan
     assert "CartesianProduct" not in plan
 
 
