@@ -158,3 +158,33 @@ def snapshot_diff(
         keys,
         compare_cols,
     )
+
+
+def delete_commit(
+    spark: SparkSession,
+    table_dir: str,
+    doomed: DataFrame,
+    keys: list[str],
+) -> int:
+    """Row-level delete (the GDPR/right-to-be-forgotten primitive),
+    committed as a new snapshot: the live version anti-joins the
+    doomed key set and the survivor frame becomes version N+1 — the
+    old snapshot stays immutable until `vacuum` retires it, so the
+    deletion is crash-safe, time-travel-auditable, and atomic for
+    readers (pointer flip).
+
+    Downstream propagation needs no special machinery: the deleted
+    keys surface as 'delete' rows in `snapshot_diff(N, N+1)`, which
+    `rollup_apply_cdc` and SCD2 capture already fold exactly.
+
+    `doomed` carries just the key columns (extra columns are ignored);
+    at scale the anti-join is one hash shuffle on the keys, or a
+    broadcast when the doomed set is small — Catalyst's choice."""
+    v = current_version(table_dir)
+    if v is None:
+        raise ValueError(f"no committed version under {table_dir}")
+    live = read_latest(spark, table_dir)
+    survivors = live.join(
+        doomed.select(*keys).distinct(), keys, "left_anti"
+    )
+    return commit_version(survivors, table_dir)

@@ -198,3 +198,36 @@ def test_write_dim_scd2_loads(spark, tmp_path):
     # the reference's current-state view is one filter away
     cur = {r.team_id: r.stadium for r in dim.filter("is_current").collect()}
     assert cur == {1: "home_x", 2: "home_b", 3: "home_c"}
+
+
+def test_delete_commit_removes_keys_and_feeds_cdc(spark, table_dir):
+    """Row-level delete: survivors-only new snapshot, old snapshot
+    auditable, and the deleted keys surface as 'delete' rows in the
+    snapshot CDC — the propagation path rollup maintenance consumes."""
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        delete_commit,
+        snapshot_diff,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(20)], "id long, name string, v double"
+    )
+    v1 = commit_version(base, table_dir)
+    doomed = spark.createDataFrame([(3,), (7,), (7,), (99,)], "id long")
+    v2 = delete_commit(spark, table_dir, doomed, ["id"])
+    live = read_latest(spark, table_dir)
+    assert live.count() == 18
+    assert live.filter("id IN (3, 7)").count() == 0
+    # time travel still sees the pre-delete rows
+    assert read_version(spark, table_dir, v1).filter("id IN (3, 7)").count() == 2
+    cdc = snapshot_diff(spark, table_dir, v1, v2, ["id"], ["name", "v"]).collect()
+    ops = {r.id: r.change_type for r in cdc}
+    assert ops == {3: "delete", 7: "delete"}
+
+
+def test_delete_commit_requires_committed_table(spark, table_dir):
+    from etl_football_analytics_pipeline_spark.sources.versioned import delete_commit
+
+    doomed = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        delete_commit(spark, table_dir, doomed, ["id"])
