@@ -965,7 +965,7 @@ def bm25_search_index(
     vocab = sorted({t for terms in queries.values() for t in terms})
     buckets = sorted({_term_bucket_py(t) for t in vocab})
     postings = (
-        spark.read.parquet(f"{index_dir}/postings")
+        _bm25_live_postings(spark, index_dir)
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(vocab))
         .select("__id", "term", "__tf", "__dl")
@@ -974,3 +974,51 @@ def bm25_search_index(
         F.sum("n").alias("__n"), F.sum("sdl").alias("__sdl")
     )
     return _bm25_score(postings, stats, queries, k, k1, b, salt_buckets, id_col)
+
+
+def bm25_delete_from_index(
+    df_or_ids: DataFrame, index_dir: str, id_col: str = "__id"
+) -> None:
+    """Delete documents from a persisted BM25 index WITHOUT rewriting
+    the postings: the doomed ids append to ``index_dir/tombstones``
+    and every probe anti-joins them (bm25_search_index) — the
+    log-structured delete pattern (tombstone now, compact later), the
+    index analog of sources/versioned.delete_commit.
+
+    Correctness: a tombstoned doc vanishes from results exactly as if
+    the index were rebuilt without it — its postings rows are dropped
+    before scoring, and the stats row it contributed is compensated by
+    appending a NEGATIVE (n, sdl) row (the stats fold is a plain SUM,
+    so compensation is exact). delete ≡ rebuild-without is asserted in
+    tests. Deleting an id that was never indexed is a no-op by the
+    same arithmetic ONLY if its compensation row is zero — so this
+    function recomputes (count, sum_dl) from the postings of the
+    doomed ids themselves, never trusting the caller."""
+    spark = df_or_ids.sparkSession
+    ids = df_or_ids.select(F.col(id_col).alias("__id")).distinct()
+    # compensation from the index itself: one row per doomed doc
+    # exists per distinct term, so dl must collapse per doc first
+    doomed_docs = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .join(F.broadcast(ids), "__id", "left_semi")
+        .groupBy("__id")
+        .agg(F.min("__dl").alias("__dl"))
+    )
+    comp = doomed_docs.agg(
+        (-F.count(F.lit(1))).alias("n"),
+        (-F.coalesce(F.sum("__dl"), F.lit(0))).alias("sdl"),
+    )
+    comp.write.mode("append").parquet(f"{index_dir}/stats")
+    ids.write.mode("append").parquet(f"{index_dir}/tombstones")
+
+
+def _bm25_live_postings(spark, index_dir: str) -> DataFrame:
+    """Postings minus tombstones (if any) — the probe's view."""
+    import os
+
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    tomb_dir = f"{index_dir}/tombstones"
+    if os.path.isdir(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("__id").distinct()
+        postings = postings.join(F.broadcast(tomb), "__id", "left_anti")
+    return postings

@@ -566,3 +566,47 @@ def test_bm25_index_probe_prunes_term_buckets(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "tb" in m.group(1), plan
     assert out.count() == 5  # one query, k=5
+
+
+def test_bm25_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_delete_from_index,
+        bm25_search_index,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    queries = {"q1": ["hash", "join", "stream"], "q2": ["vector", "scan", "merge"]}
+    idx = f"{tmp_path}/idx"
+    bm25_build_index(docs, "doc_id", "text", idx)
+    # delete the docs that currently win q1's top-3 (forces rank churn)
+    top3 = [
+        r.doc_id
+        for r in bm25_search_index(spark, idx, queries, k=10).collect()
+        if r.query_id == "q1" and r.rank <= 3
+    ]
+    doomed = spark.createDataFrame([(i,) for i in top3], "doc_id long")
+    bm25_delete_from_index(doomed.withColumnRenamed("doc_id", "__id"), idx)
+    after = sorted(
+        map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                docs.filter(~F.col("doc_id").isin(top3)),
+                "doc_id", "text", queries, k=10,
+            ).collect(),
+        )
+    )
+    assert after == want
+    assert not any(r[1] in top3 for r in after)
+    # deleting a never-indexed id is a no-op
+    bm25_delete_from_index(
+        spark.createDataFrame([(10_000_000,)], "__id long"), idx
+    )
+    again = sorted(
+        map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
+    )
+    assert again == after
