@@ -840,21 +840,23 @@ def _bm25_score(
         score_expr = score_expr + s
     scores = scored_terms.groupBy("query_id", "__id").agg(score_expr.alias("__score"))
 
-    w_partial = W.partitionBy(
-        "query_id", F.pmod(F.col("__id"), F.lit(salt_buckets))
-    ).orderBy(F.desc("__score"), F.asc("__id"))
-    w_final = W.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("__id"))
-    return (
-        scores.withColumn("__rp", F.row_number().over(w_partial))
-        .filter(F.col("__rp") <= k)
-        .withColumn("rank", F.row_number().over(w_final))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("__id").alias(id_col),
-            "rank",
-            F.round("__score", 4).alias("score"),
-        )
+    # salted two-stage per-query top-k (operators/topk.grouped_topk):
+    # (__score desc, __id asc) is a total order, so the salted form is
+    # exactly the plain window's answer with no corpus-sized partition
+    from .topk import grouped_topk
+
+    return grouped_topk(
+        scores,
+        ["query_id"],
+        [F.desc("__score"), F.asc("__id")],
+        k,
+        salt_col="__id",
+        salt_buckets=salt_buckets,
+    ).select(
+        "query_id",
+        F.col("__id").alias(id_col),
+        "rank",
+        F.round("__score", 4).alias("score"),
     )
 
 
