@@ -300,6 +300,29 @@ def quality_section(spark, scale: int) -> str:
     t0 = time.time()
     n_scored = quality_score(docs, wts, "doc_id", "text").count()
     t_clf = time.time() - t0
+    # portable CMS point estimates + Misra-Gries heavy hitters over the
+    # amplified event stream: both must stay ~flat-per-row (map-side
+    # combined sketch build / <= k+1 rows leaving each partition)
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        misra_gries_topk,
+        portable_cms,
+        portable_cms_point,
+    )
+
+    vals = ev.select(
+        F.col("event_type").alias("g"),
+        (F.col("user_id") % 100).cast("string").alias("v"),
+    )
+    t0 = time.time()
+    n_cms = portable_cms_point(
+        portable_cms(vals, "g", "v"), ["0", "7", "42"]
+    ).count()
+    t_cms = time.time() - t0
+    t0 = time.time()
+    n_mg = misra_gries_topk(
+        ev.select(F.col("user_id").cast("string").alias("u")), "u", k=64
+    ).count()
+    t_mg = time.time() - t0
     ev.unpersist()
     docs.unpersist()
     return (
@@ -308,7 +331,8 @@ def quality_section(spark, scale: int) -> str:
         f"strat={t_strat:5.1f}s (rows={n_strat})  dq={t_dq:5.1f}s (rules={rep})  "
         f"fuzzy={t_fuzzy:5.1f}s (pairs={n_fuzzy})  strip={t_strip:5.1f}s  "
         f"semdedup={t_sem:5.1f}s (kept={n_sem})  "
-        f"clf_train={t_clf_train:5.1f}s clf_score={t_clf:5.1f}s (docs={n_scored})"
+        f"clf_train={t_clf_train:5.1f}s clf_score={t_clf:5.1f}s (docs={n_scored})  "
+        f"cms={t_cms:5.1f}s (rows={n_cms})  mg={t_mg:5.1f}s (hitters={n_mg})"
     )
 
 
