@@ -750,6 +750,19 @@ def minhash_index_append(
     frame.write.mode("append").parquet(f"{path}/docs")
 
 
+def minhash_index_delete(spark, path: str, doomed: DataFrame) -> None:
+    """Tombstone documents out of the persisted near-dup index: doomed
+    ids (under the index's own id column) append to `path/tombstones`
+    and every probe anti-joins them — a deleted resident doc can never
+    again produce a candidate pair, exactly as if the index were
+    rebuilt without it (asserted in tests/test_dedup.py). Log-
+    structured: no rewrite of the signed corpus; compaction = rebuild."""
+    from .tombstones import append_tombstones
+
+    _, _, _, id_col, _ = _minhash_index_params(spark, path)
+    append_tombstones(doomed, path, id_col)
+
+
 def minhash_index_probe(
     spark,
     path: str,
@@ -779,7 +792,11 @@ def minhash_index_probe(
     signature kernels."""
     num_hashes, num_bands, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     rows_per_band = num_hashes // num_bands
-    resident = spark.read.parquet(f"{path}/docs")
+    from .tombstones import filter_tombstones
+
+    resident = filter_tombstones(
+        spark, path, spark.read.parquet(f"{path}/docs"), id_col
+    )
     frame_new = new_frame if new_frame is not None else minhash_signatures(
         new_docs, id_col, text_col, num_hashes, shingle_n,
         grams=gram_hashes(new_docs, id_col, text_col, shingle_n, portable),

@@ -572,6 +572,20 @@ def ivf_append_index(
     ).parquet(f"{path}/lists")
 
 
+def ivf_delete_index(
+    spark, path: str, doomed: DataFrame, id_col: str = "vec_id"
+) -> None:
+    """Tombstone vectors out of the persisted IVF index: doomed ids
+    append to `path/tombstones`; every probe anti-joins them AFTER the
+    partition-pruned list scan, so a deleted vector can never appear
+    as a neighbor — exactly as if the index were rebuilt without it
+    (asserted in tests/test_similarity.py). No list rewrite;
+    compaction = periodic rebuild, same discipline as append drift."""
+    from .tombstones import append_tombstones
+
+    append_tombstones(doomed, path, id_col)
+
+
 def ivf_search_index(
     spark,
     path: str,
@@ -611,9 +625,17 @@ def ivf_search_index(
         "query_id long, __qvec array<float>, list_id int",
     )
     probed_lists = sorted({int(l) for row in top for l in row})
+    from .tombstones import filter_tombstones
+
     corpus = (
-        spark.read.parquet(f"{path}/lists")
-        .filter(F.col("list_id").isin(probed_lists))
+        filter_tombstones(
+            spark,
+            path,
+            spark.read.parquet(f"{path}/lists").filter(
+                F.col("list_id").isin(probed_lists)
+            ),
+            id_col,
+        )
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "list_id")
     )
     # no pair dedup needed: the stored index assigns each corpus vector

@@ -1010,17 +1010,18 @@ def bm25_delete_from_index(
         (-F.count(F.lit(1))).alias("n"),
         (-F.coalesce(F.sum("__dl"), F.lit(0))).alias("sdl"),
     )
+    from .tombstones import append_tombstones
+
     comp.write.mode("append").parquet(f"{index_dir}/stats")
-    ids.write.mode("append").parquet(f"{index_dir}/tombstones")
+    append_tombstones(ids, index_dir, "__id")
 
 
 def _bm25_live_postings(spark, index_dir: str) -> DataFrame:
-    """Postings minus tombstones (if any) — the probe's view."""
-    import os
+    """Postings minus tombstones (if any) — the probe's view
+    (operators/tombstones.py, shared with the minhash and IVF
+    indexes)."""
+    from .tombstones import filter_tombstones
 
-    postings = spark.read.parquet(f"{index_dir}/postings")
-    tomb_dir = f"{index_dir}/tombstones"
-    if os.path.isdir(tomb_dir):
-        tomb = spark.read.parquet(tomb_dir).select("__id").distinct()
-        postings = postings.join(F.broadcast(tomb), "__id", "left_anti")
-    return postings
+    return filter_tombstones(
+        spark, index_dir, spark.read.parquet(f"{index_dir}/postings"), "__id"
+    )

@@ -1,0 +1,54 @@
+"""Log-structured deletes for the persisted indexes.
+
+Every persisted index in the engine (BM25 inverted index, MinHash
+near-dup index, IVF/IVF-PQ vector indexes) is an append-friendly
+parquet layout — rewriting it to delete a handful of documents would
+cost a full build. The production pattern is the tombstone: doomed ids
+append to a side table, every probe anti-joins them, and compaction
+stays a later rebuild. These helpers are that pattern once, shared by
+all index modules; each index keeps its own delete entry point because
+some (BM25) must also compensate summable stats.
+
+Scale shape: the tombstone set is assumed probe-broadcastable (deletes
+are rare relative to the corpus); when it stops being small, that is
+the signal to compact (rebuild without the doomed ids), after which
+the tombstone dir resets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["append_tombstones", "filter_tombstones"]
+
+_DIRNAME = "tombstones"
+
+
+def append_tombstones(ids: DataFrame, index_dir: str, id_col: str) -> None:
+    """Record doomed ids under ``index_dir/tombstones`` (appended,
+    deduplicated at read time — repeated deletes are idempotent)."""
+    (
+        ids.select(F.col(id_col).alias("__id"))
+        .distinct()
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, _DIRNAME))
+    )
+
+
+def filter_tombstones(
+    spark, index_dir: str, df: DataFrame, id_col: str
+) -> DataFrame:
+    """``df`` minus tombstoned ids — a no-op (and no extra plan nodes)
+    when the index has never seen a delete."""
+    tomb_dir = os.path.join(index_dir, _DIRNAME)
+    if not os.path.isdir(tomb_dir):
+        return df
+    tomb = (
+        spark.read.parquet(tomb_dir)
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(tomb), id_col, "left_anti")

@@ -383,3 +383,34 @@ def test_minhash_index_candidate_scan_prunes_gram_column(spark, docs, tmp_path):
     plan = cand_scan._jdf.queryExecution().executedPlan().toString()
     scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "signature" in scan_line and "__gh" not in scan_line
+
+
+def test_minhash_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_delete,
+        minhash_index_probe,
+    )
+    from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    resident = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = f"{tmp_path}/mh_idx"
+    minhash_index_build(resident, idx, num_hashes=64, num_bands=16, shingle_n=2)
+    before = minhash_index_probe(spark, idx, delta, threshold=0.2).collect()
+    assert before, "need at least one near-dup pair to make the test meaningful"
+    # tombstone every resident doc that matched anything
+    doomed_ids = sorted({r.resident_id for r in before})[:3]
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids], "doc_id long")
+    minhash_index_delete(spark, idx, doomed)
+    after = sorted(map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect()))
+    # rebuild the index without the doomed docs: probes must agree
+    idx2 = f"{tmp_path}/mh_idx2"
+    minhash_index_build(
+        resident.filter(~F.col("doc_id").isin(doomed_ids)), idx2,
+        num_hashes=64, num_bands=16, shingle_n=2,
+    )
+    want = sorted(map(tuple, minhash_index_probe(spark, idx2, delta, threshold=0.2).collect()))
+    assert after == want
+    assert not any(t[1] in doomed_ids for t in after)

@@ -437,3 +437,42 @@ def test_semantic_dedup_prunes_near_copies(spark):
     }
     covered = sum(1 for a, b in exact_pairs if not (a in kept and b in kept))
     assert covered / len(exact_pairs) >= 0.8
+
+
+def test_ivf_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_delete_index,
+        ivf_search_index,
+    )
+    from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = f"{tmp_path}/ivf_idx"
+    ivf_build_index(emb, idx, "vec_id", "embedding", n_lists=8, seed=7)
+    before = ivf_search_index(spark, idx, queries, k=5, nprobe=3).collect()
+    doomed_ids = sorted({r.neighbor_id for r in before})[:4]
+    ivf_delete_index(
+        spark, idx,
+        spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long"),
+    )
+    after = sorted(map(tuple, ivf_search_index(spark, idx, queries, k=5, nprobe=3).collect()))
+    assert not any(t[1] in doomed_ids for t in after)
+    # identical to an index built without the doomed vectors (same
+    # quantizer: reuse the FIRST index's stored centroids so list
+    # assignment is unchanged)
+    import numpy as np
+
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        stored_centroids,
+    )
+
+    cents = stored_centroids(spark, idx)
+    idx2 = f"{tmp_path}/ivf_idx2"
+    ivf_build_index(
+        emb.filter(~F.col("vec_id").isin([int(i) for i in doomed_ids])),
+        idx2, "vec_id", "embedding", n_lists=8, centroids=np.asarray(cents),
+    )
+    want = sorted(map(tuple, ivf_search_index(spark, idx2, queries, k=5, nprobe=3).collect()))
+    assert after == want
