@@ -137,12 +137,29 @@ def temporal_section(spark, scale: int) -> str:
         zero_fill=["n_events"], locf_fill=["total_value"],
     ).count()
     t_gap = time.time() - t0
+    # stream-stream join, batch form (same function body the
+    # watermarked streams run): equi-key + bounded range — one
+    # symmetric hash join keyed on user_id, wall should track rows
+    from etl_football_analytics_pipeline_spark.streaming.join import (
+        stream_stream_join,
+    )
+
+    ssl = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    ssr = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("buy_id")
+    )
+    t0 = time.time()
+    n_ss = stream_stream_join(ssl, ssr, on=["user_id"], within="1 hour").count()
+    t_ss = time.time() - t0
     ev.unpersist()
     spark.catalog.clearCache()  # drop the rollup's materialized partials
     return (
         f"events={n_ev:8d}  asof={t_asof:5.1f}s (rows={n_asof})  "
         f"range={t_range:5.1f}s (pairs={n_range})  rollup={t_roll:5.1f}s (rows={n_roll})  "
-        f"gapfill={t_gap:5.1f}s (rows={n_gap})"
+        f"gapfill={t_gap:5.1f}s (rows={n_gap})  "
+        f"ssjoin={t_ss:5.1f}s (pairs={n_ss})"
     )
 
 

@@ -610,3 +610,23 @@ def test_bm25_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
         map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
     )
     assert again == after
+
+
+def test_bm25_absent_and_repeated_query_terms(spark):
+    """A query whose terms never occur returns zero rows (not an
+    error); repeated terms in one query count per-instance on BOTH the
+    operator and any oracle mirroring it (documented BM25 semantics)."""
+    from etl_football_analytics_pipeline_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "hash join scan"), (2, "hash hash table")], "doc_id long, text string"
+    )
+    assert bm25_topk(df, "doc_id", "text", {"q": ["zzz", "qqq"]}, k=5).count() == 0
+    # absent term alongside present ones: present terms still score
+    rows = bm25_topk(df, "doc_id", "text", {"q": ["hash", "zzz"]}, k=5).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+    # repeated term: doubled contribution (per-instance semantics)
+    single = {r.doc_id: r.score for r in bm25_topk(df, "doc_id", "text", {"q": ["hash"]}, k=5).collect()}
+    double = {r.doc_id: r.score for r in bm25_topk(df, "doc_id", "text", {"q": ["hash", "hash"]}, k=5).collect()}
+    for d in single:
+        assert abs(double[d] - round(2 * single[d], 4)) <= 0.0002, (d, single[d], double[d])
