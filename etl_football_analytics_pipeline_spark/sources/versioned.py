@@ -107,24 +107,59 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
     return dropped
 
 
+def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Widen both frames to the union of their columns (missing side
+    gets typed NULLs) — additive schema evolution. A column present on
+    both sides with DIFFERENT types is a contract violation, not
+    evolution: raise rather than silently cast."""
+    from pyspark.sql import functions as F
+
+    ta = {f.name: f.dataType for f in a.schema.fields}
+    tb = {f.name: f.dataType for f in b.schema.fields}
+    clash = {c for c in ta.keys() & tb.keys() if ta[c] != tb[c]}
+    if clash:
+        raise ValueError(
+            f"schema evolution cannot retype columns {sorted(clash)}; "
+            "migrate explicitly (read, cast, commit)"
+        )
+    order = list(ta) + [c for c in tb if c not in ta]
+    wa = a.select(
+        *[F.col(c) if c in ta else F.lit(None).cast(tb[c]).alias(c) for c in order]
+    )
+    wb = b.select(
+        *[F.col(c) if c in tb else F.lit(None).cast(ta[c]).alias(c) for c in order]
+    )
+    return wa, wb
+
+
 def merge_commit(
     spark: SparkSession,
     table_dir: str,
     delta: DataFrame,
     keys: list[str],
     insert_only: bool = False,
+    evolve_schema: bool = False,
 ) -> int:
     """Keyed MERGE of a delta into the versioned table, committed as a
     new snapshot: read the live version, merge (new-wins, or
     insert-if-absent when `insert_only`), commit. The read and the
     write touch DIFFERENT directories, so the overwrite-what-you-read
-    hazard cannot occur by construction."""
+    hazard cannot occur by construction.
+
+    ``evolve_schema=True`` permits ADDITIVE evolution: a delta
+    carrying new columns widens the table (pre-existing rows read
+    NULL there), a delta missing columns leaves them NULL on its own
+    rows — while retyping an existing column still raises (silent
+    casts corrupt history). Default stays strict: mismatched schemas
+    fail loudly, the right behavior for a production feed."""
     from ..operators.merge import insert_if_absent, merge_replace
 
     if current_version(table_dir) is None:
         merged = delta
     else:
         live = read_latest(spark, table_dir)
+        if evolve_schema:
+            live, delta = _align_schemas(live, delta)
         merged = (
             insert_if_absent(live, delta, keys)
             if insert_only

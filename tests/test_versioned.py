@@ -231,3 +231,32 @@ def test_delete_commit_requires_committed_table(spark, table_dir):
     doomed = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         delete_commit(spark, table_dir, doomed, ["id"])
+
+
+def test_merge_commit_schema_evolution(spark, table_dir):
+    """Additive evolution widens the table (old rows NULL in new
+    columns); strict mode still fails loudly; retyping always fails."""
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        merge_commit,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    commit_version(base, table_dir)
+    delta = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 1.0)], "id long, name string, score double"
+    )
+    # strict mode: union of mismatched schemas must raise
+    with pytest.raises(Exception):
+        merge_commit(spark, table_dir, delta, ["id"])
+    merge_commit(spark, table_dir, delta, ["id"], evolve_schema=True)
+    live = {r.id: (r.name, r.score) for r in read_latest(spark, table_dir).collect()}
+    assert live == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
+    # a later delta MISSING the new column leaves it NULL on its rows
+    d2 = spark.createDataFrame([(4, "d")], "id long, name string")
+    merge_commit(spark, table_dir, d2, ["id"], evolve_schema=True)
+    live = {r.id: (r.name, r.score) for r in read_latest(spark, table_dir).collect()}
+    assert live[4] == ("d", None) and live[2] == ("b2", 9.5)
+    # retyping an existing column is never evolution
+    bad = spark.createDataFrame([(5, 7, 1.0)], "id long, name long, score double")
+    with pytest.raises(ValueError, match="retype"):
+        merge_commit(spark, table_dir, bad, ["id"], evolve_schema=True)
