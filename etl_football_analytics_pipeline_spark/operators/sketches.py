@@ -256,7 +256,11 @@ def misra_gries_topk(
     Scale shape: ONE mapInPandas pass emits <= k+1 rows per partition
     ((value, weight) survivors plus one (NULL, decrements) row); the
     driver-side merge touches only P·(k+1) rows. Nothing corpus-sized
-    leaves the executors, and there is no shuffle at all."""
+    leaves the executors, and there is no shuffle at all. The kernel's
+    per-element loop is the algorithm, not an accident — MG state
+    mutates on every element, so there is no vectorized form; what
+    keeps it cheap is that the loop runs executor-side over Arrow
+    batches with a dict of at most k counters."""
     import pandas as pd
 
     def partials(batches):
