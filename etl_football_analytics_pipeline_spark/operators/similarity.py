@@ -1097,8 +1097,13 @@ def ivf_pq_search(
     bc = spark.sparkContext.broadcast((q_ids, lut, allowed))
     kk = k * oversample if rerank is not None else k
 
-    codes_df = spark.read.parquet(f"{path}/lists").filter(
-        F.col("list_id").isin(probed)
+    from .tombstones import filter_tombstones
+
+    codes_df = filter_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/lists").filter(F.col("list_id").isin(probed)),
+        id_col,
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -476,3 +476,25 @@ def test_ivf_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
     )
     want = sorted(map(tuple, ivf_search_index(spark, idx2, queries, k=5, nprobe=3).collect()))
     assert after == want
+
+
+def test_ivf_pq_index_tombstone_delete_drops_neighbors(spark, tmp_path):
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        ivf_delete_index,
+        ivf_pq_build_index,
+        ivf_pq_search,
+    )
+    from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = f"{tmp_path}/ivfpq_idx"
+    ivf_pq_build_index(emb, idx, "vec_id", "embedding", n_lists=8, m=16, seed=3)
+    before = ivf_pq_search(spark, idx, queries, k=5, nprobe=3).collect()
+    doomed_ids = sorted({r.neighbor_id for r in before})[:3]
+    ivf_delete_index(
+        spark, idx, spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+    )
+    after = ivf_pq_search(spark, idx, queries, k=5, nprobe=3).collect()
+    assert after, "probe returned nothing after delete"
+    assert not any(r.neighbor_id in doomed_ids for r in after)
