@@ -44,7 +44,10 @@ def hybrid_topk(
     round_to: int = 4,
 ) -> DataFrame:
     """Two-stage retrieval. ``queries`` maps query_id → {"terms":
-    [str, ...], "vec": [float, ...]}: BM25 takes the terms, the rerank
+    [str, ...], "vec": [float, ...]} — or {"terms": ..., "vec_id": n}
+    to take the query vector FROM ``emb`` (one bounded |Q|-row collect
+    here in the operator, the same discipline as ivf_search_index's
+    driver-side probe assignment): BM25 takes the terms, the rerank
     takes the (unit-normalized here) vector.
 
     Stage 1: ``bm25_topk`` keeps the lexical top-(k × oversample) per
@@ -66,9 +69,24 @@ def hybrid_topk(
         docs, id_col, text_col, terms, k=k * oversample
     ).withColumnRenamed("rank", "bm25_rank").drop("score")
 
+    by_id = {
+        qid: spec["vec_id"] for qid, spec in queries.items() if "vec" not in spec
+    }
+    fetched = {}
+    if by_id:
+        rows = (
+            emb.filter(F.col(emb_id_col).isin(list(by_id.values())))
+            .select(F.col(emb_id_col).alias("qid"), F.col(vec_col).alias("v"))
+            .collect()
+        )
+        vec_of = {int(r["qid"]): [float(x) for x in r["v"]] for r in rows}
+        missing = sorted(v for v in by_id.values() if int(v) not in vec_of)
+        if missing:
+            raise ValueError(f"query vec_ids absent from emb: {missing}")
+        fetched = {qid: vec_of[int(v)] for qid, v in by_id.items()}
     qvecs = {}
     for qid, spec in sorted(queries.items()):
-        v = np.asarray(spec["vec"], dtype=np.float64)
+        v = np.asarray(spec.get("vec", fetched.get(qid)), dtype=np.float64)
         n = np.linalg.norm(v)
         qvecs[qid] = v / n if n > 0 else v
     bq = docs.sparkSession.sparkContext.broadcast(qvecs)

@@ -697,6 +697,71 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# BM25 retrieval queries for the text_ngram_suite 'bm25' part: small
+# literal term lists drawn from the synthetic corpus vocabulary
+# (present at every SF). The same literals feed the Spark operator and
+# the DuckDB oracle, so both engines score the identical query set.
+BM25_QUERIES = {
+    "q1": ["hash", "join", "stream"],
+    "q2": ["vector", "scan", "merge"],
+    "q3": ["window", "agg", "filter"],
+}
+
+_BM25_VALUES = ", ".join(
+    f"('{qid}', {i + 1}, '{t}')"
+    for qid, terms in sorted(BM25_QUERIES.items())
+    for i, t in enumerate(terms)
+)
+
+
+def _bm25_cte_block() -> str:
+    """The full BM25 scoring pipeline as oracle CTEs (tokenize → tf/dl
+    → df → fixed-order contributions → ranked scores in `bm_rank`) —
+    shared verbatim by text_ngram_suite's 'bm25' part and
+    ann_cosine_topk's 'hybrid' part so the lexical stage is stated
+    exactly once."""
+    return f"""bm_docs AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+                                                          '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bm_n AS (
+      SELECT COUNT(*) AS n, SUM(len(w)) AS sdl FROM bm_docs
+    ), bm_q(query_id, tidx, term) AS (
+      VALUES {_BM25_VALUES}
+    ), bm_tf AS (
+      SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM bm_docs
+    ), bm_tfg AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM bm_tf
+      WHERE term IN (SELECT term FROM bm_q)
+      GROUP BY doc_id, term
+    ), bm_df AS (
+      SELECT term, COUNT(*) AS df FROM bm_tfg GROUP BY term
+    ), bm_contrib AS (
+      SELECT q.query_id, t.doc_id, q.tidx,
+             ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (CAST(n.sdl AS DOUBLE) / n.n))) AS c
+      FROM bm_tfg t
+      JOIN bm_q q ON t.term = q.term
+      JOIN bm_df d ON t.term = d.term
+      CROSS JOIN bm_n n
+    ), bm_scores AS (
+      SELECT query_id, doc_id,
+             COALESCE(MAX(CASE WHEN tidx = 1 THEN c END), 0.0)
+               + COALESCE(MAX(CASE WHEN tidx = 2 THEN c END), 0.0)
+               + COALESCE(MAX(CASE WHEN tidx = 3 THEN c END), 0.0) AS score
+      FROM bm_contrib GROUP BY query_id, doc_id
+    ), bm_rank AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM bm_scores
+    )"""
+
+
 @query(
     "ann_cosine_topk",
     oracle=f"""
@@ -728,6 +793,23 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY est DESC, neighbor_id ASC) AS rank
       FROM adc
+    ), {_bm25_cte_block()}, hyb_q(hqid, qid) AS (
+      VALUES (0, 'q1'), (1, 'q2'), (2, 'q3')
+    ), hyb_cand AS (
+      SELECT hq.hqid AS query_id, br.doc_id
+      FROM bm_rank br JOIN hyb_q hq ON br.query_id = hq.qid
+      WHERE br.rnk <= 20
+    ), hyb_scored AS (
+      SELECT hc.query_id, hc.doc_id AS neighbor_id,
+             ROUND(list_cosine_similarity(qv.cv, cv.cv), 4) AS cosine
+      FROM hyb_cand hc
+      JOIN c qv ON qv.neighbor_id = hc.query_id
+      JOIN c cv ON cv.neighbor_id = hc.doc_id
+    ), hyb_ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM hyb_scored
     )
     SELECT 'brute' AS part, query_id, neighbor_id, cosine, rank
     FROM ranked WHERE rank <= 5
@@ -735,6 +817,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'pq' AS part, query_id, neighbor_id,
            ROUND(est, 4) AS cosine, CAST(rank AS INT) AS rank
     FROM pq_ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'hybrid' AS part, CAST(query_id AS BIGINT) AS query_id, neighbor_id,
+           cosine, CAST(rank AS INT) AS rank
+    FROM hyb_ranked WHERE rank <= 5
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,7 +842,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       ranking from the literal codebooks; ranking uses the unrounded
       estimate with id tie-break on BOTH engines, so batch layout and
       4dp display rounding can't reorder it. Recall vs brute measured
-      in tests/test_similarity.py."""
+      in tests/test_similarity.py.
+    - part='hybrid': the production two-stage retrieval stack
+      (operators.retrieval.hybrid_topk) — BM25 lexical candidates
+      (top-20 per literal query; the oracle reuses the SAME bm25 CTE
+      block as text_ngram_suite) reranked by exact embedding cosine
+      to top-5. FULLY value-oracled end to end: DuckDB replays the
+      lexical scoring, the candidate cut, the embedding join, every
+      4dp cosine and the final rank."""
     import numpy as np
 
     from ..operators.similarity import pq_encode, pq_topk
@@ -776,7 +869,35 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_cosine").alias("cosine"),
         "rank",
     )
-    return brute.unionByName(pq)
+    # part='hybrid': the two-stage retrieval stack
+    # (operators.retrieval.hybrid_topk) — BM25 bounds the candidates
+    # (top-20 per query, the SAME lexical pipeline the oracle's shared
+    # bm25 CTE block states), exact embedding cosine reranks to top-5.
+    # Query vectors are embeddings 0/1/2 (one bounded 3-row collect);
+    # the qid→vec_id mapping is the sorted-BM25_QUERIES order, stated
+    # literally in the oracle's hyb_q VALUES.
+    from ..operators.retrieval import hybrid_topk
+
+    docs = _docs(spark, sf_dir)
+    hqueries = {
+        qid: {"terms": BM25_QUERIES[qid], "vec_id": i}
+        for i, qid in enumerate(sorted(BM25_QUERIES))
+    }
+    qid_to_vec = F.create_map(
+        *[
+            x
+            for i, qid in enumerate(sorted(BM25_QUERIES))
+            for x in (F.lit(qid), F.lit(i))
+        ]
+    )
+    hybrid = hybrid_topk(docs, emb, hqueries, k=5, oversample=4).select(
+        F.lit("hybrid").alias("part"),
+        qid_to_vec[F.col("query_id")].cast("long").alias("query_id"),
+        F.col("doc_id").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+    return brute.unionByName(pq).unionByName(hybrid)
 
 
 @query(
@@ -1312,23 +1433,6 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# BM25 retrieval queries for the text_ngram_suite 'bm25' part: small
-# literal term lists drawn from the synthetic corpus vocabulary
-# (present at every SF). The same literals feed the Spark operator and
-# the DuckDB oracle, so both engines score the identical query set.
-BM25_QUERIES = {
-    "q1": ["hash", "join", "stream"],
-    "q2": ["vector", "scan", "merge"],
-    "q3": ["window", "agg", "filter"],
-}
-
-_BM25_VALUES = ", ".join(
-    f"('{qid}', {i + 1}, '{t}')"
-    for qid, terms in sorted(BM25_QUERIES.items())
-    for i, t in enumerate(terms)
-)
-
-
 @query(
     "text_ngram_suite",
     oracle=f"""
@@ -1431,46 +1535,7 @@ _BM25_VALUES = ", ".join(
              CAST(length(COALESCE(b.cleaned, '')) AS BIGINT) AS k1,
              CAST(NULL AS DOUBLE) AS v1
       FROM documents d LEFT JOIN bo_built b ON d.doc_id = b.doc_id
-    ), bm_docs AS (
-      SELECT doc_id,
-             list_filter(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
-                                                          '\\s+', ' ', 'g')), ' '),
-                         x -> x <> '') AS w
-      FROM documents
-    ), bm_n AS (
-      SELECT COUNT(*) AS n, SUM(len(w)) AS sdl FROM bm_docs
-    ), bm_q(query_id, tidx, term) AS (
-      VALUES {_BM25_VALUES}
-    ), bm_tf AS (
-      SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM bm_docs
-    ), bm_tfg AS (
-      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-      FROM bm_tf
-      WHERE term IN (SELECT term FROM bm_q)
-      GROUP BY doc_id, term
-    ), bm_df AS (
-      SELECT term, COUNT(*) AS df FROM bm_tfg GROUP BY term
-    ), bm_contrib AS (
-      SELECT q.query_id, t.doc_id, q.tidx,
-             ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5))
-               * (t.tf * 2.2)
-               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (CAST(n.sdl AS DOUBLE) / n.n))) AS c
-      FROM bm_tfg t
-      JOIN bm_q q ON t.term = q.term
-      JOIN bm_df d ON t.term = d.term
-      CROSS JOIN bm_n n
-    ), bm_scores AS (
-      SELECT query_id, doc_id,
-             COALESCE(MAX(CASE WHEN tidx = 1 THEN c END), 0.0)
-               + COALESCE(MAX(CASE WHEN tidx = 2 THEN c END), 0.0)
-               + COALESCE(MAX(CASE WHEN tidx = 3 THEN c END), 0.0) AS score
-      FROM bm_contrib GROUP BY query_id, doc_id
-    ), bm_rank AS (
-      SELECT query_id, doc_id, score,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id ASC) AS rnk
-      FROM bm_scores
-    ), bm25_part AS (
+    ), {_bm25_cte_block()}, bm25_part AS (
       SELECT 'bm25' AS part,
              query_id || ':' || CAST(doc_id AS VARCHAR) AS s1,
              rnk AS k1, ROUND(score, 4) AS v1

@@ -90,9 +90,11 @@ def test_relational_plans_have_no_cartesian_product(plans):
     # probe crosses the distinct GROUP KEYS (|groups| rows) with the
     # LITERAL d×|queries| probe table plus the bm25 one-row stats
     # broadcast — constant-size by construction, not data joins
+    # ann_cosine_topk's hybrid part carries bm25's one-row corpus-stats
+    # broadcast (same class as text_ngram_suite's)
     allowed_constant_cross = {
         "a3_a8_global_aggs", "text_ngram_suite", "events_rollup_suite",
-        "sketch_suite",
+        "sketch_suite", "ann_cosine_topk",
     }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name

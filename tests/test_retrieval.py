@@ -69,3 +69,26 @@ def test_hybrid_deterministic_under_repartition(spark):
         map(tuple, hybrid_topk(docs.repartition(7), emb.repartition(5), queries, k=5).collect())
     )
     assert a == b
+
+
+def test_hybrid_vec_id_spec_equals_literal_vec(spark):
+    """{"vec_id": n} specs resolve from the embedding frame inside the
+    operator (bounded |Q|-row collect) and match literal-vec results;
+    absent ids fail loudly."""
+    import pytest
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    lit = _queries(spark)
+    by_id = {
+        "q1": {"terms": lit["q1"]["terms"], "vec_id": 0},
+        "q2": {"terms": lit["q2"]["terms"], "vec_id": 1},
+    }
+    a = sorted(map(tuple, hybrid_topk(docs, emb, lit, k=5).collect()))
+    b = sorted(map(tuple, hybrid_topk(docs, emb, by_id, k=5).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="absent"):
+        hybrid_topk(
+            docs, emb,
+            {"q": {"terms": ["hash"], "vec_id": 99_999_999}}, k=5,
+        ).collect()
