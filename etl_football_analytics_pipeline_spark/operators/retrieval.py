@@ -42,6 +42,7 @@ def hybrid_topk(
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Two-stage retrieval. ``queries`` maps query_id → {"terms":
     [str, ...], "vec": [float, ...]} — or {"terms": ..., "vec_id": n}
@@ -65,9 +66,18 @@ def hybrid_topk(
     if not queries:
         raise ValueError("queries must be non-empty")
     terms = {qid: spec["terms"] for qid, spec in queries.items()}
-    cand = bm25_topk(
-        docs, id_col, text_col, terms, k=k * oversample
-    ).withColumnRenamed("rank", "bm25_rank").drop("score")
+    if index_dir is not None:
+        # serve stage 1 from the persisted inverted index (identical
+        # results by bm25's shared-scoring-tail construction; the
+        # probe reads term buckets, not the corpus)
+        from .text import bm25_search_index
+
+        cand = bm25_search_index(
+            docs.sparkSession, index_dir, terms, k=k * oversample, id_col=id_col
+        )
+    else:
+        cand = bm25_topk(docs, id_col, text_col, terms, k=k * oversample)
+    cand = cand.withColumnRenamed("rank", "bm25_rank").drop("score")
 
     by_id = {
         qid: spec["vec_id"] for qid, spec in queries.items() if "vec" not in spec

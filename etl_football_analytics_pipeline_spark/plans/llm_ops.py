@@ -714,6 +714,29 @@ _BM25_VALUES = ", ".join(
 )
 
 
+def _bm25_index(spark: SparkSession, docs, sf_dir: str) -> str:
+    """Build-once location of the persisted BM25 inverted index for a
+    corpus dir (ownership-gated per-user cache, keyed by the corpus
+    mtime — the ann_ivf_topk contract). Shared by the text_ngram_suite
+    bm25 leg and the ann_cosine_topk hybrid leg so one build serves
+    both."""
+    import os as _os
+
+    from ..operators.text import bm25_build_index
+    from ..sources.registry import owned_ready, user_cache_dir
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    mt = int(_os.stat(src).st_mtime) if _os.path.exists(src) else 0
+    base = f"{sf_dir.strip('/').replace('/', '_')}_{mt}".replace(".", "_")
+    idx = user_cache_dir("bm25-index", base)
+    if not (
+        owned_ready(_os.path.join(idx, "postings"))
+        and owned_ready(_os.path.join(idx, "stats"))
+    ):
+        bm25_build_index(docs, "doc_id", "text", idx)
+    return idx
+
+
 def _bm25_cte_block() -> str:
     """The full BM25 scoring pipeline as oracle CTEs (tokenize → tf/dl
     → df → fixed-order contributions → ranked scores in `bm_rank`) —
@@ -890,7 +913,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x in (F.lit(qid), F.lit(i))
         ]
     )
-    hybrid = hybrid_topk(docs, emb, hqueries, k=5, oversample=4).select(
+    hybrid = hybrid_topk(
+        docs, emb, hqueries, k=5, oversample=4,
+        index_dir=_bm25_index(spark, docs, sf_dir),
+    ).select(
         F.lit("hybrid").alias("part"),
         qid_to_vec[F.col("query_id")].cast("long").alias("query_id"),
         F.col("doc_id").alias("neighbor_id"),
@@ -1681,20 +1707,9 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-flight bm25_topk by construction (shared scoring tail,
     # asserted in tests), so the oracle recomputes the full scoring
     # function unchanged.
-    import os as _os
+    from ..operators.text import bm25_search_index
 
-    from ..operators.text import bm25_build_index, bm25_search_index
-    from ..sources.registry import owned_ready, user_cache_dir
-
-    _src = _os.path.join(sf_dir, "documents.parquet")
-    _mt = int(_os.stat(_src).st_mtime) if _os.path.exists(_src) else 0
-    _base = f"{sf_dir.strip('/').replace('/', '_')}_{_mt}".replace(".", "_")
-    _idx = user_cache_dir("bm25-index", _base)
-    if not (
-        owned_ready(_os.path.join(_idx, "postings"))
-        and owned_ready(_os.path.join(_idx, "stats"))
-    ):
-        bm25_build_index(docs, "doc_id", "text", _idx)
+    _idx = _bm25_index(spark, docs, sf_dir)
     bm25_part = bm25_search_index(spark, _idx, BM25_QUERIES, k=10).select(
         F.lit("bm25").alias("part"),
         F.concat_ws(":", "query_id", F.col("doc_id").cast("string")).alias("s1"),

@@ -92,3 +92,18 @@ def test_hybrid_vec_id_spec_equals_literal_vec(spark):
             docs, emb,
             {"q": {"terms": ["hash"], "vec_id": 99_999_999}}, k=5,
         ).collect()
+
+
+def test_hybrid_index_backed_equals_inflight(spark, tmp_path):
+    from etl_football_analytics_pipeline_spark.operators.text import bm25_build_index
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    queries = _queries(spark)
+    idx = f"{tmp_path}/idx"
+    bm25_build_index(docs, "doc_id", "text", idx)
+    a = sorted(map(tuple, hybrid_topk(docs, emb, queries, k=5).collect()))
+    b = sorted(
+        map(tuple, hybrid_topk(docs, emb, queries, k=5, index_dir=idx).collect())
+    )
+    assert a == b
