@@ -374,12 +374,19 @@ def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON p.user_id = e.user_id
        AND p.ts <= e.ts + INTERVAL 30 MINUTE
        AND e.ts <= p.ts + INTERVAL 1 HOUR
+    ), ssjoin_part AS (
+      SELECT 'ssjoin' AS part, v.event_id, b.value AS v1, b.ts AS ts_right
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+        ON v.user_id = b.user_id
+       AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
     )
     SELECT * FROM json_part
     UNION ALL SELECT * FROM asof_part
     UNION ALL SELECT * FROM tol_part
     UNION ALL SELECT * FROM range_part
     UNION ALL SELECT * FROM overlap_part
+    UNION ALL SELECT * FROM ssjoin_part
     """,
 )
 def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,6 +410,12 @@ def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       leg's single latest match);
     - part='overlap': interval×interval overlap — purchase windows
       [ts, ts+1h] × error windows [ts, ts+30m] per user.
+    - part='ssjoin': the stream-stream interval join's batch form
+      (streaming.join.stream_stream_join — views × purchases within
+      1 h per user): the same function body the watermarked streams
+      execute, value-checked against the raw BETWEEN predicate; true
+      readStream parity (inner + sentinel-advanced left-outer) in
+      tests/test_streaming.py.
 
     100 TB shape: the as-of legs are the union + single key shuffle +
     partition-local running window documented in operators/asof.py;
@@ -475,9 +488,32 @@ def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_value").alias("v1"),
         F.col("e_start").alias("ts_right"),
     )
+    # part='ssjoin': the stream-stream interval join's BATCH FORM —
+    # the SAME function body the watermarked streams execute
+    # (streaming.join.stream_stream_join; true readStream parity in
+    # tests/test_streaming.py) run on batch frames, driver-checked
+    # against the raw BETWEEN predicate. views gain every same-user
+    # purchase within the following hour.
+    from ..streaming.join import stream_stream_join
+
+    ss_left = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    ss_right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    ssjoin_part = stream_stream_join(
+        ss_left, ss_right, on=["user_id"], within="1 hour"
+    ).select(
+        F.lit("ssjoin").alias("part"),
+        F.col("view_id").alias("event_id"),
+        F.col("value").alias("v1"),
+        F.col("ts_r").alias("ts_right"),
+    )
     return (
         json_part.unionByName(asof_part)
         .unionByName(tol_part)
         .unionByName(range_part)
         .unionByName(overlap_part)
+        .unionByName(ssjoin_part)
     )
