@@ -304,8 +304,32 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
       FROM sessions_ge
       GROUP BY user_id, session_id
+    ), fn1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), fn2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN fn1 ON e.user_id = fn1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= fn1.t1
+      GROUP BY e.user_id
+    ), fn3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN fn2 ON e.user_id = fn2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fn2.t2
+      GROUP BY e.user_id
+    ), funnel_form AS (
+      SELECT 'funnel' AS part, f1.user_id, CAST(NULL AS BIGINT) AS session_id,
+             CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_events,
+             CAST(t1 AS TIMESTAMP) AS session_start,
+             CAST(COALESCE(t3, t2, t1) AS TIMESTAMP) AS session_end,
+             CAST(CASE WHEN t3 IS NOT NULL THEN 1.0 ELSE 0.0 END AS DOUBLE) AS session_value
+      FROM fn1 f1
+      LEFT JOIN fn2 ON f1.user_id = fn2.user_id
+      LEFT JOIN fn3 ON f1.user_id = fn3.user_id
     )
     SELECT * FROM lag_form UNION ALL SELECT * FROM native_form
+    UNION ALL SELECT * FROM funnel_form
     """,
 )
 def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,7 +345,14 @@ def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       session end = last event + gap). Edge semantics: Spark merges
       only on strict window overlap, so an event exactly `gap` after
       its predecessor starts a NEW session — hence the oracle's
-      `>=` new-session test for this form vs `>` for the lag form."""
+      `>=` new-session test for this form vs `>` for the lag form;
+    - part='funnel': ordered-step conversion per user
+      (operators.funnel.funnel_steps — view→click→purchase,
+      earliest-anchor MIN semantics; step k counts only at-or-after
+      step k-1's anchor). n_events = contiguous depth reached,
+      session_start/end = first/deepest anchors, session_value =
+      converted flag. FULL value oracle: DuckDB replays the per-step
+      MIN-join cascade."""
     ev = _t(spark, sf_dir, "events")
     lag_form = _sessionize_lag_form(ev).select(
         F.lit("lag").alias("part"), "user_id", "session_id",
@@ -332,7 +363,24 @@ def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("session_id"),
         "n_events", "session_start", "session_end", "session_value",
     )
-    return lag_form.unionByName(native)
+    # part='funnel': ordered-step conversion (operators.funnel.
+    # funnel_steps, view→click→purchase, earliest-anchor semantics,
+    # unbounded horizon) — per entered user: depth as n_events, anchor
+    # times as session bounds, converted flag as session_value. One
+    # filtered aggregate + one keyed join per step; state per key is a
+    # timestamp per step, never a per-user event array.
+    from ..operators.funnel import funnel_steps
+
+    funnel_form = funnel_steps(ev, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("part"),
+        "user_id",
+        F.lit(None).cast("long").alias("session_id"),
+        F.col("steps_completed").cast("long").alias("n_events"),
+        F.col("t_first").alias("session_start"),
+        F.col("t_last").alias("session_end"),
+        F.when(F.col("converted"), 1.0).otherwise(0.0).alias("session_value"),
+    )
+    return lag_form.unionByName(native).unionByName(funnel_form)
 
 
 @query(
