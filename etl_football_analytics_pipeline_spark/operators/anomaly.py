@@ -1,0 +1,61 @@
+"""Trailing-window anomaly scores for metric series.
+
+The observability primitive over rollup tables: score each bucket of a
+keyed time series against its own recent history — z = (x − mean of
+the previous N buckets) / stddev of the same — so a pipeline can flag
+ingest-volume spikes/collapses per source, per event type, per tenant
+without fixed thresholds. Runs on the DENSE (gap-filled) series so
+"previous N rows" means "previous N buckets" even through silent hours
+(pair with streaming.windowed.gapfill_time).
+
+Reference scope: no counterpart (the reference has no time-series
+monitoring); extension surface alongside the rollup/gapfill tier.
+
+100 TB shape: one window pass partitioned by the series key —
+partition-parallel, state per key is the N-row frame, nothing global.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = ["trailing_zscore"]
+
+
+def trailing_zscore(
+    df: DataFrame,
+    bucket_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lookback: int = 24,
+    min_history: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Adds ``zscore``: the value's deviation from the trailing window
+    [bucket−lookback, bucket−1] in sample standard deviations, NULL
+    while history is shorter than ``min_history`` buckets or flat
+    (stddev 0 — a first deviation from a constant series is "infinite
+    sigma"; gate on it explicitly rather than dividing). The current
+    bucket is EXCLUDED from its own baseline, so a spike cannot mask
+    itself. Rounded to ``round_to`` dp (the trailing mean is an exact
+    integer-sum division for integer inputs; stddev is the one
+    engine-float term, which the boundary rounding absorbs)."""
+    if lookback < min_history:
+        raise ValueError("lookback must be >= min_history")
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.asc(bucket_col))
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= min_history) & (sd > 0),
+        F.round((F.col(value_col) - mu) / sd, round_to),
+    )
+    return df.withColumn("zscore", z)

@@ -149,17 +149,42 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE)
     FROM weekly
     UNION ALL
-    SELECT 'hour_gapfill', g.bucket, g.event_type,
-           CAST(COALESCE(h.n, 0) AS BIGINT),
-           last_value(CAST(CAST(h.v AS DECIMAL(18,2)) AS DOUBLE) IGNORE NULLS)
-             OVER (PARTITION BY g.event_type ORDER BY g.bucket)
+    SELECT 'hour_gapfill', bucket, event_type, n,
+           last_value(v IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY bucket)
     FROM (
-      SELECT k.event_type,
-             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
-      FROM (SELECT DISTINCT event_type FROM hourly) k
-      CROSS JOIN (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly) b
-    ) g
-    LEFT JOIN hourly h ON h.event_type = g.event_type AND h.bucket = g.bucket
+      SELECT g.event_type, g.bucket,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+             CAST(CAST(h.v AS DECIMAL(18,2)) AS DOUBLE) AS v
+      FROM (
+        SELECT k.event_type,
+               unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT DISTINCT event_type FROM hourly) k
+        CROSS JOIN (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly) b
+      ) g
+      LEFT JOIN hourly h ON h.event_type = g.event_type AND h.bucket = g.bucket
+    )
+    UNION ALL
+    SELECT 'hour_zscore', bucket, event_type, n,
+           CASE WHEN c >= 2 AND sd > 0 THEN ROUND((n - mu) / sd, 4) END
+    FROM (
+      SELECT event_type, bucket, n,
+             AVG(n) OVER w AS mu,
+             STDDEV_SAMP(n) OVER w AS sd,
+             COUNT(n) OVER w AS c
+      FROM (
+        SELECT g.event_type, g.bucket, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+        FROM (
+          SELECT k.event_type,
+                 unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+          FROM (SELECT DISTINCT event_type FROM hourly) k
+          CROSS JOIN (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly) b
+        ) g
+        LEFT JOIN hourly h ON h.event_type = g.event_type AND h.bucket = g.bucket
+      )
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
     """,
 )
 def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,17 +212,41 @@ def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour across the global [min, max] bucket range, absent hours
     synthesized with n_events=0 and total_value carried forward
     (LOCF; leading gaps stay NULL). Fully value-oracled — DuckDB
-    regenerates the grid and the carry-forward window."""
+    regenerates the grid and the carry-forward window.
+
+    part resolution='hour_zscore' adds the observability layer over
+    the dense series (operators.anomaly.trailing_zscore): each hour's
+    event count scored against the 24 preceding buckets' mean/stddev
+    (current bucket excluded from its own baseline; NULL while history
+    is <2 buckets or flat). total_value carries the 4dp z — the mean
+    is an exact integer-sum division, stddev the one engine-float term
+    the boundary rounding absorbs; fully value-oracled."""
     base = rollup_time(_t(spark, sf_dir, "events"))
     hourly = base.filter(F.col("resolution") == "hour").drop("resolution")
-    gap = gapfill_time(
+    dense = gapfill_time(
         hourly, "bucket", ["event_type"], step="1 hour",
         zero_fill=["n_events"], locf_fill=["total_value"],
-    ).select(
+    )
+    gap = dense.select(
         F.lit("hour_gapfill").alias("resolution"),
         "bucket", "event_type", "n_events", "total_value",
     )
-    return base.unionByName(gap)
+    # resolution='hour_zscore': trailing-window anomaly score
+    # (operators.anomaly.trailing_zscore) over the DENSE hourly counts
+    # — each bucket vs the 24 preceding buckets' mean/stddev, current
+    # bucket excluded from its own baseline; NULL while history < 2
+    # buckets or flat. total_value carries the 4dp z.
+    from ..operators.anomaly import trailing_zscore
+
+    zs = trailing_zscore(
+        dense.select("bucket", "event_type", "n_events"),
+        "bucket", ["event_type"], "n_events", lookback=24,
+    ).select(
+        F.lit("hour_zscore").alias("resolution"),
+        "bucket", "event_type", "n_events",
+        F.col("zscore").alias("total_value"),
+    )
+    return base.unionByName(gap).unionByName(zs)
 
 
 def _sessionize_lag_form(ev: DataFrame) -> DataFrame:

@@ -1,0 +1,58 @@
+"""trailing_zscore: baseline exclusion, history gating, determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.operators.anomaly import trailing_zscore
+
+
+def _series(spark, vals, key="a"):
+    rows = [
+        (key, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "k string, bucket timestamp, x double")
+
+
+def test_zscore_values_and_gates(spark):
+    import statistics
+
+    vals = [10, 10, 10, 10, 100]  # constant history then a spike
+    df = trailing_zscore(_series(spark, vals), "bucket", ["k"], "x", lookback=24)
+    rows = sorted(df.collect(), key=lambda r: r.bucket)
+    # bucket 0: no history -> NULL; bucket 1: one point -> NULL (min_history)
+    assert rows[0].zscore is None and rows[1].zscore is None
+    # buckets 2-4: history is flat (stddev 0) -> NULL, including the spike
+    assert rows[2].zscore is None and rows[3].zscore is None and rows[4].zscore is None
+    # non-flat history scores: [10, 20, 30] then 60
+    vals2 = [10, 20, 30, 60]
+    rows2 = sorted(
+        trailing_zscore(_series(spark, vals2), "bucket", ["k"], "x").collect(),
+        key=lambda r: r.bucket,
+    )
+    mu = statistics.mean([10, 20, 30])
+    sd = statistics.stdev([10, 20, 30])
+    assert rows2[3].zscore == round((60 - mu) / sd, 4)
+    # the current bucket is excluded from its own baseline: z of bucket 2
+    # uses [10, 20] only
+    assert rows2[2].zscore == round(
+        (30 - statistics.mean([10, 20])) / statistics.stdev([10, 20]), 4
+    )
+
+
+def test_zscore_per_key_and_deterministic(spark):
+    a = _series(spark, [1, 2, 3, 4, 50], key="a")
+    b = _series(spark, [5, 5, 5, 5, 5], key="b")
+    df = a.unionByName(b)
+    r1 = sorted(map(tuple, trailing_zscore(df, "bucket", ["k"], "x").collect()))
+    r2 = sorted(map(tuple, trailing_zscore(df.repartition(7), "bucket", ["k"], "x").collect()))
+    assert r1 == r2
+    zs = {(r[0], r[1]): r[3] for r in r1}
+    assert all(v is None for (k, _), v in zs.items() if k == "b")  # flat key
+    with pytest.raises(ValueError):
+        trailing_zscore(df, "bucket", ["k"], "x", lookback=1, min_history=2)
