@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["trailing_zscore"]
+__all__ = ["trailing_zscore", "decayed_sum"]
 
 
 def trailing_zscore(
@@ -59,3 +59,55 @@ def trailing_zscore(
         F.round((F.col(value_col) - mu) / sd, round_to),
     )
     return df.withColumn("zscore", z)
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    half_life: str = "1 day",
+    reference_ts=None,
+) -> DataFrame:
+    """Exponentially time-decayed sum per key: each observation
+    contributes ``value * 2^(-(t_ref − ts) / half_life)`` — the
+    recency-weighted score behind trending rankings, decayed
+    engagement counters, and freshness-weighted mixture weights.
+
+    ``reference_ts``: an explicit anchor (timestamp/str) applied to
+    every key, or None to anchor each key at its OWN latest event (the
+    freshest observation gets weight 1 per key — rank-comparable
+    across keys regardless of when they were last active).
+
+    Returns (keys..., decayed_sum double, t_reference timestamp).
+
+    100 TB shape: weights are a pure Column expression folded by ONE
+    map-side-combined aggregate; the per-key anchor form adds one
+    window max over the same key partitioning — no second scan of the
+    raw table. Float caveat: a distributed float sum is
+    order-dependent at the ulp level (unlike the engine's exact
+    decimal money sums), so compare with a tolerance downstream —
+    inherent to exponential weights, not a defect."""
+    # interval → seconds via epoch arithmetic (Spark has no
+    # extract(epoch FROM interval)); a timestamp cast to double IS its
+    # epoch second count
+    half_seconds = float(
+        df.sparkSession.sql(
+            f"SELECT CAST(timestamp'1970-01-01 00:00:00' + INTERVAL {half_life}"
+            " AS DOUBLE)"
+        ).collect()[0][0]
+    )
+    if half_seconds <= 0:
+        raise ValueError("half_life must be positive")
+    keys = list(key_cols)
+    if reference_ts is None:
+        w = W.partitionBy(*keys)
+        df = df.withColumn("__tref", F.max(ts_col).over(w))
+    else:
+        df = df.withColumn("__tref", F.lit(reference_ts).cast("timestamp"))
+    age = F.col("__tref").cast("double") - F.col(ts_col).cast("double")
+    weight = F.pow(F.lit(2.0), -age / F.lit(half_seconds))
+    return df.groupBy(*keys).agg(
+        F.sum(F.col(value_col) * weight).alias("decayed_sum"),
+        F.max("__tref").alias("t_reference"),
+    )

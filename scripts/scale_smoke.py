@@ -153,13 +153,33 @@ def temporal_section(spark, scale: int) -> str:
     t0 = time.time()
     n_ss = stream_stream_join(ssl, ssr, on=["user_id"], within="1 hour").count()
     t_ss = time.time() - t0
+    # funnel: one filtered aggregate + one keyed join per step over
+    # successively smaller frames — wall should track rows
+    from etl_football_analytics_pipeline_spark.operators.funnel import funnel_steps
+
+    t0 = time.time()
+    n_fun = funnel_steps(ev, ["view", "click", "purchase"]).count()
+    t_fun = time.time() - t0
+    # trailing z-score: one key-partitioned window over the dense
+    # hourly grid — grid size is range-bound, so wall should be ~flat
+    from etl_football_analytics_pipeline_spark.operators.anomaly import (
+        trailing_zscore,
+    )
+
+    t0 = time.time()
+    n_z = trailing_zscore(
+        gapfill_time(hourly, "bucket", ["event_type"], zero_fill=["n_events"]),
+        "bucket", ["event_type"], "n_events",
+    ).filter(F.col("zscore").isNotNull()).count()
+    t_z = time.time() - t0
     ev.unpersist()
     spark.catalog.clearCache()  # drop the rollup's materialized partials
     return (
         f"events={n_ev:8d}  asof={t_asof:5.1f}s (rows={n_asof})  "
         f"range={t_range:5.1f}s (pairs={n_range})  rollup={t_roll:5.1f}s (rows={n_roll})  "
         f"gapfill={t_gap:5.1f}s (rows={n_gap})  "
-        f"ssjoin={t_ss:5.1f}s (pairs={n_ss})"
+        f"ssjoin={t_ss:5.1f}s (pairs={n_ss})  "
+        f"funnel={t_fun:5.1f}s (entered={n_fun})  zscore={t_z:5.1f}s (scored={n_z})"
     )
 
 

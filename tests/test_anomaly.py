@@ -56,3 +56,45 @@ def test_zscore_per_key_and_deterministic(spark):
     assert all(v is None for (k, _), v in zs.items() if k == "b")  # flat key
     with pytest.raises(ValueError):
         trailing_zscore(df, "bucket", ["k"], "x", lookback=1, min_history=2)
+
+
+def test_decayed_sum_halving_and_anchors(spark):
+    from etl_football_analytics_pipeline_spark.operators.anomaly import decayed_sum
+
+    rows = [
+        # key a: events 0h, 24h, 48h with value 1 each (half_life 1 day)
+        ("a", dt.datetime(2024, 1, 1, 0), 1.0),
+        ("a", dt.datetime(2024, 1, 2, 0), 1.0),
+        ("a", dt.datetime(2024, 1, 3, 0), 1.0),
+        # key b: single old event — per-key anchor gives it weight 1
+        ("b", dt.datetime(2023, 1, 1, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    got = {r.k: r for r in decayed_sum(df, ["k"], "ts", "x", "1 day").collect()}
+    assert got["a"].decayed_sum == pytest.approx(1.0 + 0.5 + 0.25, abs=1e-9)
+    assert got["a"].t_reference == dt.datetime(2024, 1, 3)
+    assert got["b"].decayed_sum == pytest.approx(5.0, abs=1e-9)
+    # explicit global anchor: key b's weight collapses toward zero
+    anchored = {
+        r.k: r.decayed_sum
+        for r in decayed_sum(
+            df, ["k"], "ts", "x", "1 day", reference_ts="2024-01-03 00:00:00"
+        ).collect()
+    }
+    assert anchored["b"] == pytest.approx(0.0, abs=1e-6)
+    assert anchored["a"] == pytest.approx(1.0 + 0.5 + 0.25, abs=1e-9)
+
+
+def test_decayed_sum_deterministic_within_tolerance(spark):
+    from etl_football_analytics_pipeline_spark.operators.anomaly import decayed_sum
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(i % 7))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    a = decayed_sum(df, ["k"], "ts", "x", "6 hours").collect()[0].decayed_sum
+    b = decayed_sum(df.repartition(13), ["k"], "ts", "x", "6 hours").collect()[0].decayed_sum
+    assert a == pytest.approx(b, rel=1e-12)
+    with pytest.raises(Exception):
+        decayed_sum(df, ["k"], "ts", "x", "-1 day").collect()
