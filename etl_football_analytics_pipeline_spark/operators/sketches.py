@@ -103,8 +103,13 @@ def portable_hll_distinct(
     ).cast("long")
     reg = F.shiftright(h, c["wbits"])
     w = h.bitwiseAND(F.lit(c["wmask"]))
+    # NULLs never count toward a distinct estimate (native
+    # approx_count_distinct ignores them); without this filter md5(NULL)
+    # yields a NULL register row that inflates cnt by one and shrinks
+    # both the absent-register mass and the linear-counting v.
     regs = (
-        df.select(
+        df.filter(F.col(val_col).isNotNull())
+        .select(
             F.col(group_col).alias("key"),
             reg.alias("reg"),
             _rho(w, c["wbits"]).alias("rho"),

@@ -917,6 +917,13 @@ def bm25_build_index(
     words.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size("__w")).alias("sdl")
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    # per-doc (id, dl) sidecar — deletes compensate stats from THIS
+    # relation, not from postings: a doc whose text tokenizes to zero
+    # words has no postings rows but did contribute n+=1 at build time,
+    # and only the sidecar remembers it.
+    words.select("__id", F.size("__w").alias("__dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/docs")
 
 
 def bm25_append_index(
@@ -943,6 +950,9 @@ def bm25_append_index(
     words.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size("__w")).alias("sdl")
     ).write.mode("append").parquet(f"{index_dir}/stats")
+    words.select("__id", F.size("__w").alias("__dl")).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/docs")
 
 
 def bm25_search_index(
@@ -992,27 +1002,27 @@ def bm25_delete_from_index(
     before scoring, and the stats row it contributed is compensated by
     appending a NEGATIVE (n, sdl) row (the stats fold is a plain SUM,
     so compensation is exact). delete ≡ rebuild-without is asserted in
-    tests. Deleting an id that was never indexed is a no-op by the
-    same arithmetic ONLY if its compensation row is zero — so this
-    function recomputes (count, sum_dl) from the postings of the
-    doomed ids themselves, never trusting the caller."""
+    tests. The compensation derives from the LIVE per-doc sidecar
+    (``index_dir/docs`` anti-joined against existing tombstones), never
+    from the caller and never from raw postings, which makes three edge
+    cases exact: a never-indexed id contributes nothing, a zero-token
+    doc (no postings rows, but n+=1 at build) is still compensated, and
+    re-deleting an already-tombstoned id yields a zero row instead of
+    double-subtracting — repeated deletes are idempotent."""
     spark = df_or_ids.sparkSession
     ids = df_or_ids.select(F.col(id_col).alias("__id")).distinct()
-    # compensation from the index itself: one row per doomed doc
-    # exists per distinct term, so dl must collapse per doc first
-    doomed_docs = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .join(F.broadcast(ids), "__id", "left_semi")
-        .groupBy("__id")
-        .agg(F.min("__dl").alias("__dl"))
-    )
+    from .tombstones import append_tombstones, filter_tombstones
+
+    doomed_docs = filter_tombstones(
+        spark, index_dir, spark.read.parquet(f"{index_dir}/docs"), "__id"
+    ).join(F.broadcast(ids), "__id", "left_semi")
     comp = doomed_docs.agg(
         (-F.count(F.lit(1))).alias("n"),
         (-F.coalesce(F.sum("__dl"), F.lit(0))).alias("sdl"),
     )
-    from .tombstones import append_tombstones
-
-    comp.write.mode("append").parquet(f"{index_dir}/stats")
+    n_doomed, _ = comp.first()
+    if n_doomed != 0:  # no-op deletes (unknown or re-deleted ids) add no row
+        comp.write.mode("append").parquet(f"{index_dir}/stats")
     append_tombstones(ids, index_dir, "__id")
 
 

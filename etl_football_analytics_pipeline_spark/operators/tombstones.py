@@ -27,6 +27,18 @@ __all__ = ["append_tombstones", "filter_tombstones"]
 _DIRNAME = "tombstones"
 
 
+def _dir_exists(spark, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — a
+    driver-local ``os.path.isdir`` would be always-false for an index
+    on HDFS/S3 (or any path only executors can see), silently
+    resurrecting tombstoned ids. The FS resolved from the path's own
+    scheme answers for every filesystem Spark can read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def append_tombstones(ids: DataFrame, index_dir: str, id_col: str) -> None:
     """Record doomed ids under ``index_dir/tombstones`` (appended,
     deduplicated at read time — repeated deletes are idempotent)."""
@@ -44,7 +56,7 @@ def filter_tombstones(
     """``df`` minus tombstoned ids — a no-op (and no extra plan nodes)
     when the index has never seen a delete."""
     tomb_dir = os.path.join(index_dir, _DIRNAME)
-    if not os.path.isdir(tomb_dir):
+    if not _dir_exists(spark, tomb_dir):
         return df
     tomb = (
         spark.read.parquet(tomb_dir)

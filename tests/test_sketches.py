@@ -156,6 +156,24 @@ def test_portable_hll_partitioning_independent_and_bounded(spark):
             assert abs(est - exact[key]) / exact[key] < 0.10, (col, key, est)
 
 
+def test_portable_hll_ignores_nulls(spark):
+    """NULL values never count toward the distinct estimate (matching
+    native approx_count_distinct): without the not-null filter,
+    md5(NULL) makes a NULL register row that inflates cnt and skews
+    both correction branches."""
+    base = spark.createDataFrame(
+        [("a", i % 50) for i in range(500)], "key string, v int"
+    )
+    with_nulls = base.union(
+        spark.createDataFrame([("a", None)] * 25, "key string, v int")
+    )
+    a = portable_hll_distinct(base, "key", "v").collect()
+    b = portable_hll_distinct(with_nulls, "key", "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    all_null = spark.createDataFrame([("a", None)] * 5, "key string, v int")
+    assert portable_hll_distinct(all_null, "key", "v").collect() == []
+
+
 # ---------------------------------------------------------------------------
 # Portable count-min sketch + Misra-Gries heavy hitters
 # ---------------------------------------------------------------------------

@@ -610,6 +610,53 @@ def test_bm25_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
         map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
     )
     assert again == after
+    # re-deleting already-tombstoned ids is idempotent: the (n, sdl)
+    # compensation must come from the tombstone-filtered doc view, so a
+    # second delete appends no second negative stats row (a double
+    # subtraction would corrupt idf/avgdl for every later probe)
+    stats_before = spark.read.parquet(f"{idx}/stats").groupBy().sum().collect()
+    bm25_delete_from_index(doomed.withColumnRenamed("doc_id", "__id"), idx)
+    stats_after = spark.read.parquet(f"{idx}/stats").groupBy().sum().collect()
+    assert stats_after == stats_before
+    twice = sorted(
+        map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
+    )
+    assert twice == after
+
+
+def test_bm25_delete_zero_token_doc_compensates_stats(spark, tmp_path):
+    """A doc whose text tokenizes to zero words has no postings rows
+    but contributed n+=1 at build time; delete must still compensate n
+    (from the per-doc sidecar) or idf/avgdl skew — delete ≡
+    rebuild-without for empty docs too."""
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_delete_from_index,
+        bm25_search_index,
+        bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hash join scan"), (2, "hash table probe"), (3, "...!!!"),
+         (4, "join merge hash")],
+        "doc_id long, text string",
+    )
+    idx = f"{tmp_path}/idx"
+    bm25_build_index(df, "doc_id", "text", idx)
+    bm25_delete_from_index(spark.createDataFrame([(3,)], "__id long"), idx)
+    n, sdl = spark.read.parquet(f"{idx}/stats").groupBy().agg(
+        F.sum("n"), F.sum("sdl")
+    ).first()
+    assert (n, sdl) == (3, 9)
+    queries = {"q": ["hash", "join"]}
+    after = sorted(map(tuple, bm25_search_index(spark, idx, queries, k=5).collect()))
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(df.filter("doc_id != 3"), "doc_id", "text", queries, k=5).collect(),
+        )
+    )
+    assert after == want
 
 
 def test_bm25_absent_and_repeated_query_terms(spark):
