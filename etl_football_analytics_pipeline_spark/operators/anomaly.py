@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["trailing_zscore", "decayed_sum"]
+__all__ = ["trailing_zscore", "decayed_sum", "decayed_sum_exact"]
 
 
 def trailing_zscore(
@@ -110,4 +110,64 @@ def decayed_sum(
     return df.groupBy(*keys).agg(
         F.sum(F.col(value_col) * weight).alias("decayed_sum"),
         F.max("__tref").alias("t_reference"),
+    )
+
+
+def decayed_sum_exact(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    reference_ts: str,
+    horizon_days: int = 35,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """`decayed_sum`'s DETERMINISTIC twin: daily half-life decay with
+    weights restricted to exact powers of two, observations bucketed
+    by whole-day age — the tier a value oracle (or any bit-for-bit
+    replay) can check, where the continuous form's float sum is
+    order-dependent at the ulp level.
+
+    Each observation contributes ``value · 2^(−k)``, k = its age in
+    whole days at the pinned ``reference_ts`` anchor; events older
+    than ``horizon_days`` (or after the anchor) are out of scope.
+    Exactness: the value is scaled to an integer (``value_decimals``
+    fixed decimals), per-(key, k) integer sums fold first, and the
+    cross-k combination runs in DECIMAL(38,0) with each term
+    ``S_k · 2^(horizon−k)`` — integer arithmetic end to end; the one
+    double appears at the output boundary (cast + one division by the
+    constant ``scale · 2^horizon``, identical operands in any engine,
+    then 4dp rounding). Bounds: |S_k| ≤ 1e10-ish per day and
+    horizon ≤ 90 keep every term under DECIMAL(38,0).
+
+    Returns (keys..., n_events long, decayed_sum double,
+    t_reference timestamp).
+
+    100 TB shape: same as `decayed_sum` — one map-side-combined
+    aggregate to (key, k) partials (≤ horizon_days rows per key),
+    then a second tiny fold; no window, no second scan."""
+    if not 0 < horizon_days <= 90:
+        raise ValueError("horizon_days must be in (0, 90] for DECIMAL(38,0) headroom")
+    keys = list(key_cols)
+    scale = 10 ** value_decimals
+    tref = F.lit(reference_ts).cast("timestamp")
+    age = tref.cast("double") - F.col(ts_col).cast("double")
+    k = F.floor(age / F.lit(86400.0)).cast("int")
+    partials = (
+        df.withColumn("__k", k)
+        .filter((F.col("__k") >= 0) & (F.col("__k") <= horizon_days))
+        .groupBy(*keys, "__k")
+        .agg(
+            F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    term = F.col("__s").cast("decimal(38,0)") * F.pow(
+        F.lit(2.0), F.lit(horizon_days) - F.col("__k")
+    ).cast("decimal(38,0)")
+    denom = float(scale * (2 ** horizon_days))
+    return partials.groupBy(*keys).agg(
+        F.sum("__n").alias("n_events"),
+        F.round(F.sum(term).cast("double") / F.lit(denom), 4).alias("decayed_sum"),
+        F.max(tref).alias("t_reference"),
     )

@@ -76,20 +76,40 @@ def _token_hashes(
     operators.dedup uses, what lets a DuckDB oracle recompute every
     feature bucket and value-check corpus-wide scoring."""
     safe = F.coalesce(F.col(text_col), F.lit(""))
-    tok_hash = (
-        "cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint)"
-        if portable
-        else "xxhash64(w)"
-    )
-    return (
-        spread(df)
-        .withColumn("__words", F.split(normalized_text(safe), " "))
-        .select(
+    base = spread(df).withColumn("__words", F.split(normalized_text(safe), " "))
+    if not portable:
+        return base.select(
             *id_cols,
             F.spark_partition_id().alias("__pid"),
-            F.expr(f"transform(__words, w -> {tok_hash})").alias("__h"),
+            F.expr("transform(__words, w -> xxhash64(w))").alias("__h"),
         )
+    # portable tier: md5 inside an interpreted transform() lambda is
+    # ~20µs/token; hashlib computes the identical digest batch-side in
+    # an Arrow hop, and hashing HERE (not in the consumer kernels)
+    # keeps quality_train's persisted frame holding longs, so training
+    # iterations never re-hash
+    words = base.select(
+        *id_cols, F.spark_partition_id().alias("__pid"), F.col("__words").alias("__w")
     )
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [words.schema[c] for c in id_cols]
+        + [StructField("__pid", IntegerType()), StructField("__h", ArrayType(LongType()))]
+    )
+
+    def hash_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__h"] = pdf["__w"].map(
+                lambda ws: [int(md5(w.encode()).hexdigest()[:8], 16) for w in ws]
+            )
+            yield pdf[[*id_cols, "__pid", "__h"]]
+
+    return words.mapInPandas(hash_tokens, schema)
 
 
 def _flat_buckets(

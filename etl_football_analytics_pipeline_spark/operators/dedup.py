@@ -92,19 +92,45 @@ def gram_hashes(
     without overflowing a signed 64-bit int in EITHER engine. Hash
     collisions merely merge gram identities identically on both sides
     (jaccard formulas are mirrored on the same multiset), so
-    portability never depends on collision-freeness."""
+    portability never depends on collision-freeness.
+
+    Physically the two tiers hash in different places: xxhash64 rides
+    the JVM transform() (codegen keeps it nearly free), but md5 inside
+    an interpreted higher-order lambda measured ~6× the ENTIRE xxhash
+    tier at sf0.1 — so the portable tier builds the distinct gram
+    strings JVM-side and hashes them in an Arrow-batched kernel
+    (hashlib md5 is the same digest, value-identical by construction,
+    asserted in tests/test_dedup.py)."""
     words = F.split(normalized_text(text_col), " ")
-    gram_hash = (
-        "cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)"
-        if portable
-        else "xxhash64(g)"
-    )
-    return spread(df).withColumn("__words", words).select(
+    if not portable:
+        return spread(df).withColumn("__words", words).select(
+            F.col(id_col),
+            F.expr(
+                f"transform(array_distinct({_ngram_sql('__words', n)}), g -> xxhash64(g))"
+            ).alias("__gh"),
+        )
+    grams = spread(df).withColumn("__words", words).select(
         F.col(id_col),
-        F.expr(
-            f"transform(array_distinct({_ngram_sql('__words', n)}), g -> {gram_hash})"
-        ).alias("__gh"),
+        F.array_distinct(F.expr(_ngram_sql("__words", n))).alias("__g"),
     )
+
+    def hash_grams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__gh": pdf["__g"].map(
+                        lambda gs: [
+                            int(md5(g.encode()).hexdigest()[:8], 16) for g in gs
+                        ]
+                    ),
+                }
+            )
+
+    return grams.mapInPandas(hash_grams, f"{id_col} long, __gh array<long>")
 
 
 def _with_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -991,28 +1017,49 @@ def simhash(
       (4 fewer signature bits), a few % more cycles per word.
     """
     n_bits = 60 if portable else 64
-    word_hash = (
-        "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"
-        if portable
-        else "xxhash64(w)"
-    )
+    # production: xxhash64 codegens inside the JVM transform (nearly
+    # free); portable: md5 in an interpreted lambda is the single most
+    # expensive expression the engine ever ran, so the words go to the
+    # kernel as STRINGS and hashlib computes the identical digest
+    # batch-side (low 60 bits = first 15 hex chars, value-identical).
     hashed = (
         spread(df)
         .withColumn("__words", F.split(normalized_text(text_col), " "))
-        .select(F.col(id_col), F.expr(f"transform(__words, w -> {word_hash})").alias("__h"))
+        .select(
+            F.col(id_col),
+            (
+                F.col("__words")
+                if portable
+                else F.expr("transform(__words, w -> xxhash64(w))")
+            ).alias("__h"),
+        )
     )
     shifts = np.arange(n_bits, dtype=np.uint64)
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        md5 = hashlib.md5
         for pdf in batches:
             if pdf.empty:
                 continue
             # flatten all word hashes, unpack 64 bit-planes once, and
             # take segmented per-doc vote sums — no per-doc python loop
             lens = pdf["__h"].map(len).to_numpy()
-            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in pdf["__h"]]).view(
-                np.uint64
-            )
+            if portable:
+                flat = np.fromiter(
+                    (
+                        int(md5(w.encode()).hexdigest()[:15], 16)
+                        for ws in pdf["__h"]
+                        for w in ws
+                    ),
+                    dtype=np.uint64,
+                    count=int(lens.sum()),
+                )
+            else:
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in pdf["__h"]]
+                ).view(np.uint64)
             bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             ones = np.add.reduceat(bits, starts, axis=0)  # docs × 64

@@ -38,6 +38,7 @@ __all__ = [
     "portable_cms",
     "portable_cms_point",
     "misra_gries_topk",
+    "misra_gries_point_est",
     "CMS_D",
     "CMS_W",
 ]
@@ -322,4 +323,26 @@ def misra_gries_topk(
     return spark.createDataFrame(
         [(v, c, total_dec) for v, c in rows],
         "value string, est long, err_bound long",
+    )
+
+
+def misra_gries_point_est(
+    df: DataFrame, val_col: str, queries: list[str], k: int = 64
+) -> DataFrame:
+    """Point lookups into a merged Misra-Gries summary for a FIXED
+    query set: (q, est, err_bound) with est NULL when q did not
+    survive the summary, err_bound the summary's total decrement
+    weight on every row (so an absent value's true count is provably
+    ≤ err_bound, and a present value's is in [est, est + err_bound]).
+
+    Driver-bounded by construction — the summary misra_gries_topk
+    returns is at most k rows, so reading it here costs O(k); the
+    result is a literal frame ready to broadcast-join against an
+    exact-count referee (no global aggregate, no extra shuffle)."""
+    rows = misra_gries_topk(df, val_col, k).collect()
+    err = rows[0].err_bound if rows else 0
+    got = {r.value: r.est for r in rows}
+    return df.sparkSession.createDataFrame(
+        [(q, got.get(q), err) for q in queries],
+        "q string, est long, err_bound long",
     )

@@ -185,6 +185,21 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
+    UNION ALL
+    SELECT 'decay', TIMESTAMP '2024-01-31 00:00:00', event_type,
+           CAST(SUM(n) AS BIGINT),
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(38,0)) * CAST(POW(2, 35 - k) AS DECIMAL(38,0))) AS DOUBLE)
+                 / (100.0 * 34359738368.0), 4)
+    FROM (
+      SELECT event_type,
+             CAST(FLOOR((epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts)) / 86400.0) AS INT) AS k,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    WHERE k BETWEEN 0 AND 35
+    GROUP BY event_type
     """,
 )
 def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,7 +261,26 @@ def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "event_type", "n_events",
         F.col("zscore").alias("total_value"),
     )
-    return base.unionByName(gap).unionByName(zs)
+    # resolution='decay': time-decayed engagement score per event_type
+    # (operators.anomaly.decayed_sum_exact — the deterministic
+    # power-of-two tier of decayed_sum, daily half-life, pinned anchor
+    # one day past the synthetic stream's range). bucket carries the
+    # anchor, total_value the 4dp decayed sum; integer/decimal
+    # arithmetic end to end makes it fully value-oracled where the
+    # continuous-weight form is float-order-dependent.
+    from ..operators.anomaly import decayed_sum_exact
+
+    decay = decayed_sum_exact(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "value",
+        reference_ts="2024-01-31 00:00:00",
+    ).select(
+        F.lit("decay").alias("resolution"),
+        F.col("t_reference").cast(base.schema["bucket"].dataType).alias("bucket"),
+        "event_type",
+        "n_events",
+        F.col("decayed_sum").alias("total_value"),
+    )
+    return base.unionByName(gap).unionByName(zs).unionByName(decay)
 
 
 def _sessionize_lag_form(ev: DataFrame) -> DataFrame:
@@ -324,14 +358,24 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
-    ), lag_form AS (
-      SELECT 'lag' AS part, user_id, session_id,
+    ), lag_sessions AS (
+      SELECT user_id, session_id,
              COUNT(*) AS n_events,
              CAST(MIN(ts) AS TIMESTAMP) AS session_start,
              CAST(MAX(ts) AS TIMESTAMP) AS session_end,
              CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
       FROM sessions
       GROUP BY user_id, session_id
+    ), lag_form AS (
+      SELECT 'lag' AS part, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS sq_events,
+             MIN(session_start) AS session_start,
+             MAX(session_end) AS session_end,
+             CAST(CAST(SUM(CAST(session_value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
+      FROM lag_sessions
+      GROUP BY user_id
     ), gaps_ge AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -345,14 +389,24 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                        ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps_ge
-    ), native_form AS (
-      SELECT 'native' AS part, user_id, CAST(NULL AS BIGINT) AS session_id,
+    ), native_sessions AS (
+      SELECT user_id, session_id,
              COUNT(*) AS n_events,
              CAST(MIN(ts) AS TIMESTAMP) AS session_start,
              CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
              CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
       FROM sessions_ge
       GROUP BY user_id, session_id
+    ), native_form AS (
+      SELECT 'native' AS part, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS sq_events,
+             MIN(session_start) AS session_start,
+             MAX(session_end) AS session_end,
+             CAST(CAST(SUM(CAST(session_value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
+      FROM native_sessions
+      GROUP BY user_id
     ), fn1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
       WHERE event_type = 'view' GROUP BY user_id
@@ -367,9 +421,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.event_type = 'purchase' AND e.ts >= fn2.t2
       GROUP BY e.user_id
     ), funnel_form AS (
-      SELECT 'funnel' AS part, f1.user_id, CAST(NULL AS BIGINT) AS session_id,
+      SELECT 'funnel' AS part, f1.user_id, CAST(NULL AS BIGINT) AS n_sessions,
              CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_events,
+             CAST(NULL AS BIGINT) AS sq_events,
              CAST(t1 AS TIMESTAMP) AS session_start,
              CAST(COALESCE(t3, t2, t1) AS TIMESTAMP) AS session_end,
              CAST(CASE WHEN t3 IS NOT NULL THEN 1.0 ELSE 0.0 END AS DOUBLE) AS session_value
@@ -401,17 +456,37 @@ def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       step k-1's anchor). n_events = contiguous depth reached,
       session_start/end = first/deepest anchors, session_value =
       converted flag. FULL value oracle: DuckDB replays the per-step
-      MIN-join cascade."""
+      MIN-join cascade.
+
+    The lag/native parts EMIT per-user rollups of their per-session
+    frames (n_sessions, total/sum-of-squares event counts, span,
+    exact-decimal value): with a ~1 event/session gap distribution
+    the per-session frame is corpus-sized, and ~190k collected rows
+    were pure harness cost (~2.6 s/round, SCALE.md). The rollup is
+    boundary-sensitive — moving one event across a session boundary
+    changes sq_events, splitting/merging changes n_sessions — so the
+    oracle's bit-for-bit hash still checks every sessionization
+    decision, at 1500 rows per part instead of 95k."""
     ev = _t(spark, sf_dir, "events")
-    lag_form = _sessionize_lag_form(ev).select(
-        F.lit("lag").alias("part"), "user_id", "session_id",
-        "n_events", "session_start", "session_end", "session_value",
-    )
-    native = session_agg(ev, "30 minutes").select(
-        F.lit("native").alias("part"), "user_id",
-        F.lit(None).cast("long").alias("session_id"),
-        "n_events", "session_start", "session_end", "session_value",
-    )
+
+    def per_user(sessions: DataFrame, part: str) -> DataFrame:
+        return sessions.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("n_events") * F.col("n_events")).alias("sq_events"),
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum(F.col("session_value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("session_value"),
+        ).select(
+            F.lit(part).alias("part"), "user_id", "n_sessions", "n_events",
+            "sq_events", "session_start", "session_end", "session_value",
+        )
+
+    lag_form = per_user(_sessionize_lag_form(ev), "lag")
+    native = per_user(session_agg(ev, "30 minutes"), "native")
     # part='funnel': ordered-step conversion (operators.funnel.
     # funnel_steps, view→click→purchase, earliest-anchor semantics,
     # unbounded horizon) — per entered user: depth as n_events, anchor
@@ -423,8 +498,9 @@ def events_session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel_form = funnel_steps(ev, ["view", "click", "purchase"]).select(
         F.lit("funnel").alias("part"),
         "user_id",
-        F.lit(None).cast("long").alias("session_id"),
+        F.lit(None).cast("long").alias("n_sessions"),
         F.col("steps_completed").cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("sq_events"),
         F.col("t_first").alias("session_start"),
         F.col("t_last").alias("session_end"),
         F.when(F.col("converted"), 1.0).otherwise(0.0).alias("session_value"),

@@ -34,6 +34,7 @@ from ..functions.cleaning import (
 from ..operators.sketches import (
     CMS_D,
     CMS_W,
+    misra_gries_point_est,
     phll_constants,
     portable_cms,
     portable_cms_point,
@@ -46,6 +47,11 @@ from ..operators.sketches import (
 CMS_QUERIES = ["0", "7", "13", "42", "99"]
 _CMS_QUERY_VALUES = ", ".join(f"('{q}')" for q in CMS_QUERIES)
 _CMS_QUERY_IN = ", ".join(f"'{q}'" for q in CMS_QUERIES)
+# Misra-Gries point queries over the l_quantity domain (integral 1..50
+# doubles in the synthetic TPC-H-ish data — both engines' int cast is
+# exact). Literal so the oracle mirrors them.
+MG_QUERIES = ["1", "10", "25", "38", "50"]
+_MG_QUERY_VALUES = ", ".join(f"('{q}')" for q in MG_QUERIES)
 from ..sources.bucketed import write_bucketed
 from ..sources.registry import load_table
 from .registry import query
@@ -794,6 +800,13 @@ def _sketch_oracle() -> str:
     SELECT 'phll', key, ph.est, CAST(ex.ns AS DOUBLE) FROM ph JOIN ex USING (key)
     UNION ALL
     SELECT part, key, v1, v2 FROM pcms
+    UNION ALL
+    SELECT 'mg', q, CAST(COALESCE(c, 0) AS DOUBLE), CAST(1.0 AS DOUBLE)
+    FROM (VALUES {_MG_QUERY_VALUES}) AS mq(q)
+    LEFT JOIN (
+      SELECT CAST(CAST(l_quantity AS INT) AS VARCHAR) AS q, COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ) mx USING (q)
     """
 
 
@@ -847,8 +860,13 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators/sketches.portable_cms) — md5-addressed d×w counter
       relation, point estimates for the literal CMS_QUERIES (v1) next
       to the exact counts (v2), both fully value-oracled; the
-      heavy-hitters / point-frequency member of the portable family
-      (misra_gries_topk is its bounded-memory library twin)."""
+      heavy-hitters / point-frequency member of the portable family.
+    - part='mg' (since r6): Misra-Gries heavy hitters
+      (operators/sketches.misra_gries_topk via misra_gries_point_est)
+      probed at the literal MG_QUERIES — exact-referee counts plus the
+      theory-guaranteed bound flag (see the inline comment at the
+      build site); the bounded-memory, zero-shuffle member of the
+      family."""
     li = _t(spark, sf_dir, "lineitem")
     key = F.col("l_returnflag").alias("key")
     # Plan shape: NO multi-distinct expand anywhere. Each exact
@@ -948,9 +966,42 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("v2"),
         )
     )
+    # part='mg': Misra-Gries heavy hitters (operators/sketches.
+    # misra_gries_topk — k-counter summaries per partition, one
+    # bounded merge, NO shuffle at all) probed at the literal
+    # MG_QUERIES over the l_quantity domain. The summary itself is
+    # partitioning-dependent (any MG summary is), so the registered
+    # row emits only its deterministic consequences — v1 = the exact
+    # count referee, v2 = the theory-guaranteed flag (present: est is
+    # a lower bound within err_bound of truth; absent: the true count
+    # can't exceed the summary's total decrement weight) — the same
+    # exact-referee + bound-flag contract as the native HLL parts.
+    qvals = li.select(F.col("l_quantity").cast("int").cast("string").alias("q"))
+    mg_pts = misra_gries_point_est(qvals, "q", MG_QUERIES, k=16)
+    mg_exact = (
+        qvals.filter(F.col("q").isin(MG_QUERIES))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mg_c = F.coalesce(F.col("c"), F.lit(0))
+    mg = (
+        mg_pts.join(F.broadcast(mg_exact), "q", "left")
+        .select(
+            F.lit("mg").alias("part"),
+            F.col("q").alias("key"),
+            mg_c.cast("double").alias("v1"),
+            _bound_flag(
+                F.when(
+                    F.col("est").isNotNull(),
+                    (F.col("est") <= mg_c)
+                    & (mg_c <= F.col("est") + F.col("err_bound")),
+                ).otherwise(mg_c <= F.col("err_bound")),
+            ).alias("v2"),
+        )
+    )
     return (
         hll.unionByName(pct).unionByName(hllds)
-        .unionByName(phll).unionByName(pcms)
+        .unionByName(phll).unionByName(pcms).unionByName(mg)
     )
 
 

@@ -98,3 +98,65 @@ def test_decayed_sum_deterministic_within_tolerance(spark):
     assert a == pytest.approx(b, rel=1e-12)
     with pytest.raises(Exception):
         decayed_sum(df, ["k"], "ts", "x", "-1 day").collect()
+
+
+def test_decayed_sum_exact_values_and_partitioning_independence(spark):
+    """The deterministic power-of-two tier: bit-identical under any
+    layout (integer/decimal arithmetic end to end), exact hand-checked
+    weights, horizon + future events excluded."""
+    from etl_football_analytics_pipeline_spark.operators.anomaly import (
+        decayed_sum_exact,
+    )
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 30, 12), 10.00),   # k=0 → w=1
+        ("a", dt.datetime(2024, 1, 29, 12), 10.00),   # k=1 → w=1/2
+        ("a", dt.datetime(2024, 1, 28, 12), 4.00),    # k=2 → w=1/4
+        ("a", dt.datetime(2020, 1, 1, 0), 99.0),      # beyond horizon → dropped
+        ("a", dt.datetime(2024, 2, 5, 0), 99.0),      # after anchor → dropped
+        ("b", dt.datetime(2024, 1, 30, 23, 59), 7.77),  # k=0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    out = {
+        r.k: r
+        for r in decayed_sum_exact(
+            df, ["k"], "ts", "x", "2024-01-31 00:00:00"
+        ).collect()
+    }
+    assert out["a"].n_events == 3
+    assert out["a"].decayed_sum == pytest.approx(10.0 + 5.0 + 1.0, abs=0)
+    assert out["b"].decayed_sum == pytest.approx(7.77, abs=0)
+    again = {
+        r.k: r.decayed_sum
+        for r in decayed_sum_exact(
+            df.repartition(13), ["k"], "ts", "x", "2024-01-31 00:00:00"
+        ).collect()
+    }
+    assert {k: v.decayed_sum for k, v in out.items()} == again
+    with pytest.raises(ValueError):
+        decayed_sum_exact(df, ["k"], "ts", "x", "2024-01-31", horizon_days=500)
+
+
+def test_decayed_sum_exact_tracks_continuous_form(spark):
+    """On day-aligned events the power-of-two tier IS the continuous
+    halving sum — the deterministic tier approximates, not replaces,
+    the library op."""
+    from etl_football_analytics_pipeline_spark.operators.anomaly import (
+        decayed_sum,
+        decayed_sum_exact,
+    )
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 28, 0), 8.0),
+        ("k", dt.datetime(2024, 1, 29, 0), 8.0),
+        ("k", dt.datetime(2024, 1, 30, 0), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    cont = decayed_sum(
+        df, ["k"], "ts", "x", "1 day", reference_ts="2024-01-30 00:00:00"
+    ).collect()[0].decayed_sum
+    ex = decayed_sum_exact(
+        df, ["k"], "ts", "x", "2024-01-30 00:00:00"
+    ).collect()[0].decayed_sum
+    assert ex == pytest.approx(cont, abs=1e-4)
+    assert ex == pytest.approx(8.0 + 4.0 + 2.0, abs=0)

@@ -278,3 +278,30 @@ def test_misra_gries_bounded_rows_per_partition(spark):
     )
     out = misra_gries_topk(df, "x", k=8)
     assert out.count() <= 8
+
+
+def test_misra_gries_point_est_bounds(spark):
+    """Point lookups honor the MG theory on a skewed stream: a value
+    past the n/(k+1) threshold survives with a sandwich bound
+    [est, est+err]; an absent value's true count is ≤ err_bound; the
+    frame is literal (broadcast-join ready, no extra shuffle)."""
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        misra_gries_point_est,
+    )
+
+    rows = [("hot",)] * 5000 + [(f"v{i % 400}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, "q string").repartition(8)
+    pts = {
+        r.q: r
+        for r in misra_gries_point_est(df, "q", ["hot", "v7", "zzz"], k=8).collect()
+    }
+    exact = {"hot": 5000, "v7": 10, "zzz": 0}
+    hot = pts["hot"]
+    assert hot.est is not None  # freq 5000 > 9000/9 → guaranteed survivor
+    assert hot.est <= exact["hot"] <= hot.est + hot.err_bound
+    for q in ("v7", "zzz"):
+        r = pts[q]
+        if r.est is None:
+            assert exact[q] <= r.err_bound
+        else:
+            assert r.est <= exact[q] <= r.est + r.err_bound
