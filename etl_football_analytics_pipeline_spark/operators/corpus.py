@@ -230,7 +230,10 @@ def pack_sequences(
             df.select(id_col, tokens_col)
             .repartitionByRange(parts, F.asc(id_col))
             .withColumn("__pid", F.spark_partition_id())
-            .cache()
+            # localCheckpoint (not cache): pins the materialized
+            # partition ids AND releases storage when the frame is
+            # dropped — a cache() entry would outlive the call
+            .localCheckpoint()
         )
         return _pack_bucketed(bucketed, id_col, tokens_col, seq_len)
     mn, mx = df.agg(F.min(id_col), F.max(id_col)).first()

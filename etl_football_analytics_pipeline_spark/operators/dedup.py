@@ -165,7 +165,12 @@ def ngram_jaccard_pairs(
     (minhash_lsh_candidates), not all pairs; here it doubles as the
     exact baseline the probabilistic ops are judged against.
     """
-    grams = _with_grams(df, id_col, text_col, n).cache()
+    # localCheckpoint, not cache(): both sides of the self-join reuse
+    # the materialized grams, and checkpoint blocks are freed by the
+    # ContextCleaner when the frame is dropped — cache() entries live
+    # in the shared CacheManager until someone remembers to unpersist,
+    # leaking executor storage across a long-lived session
+    grams = _with_grams(df, id_col, text_col, n).localCheckpoint()
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = grams.select(F.col("__id").alias("id_a"), "gram")
     b = grams.select(F.col("__id").alias("id_b"), "gram")
@@ -619,7 +624,8 @@ def minhash_dedup_pairs(
     hash-partitioned on the join key (AQE can still split skewed
     keys)."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+    # localCheckpoint: reused by candidates + est scoring, released on GC
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
     cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
     return minhash_est_pairs(sigs, cand, id_col, num_hashes, threshold)
 
@@ -827,7 +833,7 @@ def minhash_index_probe(
         new_docs, id_col, text_col, num_hashes, shingle_n,
         grams=gram_hashes(new_docs, id_col, text_col, shingle_n, portable),
         keep_grams=True, portable=portable,
-    ).cache()
+    ).localCheckpoint()  # reused by banding + verify; freed on GC
     nb = band_buckets(
         frame_new.select(id_col, "signature"), id_col, num_bands, rows_per_band, portable
     )
@@ -1101,7 +1107,7 @@ def simhash_near_pairs(
     buckets = (
         sim.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(chunk_structs).alias("c"))
         .select("__id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-        .cache()
+        .localCheckpoint()  # both join sides reuse it; freed on GC
     )
     a = buckets.select(F.col("__id").alias("id_a"), F.col("simhash").alias("__sh_a"), "ci", "cv")
     b = buckets.select(F.col("__id").alias("id_b"), F.col("simhash").alias("__sh_b"), "ci", "cv")

@@ -86,7 +86,10 @@ def zip_with_index(
     ranged = (
         df.repartitionByRange(parts, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        # localCheckpoint: pins the partition ids both passes read (a
+        # recompute could re-plan them) and releases its blocks on GC
+        # instead of squatting in the CacheManager
+        .localCheckpoint()
     )
     # pass 1: per-partition cardinalities → driver prefix sums (one
     # long per partition crosses the wire, nothing else)

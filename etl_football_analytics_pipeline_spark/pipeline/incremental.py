@@ -130,9 +130,12 @@ def merge_into_raw(
                 new_df.dropDuplicates()
             )
 
-    # materialize before overwriting the path the plan reads from
-    staged = merged.cache()
-    staged.count()
+    # materialize before overwriting the path the plan reads from.
+    # localCheckpoint, NOT cache(): a cached partition can be evicted
+    # under memory pressure and lazily recomputed — from a path this
+    # writer is about to overwrite; checkpoint blocks are real copies,
+    # and they release on GC instead of leaking in the CacheManager
+    staged = merged.localCheckpoint()
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         writer = staged.write.mode("overwrite")

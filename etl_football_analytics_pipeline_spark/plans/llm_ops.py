@@ -391,7 +391,7 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", 64, shingle_n=2,
         grams=gram_hashes(docs, "doc_id", "text", 2, portable=True),
         keep_grams=True, portable=True,
-    ).cache()
+    ).localCheckpoint()  # shared by all three legs; freed on GC (no CacheManager entry)
     cand = minhash_lsh_candidates(
         frame, "doc_id", num_bands=16, rows_per_band=4, portable=True
     )
@@ -1183,7 +1183,7 @@ def mm_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning scales with input (fixed min_partitions=1 would
     # serialize the decode kernels once n grows with the sf tag)
     parts = max(1, min(32, n // 100))
-    images = synthetic_images(spark, n=n, width=16, height=32).cache()
+    images = synthetic_images(spark, n=n, width=16, height=32).localCheckpoint()
     stats = image_stats(images, min_partitions=parts)
     frames = (
         frame_sample(images, every_k=4, min_partitions=parts)
@@ -1266,10 +1266,12 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned equal to the resize∘histogram composition in tests
     feats = image_feature_pipeline(
         base.unionByName(dups), 16, 12, min_partitions=parts
-    ).cache()
-    # cache: all_pairs_cosine evaluates its input twice (driver collect
-    # for the broadcast matrix + the distributed batch pass); without
-    # this the generate+feature kernel chain runs twice end-to-end
+    ).localCheckpoint()
+    # localCheckpoint: all_pairs_cosine evaluates its input twice
+    # (driver collect for the broadcast matrix + the distributed batch
+    # pass); without materialization the generate+feature kernel chain
+    # runs twice end-to-end, and unlike cache() the checkpoint blocks
+    # are released when the frame is garbage-collected
     return all_pairs_cosine(feats, "id", "embedding", threshold=0.999, min_partitions=parts)
 
 

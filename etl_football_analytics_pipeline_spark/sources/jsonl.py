@@ -48,10 +48,11 @@ def split_corrupt(
     Spark refuses to answer queries that reference ONLY the internal
     corrupt-record column of a raw JSON scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
-    scanned frame is cached first — the documented workaround, and
-    what a quarantining loader wants anyway (good and bad rows read
-    the file once)."""
-    df = df.cache()
+    scanned frame is materialized first (localCheckpoint) — the
+    spirit of the documented cache() workaround, with storage that
+    releases when the frames are dropped; a quarantining loader wants
+    the single read anyway (good and bad rows share one scan)."""
+    df = df.localCheckpoint()
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")
