@@ -64,6 +64,11 @@ def main() -> int:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # host-load snapshots bracketing the run: with per-pass sample
+    # arrays below, a reader can attribute a slow total to steal noise
+    # (high load, wide pass-to-pass spread) vs a plan regression
+    # (stable samples, all slow) without re-running anything
+    loadavg = {"start": list(os.getloadavg())}
     for p in range(passes):
         # rotate the order per pass: BOTH edges of a pass are bad
         # positions (pass start carries residual startup/cleaner work,
@@ -113,12 +118,14 @@ def main() -> int:
             n_rows = len(QUERIES[name](spark, sf_dir).collect())
             el = round(time.time() - t0, 3)
             timings[name] = min(timings[name], el)
+            samples.setdefault(name, []).append(el)
             print(f"# retry {name:32s} {el:8.3f}s  n={n_rows}", file=sys.stderr)
         except Exception:  # noqa: BLE001 — keep the passes' timing
             pass
         finally:
             spark.catalog.clearCache()
 
+    loadavg["end"] = list(os.getloadavg())
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "total_query_seconds",
@@ -126,6 +133,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # raw per-pass samples (reported min last if a retry ran):
+        # spread >2x within a query's samples marks a steal burst
+        "passes": samples,
+        "loadavg": loadavg,
     }
     if errors:
         record["errors"] = errors
