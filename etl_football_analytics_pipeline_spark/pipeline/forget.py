@@ -1,0 +1,103 @@
+"""Right-to-be-forgotten, composed end-to-end.
+
+The engine already has every deletion primitive separately:
+`sources.versioned.delete_commit` (row-level table delete committed as
+a new immutable snapshot) and the three per-index tombstone deletes
+(`operators.text.bm25_delete_from_index`,
+`operators.dedup.minhash_index_delete`,
+`operators.similarity.ivf_delete_index` — the last covers IVF-PQ too,
+both probes share one tombstone set). A real erasure request touches
+ALL of them: the document must become unreachable via the table scan,
+time-travel-latest, AND every derived index probe. `forget_keys` is
+that one call.
+
+Ordering and failure semantics: the index tombstones land FIRST, the
+table commit LAST — so "the table version advanced" is the receipt
+that every registered index was already tombstoned. Every step is
+idempotent (tombstone appends dedupe at read time, the BM25 stats
+compensation derives from the live sidecar so a re-delete contributes
+a zero row, and re-anti-joining already-deleted keys commits an
+identical survivor set), which makes a partially-failed call safely
+re-runnable — retry the whole thing, never resume halfway.
+
+Scale shape: the doomed-key set is materialized once
+(localCheckpoint) and is by assumption tiny relative to the corpus
+(erasure requests, not bulk deletes); each index append is one small
+write, and the table delete is one anti-join that Catalyst broadcasts.
+Old snapshots still contain the rows until `sources.versioned.vacuum`
+retires them — full erasure = forget_keys + vacuum, by design
+(time-travel auditability until the retention clock fires).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import _minhash_index_params, minhash_index_delete
+from ..operators.similarity import ivf_delete_index
+from ..operators.text import bm25_delete_from_index
+from ..sources.versioned import delete_commit
+
+__all__ = ["IndexRef", "forget_keys"]
+
+
+@dataclass(frozen=True)
+class IndexRef:
+    """A derived index registered for delete propagation.
+
+    kind: 'bm25' | 'minhash' | 'ivf' (IVF and IVF-PQ share a layout
+    and tombstone set, so 'ivf' covers both).
+    id_col: the index's own id column. Defaults per kind ('__id' for
+    bm25, 'vec_id' for ivf); for minhash it is read from the index's
+    persisted params, which already record it.
+    """
+
+    kind: str
+    path: str
+    id_col: str | None = None
+
+
+def forget_keys(
+    spark: SparkSession,
+    table_dir: str,
+    doomed: DataFrame,
+    keys: list[str],
+    indexes: Sequence[IndexRef] = (),
+) -> int:
+    """Erase rows everywhere: tombstone every registered index, then
+    commit the table delete as a new snapshot. Returns the new table
+    version. `doomed` needs only the key columns (extras ignored).
+
+    Index propagation requires a single-column key — every persisted
+    index is id-keyed; composite-keyed tables can still forget
+    table-only (indexes=())."""
+    if indexes and len(keys) != 1:
+        raise ValueError(
+            "index propagation needs a single-column key; "
+            f"got keys={keys!r}"
+        )
+    # materialize the (tiny) key set once: every index append and the
+    # table anti-join reuse it, and checkpoint blocks release on GC
+    ids = doomed.select(*keys).distinct().localCheckpoint()
+    for ref in indexes:
+        if ref.kind == "bm25":
+            col = ref.id_col or "__id"
+            bm25_delete_from_index(
+                ids.withColumnRenamed(keys[0], col), ref.path, col
+            )
+        elif ref.kind == "minhash":
+            col = ref.id_col or _minhash_index_params(spark, ref.path)[3]
+            minhash_index_delete(
+                spark, ref.path, ids.withColumnRenamed(keys[0], col)
+            )
+        elif ref.kind == "ivf":
+            col = ref.id_col or "vec_id"
+            ivf_delete_index(
+                spark, ref.path, ids.withColumnRenamed(keys[0], col), col
+            )
+        else:
+            raise ValueError(f"unknown index kind {ref.kind!r}")
+    return delete_commit(spark, table_dir, ids, keys)
