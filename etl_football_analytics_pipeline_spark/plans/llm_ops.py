@@ -192,7 +192,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (ngram_jaccard_pairs_prefix): rarest-first
     prefix grams generate candidates, exact array-intersect verifies —
     100% recall by construction, every stage a hash-partitioned
-    shuffle, nothing unbounded driver-side. All three tiers
+    shuffle, nothing unbounded driver-side. At 100 TB the byte budgets
+    always dispatch to that prefix tier — the BLAS tier this entry
+    exercises is the small-corpus fast path, not the scale plan. All
+    three tiers
     (prefix/BLAS/naive gram-join) are property-tested equal in
     tests/test_dedup.py, so dispatch can only change the physical
     plan, never the answer. This exact operator is the baseline the
