@@ -108,10 +108,20 @@ def portable_hll_distinct(
     # approx_count_distinct ignores them); without this filter md5(NULL)
     # yields a NULL register row that inflates cnt by one and shrinks
     # both the absent-register mass and the linear-counting v.
+    #
+    # Hash the DISTINCT (key, val) domain, not every row: registers
+    # are a MAX over values, so duplicates contribute nothing, and the
+    # pre-distinct replaces an md5+base-conversion per input row with
+    # one per distinct value — the distinct itself is a map-side-
+    # combined shuffle of two narrow columns, far cheaper than the
+    # hashing it removes (measured ~200x fewer digests on lineitem
+    # suppkeys). Values are bit-identical either way.
     regs = (
         df.filter(F.col(val_col).isNotNull())
+        .select(F.col(group_col).alias("key"), F.col(val_col))
+        .distinct()
         .select(
-            F.col(group_col).alias("key"),
+            "key",
             reg.alias("reg"),
             _rho(w, c["wbits"]).alias("rho"),
         )
@@ -190,11 +200,24 @@ def portable_cms(
             for j in range(d)
         ]
     )
+    # Pre-aggregate (key, val) counts BEFORE hashing: cell counters are
+    # sums over values, so hashing each distinct value once and summing
+    # its count is bit-identical to hashing every row — and the cheap
+    # narrow-column pre-agg (map-side combined) replaces an md5 + base
+    # conversion + d-cell explode per input row with one per distinct
+    # value (the explode alone was d x the corpus in intermediate rows).
+    pre = (
+        df.select(F.col(group_col).alias("key"), F.col(val_col))
+        .groupBy("key", val_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     return (
-        df.select(F.col(group_col).alias("key"), F.explode(cells).alias("__c"))
-        .select("key", F.col("__c.j").alias("j"), F.col("__c.bucket").alias("bucket"))
+        pre.select("key", F.col("__n"), F.explode(cells).alias("__c"))
+        .select(
+            "key", "__n", F.col("__c.j").alias("j"), F.col("__c.bucket").alias("bucket")
+        )
         .groupBy("key", "j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("__n").alias("c"))
     )
 
 
@@ -203,6 +226,7 @@ def portable_cms_point(
     queries: list[str],
     d: int = CMS_D,
     w: int = CMS_W,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Point frequency estimates for literal query values against a
     portable_cms relation: est(key, q) = min over the d rows of the
@@ -222,13 +246,18 @@ def portable_cms_point(
         [(q, j, _cms_bucket_py(q, j, w)) for q in queries for j in range(d)],
         "q string, j int, bucket long",
     )
-    # the probe reads the sketch TWICE (distinct keys + the counter
-    # join); an eager localCheckpoint materializes the tiny (<= d*w
-    # rows per group) counter relation once instead of re-running the
-    # corpus-sized build lineage per branch — ContextCleaner-freed,
-    # same discipline as the lm leg of text_ngram_suite
-    cms = cms.localCheckpoint(eager=True)
-    keys = cms.select("key").distinct()
+    # `keys` (optional): the distinct group keys, when the caller
+    # already has them (a suite's referee aggregate, a dimension
+    # table). Without them the probe must derive keys FROM the sketch,
+    # which evaluates the sketch lineage twice — so that path
+    # materializes it once via an eager localCheckpoint
+    # (ContextCleaner-freed). With keys supplied the probe is a single
+    # lazy evaluation, free to overlap with sibling stages in one job.
+    if keys is None:
+        cms = cms.localCheckpoint(eager=True)
+        keys = cms.select("key").distinct()
+    else:
+        keys = keys.select("key").distinct()
     full = keys.crossJoin(F.broadcast(probe))
     return (
         full.join(cms, ["key", "j", "bucket"], "left")
@@ -262,32 +291,41 @@ def misra_gries_topk(
     Scale shape: ONE mapInPandas pass emits <= k+1 rows per partition
     ((value, weight) survivors plus one (NULL, decrements) row); the
     driver-side merge touches only P·(k+1) rows. Nothing corpus-sized
-    leaves the executors, and there is no shuffle at all. The kernel's
-    per-element loop is the algorithm, not an accident — MG state
-    mutates on every element, so there is no vectorized form; what
-    keeps it cheap is that the loop runs executor-side over Arrow
-    batches with a dict of at most k counters."""
+    leaves the executors, and there is no shuffle at all.
+
+    Kernel form: per Arrow batch a vectorized value_counts folds into
+    a counter dict, and whenever the dict outgrows its cap the
+    standard mergeable-summaries reduction (Agarwal et al.) runs —
+    subtract the (k+1)-th largest weight t from every counter, drop
+    non-positives, accumulate t into the decrement total. Each
+    reduction's t satisfies (k+1)·t <= weight seen so far, so the
+    classic MG error bound (err <= n/(k+1) per partial) and the
+    survival guarantee are preserved (asserted in tests), while the
+    per-element Python loop of textbook MG — whose state mutates on
+    every element — collapses to per-DISTINCT-per-batch dict updates.
+    Memory stays bounded by cap + one batch's distinct set (Arrow
+    batches are size-capped), never the partition's domain."""
     import pandas as pd
+
+    def _reduce(counters: dict, limit: int) -> tuple[dict, int]:
+        if len(counters) <= limit:
+            return counters, 0
+        t = sorted(counters.values(), reverse=True)[limit]
+        return {v: c - t for v, c in counters.items() if c - t > 0}, t
 
     def partials(batches):
         counters: dict = {}
         dec = 0
+        cap = max(8 * k, 1024)
         for pdf in batches:
-            for v in pdf[val_col].astype("string"):
-                if v is None or v is pd.NA:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    # decrement-all step: one unit off every counter
-                    dec += 1
-                    dead = [u for u, c in counters.items() if c == 1]
-                    for u in dead:
-                        del counters[u]
-                    for u in list(counters):
-                        counters[u] -= 1
+            vc = pdf[val_col].astype("string").dropna().value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                counters, t = _reduce(counters, k)
+                dec += t
+        counters, t = _reduce(counters, k)
+        dec += t
         out = pd.DataFrame(
             {
                 "value": list(counters) + [None],

@@ -867,17 +867,30 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       theory-guaranteed bound flag (see the inline comment at the
       build site); the bounded-memory, zero-shuffle member of the
       family."""
-    li = _t(spark, sf_dir, "lineitem")
+    # ONE materialization feeds every leg: the suite reads six narrow
+    # lineitem columns seven times (referees, fused sketches, segment
+    # sketches, phll/pcms/mg builds) — an eager localCheckpoint scans
+    # the parquet once and the six aggregate jobs read executor block
+    # storage instead of re-decoding the scan per leg
+    # (ContextCleaner-freed, the repo's materialization discipline).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_quantity",
+    ).localCheckpoint(eager=True)
     key = F.col("l_returnflag").alias("key")
-    # Plan shape: NO multi-distinct expand anywhere. Each exact
-    # referee is its own single-distinct two-phase aggregate (partial
-    # distinct map-side, never row multiplication), and every
-    # non-distinct aggregate — both native HLL estimates, the oneshot
-    # DataSketches sketch, exact + GK percentiles — shares ONE scan
-    # and one tiny per-key shuffle. The three-row subframes then
-    # broadcast-join on key.
-    exact_ns = li.groupBy(key).agg(F.countDistinct("l_suppkey").alias("ns"))
-    exact_no = li.groupBy(key).agg(F.countDistinct("l_orderkey").alias("no"))
+    # Plan shape: the SKETCH path has no multi-distinct expand — every
+    # sketch aggregate (both native HLL estimates, the oneshot
+    # DataSketches sketch, GK + exact percentiles) shares one scan and
+    # one tiny per-key shuffle. The exact REFEREES ride one two-
+    # distinct aggregate: Expand x2 over the checkpointed narrow frame
+    # is one exchange + one job, measurably cheaper than two separate
+    # single-distinct jobs — and the referee exists only to arbitrate
+    # the bound flags, it is not the tier being showcased. The
+    # three-row subframes then broadcast-join on key.
+    exact = li.groupBy(key).agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct("l_orderkey").alias("no"),
+    )
     fused = li.groupBy(key).agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("es"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("eo"),
@@ -889,9 +902,7 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_ok = lambda est, exact, tol: (  # noqa: E731
         F.abs(est.cast("double") - exact) / exact <= tol
     )
-    hll = fused.join(F.broadcast(exact_ns), "key").join(
-        F.broadcast(exact_no), "key"
-    ).select(
+    hll = fused.join(F.broadcast(exact), "key").select(
         F.lit("hll").alias("part"),
         "key",
         F.col("ns").cast("double").alias("v1"),
@@ -917,7 +928,7 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         segs.groupBy(F.col("l_returnflag").alias("key"))
         .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("merged"))
         .join(F.broadcast(fused.select("key", "oneshot")), "key")
-        .join(F.broadcast(exact_no), "key")
+        .join(F.broadcast(exact.select("key", "no")), "key")
         .select(
             F.lit("hllds").alias("part"),
             "key",
@@ -930,7 +941,7 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     phll = (
         portable_hll_distinct(li, "l_returnflag", "l_suppkey")
-        .join(F.broadcast(exact_ns), "key")
+        .join(F.broadcast(exact.select("key", "ns")), "key")
         .select(
             F.lit("phll").alias("part"),
             "key",
@@ -951,7 +962,12 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 100).cast("string").alias("v"),
     )
     cms = portable_cms(vals, "g", "v", d=CMS_D, w=CMS_W)
-    est = portable_cms_point(cms, CMS_QUERIES, d=CMS_D, w=CMS_W)
+    # keys supplied from the referee aggregate → the probe is one lazy
+    # evaluation folded into the suite's single job (no eager
+    # checkpoint barrier before the union collect)
+    est = portable_cms_point(
+        cms, CMS_QUERIES, d=CMS_D, w=CMS_W, keys=exact.select("key")
+    )
     cms_exact = (
         vals.filter(F.col("v").isin(CMS_QUERIES))
         .groupBy(F.col("g").alias("key"), F.col("v").alias("q"))
