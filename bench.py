@@ -64,11 +64,24 @@ def main() -> int:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # this host shows multi-minute external-steal windows where every
+    # measurement inflates ~1.5-2x uniformly; a bounded wait for the
+    # 1-minute load to drop below a threshold before the first timed
+    # pass costs nothing when the host is quiet and saves the whole
+    # run from being recorded inside a burst. Bounded: never blocks
+    # more than WAIT_MAX, and the actual wait is recorded in the JSON
+    # so a still-contended run is attributable.
+    wait_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_LOAD", "2.5"))
+    wait_max = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_MAX", "180"))
+    waited = 0.0
+    while os.getloadavg()[0] > wait_thresh and waited < wait_max:
+        time.sleep(10)
+        waited += 10
     # host-load snapshots bracketing the run: with per-pass sample
     # arrays below, a reader can attribute a slow total to steal noise
     # (high load, wide pass-to-pass spread) vs a plan regression
     # (stable samples, all slow) without re-running anything
-    loadavg = {"start": list(os.getloadavg())}
+    loadavg = {"start": list(os.getloadavg()), "waited_sec": waited}
     for p in range(passes):
         # rotate the order per pass: BOTH edges of a pass are bad
         # positions (pass start carries residual startup/cleaner work,

@@ -104,9 +104,15 @@ def _token_hashes(
         md5 = hashlib.md5
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["__h"] = pdf["__w"].map(
-                lambda ws: [int(md5(w.encode()).hexdigest()[:8], 16) for w in ws]
-            )
+            # one digest per unique token, dict lookup per instance —
+            # natural-language batches repeat their vocabulary orders
+            # of magnitude more than they extend it
+            table: dict = {}
+            for ws in pdf["__w"]:
+                for w in ws:
+                    if w not in table:
+                        table[w] = int(md5(w.encode()).hexdigest()[:8], 16)
+            pdf["__h"] = pdf["__w"].map(lambda ws: [table[w] for w in ws])
             yield pdf[[*id_cols, "__pid", "__h"]]
 
     return words.mapInPandas(hash_tokens, schema)
