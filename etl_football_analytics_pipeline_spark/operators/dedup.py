@@ -752,8 +752,17 @@ def minhash_index_build(
         df, id_col, text_col, num_hashes, shingle_n,
         grams=gram_hashes(df, id_col, text_col, shingle_n, portable),
         keep_grams=True, portable=portable,
-    )
+    ).localCheckpoint()  # two writes below; sign the corpus once
     frame.write.mode("overwrite").parquet(f"{path}/docs")
+    # the band buckets ARE the LSH index — persist them so probes join
+    # the delta's bands straight against this relation instead of
+    # re-banding the resident corpus on every call (at 100 TB the
+    # resident re-band is an O(corpus) explode paid per probe batch;
+    # stored, it is paid once at build/append)
+    band_buckets(
+        frame.select(id_col, "signature"),
+        id_col, num_bands, num_hashes // num_bands, portable,
+    ).write.mode("overwrite").parquet(f"{path}/bands")
     spark.createDataFrame(
         [(num_hashes, num_bands, shingle_n, id_col, portable)],
         "num_hashes int, num_bands int, shingle_n int, id_col string, portable boolean",
@@ -779,13 +788,20 @@ def minhash_index_append(
     OWN parameters and append its (id, signature, grams) rows — no
     recompute of the resident corpus. Caller contract: delta ids are
     new (probe the delta first; ingest pipelines assign fresh ids)."""
-    num_hashes, _, shingle_n, id_col, portable = _minhash_index_params(spark, path)
+    num_hashes, num_bands, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     frame = minhash_signatures(
         delta, id_col, text_col, num_hashes, shingle_n,
         grams=gram_hashes(delta, id_col, text_col, shingle_n, portable),
         keep_grams=True, portable=portable,
-    )
+    ).localCheckpoint()  # two writes; sign the delta once
+    from .tombstones import _dir_exists
+
     frame.write.mode("append").parquet(f"{path}/docs")
+    if _dir_exists(spark, f"{path}/bands"):  # pre-bands indexes: probe re-bands
+        band_buckets(
+            frame.select(id_col, "signature"),
+            id_col, num_bands, num_hashes // num_bands, portable,
+        ).write.mode("append").parquet(f"{path}/bands")
 
 
 def minhash_index_delete(spark, path: str, doomed: DataFrame) -> None:
@@ -815,14 +831,17 @@ def minhash_index_probe(
     minhash_exact_dedup_pairs run) verified with EXACT n-gram Jaccard.
     Returns (new_id, resident_id, jaccard) for pairs ≥ threshold.
 
-    Plan shape at 100 TB: candidate generation reads ONLY
-    (id, signature) off the resident parquet — column pruning keeps
-    the (much wider) gram arrays out of the scan — banding is a
-    map-only explode, and the candidate equi-join on (band, bucket)
-    is hash-partitioned with the NEW side (the small side) as the
-    shuffle_hash build side. Exact verification then joins the
-    candidate ids back to (id, __gh) — O(candidates), not O(corpus).
-    Nothing corpus-sized is broadcast or collected.
+    Plan shape at 100 TB: resident candidates come from the STORED
+    band relation (`path/bands`, written at build/append — the band
+    buckets are the LSH index, so the probe never re-bands the
+    resident corpus; indexes from before the bands layout fall back
+    to deriving bands from the column-pruned (id, signature) scan),
+    the delta's banding is a map-only explode, and the candidate
+    equi-join on (band, bucket) is hash-partitioned with the NEW side
+    (the small side) as the shuffle_hash build side. Exact
+    verification then joins the candidate ids back to (id, __gh) —
+    O(candidates), not O(corpus). Nothing corpus-sized is broadcast
+    or collected.
 
     `new_frame` lets a caller that already signed the delta (with the
     index's own parameters, keep_grams=True) hand the
@@ -830,7 +849,7 @@ def minhash_index_probe(
     signature kernels."""
     num_hashes, num_bands, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     rows_per_band = num_hashes // num_bands
-    from .tombstones import filter_tombstones
+    from .tombstones import _dir_exists, filter_tombstones
 
     resident = filter_tombstones(
         spark, path, spark.read.parquet(f"{path}/docs"), id_col
@@ -843,9 +862,17 @@ def minhash_index_probe(
     nb = band_buckets(
         frame_new.select(id_col, "signature"), id_col, num_bands, rows_per_band, portable
     )
-    rb = band_buckets(
-        resident.select(id_col, "signature"), id_col, num_bands, rows_per_band, portable
-    )
+    if _dir_exists(spark, f"{path}/bands"):
+        # the stored band relation (written at build/append) — the
+        # resident corpus is never re-banded at probe time; tombstoned
+        # ids are filtered the same way as the docs relation
+        rb = filter_tombstones(
+            spark, path, spark.read.parquet(f"{path}/bands"), "__id"
+        )
+    else:  # pre-bands index layout: derive bands from signatures
+        rb = band_buckets(
+            resident.select(id_col, "signature"), id_col, num_bands, rows_per_band, portable
+        )
     cand = (
         nb.select(F.col("__id").alias("new_id"), "band", "bucket")
         .hint("shuffle_hash")

@@ -447,7 +447,10 @@ def dedup_minhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}_p1".replace(".", "_")
+    # p2: the bands-persisting index layout (probe never re-bands the
+    # resident corpus) — bumping the tag rebuilds caches from the old
+    # layout once
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}_p2".replace(".", "_")
     path = user_cache_dir("neardup-index", tag)
     if not owned_ready(os.path.join(path, "docs")):
         minhash_index_build(

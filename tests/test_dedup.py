@@ -341,6 +341,17 @@ def test_minhash_index_probe_matches_inflight_banding(spark, docs, tmp_path):
     )
     assert probed == expected
     assert probed  # non-vacuous: the corpus must contain cross near-dups
+    # the stored band relation must agree with banding the stored
+    # signatures (the probe's fast path vs its pre-bands fallback) —
+    # remove the bands dir and the probe must return the same pairs
+    import shutil
+
+    shutil.rmtree(f"{path}/bands")
+    refall = sorted(
+        (r.new_id, r.resident_id, r.jaccard)
+        for r in minhash_index_probe(spark, path, new, "text", threshold=0.2).collect()
+    )
+    assert refall == expected
 
 
 def test_minhash_index_append_equals_rebuild(spark, docs, tmp_path):
