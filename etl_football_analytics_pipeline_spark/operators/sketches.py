@@ -39,6 +39,7 @@ __all__ = [
     "portable_cms_point",
     "misra_gries_topk",
     "misra_gries_point_est",
+    "misra_gries_point_from_summary",
     "CMS_D",
     "CMS_W",
 ]
@@ -361,6 +362,23 @@ def misra_gries_topk(
     return spark.createDataFrame(
         [(v, c, total_dec) for v, c in rows],
         "value string, est long, err_bound long",
+    )
+
+
+def misra_gries_point_from_summary(
+    spark, summary: DataFrame, queries: list[str]
+) -> DataFrame:
+    """Point lookups against an ALREADY-BUILT Misra-Gries summary
+    relation ((value, est, err_bound) rows, e.g. one persisted by a
+    prior misra_gries_topk run — the sketch-table pattern: the summary
+    is the stored corpus asset, probes never re-scan the corpus).
+    Same output contract as misra_gries_point_est."""
+    rows = summary.collect()
+    err = rows[0].err_bound if rows else 0
+    got = {r.value: r.est for r in rows}
+    return spark.createDataFrame(
+        [(q, got.get(q), err) for q in queries],
+        "q string, est long, err_bound long",
     )
 
 

@@ -34,7 +34,8 @@ from ..functions.cleaning import (
 from ..operators.sketches import (
     CMS_D,
     CMS_W,
-    misra_gries_point_est,
+    misra_gries_point_from_summary,
+    misra_gries_topk,
     phll_constants,
     portable_cms,
     portable_cms_point,
@@ -961,12 +962,28 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("g"),
         (F.col("l_suppkey") % 100).cast("string").alias("v"),
     )
-    cms = portable_cms(vals, "g", "v", d=CMS_D, w=CMS_W)
+    # the counter relation is a PERSISTED corpus asset, built once per
+    # (sf_dir, mtime) — the hllds part demonstrates the pre-aggregated
+    # sketch-table pattern in-flight; this is the same pattern stored:
+    # at 100 TB you keep the (<= d x w rows per group) CMS per
+    # partition/day and answer point queries by probing it, never by
+    # re-scanning the corpus (the bm25/ivf/minhash index discipline).
+    from ..sources.registry import owned_ready, user_cache_dir
+
+    _src = os.path.join(sf_dir, "lineitem.parquet")
+    _mtime = int(os.stat(_src).st_mtime) if os.path.exists(_src) else 0
+    _tag = f"{sf_dir.strip('/').replace('/', '_')}_{_mtime}_s1".replace(".", "_")
+    cms_dir = user_cache_dir("sketch-cms", _tag)
+    if not owned_ready(cms_dir):
+        portable_cms(vals, "g", "v", d=CMS_D, w=CMS_W).write.mode(
+            "overwrite"
+        ).parquet(cms_dir)
     # keys supplied from the referee aggregate → the probe is one lazy
     # evaluation folded into the suite's single job (no eager
     # checkpoint barrier before the union collect)
     est = portable_cms_point(
-        cms, CMS_QUERIES, d=CMS_D, w=CMS_W, keys=exact.select("key")
+        spark.read.parquet(cms_dir),
+        CMS_QUERIES, d=CMS_D, w=CMS_W, keys=exact.select("key"),
     )
     cms_exact = (
         vals.filter(F.col("v").isin(CMS_QUERIES))
@@ -992,8 +1009,17 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lower bound within err_bound of truth; absent: the true count
     # can't exceed the summary's total decrement weight) — the same
     # exact-referee + bound-flag contract as the native HLL parts.
+    # The summary relation persists like the CMS counters above: a
+    # merged MG summary is a <= k-row mergeable sketch of the corpus —
+    # store it once, probe it forever (rebuild = re-run with a fresh
+    # mtime tag). Probes read k rows, never the corpus.
     qvals = li.select(F.col("l_quantity").cast("int").cast("string").alias("q"))
-    mg_pts = misra_gries_point_est(qvals, "q", MG_QUERIES, k=16)
+    mg_dir = user_cache_dir("sketch-mg", _tag)
+    if not owned_ready(mg_dir):
+        misra_gries_topk(qvals, "q", k=16).write.mode("overwrite").parquet(mg_dir)
+    mg_pts = misra_gries_point_from_summary(
+        spark, spark.read.parquet(mg_dir), MG_QUERIES
+    )
     mg_exact = (
         qvals.filter(F.col("q").isin(MG_QUERIES))
         .groupBy("q")
