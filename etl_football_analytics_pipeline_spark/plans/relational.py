@@ -863,11 +863,11 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       to the exact counts (v2), both fully value-oracled; the
       heavy-hitters / point-frequency member of the portable family.
     - part='mg' (since r6): Misra-Gries heavy hitters
-      (operators/sketches.misra_gries_topk via misra_gries_point_est)
-      probed at the literal MG_QUERIES — exact-referee counts plus the
-      theory-guaranteed bound flag (see the inline comment at the
-      build site); the bounded-memory, zero-shuffle member of the
-      family."""
+      (operators/sketches.misra_gries_topk, summary persisted and
+      probed via misra_gries_point_from_summary) at the literal
+      MG_QUERIES — exact-referee counts plus the theory-guaranteed
+      bound flag (see the inline comment at the build site); the
+      bounded-memory, zero-shuffle member of the family."""
     # ONE materialization feeds every leg: the suite reads six narrow
     # lineitem columns seven times (referees, fused sketches, segment
     # sketches, phll/pcms/mg builds) — an eager localCheckpoint scans
