@@ -34,6 +34,10 @@ def _cache_empty(spark) -> bool:
 
 
 def test_registry_queries_leave_no_cached_frames(spark):
+    # other test modules' fixtures may cache legitimately in the shared
+    # session — the contract under test is "these queries ADD nothing",
+    # so start from a cleared CacheManager rather than asserting one
+    spark.catalog.clearCache()
     assert _cache_empty(spark)
     for name in FORMERLY_LEAKING:
         QUERIES[name](spark, SF).collect()
@@ -47,6 +51,7 @@ def test_quarantine_scan_and_incremental_merge_release_storage(spark, tmp_path):
         split_corrupt,
     )
 
+    spark.catalog.clearCache()  # see test above: isolate from fixture caches
     p = tmp_path / "rows.jsonl"
     p.write_text('{"a": 1}\n{"a": 2}\nnot json\n')
     good, bad = split_corrupt(read_jsonl(spark, str(p), "a long"))
