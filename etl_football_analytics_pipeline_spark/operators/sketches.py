@@ -83,6 +83,7 @@ def portable_hll_distinct(
     val_col: str,
     p: int = PHLL_P,
     round_to: int = 4,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Per-group approximate COUNT DISTINCT via the portable HLL.
 
@@ -117,10 +118,17 @@ def portable_hll_distinct(
     # combined shuffle of two narrow columns, far cheaper than the
     # hashing it removes (measured ~200x fewer digests on lineitem
     # suppkeys). Values are bit-identical either way.
-    regs = (
+    # `assume_distinct`: callers that already hold the distinct
+    # (key, val) frame (e.g. one shared with an exact referee) skip
+    # the second distinct pass.
+    dedup = (
         df.filter(F.col(val_col).isNotNull())
         .select(F.col(group_col).alias("key"), F.col(val_col))
-        .distinct()
+    )
+    if not assume_distinct:
+        dedup = dedup.distinct()
+    regs = (
+        dedup
         .select(
             "key",
             reg.alias("reg"),

@@ -879,23 +879,29 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", "l_quantity",
     ).localCheckpoint(eager=True)
     key = F.col("l_returnflag").alias("key")
-    # Plan shape: the SKETCH path has no multi-distinct expand — every
-    # sketch aggregate (both native HLL estimates, the oneshot
-    # DataSketches sketch, GK + exact percentiles) shares one scan and
-    # one tiny per-key shuffle. The exact REFEREES ride one two-
-    # distinct aggregate: Expand x2 over the checkpointed narrow frame
-    # is one exchange + one job, measurably cheaper than two separate
-    # single-distinct jobs — and the referee exists only to arbitrate
-    # the bound flags, it is not the tier being showcased. The
-    # three-row subframes then broadcast-join on key.
-    exact = li.groupBy(key).agg(
-        F.countDistinct("l_suppkey").alias("ns"),
-        F.countDistinct("l_orderkey").alias("no"),
+    # Plan shape: no multi-distinct expand anywhere — each exact
+    # referee is a two-level aggregate over ONE distinct (key, val)
+    # frame, and the suppkey distinct frame is SHARED with the phll
+    # leg (which hashes exactly that domain), so the corpus pays one
+    # distinct pass per value column, total. Sketch aggregates split
+    # into two independent branches (HLL-family / percentile-family)
+    # that overlap as separate stages instead of serializing through
+    # one combined per-partition buffer. The tiny per-key subframes
+    # then broadcast-join on key.
+    d_supp = li.select(key, "l_suppkey").distinct()
+    d_ord = li.select(key, "l_orderkey").distinct()
+    exact = (
+        d_supp.groupBy("key").agg(F.count(F.lit(1)).alias("ns"))
+        .join(
+            d_ord.groupBy("key").agg(F.count(F.lit(1)).alias("no")), "key"
+        )
     )
     fused = li.groupBy(key).agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("es"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("eo"),
         F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("oneshot"),
+    )
+    pcts = li.groupBy(key).agg(
         # one shared sort buffer for both exact quantiles
         F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))).alias("xp"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("ap"),
@@ -913,7 +919,7 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             rel_ok(F.col("eo"), F.col("no"), 0.10),
         ).alias("v2"),
     )
-    pct = fused.select(
+    pct = pcts.select(
         F.lit("pct").alias("part"),
         "key",
         F.round("x50", 4).alias("v1"),
@@ -941,7 +947,9 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     phll = (
-        portable_hll_distinct(li, "l_returnflag", "l_suppkey")
+        # d_supp IS the distinct (key, suppkey) domain — the referee
+        # and the portable registers share one distinct pass
+        portable_hll_distinct(d_supp, "key", "l_suppkey", assume_distinct=True)
         .join(F.broadcast(exact.select("key", "ns")), "key")
         .select(
             F.lit("phll").alias("part"),
