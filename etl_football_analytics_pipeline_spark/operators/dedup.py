@@ -140,7 +140,10 @@ def gram_hashes(
 
 
 def _with_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """id + exploded distinct word n-grams."""
+    """id + exploded distinct word n-grams. Rows are unique by
+    construction — array_distinct dedupes within the doc and explode
+    emits each surviving gram once, so no .distinct() (a full shuffle
+    Catalyst cannot elide because it can't prove the uniqueness)."""
     return (
         spread(df)
         .withColumn("__words", F.split(normalized_text(text_col), " "))
@@ -148,7 +151,6 @@ def _with_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(word_ngrams("__words", n))).alias("gram"),
         )
-        .distinct()
     )
 
 
