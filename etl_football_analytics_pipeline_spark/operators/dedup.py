@@ -819,6 +819,33 @@ def minhash_index_delete(spark, path: str, doomed: DataFrame) -> None:
     append_tombstones(doomed, path, id_col)
 
 
+def minhash_index_compact(spark, path: str) -> None:
+    """Physically rewrite the index WITHOUT its tombstoned docs and
+    reset the tombstone set — the compaction step the log-structured
+    delete defers ("tombstone now, compact later"), and the index half
+    of HARD erasure: after compact, a deleted doc's signature and gram
+    hashes no longer exist in storage, not merely in probe results.
+    Survivor frames localCheckpoint BEFORE the overwrite (real block
+    copies — the rewrite targets the dirs they were read from). Same
+    non-transactional caveat as appends: file-atomic per task, wrap
+    the index dir in sources.versioned for snapshot-isolated readers.
+    Probe results are unchanged by construction (probe already
+    anti-joined the tombstones; asserted in tests)."""
+    from .tombstones import _dir_exists, drop_tombstones, filter_tombstones
+
+    _, _, _, id_col, _ = _minhash_index_params(spark, path)
+    live = filter_tombstones(
+        spark, path, spark.read.parquet(f"{path}/docs"), id_col
+    ).localCheckpoint()
+    live.write.mode("overwrite").parquet(f"{path}/docs")
+    if _dir_exists(spark, f"{path}/bands"):
+        bands = filter_tombstones(
+            spark, path, spark.read.parquet(f"{path}/bands"), "__id"
+        ).localCheckpoint()
+        bands.write.mode("overwrite").parquet(f"{path}/bands")
+    drop_tombstones(spark, path)
+
+
 def minhash_index_probe(
     spark,
     path: str,

@@ -586,6 +586,26 @@ def ivf_delete_index(
     append_tombstones(doomed, path, id_col)
 
 
+def ivf_compact_index(spark, path: str, id_col: str = "vec_id") -> None:
+    """Physically rewrite the inverted lists WITHOUT tombstoned
+    vectors and reset the tombstone set — hard erasure for the vector
+    index (IVF-PQ shares the layout and tombstones, so this compacts
+    both probe paths). Centroids are untouched (deletes don't move the
+    quantizer; retraining is the separate rebuild path). Survivors
+    localCheckpoint before the overwrite; same non-transactional
+    caveat as appends. Probe results unchanged by construction
+    (asserted in tests)."""
+    from .tombstones import drop_tombstones, filter_tombstones
+
+    live = filter_tombstones(
+        spark, path, spark.read.parquet(f"{path}/lists"), id_col
+    ).localCheckpoint()
+    live.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+    drop_tombstones(spark, path)
+
+
 def ivf_search_index(
     spark,
     path: str,

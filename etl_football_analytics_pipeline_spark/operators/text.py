@@ -1026,6 +1026,36 @@ def bm25_delete_from_index(
     append_tombstones(ids, index_dir, "__id")
 
 
+def bm25_compact_index(spark, index_dir: str) -> None:
+    """Physically rewrite the inverted index WITHOUT its tombstoned
+    docs: live postings rewritten into their term-bucket dirs, the
+    per-doc sidecar filtered, the summable stats rows (including every
+    negative compensation row) collapsed to one, and the tombstone set
+    reset. After compact a deleted doc's terms no longer exist in
+    postings storage — the HARD-erasure half of the log-structured
+    delete ("tombstone now, compact later"). Survivors localCheckpoint
+    before the overwrite (the rewrite targets the dirs they were read
+    from); same non-transactional caveat as appends. Probe results
+    unchanged by construction (asserted in tests)."""
+    from .tombstones import drop_tombstones, filter_tombstones
+
+    live_post = _bm25_live_postings(spark, index_dir).localCheckpoint()
+    live_docs = filter_tombstones(
+        spark, index_dir, spark.read.parquet(f"{index_dir}/docs"), "__id"
+    ).localCheckpoint()
+    stats = (
+        spark.read.parquet(f"{index_dir}/stats")
+        .agg(F.sum("n").alias("n"), F.sum("sdl").alias("sdl"))
+        .localCheckpoint()
+    )
+    live_post.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{index_dir}/postings"
+    )
+    live_docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    drop_tombstones(spark, index_dir)
+
+
 def _bm25_live_postings(spark, index_dir: str) -> DataFrame:
     """Postings minus tombstones (if any) — the probe's view
     (operators/tombstones.py, shared with the minhash and IVF

@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["append_tombstones", "filter_tombstones"]
+__all__ = ["append_tombstones", "drop_tombstones", "filter_tombstones"]
 
 _DIRNAME = "tombstones"
 
@@ -48,6 +48,19 @@ def append_tombstones(ids: DataFrame, index_dir: str, id_col: str) -> None:
         .write.mode("append")
         .parquet(os.path.join(index_dir, _DIRNAME))
     )
+
+
+def drop_tombstones(spark, index_dir: str) -> None:
+    """Remove the tombstone set — call ONLY after a compaction has
+    physically rewritten the index without the doomed rows (each index
+    module's *_compact_index does both). Deleting it any other way
+    resurrects every tombstoned id. Same Hadoop FS path handling as
+    the existence probe, so it works on any filesystem Spark writes."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(index_dir, _DIRNAME))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def filter_tombstones(

@@ -25,8 +25,12 @@ Scale shape: the doomed-key set is materialized once
 (erasure requests, not bulk deletes); each index append is one small
 write, and the table delete is one anti-join that Catalyst broadcasts.
 Old snapshots still contain the rows until `sources.versioned.vacuum`
-retires them — full erasure = forget_keys + vacuum, by design
-(time-travel auditability until the retention clock fires).
+retires them, and index files still contain tombstoned rows until
+compaction — by design (time-travel auditability until the retention
+clock fires, O(delta) deletes until a scheduled rewrite). When the
+clock HAS fired, `forget_keys_hard` runs all three levels in one
+call: probe unreachability, snapshot vacuum, index compaction —
+after it the rows exist nowhere on disk.
 """
 
 from __future__ import annotations
@@ -36,12 +40,16 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.dedup import _minhash_index_params, minhash_index_delete
-from ..operators.similarity import ivf_delete_index
-from ..operators.text import bm25_delete_from_index
-from ..sources.versioned import delete_commit
+from ..operators.dedup import (
+    _minhash_index_params,
+    minhash_index_compact,
+    minhash_index_delete,
+)
+from ..operators.similarity import ivf_compact_index, ivf_delete_index
+from ..operators.text import bm25_compact_index, bm25_delete_from_index
+from ..sources.versioned import delete_commit, vacuum
 
-__all__ = ["IndexRef", "forget_keys"]
+__all__ = ["IndexRef", "compact_indexes", "forget_keys", "forget_keys_hard"]
 
 
 @dataclass(frozen=True)
@@ -101,3 +109,47 @@ def forget_keys(
         else:
             raise ValueError(f"unknown index kind {ref.kind!r}")
     return delete_commit(spark, table_dir, ids, keys)
+
+
+def compact_indexes(
+    spark: SparkSession, indexes: Sequence[IndexRef]
+) -> None:
+    """Run each index's physical compaction: rewrite without the
+    tombstoned rows and reset the tombstone set. Probe results are
+    unchanged; what changes is STORAGE — after this, deleted docs'
+    terms/signatures/vectors no longer exist in the index files."""
+    for ref in indexes:
+        if ref.kind == "bm25":
+            bm25_compact_index(spark, ref.path)
+        elif ref.kind == "minhash":
+            minhash_index_compact(spark, ref.path)
+        elif ref.kind == "ivf":
+            ivf_compact_index(spark, ref.path, ref.id_col or "vec_id")
+        else:
+            raise ValueError(f"unknown index kind {ref.kind!r}")
+
+
+def forget_keys_hard(
+    spark: SparkSession,
+    table_dir: str,
+    doomed: DataFrame,
+    keys: list[str],
+    indexes: Sequence[IndexRef] = (),
+    keep_versions: int = 1,
+) -> int:
+    """HARD erasure: `forget_keys` (probe-level unreachability,
+    auditable snapshot) followed by the two storage-level steps —
+    `vacuum` retires the pre-delete table snapshots that still hold
+    the rows, and every registered index compacts its tombstones away.
+    After this call the deleted rows exist NOWHERE on disk: not in any
+    live or historical table version, not in any index relation. Use
+    when the retention clock on the audit trail has run out (or the
+    regulation demands immediate physical erasure); plain forget_keys
+    + a later scheduled vacuum/compact is the day-to-day path.
+
+    `keep_versions=1` keeps only the post-delete snapshot. Every step
+    is idempotent; a partially-failed call is safely re-run whole."""
+    v = forget_keys(spark, table_dir, doomed, keys, indexes)
+    vacuum(table_dir, keep=keep_versions)
+    compact_indexes(spark, indexes)
+    return v

@@ -151,6 +151,99 @@ def test_forget_keys_erases_everywhere_and_is_idempotent(
     assert_unreachable()
 
 
+def test_forget_keys_hard_erases_storage(spark, corpus, tmp_path):
+    """forget_keys_hard must remove the rows from STORAGE, not just
+    from probe results: no historical table version, no index relation
+    row, no tombstone dir survives — and every probe still answers
+    exactly like an index rebuilt without the doc."""
+    import os
+
+    from etl_football_analytics_pipeline_spark.pipeline.forget import (
+        forget_keys_hard,
+    )
+
+    docs, emb = corpus
+    tid = TID
+    terms = ["zzzqforgetme"]
+
+    tbl = str(tmp_path / "tbl")
+    commit_version(docs, tbl)
+    bm25_dir = str(tmp_path / "bm25")
+    bm25_build_index(docs, "doc_id", "text", bm25_dir)
+    mh_dir = str(tmp_path / "mh")
+    minhash_index_build(docs, mh_dir, id_col="doc_id", text_col="text")
+    ivf_dir = str(tmp_path / "ivf")
+    ivf_build_index(emb, ivf_dir, n_lists=4, seed=42)
+
+    ref_dir = str(tmp_path / "bm25_ref")
+    bm25_build_index(
+        docs.filter(F.col("doc_id") != tid), "doc_id", "text", ref_dir
+    )
+    want = _bm25_hits(spark, ref_dir, terms)
+
+    doomed = spark.createDataFrame([(tid,)], "doc_id long")
+    indexes = [
+        IndexRef("bm25", bm25_dir),
+        IndexRef("minhash", mh_dir),
+        IndexRef("ivf", ivf_dir, "vec_id"),
+    ]
+    v = forget_keys_hard(spark, tbl, doomed, ["doc_id"], indexes)
+
+    # probes: compaction must not change any answer
+    assert _bm25_hits(spark, bm25_dir, terms) == want
+    probe = docs.filter(F.col("doc_id") == tid).select(
+        F.lit(999_999).alias("doc_id"), "text"
+    )
+    assert not [
+        r
+        for r in minhash_index_probe(
+            spark, mh_dir, probe, threshold=0.9
+        ).collect()
+        if r[1] == tid
+    ]
+    qvec = emb.filter(F.col("vec_id") == tid).select(
+        F.lit(-1).alias("vec_id"), "embedding"
+    )
+    assert not [
+        r
+        for r in ivf_search_index(spark, ivf_dir, qvec, k=3, nprobe=4).collect()
+        if r.neighbor_id == tid
+    ]
+
+    # storage: tombstone dirs gone, no relation row carries the doc
+    for d in (bm25_dir, mh_dir, ivf_dir):
+        assert not os.path.isdir(os.path.join(d, "tombstones")), d
+    assert (
+        spark.read.parquet(f"{bm25_dir}/postings")
+        .filter(F.col("term") == terms[0])
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(f"{bm25_dir}/docs")
+        .filter(F.col("__id") == tid)
+        .count()
+        == 0
+    )
+    for rel, col in ((f"{mh_dir}/docs", "doc_id"), (f"{mh_dir}/bands", "__id")):
+        assert spark.read.parquet(rel).filter(F.col(col) == tid).count() == 0
+    assert (
+        spark.read.parquet(f"{ivf_dir}/lists")
+        .filter(F.col("vec_id") == tid)
+        .count()
+        == 0
+    )
+    # table: only the post-delete snapshot remains on disk
+    vdirs = [d for d in os.listdir(tbl) if d.startswith("v")]
+    assert [int(d[1:]) for d in vdirs] == [v]
+    assert read_latest(spark, tbl).filter(F.col("doc_id") == tid).count() == 0
+
+    # hard-erasing again is a no-op that stays consistent
+    v2 = forget_keys_hard(spark, tbl, doomed, ["doc_id"], indexes)
+    assert v2 == v + 1
+    assert _bm25_hits(spark, bm25_dir, terms) == want
+
+
 def test_forget_keys_rejects_composite_keys_with_indexes(spark, tmp_path):
     df = spark.createDataFrame([(1, 2, "x")], "a long, b long, v string")
     tbl = str(tmp_path / "t")
