@@ -305,3 +305,36 @@ def test_misra_gries_point_est_bounds(spark):
             assert exact[q] <= r.err_bound
         else:
             assert r.est <= exact[q] <= r.est + r.err_bound
+
+
+def test_misra_gries_mid_stream_cap_reduction(spark):
+    """A partition whose distinct domain outgrows the kernel's cap
+    (max(8k, 1024)) triggers the mid-stream mergeable-summaries
+    reduction — the path a bounded-memory MG exists for. The classic
+    guarantees must survive multiple reductions: the heavy value is
+    reported, every reported est is a lower bound within the summary's
+    decrement weight, and an absent value's true count never exceeds
+    err_bound."""
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        misra_gries_topk,
+    )
+
+    # 6000 distinct singletons + one value at ~25% of the stream, in 2
+    # partitions -> ~3000+ distinct per partition, well past cap=1024
+    rows = [(f"u{i}",) for i in range(6000)] + [("hot",)] * 2000
+    df = spark.createDataFrame(rows, "x string").repartition(2)
+    n = len(rows)
+    k = 16
+    got = {
+        r.value: (r.est, r.err_bound)
+        for r in misra_gries_topk(df, "x", k=k).collect()
+    }
+    assert "hot" in got, sorted(got)
+    est, err = got["hot"]
+    assert est <= 2000 <= est + err, (est, err)
+    # every reported value's sandwich bound holds (singletons: true=1)
+    for v, (e, b) in got.items():
+        true = 2000 if v == "hot" else 1
+        assert e <= true <= e + b, (v, e, b)
+    # absent values are bounded by the total decrement weight
+    assert err < n / (k + 1) * 2 + 1  # <= n_p/(k+1) summed over P=2
