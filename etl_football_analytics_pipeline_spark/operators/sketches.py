@@ -257,7 +257,10 @@ def portable_cms_point(
     )
     # `keys` (optional): the distinct group keys, when the caller
     # already has them (a suite's referee aggregate, a dimension
-    # table). Without them the probe must derive keys FROM the sketch,
+    # table) — they must COVER the sketch's groups (a missing key
+    # silently yields no estimates for that group; a surplus key
+    # yields all-zero estimates, which is correct for an empty group).
+    # Without them the probe must derive keys FROM the sketch,
     # which evaluates the sketch lineage twice — so that path
     # materializes it once via an eager localCheckpoint
     # (ContextCleaner-freed). With keys supplied the probe is a single

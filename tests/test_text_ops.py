@@ -622,6 +622,50 @@ def test_bm25_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
         map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
     )
     assert twice == after
+    # COMPACTION: physically rewrite without the tombstoned docs —
+    # probes unchanged, tombstone dir gone, stats collapsed to one
+    # row, the doomed ids absent from postings and sidecar storage,
+    # and the index stays APPENDABLE afterwards (append ≡ rebuild on
+    # the corresponding corpus)
+    import os
+
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        bm25_append_index,
+        bm25_compact_index,
+    )
+
+    bm25_compact_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
+    assert (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("__id").isin(top3))
+        .count()
+        == 0
+    )
+    compacted = sorted(
+        map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
+    )
+    assert compacted == after
+    extra = spark.createDataFrame(
+        [(9_000_001, "hash join stream vector")], "doc_id long, text string"
+    )
+    bm25_append_index(extra, "doc_id", "text", idx)
+    appended = sorted(
+        map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
+    )
+    want2 = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                docs.filter(~F.col("doc_id").isin(top3))
+                .select("doc_id", "text")
+                .unionByName(extra),
+                "doc_id", "text", queries, k=10,
+            ).collect(),
+        )
+    )
+    assert appended == want2
 
 
 def test_bm25_delete_zero_token_doc_compensates_stats(spark, tmp_path):
