@@ -425,3 +425,39 @@ def test_minhash_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
     want = sorted(map(tuple, minhash_index_probe(spark, idx2, delta, threshold=0.2).collect()))
     assert after == want
     assert not any(t[1] in doomed_ids for t in after)
+    # COMPACTION: physically rewrite (docs + stored bands) without the
+    # tombstoned ids — probes unchanged, tombstone dir gone, doomed
+    # signatures/bands absent from storage, index still appendable
+    import os
+
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_compact,
+    )
+
+    minhash_index_compact(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    for rel, col in ((f"{idx}/docs", "doc_id"), (f"{idx}/bands", "__id")):
+        assert (
+            spark.read.parquet(rel).filter(F.col(col).isin(doomed_ids)).count()
+            == 0
+        ), rel
+    compacted = sorted(
+        map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
+    )
+    assert compacted == want
+    # append after compact ≡ rebuild on the corresponding corpus
+    extra = delta.limit(2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    minhash_index_append(spark, idx, extra, "text")
+    idx3 = f"{tmp_path}/mh_idx3"
+    minhash_index_build(
+        resident.filter(~F.col("doc_id").isin(doomed_ids))
+        .select("doc_id", "text")
+        .unionByName(extra),
+        idx3, num_hashes=64, num_bands=16, shingle_n=2,
+    )
+    got3 = sorted(map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect()))
+    want3 = sorted(map(tuple, minhash_index_probe(spark, idx3, delta, threshold=0.2).collect()))
+    assert got3 == want3
