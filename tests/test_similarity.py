@@ -476,6 +476,32 @@ def test_ivf_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
     )
     want = sorted(map(tuple, ivf_search_index(spark, idx2, queries, k=5, nprobe=3).collect()))
     assert after == want
+    # COMPACTION: rewrite the lists without the tombstoned vectors —
+    # probes unchanged, tombstone dir gone, doomed vectors absent from
+    # list storage, partitioned layout preserved
+    import os
+
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        ivf_compact_index,
+    )
+
+    ivf_compact_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    assert (
+        spark.read.parquet(f"{idx}/lists")
+        .filter(F.col("vec_id").isin([int(i) for i in doomed_ids]))
+        .count()
+        == 0
+    )
+    compacted = sorted(
+        map(tuple, ivf_search_index(spark, idx, queries, k=5, nprobe=3).collect())
+    )
+    assert compacted == want
+    # the list_id partitioning survives the rewrite (probe pruning
+    # depends on it)
+    assert any(
+        d.startswith("list_id=") for d in os.listdir(f"{idx}/lists")
+    )
 
 
 def test_ivf_pq_index_tombstone_delete_drops_neighbors(spark, tmp_path):
