@@ -862,6 +862,9 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       relation, point estimates for the literal CMS_QUERIES (v1) next
       to the exact counts (v2), both fully value-oracled; the
       heavy-hitters / point-frequency member of the portable family.
+      The counter relation (and the mg part's summary below) PERSISTS
+      once per (sf_dir, mtime) — the stored sketch-table pattern:
+      point probes read the bounded relation, never the corpus.
     - part='mg' (since r6): Misra-Gries heavy hitters
       (operators/sketches.misra_gries_topk, summary persisted and
       probed via misra_gries_point_from_summary) at the literal
