@@ -82,7 +82,24 @@ def main() -> int:
     # (high load, wide pass-to-pass spread) vs a plan regression
     # (stable samples, all slow) without re-running anything
     loadavg = {"start": list(os.getloadavg()), "waited_sec": waited}
+    pass_loads = []
     for p in range(passes):
+        # the same bounded quiet-wait between passes: a steal burst
+        # typically lasts a few minutes — shorter than a pass — so
+        # dodging it at the pass boundary lets the per-query min
+        # recover even when one pass was fully contended. The bench's
+        # own load has ~1 min to decay out of the 1-minute average;
+        # the threshold is looser here (the JVM keeps background
+        # threads alive) and the wait is bounded per pass.
+        waited_p = 0.0
+        while (
+            p > 0
+            and os.getloadavg()[0] > wait_thresh + 1.5
+            and waited_p < wait_max / max(passes - 1, 1)
+        ):
+            time.sleep(10)
+            waited_p += 10
+        pass_loads.append([round(os.getloadavg()[0], 2), waited_p])
         # rotate the order per pass: BOTH edges of a pass are bad
         # positions (pass start carries residual startup/cleaner work,
         # pass end peak heap pressure), so the earlier alternate-
@@ -139,6 +156,8 @@ def main() -> int:
             spark.catalog.clearCache()
 
     loadavg["end"] = list(os.getloadavg())
+    # [1-min load at each pass start, seconds waited before it]
+    loadavg["passes"] = pass_loads
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "total_query_seconds",
