@@ -165,13 +165,32 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # raw per-pass samples (reported min last if a retry ran):
-        # spread >2x within a query's samples marks a steal burst
-        "passes": samples,
-        "loadavg": loadavg,
     }
     if errors:
         record["errors"] = errors
+    # Noise-attribution evidence (raw per-pass sample arrays + bracketing
+    # loadavg) goes to a SIDECAR file + stderr, NOT the final stdout line:
+    # the driver keeps only the last 2,000 bytes of stdout, and the full
+    # record with sample arrays is ~6.5 KB — r6's official BENCH artifact
+    # was truncated mid-JSON and failed to parse. The final stdout line
+    # must stay the compact ~1.4 KB {metric,value,unit,queries,sf} record.
+    sidecar = {"passes": samples, "loadavg": loadavg, "queries": timings,
+               "total": total, "sf": sf}
+    if errors:
+        sidecar["errors"] = errors
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_passes.json"),
+    )
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+        print(f"# per-pass samples -> {sidecar_path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: stderr still has the data
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    print("# " + json.dumps({"passes": samples, "loadavg": loadavg}),
+          file=sys.stderr)
     print(json.dumps(record))
     spark.stop()
     return 0
