@@ -137,8 +137,12 @@ def decayed_sum_exact(
     ``S_k · 2^(horizon−k)`` — integer arithmetic end to end; the one
     double appears at the output boundary (cast + one division by the
     constant ``scale · 2^horizon``, identical operands in any engine,
-    then 4dp rounding). Bounds: |S_k| ≤ 1e10-ish per day and
-    horizon ≤ 90 keep every term under DECIMAL(38,0).
+    then 4dp rounding). Headroom is ENFORCED, not assumed: under
+    Spark's default non-ANSI decimal semantics an overflowing term
+    would silently become NULL, so each per-(key, day) scaled sum is
+    asserted ≤ (10³⁸−1) / 2^horizon / (horizon+1) — every term and
+    the ≤ horizon+1-term fold then provably fit DECIMAL(38,0), and an
+    out-of-bound corpus raises instead of returning NULL.
 
     Returns (keys..., n_events long, decayed_sum double,
     t_reference timestamp).
@@ -162,7 +166,24 @@ def decayed_sum_exact(
             F.count(F.lit(1)).alias("__n"),
         )
     )
-    term = F.col("__s").cast("decimal(38,0)") * F.pow(
+    # loud headroom guard: non-ANSI decimal overflow yields NULL, not
+    # an error. Bounding |__s| so each term <= (10^38-1)/(horizon+1)
+    # makes the per-key fold of <= horizon+1 terms provably in-range;
+    # assert_true raises in the executor the moment a corpus violates
+    # it. The when() wrapper ties the assert into the consumed
+    # expression so Catalyst cannot prune it as an unused column.
+    s_limit = (10**38 - 1) // (2**horizon_days) // (horizon_days + 1)
+    s_ok = F.assert_true(
+        F.abs(F.col("__s").cast("decimal(38,0)"))
+        <= F.lit(str(s_limit)).cast("decimal(38,0)"),
+        F.lit(
+            "decayed_sum_exact: per-(key,day) scaled sum exceeds the "
+            f"DECIMAL(38,0) headroom bound {s_limit} for horizon_days="
+            f"{horizon_days}; lower value_decimals or the horizon"
+        ),
+    )
+    s_checked = F.when(s_ok.isNull(), F.col("__s"))
+    term = s_checked.cast("decimal(38,0)") * F.pow(
         F.lit(2.0), F.lit(horizon_days) - F.col("__k")
     ).cast("decimal(38,0)")
     denom = float(scale * (2 ** horizon_days))

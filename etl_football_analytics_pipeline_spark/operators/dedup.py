@@ -789,7 +789,17 @@ def minhash_index_append(
     """Incremental index maintenance: sign the delta with the INDEX'S
     OWN parameters and append its (id, signature, grams) rows — no
     recompute of the resident corpus. Caller contract: delta ids are
-    new (probe the delta first; ingest pipelines assign fresh ids)."""
+    new (probe the delta first; ingest pipelines assign fresh ids).
+
+    The two appends are not transactional, so their ORDER is the
+    safety argument: bands append FIRST, docs second. A band row whose
+    doc is missing is harmless — the probe's exact-verification join
+    back to docs drops the orphan candidate — while a docs row missing
+    from the stored band relation would silently never produce a
+    candidate again (the probe uses the stored bands exclusively, no
+    re-band fallback). A retry after a failure between the writes
+    re-appends both; the duplicate band rows collapse in the probe's
+    candidate .distinct()."""
     num_hashes, num_bands, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     frame = minhash_signatures(
         delta, id_col, text_col, num_hashes, shingle_n,
@@ -798,12 +808,12 @@ def minhash_index_append(
     ).localCheckpoint()  # two writes; sign the delta once
     from .tombstones import _dir_exists
 
-    frame.write.mode("append").parquet(f"{path}/docs")
     if _dir_exists(spark, f"{path}/bands"):  # pre-bands indexes: probe re-bands
         band_buckets(
             frame.select(id_col, "signature"),
             id_col, num_bands, num_hashes // num_bands, portable,
         ).write.mode("append").parquet(f"{path}/bands")
+    frame.write.mode("append").parquet(f"{path}/docs")
 
 
 def minhash_index_delete(spark, path: str, doomed: DataFrame) -> None:
@@ -825,24 +835,29 @@ def minhash_index_compact(spark, path: str) -> None:
     delete defers ("tombstone now, compact later"), and the index half
     of HARD erasure: after compact, a deleted doc's signature and gram
     hashes no longer exist in storage, not merely in probe results.
-    Survivor frames localCheckpoint BEFORE the overwrite (real block
-    copies — the rewrite targets the dirs they were read from). Same
-    non-transactional caveat as appends: file-atomic per task, wrap
-    the index dir in sources.versioned for snapshot-isolated readers.
-    Probe results are unchanged by construction (probe already
-    anti-joined the tombstones; asserted in tests)."""
-    from .tombstones import _dir_exists, drop_tombstones, filter_tombstones
+    Each relation rewrites via replace_dir (survivors to a sibling
+    dir, rename swap — durable before the source dir is touched, no
+    volatile-only copy). Wrap the index dir in sources.versioned for
+    snapshot-isolated readers, same as appends. Probe results are
+    unchanged by construction (probe already anti-joined the
+    tombstones; asserted in tests)."""
+    from .tombstones import (
+        _dir_exists,
+        drop_tombstones,
+        filter_tombstones,
+        replace_dir,
+    )
 
     _, _, _, id_col, _ = _minhash_index_params(spark, path)
     live = filter_tombstones(
         spark, path, spark.read.parquet(f"{path}/docs"), id_col
-    ).localCheckpoint()
-    live.write.mode("overwrite").parquet(f"{path}/docs")
+    )
+    replace_dir(spark, f"{path}/docs", lambda p: live.write.parquet(p))
     if _dir_exists(spark, f"{path}/bands"):
         bands = filter_tombstones(
             spark, path, spark.read.parquet(f"{path}/bands"), "__id"
-        ).localCheckpoint()
-        bands.write.mode("overwrite").parquet(f"{path}/bands")
+        )
+        replace_dir(spark, f"{path}/bands", lambda p: bands.write.parquet(p))
     drop_tombstones(spark, path)
 
 

@@ -591,18 +591,23 @@ def ivf_compact_index(spark, path: str, id_col: str = "vec_id") -> None:
     vectors and reset the tombstone set — hard erasure for the vector
     index (IVF-PQ shares the layout and tombstones, so this compacts
     both probe paths). Centroids are untouched (deletes don't move the
-    quantizer; retraining is the separate rebuild path). Survivors
-    localCheckpoint before the overwrite; same non-transactional
-    caveat as appends. Probe results unchanged by construction
-    (asserted in tests)."""
-    from .tombstones import drop_tombstones, filter_tombstones
+    quantizer; retraining is the separate rebuild path). The lists
+    relation rewrites via replace_dir (survivors to a sibling dir,
+    rename swap): durable before the source is touched, and immune to
+    a caller's partitionOverwriteMode=dynamic, under which an in-place
+    overwrite would keep fully-tombstoned list partitions on disk.
+    Probe results unchanged by construction (asserted in tests)."""
+    from .tombstones import drop_tombstones, filter_tombstones, replace_dir
 
     live = filter_tombstones(
         spark, path, spark.read.parquet(f"{path}/lists"), id_col
-    ).localCheckpoint()
-    live.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/lists")
+    )
+    replace_dir(
+        spark, f"{path}/lists",
+        lambda p: live.repartition(F.col("list_id"))
+        .write.partitionBy("list_id")
+        .parquet(p),
+    )
     drop_tombstones(spark, path)
 
 

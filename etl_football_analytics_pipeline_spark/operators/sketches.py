@@ -292,6 +292,9 @@ def misra_gries_topk(
     per partition, merged once: returns (value, est, err_bound) where
     est is a LOWER bound on the true count and est + err_bound an
     upper bound (err_bound = the summary's total decrement weight).
+    If every merged counter cancels (flat streams) the summary is one
+    (NULL, 0, err_bound) carrier row — never an empty frame with the
+    bound silently dropped; empty input returns an empty frame.
 
     GUARANTEE (asserted in tests): every value with true frequency
     > n/(k+1) survives; reported est is within n·P/(k+1) of truth
@@ -359,7 +362,18 @@ def misra_gries_topk(
             counters[r.value] = counters.get(r.value, 0) + r.weight
     spark = df.sparkSession
     if not counters:
-        return spark.createDataFrame([], "value string, est long, err_bound long")
+        if total_dec == 0:  # genuinely empty input
+            return spark.createDataFrame(
+                [], "value string, est long, err_bound long"
+            )
+        # every merged counter cancelled (flat/near-uniform stream) —
+        # emit ONE NULL-value carrier row so the total decrement weight
+        # survives: the MG guarantee is "any absent value's true count
+        # <= err_bound", and an empty frame would make point lookups
+        # report err_bound=0, i.e. claim absent values never occur
+        return spark.createDataFrame(
+            [(None, 0, total_dec)], "value string, est long, err_bound long"
+        )
     # proper MG merge reduction (Agarwal et al., mergeable summaries):
     # summed weights can exceed k counters, so subtract the (k+1)-th
     # largest weight from all and drop non-positives — NOT a plain

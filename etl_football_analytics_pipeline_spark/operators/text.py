@@ -1033,26 +1033,31 @@ def bm25_compact_index(spark, index_dir: str) -> None:
     negative compensation row) collapsed to one, and the tombstone set
     reset. After compact a deleted doc's terms no longer exist in
     postings storage — the HARD-erasure half of the log-structured
-    delete ("tombstone now, compact later"). Survivors localCheckpoint
-    before the overwrite (the rewrite targets the dirs they were read
-    from); same non-transactional caveat as appends. Probe results
-    unchanged by construction (asserted in tests)."""
-    from .tombstones import drop_tombstones, filter_tombstones
+    delete ("tombstone now, compact later"). Each relation rewrites
+    via replace_dir (write survivors to a sibling dir, swap in by
+    rename): the source dir is never truncated while the only copy of
+    the survivors is volatile, and the fresh-dir write is immune to
+    the session's partitionOverwriteMode (an in-place dynamic
+    overwrite would silently keep fully-tombstoned term buckets on
+    disk — a hard-erasure failure). Probe results unchanged by
+    construction (asserted in tests)."""
+    from .tombstones import drop_tombstones, filter_tombstones, replace_dir
 
-    live_post = _bm25_live_postings(spark, index_dir).localCheckpoint()
+    live_post = _bm25_live_postings(spark, index_dir)
     live_docs = filter_tombstones(
         spark, index_dir, spark.read.parquet(f"{index_dir}/docs"), "__id"
-    ).localCheckpoint()
-    stats = (
-        spark.read.parquet(f"{index_dir}/stats")
-        .agg(F.sum("n").alias("n"), F.sum("sdl").alias("sdl"))
-        .localCheckpoint()
     )
-    live_post.write.mode("overwrite").partitionBy("tb").parquet(
-        f"{index_dir}/postings"
+    stats = spark.read.parquet(f"{index_dir}/stats").agg(
+        F.sum("n").alias("n"), F.sum("sdl").alias("sdl")
     )
-    live_docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    replace_dir(
+        spark, f"{index_dir}/postings",
+        lambda p: live_post.write.partitionBy("tb").parquet(p),
+    )
+    replace_dir(spark, f"{index_dir}/docs", lambda p: live_docs.write.parquet(p))
+    replace_dir(
+        spark, f"{index_dir}/stats", lambda p: stats.coalesce(1).write.parquet(p)
+    )
     drop_tombstones(spark, index_dir)
 
 

@@ -22,7 +22,12 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["append_tombstones", "drop_tombstones", "filter_tombstones"]
+__all__ = [
+    "append_tombstones",
+    "drop_tombstones",
+    "filter_tombstones",
+    "replace_dir",
+]
 
 _DIRNAME = "tombstones"
 
@@ -37,6 +42,60 @@ def _dir_exists(spark, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def replace_dir(spark, dest: str, write) -> None:
+    """Durably replace the directory at ``dest``: ``write(tmp_path)``
+    materializes the replacement into a SIBLING temp dir first, then
+    two FileSystem renames swap it in (``dest`` → ``dest.__old``,
+    ``dest.__new`` → ``dest``) and the old copy is deleted last.
+
+    This is how every compaction rewrites an index relation. The two
+    properties it buys over ``mode("overwrite")`` on the source path:
+
+    - **No volatile-only copy, ever.** An in-place overwrite must first
+      materialize the survivors (the plan reads the very dir being
+      truncated); ``localCheckpoint`` blocks live only in executor
+      storage, so an executor loss mid-overwrite destroyed the only
+      copy of the index. Here the replacement is durable parquet
+      before the source is touched, and no checkpoint is needed at all
+      — the write streams straight from source to sibling.
+    - **No dependence on ``partitionOverwriteMode``.** A partitioned
+      in-place overwrite under a caller's ``dynamic`` setting keeps
+      partitions whose rows were all filtered out — for a compaction
+      that silently retains tombstoned rows on disk. The sibling dir
+      is fresh, so the session setting is irrelevant.
+
+    Crash windows are recoverable, never destructive: before the first
+    rename both copies exist; between the renames the old data is at
+    ``dest.__old`` and the new at ``dest.__new`` (a later call cleans
+    the leftovers; if the swap-in rename itself fails the old dir is
+    restored). Renames are metadata-atomic on HDFS and local FS; on
+    object stores they are copies — wrap the index in
+    sources.versioned there, same caveat as the appends."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    dest_p = hadoop_path(dest)
+    fs = dest_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, old = dest.rstrip("/") + ".__new", dest.rstrip("/") + ".__old"
+    tmp_p, old_p = hadoop_path(tmp), hadoop_path(old)
+    for p in (tmp_p, old_p):  # leftovers from a crashed prior run
+        if fs.exists(p):
+            fs.delete(p, True)
+    write(tmp)
+    if not fs.exists(tmp_p):
+        raise IOError(f"replace_dir: write produced nothing at {tmp}")
+    # rename(src, existing-dir) moves src INSIDE it on some FS impls —
+    # dest must be renamed away before the swap-in, never overwritten
+    if fs.exists(dest_p) and not fs.rename(dest_p, old_p):
+        raise IOError(f"replace_dir: could not rename {dest} -> {old}")
+    if not fs.rename(tmp_p, dest_p):
+        if fs.exists(old_p):  # put the old copy back: stay readable
+            fs.rename(old_p, dest_p)
+        raise IOError(f"replace_dir: could not rename {tmp} -> {dest}")
+    fs.delete(old_p, True)
+    # the swap invalidated any cached file listing for this path
+    spark.catalog.refreshByPath(dest)
 
 
 def append_tombstones(ids: DataFrame, index_dir: str, id_col: str) -> None:

@@ -80,8 +80,10 @@ def merge_into_raw(
     First write / schema mismatch → new data only (reference guards
     `scr/Extract.py:268-281`); no keys → append + dedup-keep-last
     (:294-299, stated deterministically: new batch wins). The result
-    is written back partitioned by `partition_by` (dynamic partition
-    overwrite: only partitions present in the merged delta rewrite)."""
+    lands partitioned by `partition_by` via a durable sibling-dir
+    write + rename swap: only partitions present in the merged delta
+    rewrite, and the table is never truncated while the merged rows'
+    only copy is volatile."""
     exists = os.path.isdir(table_path) and any(
         not e.startswith((".", "_")) for e in os.listdir(table_path)
     )
@@ -130,36 +132,51 @@ def merge_into_raw(
                 new_df.dropDuplicates()
             )
 
-    # materialize before overwriting the path the plan reads from.
-    # localCheckpoint, NOT cache(): a cached partition can be evicted
-    # under memory pressure and lazily recomputed — from a path this
-    # writer is about to overwrite; checkpoint blocks are real copies,
-    # and they release on GC instead of leaking in the CacheManager
-    staged = merged.localCheckpoint()
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    try:
-        writer = staged.write.mode("overwrite")
+    # The merged plan READS table_path, so it must be materialized
+    # durably before table_path changes. Writing to a SIBLING temp dir
+    # and swapping by rename does that with no localCheckpoint (whose
+    # blocks live only in executor storage — an executor loss after
+    # the overwrite truncated the table would have destroyed the only
+    # copy) and no dependence on the session's partitionOverwriteMode.
+    from ..operators.tombstones import replace_dir
+
+    def _write(p: str) -> None:
+        w = merged.write
         if partitioned:
-            # dynamic overwrite only for the partition-local merge path
-            # (replace just the delta's partitions); every full-replace
-            # path (first write, schema mismatch, keyless, non-local
-            # keys) statically overwrites the whole table
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode",
-                "dynamic" if local else "static",
-            )
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(table_path)
-    finally:
-        staged.unpersist()
-        # the write is an eager action, so restoring the session conf
-        # here cannot affect it — but a leaked "dynamic" would silently
-        # change every LATER overwrite in the session
-        if partitioned:
-            if prev_mode is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    # the overwrite invalidated any cached file listing for this path
-    spark.catalog.refreshByPath(table_path)
+            w = w.partitionBy(partition_by)
+        w.parquet(p)
+
+    if local:
+        # partition-local merge: merged holds ONLY the delta's
+        # partitions — land them durably in the sibling dir, then swap
+        # each partition child over its old copy; untouched partitions
+        # never move. A crash mid-swap leaves every partition either
+        # old or new, with the new copies still durable in the sibling
+        # dir — recoverable, never destroyed.
+        tmp = table_path.rstrip("/") + ".__new"
+        jvm = spark._jvm
+        hadoop_path = jvm.org.apache.hadoop.fs.Path
+        tmp_p = hadoop_path(tmp)
+        fs = tmp_p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(tmp_p):  # leftover from a crashed prior run
+            fs.delete(tmp_p, True)
+        _write(tmp)
+        for st in fs.listStatus(tmp_p):
+            name = st.getPath().getName()
+            if not name.startswith(f"{partition_by}="):
+                continue  # _SUCCESS and friends
+            dst_child = hadoop_path(f"{table_path.rstrip('/')}/{name}")
+            if fs.exists(dst_child):
+                fs.delete(dst_child, True)
+            if not fs.rename(st.getPath(), dst_child):
+                raise IOError(
+                    f"merge_into_raw: could not swap partition {name} "
+                    f"into {table_path} (new data remains at {tmp})"
+                )
+        fs.delete(tmp_p, True)
+        spark.catalog.refreshByPath(table_path)
+    else:
+        # full replace (first write, schema mismatch, keyless,
+        # non-local keys): whole-dir rename swap
+        replace_dir(spark, table_path, _write)
     return _restore_partition_type(spark.read.parquet(table_path))

@@ -160,3 +160,25 @@ def test_decayed_sum_exact_tracks_continuous_form(spark):
     ).collect()[0].decayed_sum
     assert ex == pytest.approx(cont, abs=1e-4)
     assert ex == pytest.approx(8.0 + 4.0 + 2.0, abs=0)
+
+
+def test_decayed_sum_exact_overflow_raises_not_null(spark):
+    """DECIMAL(38,0) headroom is enforced, not assumed: under Spark's
+    default non-ANSI semantics an overflowing term would silently
+    become NULL and the key's decayed_sum would come back NULL; the
+    guard must instead raise the moment a per-(key, day) scaled sum
+    exceeds the provable bound."""
+    from etl_football_analytics_pipeline_spark.operators.anomaly import (
+        decayed_sum_exact,
+    )
+
+    rows = [("a", dt.datetime(2024, 1, 30, 12), 1.0e7)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    # horizon 35: scaled sum 1e9 is deep inside headroom — exact value
+    ok = decayed_sum_exact(df, ["k"], "ts", "x", "2024-01-31 00:00:00").collect()
+    assert ok[0].decayed_sum == pytest.approx(1.0e7, abs=0)
+    # horizon 90: bound is (10^38-1)/2^90/91 ~ 8.9e8 < 1e9 — must raise
+    with pytest.raises(Exception, match="headroom"):
+        decayed_sum_exact(
+            df, ["k"], "ts", "x", "2024-01-31 00:00:00", horizon_days=90
+        ).collect()

@@ -461,3 +461,38 @@ def test_minhash_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
     got3 = sorted(map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect()))
     want3 = sorted(map(tuple, minhash_index_probe(spark, idx3, delta, threshold=0.2).collect()))
     assert got3 == want3
+
+
+def test_minhash_index_orphan_band_rows_harmless(spark, tmp_path):
+    """The append order (bands FIRST, docs second — ADVICE r6:
+    dedup.py:802) means the only reachable partial-failure state is a
+    band row whose doc is missing, plus duplicated band rows after a
+    retry. Both must leave probe results unchanged: orphans die in the
+    exact-verification join back to docs, duplicates collapse in the
+    candidate distinct."""
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_probe,
+    )
+    from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    resident = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = f"{tmp_path}/mh_orphan"
+    minhash_index_build(resident, idx, num_hashes=64, num_bands=16, shingle_n=2)
+    base = sorted(
+        map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
+    )
+    assert base, "need at least one pair for the test to mean anything"
+    # retry-after-partial-failure state: every band row duplicated,
+    # plus one orphan band row with no docs entry
+    bands = spark.read.parquet(f"{idx}/bands").localCheckpoint()
+    bands.write.mode("append").parquet(f"{idx}/bands")
+    bands.limit(1).withColumn("__id", F.lit(99_999_999)).write.mode(
+        "append"
+    ).parquet(f"{idx}/bands")
+    after = sorted(
+        map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
+    )
+    assert after == base

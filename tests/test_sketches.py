@@ -338,3 +338,36 @@ def test_misra_gries_mid_stream_cap_reduction(spark):
         assert e <= true <= e + b, (v, e, b)
     # absent values are bounded by the total decrement weight
     assert err < n / (k + 1) * 2 + 1  # <= n_p/(k+1) summed over P=2
+
+
+def test_misra_gries_flat_stream_keeps_bound(spark):
+    """When every merged counter cancels (uniform stream) the summary
+    must be a (NULL, 0, err_bound) carrier row, never an empty frame:
+    the MG contract is "any absent value's true count <= err_bound",
+    and a dropped decrement total would assert all counts are 0."""
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        misra_gries_point_est,
+        misra_gries_topk,
+    )
+
+    rows = [(f"v{i}",) for i in range(5000)]  # uniform singletons
+    df = spark.createDataFrame(rows, "x string").repartition(1)
+    out = misra_gries_topk(df, "x", k=4).collect()
+    assert out, "the decrement weight must survive an all-cancel merge"
+    err = out[0].err_bound
+    assert err >= 1  # any singleton's true count (1) must fit the bound
+    for r in out:
+        true = 1 if r.value is not None else 0
+        lo = r.est or 0
+        assert lo <= true <= lo + err, (r.value, lo, err)
+    pts = {
+        r.q: r
+        for r in misra_gries_point_est(df, "x", ["v1", "zzz"], k=4).collect()
+    }
+    for q, true in (("v1", 1), ("zzz", 0)):
+        r = pts[q]
+        lo = r.est or 0
+        assert lo <= true <= lo + r.err_bound, (q, r)
+    # genuinely empty input still yields an empty summary
+    empty = spark.createDataFrame([], "x string")
+    assert misra_gries_topk(empty, "x", k=4).count() == 0

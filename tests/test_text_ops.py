@@ -721,3 +721,43 @@ def test_bm25_absent_and_repeated_query_terms(spark):
     double = {r.doc_id: r.score for r in bm25_topk(df, "doc_id", "text", {"q": ["hash", "hash"]}, k=5).collect()}
     for d in single:
         assert abs(double[d] - round(2 * single[d], 4)) <= 0.0002, (d, single[d], double[d])
+
+
+def test_bm25_compact_hard_erasure_under_dynamic_overwrite(spark, tmp_path):
+    """A caller's partitionOverwriteMode=dynamic must not defeat hard
+    erasure (ADVICE r6: text.py:1051): with an in-place dynamic
+    overwrite, a term bucket whose postings were ALL tombstoned is
+    never rewritten and the deleted doc's terms stay on disk. The
+    sibling-dir swap makes the session setting irrelevant."""
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_compact_index,
+        bm25_delete_from_index,
+        bm25_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "zebra quagga okapi"), (2, "hash join shuffle")],
+        "doc_id long, text string",
+    )
+    idx = f"{tmp_path}/bm25_dyn"
+    bm25_build_index(docs, "doc_id", "text", idx)
+    bm25_delete_from_index(
+        spark.createDataFrame([(1,)], "__id long"), idx
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        bm25_compact_index(spark, idx)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    post = spark.read.parquet(f"{idx}/postings")
+    assert post.filter("__id = 1").count() == 0
+    assert post.filter(
+        F.col("term").isin(["zebra", "quagga", "okapi"])
+    ).count() == 0, "deleted doc's terms must not survive compaction on disk"
+    got = bm25_search_index(spark, idx, {"q": ["hash"]}, k=5).collect()
+    assert [r.doc_id for r in got] == [2]
