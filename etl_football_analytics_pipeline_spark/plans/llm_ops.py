@@ -1377,6 +1377,10 @@ _PII_ORACLE_CTE = (
       SELECT doc_id,
              ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_word_frac
       FROM wc GROUP BY doc_id
+    ), c AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS cr_bytes,
+             1 AS cr_in_bound
+      FROM documents
     )
     SELECT l.doc_id, l.hits_de, l.hits_en, l.hits_es, l.hits_fr,
            CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
@@ -1396,7 +1400,8 @@ _PII_ORACLE_CTE = (
            f.md5_fingerprint,
            p.n_email, p.n_url, p.n_ipv4, p.n_phone, p.redacted_len,
            r.dup_line_frac, r.dup_bigram_frac,
-           COALESCE(topw.top_word_frac, 0.0) AS top_word_frac
+           COALESCE(topw.top_word_frac, 0.0) AS top_word_frac,
+           c.cr_bytes, c.cr_in_bound
     FROM l
     JOIN q USING (doc_id)
     JOIN t USING (doc_id)
@@ -1404,6 +1409,7 @@ _PII_ORACLE_CTE = (
     JOIN p USING (doc_id)
     JOIN r USING (doc_id)
     LEFT JOIN topw USING (doc_id)
+    JOIN c USING (doc_id)
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,7 +1438,17 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       and top_word_frac (relational mode: explode → (doc, word)
       count → max/sum — one hash-partitioned shuffle, map-side
       combined), the C4/Gopher-style repetition filters; 4dp-rounded
-      at the output boundary on both engines.
+      at the output boundary on both engines;
+    - compression-ratio signal (operators.text.compression_ratio —
+      zlib over an Arrow-batched kernel) under the SKETCH-SUITE
+      oracle contract: zlib is not expressible in SQL, so the driver
+      row carries (cr_bytes = the exact utf-8 byte length both
+      engines compute, cr_in_bound = 1 iff the measured ratio sits
+      inside the PROVABLE zlib envelope [stream-overhead/L,
+      1 + (5·⌈L/16383⌉ + 11)/L] with 1e-4 rounding slack; empty text
+      must report exactly 0.0). The oracle asserts the flag is 1 for
+      every document; the discriminative behavior (repetitive ≪
+      natural text) is pinned in tests/test_text_signals.py.
 
     All pure Column expressions; the four operator outputs join on
     doc_id and Catalyst collapses the self-joins of the same scan into
@@ -1449,13 +1465,43 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    from ..operators.text import repetition_signals
+    from ..operators.text import compression_ratio, repetition_signals
 
     rep = repetition_signals(docs, "doc_id", "text").select(
         "doc_id",
         F.round("dup_line_frac", 4).alias("dup_line_frac"),
         F.round("dup_bigram_frac", 4).alias("dup_bigram_frac"),
         F.round("top_word_frac", 4).alias("top_word_frac"),
+    )
+    # compression-ratio leg, bound-flag contract: the measured zlib
+    # ratio (4dp) must sit inside the provable envelope — lower bound
+    # the fixed stream overhead (2B header + 4B adler + >=2B deflate)
+    # over L, upper bound stored-block worst case (5B per <=16383B
+    # block + overhead) over L, each with 1e-4 slack for the 4dp
+    # rounding of the ratio itself; empty text reports exactly 0.0
+    byt = F.col("cr_bytes").cast("double")
+    in_bound = F.when(
+        F.col("cr_bytes") == 0, (F.col("compression_ratio") == 0.0).cast("int")
+    ).otherwise(
+        (
+            (F.col("compression_ratio") >= F.lit(8.0) / byt - F.lit(0.0001))
+            & (
+                F.col("compression_ratio")
+                <= F.lit(1.0)
+                + (F.lit(5.0) * F.ceil(byt / F.lit(16383.0)) + F.lit(11.0)) / byt
+                + F.lit(0.0001)
+            )
+        ).cast("int")
+    )
+    cr = (
+        compression_ratio(docs, "doc_id", "text")
+        .join(
+            docs.select(
+                "doc_id", F.octet_length("text").cast("long").alias("cr_bytes")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "cr_bytes", in_bound.alias("cr_in_bound"))
     )
     return (
         language_id(docs, "doc_id", "text")
@@ -1464,6 +1510,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fingerprints(docs, "doc_id", "text").select("doc_id", "md5_fingerprint"), "doc_id")
         .join(pii, "doc_id")
         .join(rep, "doc_id")
+        .join(cr, "doc_id")
     )
 
 

@@ -358,6 +358,70 @@ def dpp_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue where the fact scan is pruned by a RUNTIME
+    BLOOM FILTER — the "don't scan it" lever for joins whose key is
+    NOT the partition key (DPP can't help: lineitem has no brand
+    directories). Catalyst builds bloom_filter_agg over the filtered
+    dim's join keys and pushes might_contain(l_partkey) into the fact
+    scan, dropping non-joining rows at the scan instead of carrying
+    them through the join shuffle. Injection is ASSERTED here (the
+    leg raises if the plan lost it), then the leg executes under the
+    pinned confs via an eager localCheckpoint before they are
+    restored — lazy execution after restore would silently lose the
+    filter.
+
+    Conf pinning mirrors tests/test_layout.py: the application-side
+    threshold (10 GB default) exists so small scans don't pay bloom
+    overhead, so it must be lowered to make injection observable at
+    test scale — at the 100 TB target the production defaults trigger
+    naturally and none of this pinning is needed. autoBroadcast is
+    disabled because the bloom pays when the join is shuffled (a
+    broadcast join already prunes at the probe side). Values match
+    the plain filtered join-aggregate, which is exactly what the
+    oracle computes."""
+    from ..operators.prune import enable_runtime_bloom
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
+    )
+    touched = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    prev = {c: spark.conf.get(c, None) for c in touched}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    enable_runtime_bloom(spark, application_side_min_bytes=0)
+    try:
+        revenue_e4 = scaled_long("l_extendedprice") * (
+            F.lit(100) - scaled_long("l_discount")
+        )
+        q = (
+            li.join(dim, li.l_partkey == dim.p_partkey)
+            .groupBy(F.col("p_brand").alias("key"))
+            .agg(exact_scaled_sum(revenue_e4, 4).cast("double").alias("revenue"))
+        )
+        op = q._jdf.queryExecution().optimizedPlan().toString()
+        if "might_contain" not in op or "bloom_filter_agg" not in op:
+            raise AssertionError(
+                "runtime bloom filter was not injected into the fact scan:\n" + op
+            )
+        out = q.localCheckpoint(eager=True)
+    finally:
+        for c, v in prev.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    return out
+
+
 def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Exchange-FREE form of the fact⋈fact revenue rollup: both
     facts read from co-bucketed mirrors (same bucket count, same key),
@@ -409,6 +473,14 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE r <= 2
     )
     GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'bloom' AS part, p_brand AS key,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#23')
+    GROUP BY p_brand
     """,
 )
 def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,7 +504,15 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       partition keys at runtime and 3/5 of the fact's directories are
       never opened (`dynamicpruning#` PartitionFilter, plan-asserted
       in tests/test_layout.py). The oracle computes the plain
-      filtered aggregate.
+      filtered aggregate;
+    - part='bloom': RUNTIME BLOOM-FILTER join pruning
+      (bloom_brand_revenue) — the join key (l_partkey) is NOT a
+      partition key, so DPP cannot prune; instead Catalyst pushes
+      might_contain(bloom_filter_agg(filtered dim keys)) into the
+      fact scan. The injection is asserted INSIDE the leg (it raises
+      if the plan lost it) and the leg executes eagerly under the
+      pinned thresholds; the oracle computes the plain filtered
+      join-aggregate.
 
     Revenue is accumulated via `exact_scaled_sum` (price and discount
     as e2 scaled longs, their product an e4 long): bit-identical to
@@ -460,7 +540,10 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dpp = dpp_priority_revenue(spark, sf_dir).select(
         F.lit("dpp").alias("part"), "key", "revenue"
     )
-    return star.unionByName(bucketed).unionByName(dpp)
+    bloom = bloom_brand_revenue(spark, sf_dir).select(
+        F.lit("bloom").alias("part"), "key", "revenue"
+    )
+    return star.unionByName(bucketed).unionByName(dpp).unionByName(bloom)
 
 
 @query(

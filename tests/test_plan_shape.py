@@ -117,6 +117,9 @@ def test_relational_plans_stay_jvm_side(plans):
         # span leg's vectorized window-hash kernel (one xxhash64 per
         # token JVM-side, numpy polynomial combine per window)
         "text_ngram_suite",
+        # compression-ratio leg: zlib is not Column algebra, so it is
+        # an Arrow-batched mapInPandas kernel by design (r7)
+        "text_profile",
     }
     for name, plan in plans.items():
         if name in kernel_queries:
