@@ -68,17 +68,27 @@ def replace_dir(spark, dest: str, write) -> None:
 
     Crash windows are recoverable, never destructive: before the first
     rename both copies exist; between the renames the old data is at
-    ``dest.__old`` and the new at ``dest.__new`` (a later call cleans
-    the leftovers; if the swap-in rename itself fails the old dir is
-    restored). Renames are metadata-atomic on HDFS and local FS; on
-    object stores they are copies — wrap the index in
-    sources.versioned there, same caveat as the appends."""
+    ``dest.__old`` and the new at ``dest.__new``, and the NEXT call
+    restores the old copy to ``dest`` before anything else (so the
+    caller's writer finds its source and the retry redoes the whole
+    replacement) — only then are leftovers cleaned. If the swap-in
+    rename itself fails the old dir is restored immediately. Renames
+    are metadata-atomic on HDFS and local FS; on object stores they
+    are copies — wrap the index in sources.versioned there, same
+    caveat as the appends."""
     jvm = spark._jvm
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     dest_p = hadoop_path(dest)
     fs = dest_p.getFileSystem(spark._jsc.hadoopConfiguration())
     tmp, old = dest.rstrip("/") + ".__new", dest.rstrip("/") + ".__old"
     tmp_p, old_p = hadoop_path(tmp), hadoop_path(old)
+    # crash recovery BEFORE cleanup: dest absent + .__old present is
+    # the between-renames crash state — .__old holds the last complete
+    # copy, so restore it; deleting it as a "leftover" here would
+    # destroy the only surviving data
+    if not fs.exists(dest_p) and fs.exists(old_p):
+        if not fs.rename(old_p, dest_p):
+            raise IOError(f"replace_dir: could not recover {old} -> {dest}")
     for p in (tmp_p, old_p):  # leftovers from a crashed prior run
         if fs.exists(p):
             fs.delete(p, True)

@@ -84,8 +84,16 @@ def merge_into_raw(
     write + rename swap: only partitions present in the merged delta
     rewrite, and the table is never truncated while the merged rows'
     only copy is volatile."""
-    exists = os.path.isdir(table_path) and any(
-        not e.startswith((".", "_")) for e in os.listdir(table_path)
+    # existence probe through the Hadoop FS API (not os.path.isdir,
+    # which is always-false for HDFS/S3 tables and would silently turn
+    # every merge into a full replace — same defect class as the
+    # tombstone probe fixed in operators/tombstones._dir_exists)
+    jvm = spark._jvm
+    _tp = jvm.org.apache.hadoop.fs.Path(table_path)
+    _fs = _tp.getFileSystem(spark._jsc.hadoopConfiguration())
+    exists = _fs.exists(_tp) and any(
+        not st.getPath().getName().startswith((".", "_"))
+        for st in _fs.listStatus(_tp)
     )
     partitioned = bool(partition_by) and partition_by in new_df.columns
     # partition-local merge is sound only when the partition column is

@@ -507,11 +507,125 @@ def layout_section(spark, scale: int) -> str:
     )
 
 
+def indexed_section(spark, scale: int) -> str:
+    """The r6-reworked persisted-index and sketch paths at scale× —
+    the terms that dominate a continuously-probed 100 TB corpus.
+    Build cost is the linear one-time term; probe cost is the
+    per-query term that must NOT track the resident corpus:
+
+    - minhash index probe reads the STORED band relation (r6: probes
+      never re-band residents) — probe work is O(delta + candidates).
+      The amplified corpus is rotated near-dup copies, so a fixed
+      probe delta legitimately matches ~scale× more residents:
+      compare probe wall against CANDIDATE volume, not corpus rows;
+    - bm25 probe opens only the query terms' md5-bucket postings dirs
+      — wall tracks matching postings (linear in term frequency),
+      never the corpus scan;
+    - ivf probe reads nprobe/n_lists of the partitioned lists;
+    - portable CMS/HLL builds hash the pre-aggregated DOMAIN (r6),
+      so build wall is scan-dominated, and the CMS point probe reads
+      the bounded counter relation only;
+    - decayed_sum_exact is one map-side-combined aggregate to
+      (key, day) partials — wall tracks the scan.
+
+    Probes use FIXED deltas / query sets so their wall isolates the
+    per-probe term."""
+    import tempfile
+
+    from etl_football_analytics_pipeline_spark.operators.anomaly import (
+        decayed_sum_exact,
+    )
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_probe,
+    )
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        portable_cms,
+        portable_cms_point,
+        portable_hll_distinct,
+    )
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+
+    docs1 = load_table(spark, SF, "documents")
+    docs = amplify_docs(docs1, scale).localCheckpoint()
+    nd = docs.count()
+    # fixed-size probe delta regardless of scale: base docs, fresh ids
+    delta = docs1.limit(1000).select(
+        (F.col("doc_id") + 500_000_000).alias("doc_id"), "text"
+    ).localCheckpoint()
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        minhash_index_build(docs, f"{td}/mh", num_hashes=64, num_bands=16, shingle_n=2)
+        t_mh_build = time.time() - t0
+        t0 = time.time()
+        n_mh = minhash_index_probe(spark, f"{td}/mh", delta, threshold=0.2).count()
+        t_mh_probe = time.time() - t0
+        t0 = time.time()
+        bm25_build_index(docs, "doc_id", "text", f"{td}/bm25")
+        t_bm_build = time.time() - t0
+        t0 = time.time()
+        n_bm = bm25_search_index(
+            spark, f"{td}/bm25",
+            {"q1": ["hash", "join", "stream"], "q2": ["vector", "scan", "merge"]},
+            k=10,
+        ).count()
+        t_bm_probe = time.time() - t0
+        emb = amplify_emb(load_table(spark, SF, "embeddings"), scale).localCheckpoint()
+        ne = emb.count()
+        queries = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 10)
+        t0 = time.time()
+        ivf_build_index(emb, f"{td}/ivf", n_lists=64)
+        t_ivf_build = time.time() - t0
+        t0 = time.time()
+        n_ivf = ivf_search_index(spark, f"{td}/ivf", queries, k=5, nprobe=4).count()
+        t_ivf_probe = time.time() - t0
+    ev = amplify_events(load_table(spark, SF, "events"), scale).localCheckpoint()
+    n_ev = ev.count()
+    vals = ev.select(
+        F.col("event_type").alias("g"),
+        (F.col("user_id") % 100).cast("string").alias("v"),
+    )
+    t0 = time.time()
+    cms = portable_cms(vals, "g", "v")
+    n_cms = portable_cms_point(cms, ["0", "7", "42"]).count()
+    t_cms = time.time() - t0
+    t0 = time.time()
+    n_hll = portable_hll_distinct(
+        ev.select("event_type", "user_id"), "event_type", "user_id"
+    ).count()
+    t_hll = time.time() - t0
+    t0 = time.time()
+    n_dec = decayed_sum_exact(
+        ev, ["event_type"], "ts", "value", "2024-01-31 00:00:00"
+    ).count()
+    t_dec = time.time() - t0
+    return (
+        f"docs={nd:8d} emb={ne:7d} events={n_ev:9d}  "
+        f"mh_build={t_mh_build:6.1f}s mh_probe={t_mh_probe:5.1f}s (pairs={n_mh})  "
+        f"bm25_build={t_bm_build:6.1f}s bm25_probe={t_bm_probe:5.1f}s (rows={n_bm})  "
+        f"ivf_build={t_ivf_build:6.1f}s ivf_probe={t_ivf_probe:5.1f}s (rows={n_ivf})  "
+        f"cms_build+probe={t_cms:5.1f}s (rows={n_cms})  hll={t_hll:5.1f}s (groups={n_hll})  "
+        f"decay={t_dec:5.1f}s (keys={n_dec})"
+    )
+
+
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 10
     spark = get_spark(app_name="scale-smoke")
+    if "--indexed" in flags:
+        for scale in (1, k):
+            print(f"scale={scale:3d}  {indexed_section(spark, scale)}", flush=True)
+        spark.stop()
+        return 0
     if "--temporal" in flags:
         for scale in (1, k):
             print(f"scale={scale:3d}  {temporal_section(spark, scale)}", flush=True)

@@ -64,3 +64,25 @@ def test_replace_dir_creates_missing_dest(spark, tmp_path):
     dest = f"{tmp_path}/fresh"
     replace_dir(spark, dest, lambda p: spark.range(3).write.parquet(p))
     assert spark.read.parquet(dest).count() == 3
+
+
+def test_replace_dir_recovers_between_renames_crash(spark, tmp_path):
+    """The between-renames crash state (dest absent, old copy at
+    .__old, finished replacement at .__new) must restore the old copy
+    first, NOT delete it as a leftover — the retry then redoes the
+    replacement from the recovered source."""
+    dest = f"{tmp_path}/rel"
+    spark.range(6).write.parquet(f"{dest}.__old")   # last complete copy
+    spark.range(2).write.parquet(f"{dest}.__new")   # orphaned replacement
+    survivors = None
+
+    def write(p):
+        nonlocal survivors
+        survivors = spark.read.parquet(dest).filter("id < 5").collect()
+        spark.read.parquet(dest).filter("id < 5").write.parquet(p)
+
+    replace_dir(spark, dest, write)
+    assert len(survivors) == 5  # writer saw the RECOVERED old copy
+    assert spark.read.parquet(dest).count() == 5
+    assert not os.path.exists(f"{dest}.__new")
+    assert not os.path.exists(f"{dest}.__old")
