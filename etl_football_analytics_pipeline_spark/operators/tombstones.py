@@ -76,34 +76,31 @@ def replace_dir(spark, dest: str, write) -> None:
     are metadata-atomic on HDFS and local FS; on object stores they
     are copies — wrap the index in sources.versioned there, same
     caveat as the appends."""
+    from ..utils import commit_staged_dir, recover_swapped_dir
+
     jvm = spark._jvm
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     dest_p = hadoop_path(dest)
     fs = dest_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp, old = dest.rstrip("/") + ".__new", dest.rstrip("/") + ".__old"
-    tmp_p, old_p = hadoop_path(tmp), hadoop_path(old)
+    dest = dest.rstrip("/")
+    tmp, tmp_p = dest + ".__new", hadoop_path(dest.rstrip("/") + ".__new")
     # crash recovery BEFORE cleanup: dest absent + .__old present is
     # the between-renames crash state — .__old holds the last complete
     # copy, so restore it; deleting it as a "leftover" here would
     # destroy the only surviving data
-    if not fs.exists(dest_p) and fs.exists(old_p):
-        if not fs.rename(old_p, dest_p):
-            raise IOError(f"replace_dir: could not recover {old} -> {dest}")
-    for p in (tmp_p, old_p):  # leftovers from a crashed prior run
+    recover_swapped_dir(dest)
+    for p in (tmp_p, hadoop_path(dest + ".__old")):  # crashed-run leftovers
         if fs.exists(p):
             fs.delete(p, True)
     write(tmp)
     if not fs.exists(tmp_p):
         raise IOError(f"replace_dir: write produced nothing at {tmp}")
-    # rename(src, existing-dir) moves src INSIDE it on some FS impls —
-    # dest must be renamed away before the swap-in, never overwritten
-    if fs.exists(dest_p) and not fs.rename(dest_p, old_p):
-        raise IOError(f"replace_dir: could not rename {dest} -> {old}")
-    if not fs.rename(tmp_p, dest_p):
-        if fs.exists(old_p):  # put the old copy back: stay readable
-            fs.rename(old_p, dest_p)
-        raise IOError(f"replace_dir: could not rename {tmp} -> {dest}")
-    fs.delete(old_p, True)
+    # the shared two-rename swap (utils.commit_staged_dir): retire
+    # dest to .__old, rename the stage in, drop the retired copy —
+    # dest is never overwritten in place (rename onto an existing dir
+    # nests on some FS impls), and a mid-swap crash is recovered by
+    # the recover_swapped_dir call above on the next attempt
+    commit_staged_dir(dest, tmp)
     # the swap invalidated any cached file listing for this path
     spark.catalog.refreshByPath(dest)
 

@@ -8,6 +8,22 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+def _hadoop_fs(path: str):
+    """(fs, Path-class) for the filesystem owning `path`, resolved
+    through the active session — so the swap helpers below work on
+    HDFS/S3 paths, not only the driver's local disk. None when no
+    session is active (pure-python contexts fall back to os/shutil,
+    which is correct there: without a session every path IS local)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    return hp(path).getFileSystem(spark._jsc.hadoopConfiguration()), hp
+
+
 def recover_swapped_dir(path: str) -> bool:
     """Crash recovery for the stage-and-rename swap pattern: a crash
     between its two renames leaves the live path ABSENT and the
@@ -17,8 +33,16 @@ def recover_swapped_dir(path: str) -> bool:
     the live path so the recovered table participates in the merge.
     Returns True if a recovery happened."""
     retired = path + ".__old"
-    if not os.path.isdir(path) and os.path.isdir(retired):
-        os.rename(retired, path)
+    fsj = _hadoop_fs(path)
+    if fsj is None:
+        if not os.path.isdir(path) and os.path.isdir(retired):
+            os.rename(retired, path)
+            return True
+        return False
+    fs, hp = fsj
+    if not fs.exists(hp(path)) and fs.exists(hp(retired)):
+        if not fs.rename(hp(retired), hp(path)):
+            raise IOError(f"could not recover {retired} -> {path}")
         return True
     return False
 
@@ -26,17 +50,33 @@ def recover_swapped_dir(path: str) -> bool:
 def commit_staged_dir(path: str, tmp: str) -> None:
     """Swap a fully-written staging directory into place:
     retire the live dir — first clearing any stale retired copy left
-    by a crash after a previous swap (`os.rename` onto an existing
-    non-empty directory raises ENOTEMPTY) — then rename stage → live
-    and drop the retired copy. The inconsistency window is the two
-    rename() calls, and `recover_swapped_dir` makes a crash inside
-    that window lossless."""
+    by a crash after a previous swap (rename onto an existing
+    non-empty directory fails or nests on every FS) — then rename
+    stage → live and drop the retired copy. The inconsistency window
+    is the two rename() calls, and `recover_swapped_dir` makes a
+    crash inside that window lossless. Runs through the Hadoop FS API
+    when a session is active, so the pattern holds for warehouse
+    paths on HDFS/S3, not only local disk."""
     retired = path + ".__old"
-    if os.path.isdir(path):
+    fsj = _hadoop_fs(path)
+    if fsj is None:
+        if os.path.isdir(path):
+            shutil.rmtree(retired, ignore_errors=True)
+            os.rename(path, retired)
+        os.rename(tmp, path)
         shutil.rmtree(retired, ignore_errors=True)
-        os.rename(path, retired)
-    os.rename(tmp, path)
-    shutil.rmtree(retired, ignore_errors=True)
+        return
+    fs, hp = fsj
+    if fs.exists(hp(path)):
+        if fs.exists(hp(retired)):
+            fs.delete(hp(retired), True)
+        if not fs.rename(hp(path), hp(retired)):
+            raise IOError(f"could not retire {path} -> {retired}")
+    if not fs.rename(hp(tmp), hp(path)):
+        if fs.exists(hp(retired)):  # put the old copy back: stay readable
+            fs.rename(hp(retired), hp(path))
+        raise IOError(f"could not swap {tmp} -> {path}")
+    fs.delete(hp(retired), True)
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
