@@ -489,9 +489,9 @@ def test_minhash_index_orphan_band_rows_harmless(spark, tmp_path):
     # plus one orphan band row with no docs entry
     bands = spark.read.parquet(f"{idx}/bands").localCheckpoint()
     bands.write.mode("append").parquet(f"{idx}/bands")
-    bands.limit(1).withColumn("__id", F.lit(99_999_999)).write.mode(
-        "append"
-    ).parquet(f"{idx}/bands")
+    bands.limit(1).withColumn(
+        "__id", F.lit(99_999_999).cast("long")
+    ).write.mode("append").parquet(f"{idx}/bands")
     after = sorted(
         map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
     )
