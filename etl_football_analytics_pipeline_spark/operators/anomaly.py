@@ -173,9 +173,15 @@ def decayed_sum_exact(
     # it. The when() wrapper ties the assert into the consumed
     # expression so Catalyst cannot prune it as an unused column.
     s_limit = (10**38 - 1) // (2**horizon_days) // (horizon_days + 1)
+    # NULL-safe: an all-NULL (key, day) value group sums to a NULL
+    # __s, which must keep propagating as NULL output (nulls are
+    # data), not trip the overflow assert
     s_ok = F.assert_true(
-        F.abs(F.col("__s").cast("decimal(38,0)"))
-        <= F.lit(str(s_limit)).cast("decimal(38,0)"),
+        F.col("__s").isNull()
+        | (
+            F.abs(F.col("__s").cast("decimal(38,0)"))
+            <= F.lit(str(s_limit)).cast("decimal(38,0)")
+        ),
         F.lit(
             "decayed_sum_exact: per-(key,day) scaled sum exceeds the "
             f"DECIMAL(38,0) headroom bound {s_limit} for horizon_days="

@@ -1379,7 +1379,7 @@ _PII_ORACLE_CTE = (
       FROM wc GROUP BY doc_id
     ), c AS (
       SELECT doc_id, CAST(strlen(text) AS BIGINT) AS cr_bytes,
-             1 AS cr_in_bound
+             CASE WHEN text IS NULL THEN NULL ELSE 1 END AS cr_in_bound
       FROM documents
     )
     SELECT l.doc_id, l.hits_de, l.hits_en, l.hits_es, l.hits_fr,

@@ -182,3 +182,25 @@ def test_decayed_sum_exact_overflow_raises_not_null(spark):
         decayed_sum_exact(
             df, ["k"], "ts", "x", "2024-01-31 00:00:00", horizon_days=90
         ).collect()
+
+
+def test_decayed_sum_exact_null_values_propagate(spark):
+    """An all-NULL (key, day) value group must keep yielding a NULL
+    decayed_sum (nulls are data), not trip the overflow assert."""
+    from etl_football_analytics_pipeline_spark.operators.anomaly import (
+        decayed_sum_exact,
+    )
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 30, 12), None),
+        ("b", dt.datetime(2024, 1, 30, 12), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    out = {
+        r.k: r
+        for r in decayed_sum_exact(
+            df, ["k"], "ts", "x", "2024-01-31 00:00:00"
+        ).collect()
+    }
+    assert out["a"].decayed_sum is None
+    assert out["b"].decayed_sum == pytest.approx(2.0, abs=0)
