@@ -162,7 +162,16 @@ def decayed_sum_exact(
         .filter((F.col("__k") >= 0) & (F.col("__k") <= horizon_days))
         .groupBy(*keys, "__k")
         .agg(
-            F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("__s"),
+            # per-row terms are longs, but the per-(key,day) SUM folds
+            # in DECIMAL(38,0): a long accumulator would WRAP silently
+            # past 2^63 — below the headroom guard's threshold for
+            # every horizon <= 58 — and the guard would then bless a
+            # wrapped (wrong) value. The decimal fold is exact to
+            # 10^38, and a decimal-sum overflow (NULL) would need
+            # ~10^19 rows in one (key, day) group — unreachable.
+            F.sum(
+                F.round(F.col(value_col) * scale).cast("long").cast("decimal(38,0)")
+            ).alias("__s"),
             F.count(F.lit(1)).alias("__n"),
         )
     )

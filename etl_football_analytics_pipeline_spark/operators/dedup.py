@@ -771,6 +771,23 @@ def minhash_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
+def _bands_ready(spark, path: str) -> bool:
+    """Existence of the stored band relation WITH mid-swap crash
+    recovery first: a compaction that died between its swap renames
+    leaves `path/bands` absent and the last complete copy at
+    `bands.__old`. A bare existence probe would then silently demote
+    every probe to the O(resident) re-banding fallback AND make
+    appends stop maintaining the relation — the stored-bands index
+    would be lost permanently even though its data sits on disk one
+    rename away. Recovery is idempotent and a no-op in the normal
+    case."""
+    from ..utils import recover_swapped_dir
+    from .tombstones import _dir_exists
+
+    recover_swapped_dir(f"{path}/bands", spark)
+    return _dir_exists(spark, f"{path}/bands")
+
+
 def _minhash_index_params(spark, path: str) -> tuple[int, int, int, str, bool]:
     df = spark.read.parquet(f"{path}/params")
     r = df.first()
@@ -806,9 +823,7 @@ def minhash_index_append(
         grams=gram_hashes(delta, id_col, text_col, shingle_n, portable),
         keep_grams=True, portable=portable,
     ).localCheckpoint()  # two writes; sign the delta once
-    from .tombstones import _dir_exists
-
-    if _dir_exists(spark, f"{path}/bands"):  # pre-bands indexes: probe re-bands
+    if _bands_ready(spark, path):  # pre-bands indexes: probe re-bands
         band_buckets(
             frame.select(id_col, "signature"),
             id_col, num_bands, num_hashes // num_bands, portable,
@@ -841,19 +856,14 @@ def minhash_index_compact(spark, path: str) -> None:
     snapshot-isolated readers, same as appends. Probe results are
     unchanged by construction (probe already anti-joined the
     tombstones; asserted in tests)."""
-    from .tombstones import (
-        _dir_exists,
-        drop_tombstones,
-        filter_tombstones,
-        replace_dir,
-    )
+    from .tombstones import drop_tombstones, filter_tombstones, replace_dir
 
     _, _, _, id_col, _ = _minhash_index_params(spark, path)
     live = filter_tombstones(
         spark, path, spark.read.parquet(f"{path}/docs"), id_col
     )
     replace_dir(spark, f"{path}/docs", lambda p: live.write.parquet(p))
-    if _dir_exists(spark, f"{path}/bands"):
+    if _bands_ready(spark, path):
         bands = filter_tombstones(
             spark, path, spark.read.parquet(f"{path}/bands"), "__id"
         )
@@ -893,7 +903,7 @@ def minhash_index_probe(
     signature kernels."""
     num_hashes, num_bands, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     rows_per_band = num_hashes // num_bands
-    from .tombstones import _dir_exists, filter_tombstones
+    from .tombstones import filter_tombstones
 
     resident = filter_tombstones(
         spark, path, spark.read.parquet(f"{path}/docs"), id_col
@@ -906,7 +916,7 @@ def minhash_index_probe(
     nb = band_buckets(
         frame_new.select(id_col, "signature"), id_col, num_bands, rows_per_band, portable
     )
-    if _dir_exists(spark, f"{path}/bands"):
+    if _bands_ready(spark, path):
         # the stored band relation (written at build/append) — the
         # resident corpus is never re-banded at probe time; tombstoned
         # ids are filtered the same way as the docs relation

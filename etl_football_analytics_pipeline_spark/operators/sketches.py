@@ -361,6 +361,18 @@ def misra_gries_topk(
         else:
             counters[r.value] = counters.get(r.value, 0) + r.weight
     spark = df.sparkSession
+    # proper MG merge reduction (Agarwal et al., mergeable summaries):
+    # summed weights can exceed k counters, so subtract the (k+1)-th
+    # largest weight from all and drop non-positives — NOT a plain
+    # top-k cut, which could evict a guaranteed heavy hitter whose
+    # lower-bound est trails an overcounted light item
+    if len(counters) > k:
+        t = sorted(counters.values(), reverse=True)[k]
+        total_dec += t
+        counters = {v: c - t for v, c in counters.items() if c - t > 0}
+    # the empty-survivor check must run AFTER the merge reduction —
+    # the reduction itself can cancel every counter (near-uniform
+    # merged weights), and that path must ALSO preserve the bound
     if not counters:
         if total_dec == 0:  # genuinely empty input
             return spark.createDataFrame(
@@ -374,15 +386,6 @@ def misra_gries_topk(
         return spark.createDataFrame(
             [(None, 0, total_dec)], "value string, est long, err_bound long"
         )
-    # proper MG merge reduction (Agarwal et al., mergeable summaries):
-    # summed weights can exceed k counters, so subtract the (k+1)-th
-    # largest weight from all and drop non-positives — NOT a plain
-    # top-k cut, which could evict a guaranteed heavy hitter whose
-    # lower-bound est trails an overcounted light item
-    if len(counters) > k:
-        t = sorted(counters.values(), reverse=True)[k]
-        total_dec += t
-        counters = {v: c - t for v, c in counters.items() if c - t > 0}
     rows = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
     return spark.createDataFrame(
         [(v, c, total_dec) for v, c in rows],

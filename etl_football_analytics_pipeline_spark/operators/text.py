@@ -165,7 +165,13 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     near-random text (very low ratio = templated/repetitive, ~1 =
     high-entropy noise). zlib is not expressible as Column algebra, so
     this is an Arrow-batched mapInPandas kernel — bytes stay
-    executor-local, one double per doc shuffles."""
+    executor-local, one (ratio, byte length) pair per doc shuffles.
+
+    Also emits `cr_bytes` (the utf-8 byte length the ratio divides by;
+    NULL for NULL text, matching octet_length) — the kernel already
+    has the encoded bytes in hand, and emitting the length here saves
+    consumers a second corpus scan + join that the mapInPandas
+    boundary would keep Catalyst from collapsing."""
     import zlib
 
     from collections.abc import Iterator
@@ -176,7 +182,7 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            raws = [t.encode("utf-8") if isinstance(t, str) else b"" for t in pdf[text_col]]
+            raws = [t.encode("utf-8") if isinstance(t, str) else None for t in pdf[text_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -184,11 +190,15 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                         round(len(zlib.compress(r)) / len(r), 4) if r else 0.0
                         for r in raws
                     ],
+                    "cr_bytes": pd.array(
+                        [len(r) if r is not None else None for r in raws],
+                        dtype="Int64",
+                    ),
                 }
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        ratio, f"{id_col} long, compression_ratio double"
+        ratio, f"{id_col} long, compression_ratio double, cr_bytes long"
     )
 
 

@@ -76,19 +76,17 @@ def replace_dir(spark, dest: str, write) -> None:
     are metadata-atomic on HDFS and local FS; on object stores they
     are copies — wrap the index in sources.versioned there, same
     caveat as the appends."""
-    from ..utils import commit_staged_dir, recover_swapped_dir
+    from ..utils import _hadoop_fs, commit_staged_dir, recover_swapped_dir
 
-    jvm = spark._jvm
-    hadoop_path = jvm.org.apache.hadoop.fs.Path
-    dest_p = hadoop_path(dest)
-    fs = dest_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hadoop_path = _hadoop_fs(dest, spark)
     dest = dest.rstrip("/")
-    tmp, tmp_p = dest + ".__new", hadoop_path(dest.rstrip("/") + ".__new")
+    tmp = dest + ".__new"
+    tmp_p = hadoop_path(tmp)
     # crash recovery BEFORE cleanup: dest absent + .__old present is
     # the between-renames crash state — .__old holds the last complete
     # copy, so restore it; deleting it as a "leftover" here would
     # destroy the only surviving data
-    recover_swapped_dir(dest)
+    recover_swapped_dir(dest, spark)
     for p in (tmp_p, hadoop_path(dest + ".__old")):  # crashed-run leftovers
         if fs.exists(p):
             fs.delete(p, True)
@@ -100,7 +98,7 @@ def replace_dir(spark, dest: str, write) -> None:
     # dest is never overwritten in place (rename onto an existing dir
     # nests on some FS impls), and a mid-swap crash is recovered by
     # the recover_swapped_dir call above on the next attempt
-    commit_staged_dir(dest, tmp)
+    commit_staged_dir(dest, tmp, spark)
     # the swap invalidated any cached file listing for this path
     spark.catalog.refreshByPath(dest)
 

@@ -84,13 +84,31 @@ def merge_into_raw(
     write + rename swap: only partitions present in the merged delta
     rewrite, and the table is never truncated while the merged rows'
     only copy is volatile."""
+    from ..utils import _hadoop_fs, recover_swapped_dir
+
+    _fs, _hp = _hadoop_fs(table_path, spark)
+    # crash recovery BEFORE the existence probe: a prior run that died
+    # between its swap renames left the table (or one of its partition
+    # children) absent with the last complete copy at `.__old` —
+    # probing first would classify that as "no table yet" and the
+    # merge would silently replace all prior rows with the new batch
+    recover_swapped_dir(table_path, spark)
+    if _fs.exists(_hp(table_path)):
+        for st in _fs.listStatus(_hp(table_path)):
+            name = st.getPath().getName()
+            if not name.endswith(".__old"):
+                continue
+            live = _hp(f"{table_path.rstrip('/')}/{name[: -len('.__old')]}")
+            if not _fs.exists(live):  # mid-swap crash: restore the child
+                if not _fs.rename(st.getPath(), live):
+                    raise IOError(f"could not recover partition {name}")
+            else:  # swap completed; the retired copy is a leftover
+                _fs.delete(st.getPath(), True)
     # existence probe through the Hadoop FS API (not os.path.isdir,
     # which is always-false for HDFS/S3 tables and would silently turn
     # every merge into a full replace — same defect class as the
     # tombstone probe fixed in operators/tombstones._dir_exists)
-    jvm = spark._jvm
-    _tp = jvm.org.apache.hadoop.fs.Path(table_path)
-    _fs = _tp.getFileSystem(spark._jsc.hadoopConfiguration())
+    _tp = _hp(table_path)
     exists = _fs.exists(_tp) and any(
         not st.getPath().getName().startswith((".", "_"))
         for st in _fs.listStatus(_tp)
@@ -157,31 +175,29 @@ def merge_into_raw(
     if local:
         # partition-local merge: merged holds ONLY the delta's
         # partitions — land them durably in the sibling dir, then swap
-        # each partition child over its old copy; untouched partitions
-        # never move. A crash mid-swap leaves every partition either
-        # old or new, with the new copies still durable in the sibling
-        # dir — recoverable, never destroyed.
+        # each partition child over its old copy with the SAME
+        # two-rename discipline as the whole-table path (retire to
+        # child.__old, rename the stage in, drop the retired copy —
+        # never delete-then-rename, whose crash window loses the
+        # partition); untouched partitions never move. A crash mid-swap
+        # leaves every child old, new, or retired-at-.__old — the
+        # recovery sweep at the top of this function restores the
+        # retired ones before the next merge reads the table.
+        from ..utils import commit_staged_dir
+
         tmp = table_path.rstrip("/") + ".__new"
-        jvm = spark._jvm
-        hadoop_path = jvm.org.apache.hadoop.fs.Path
-        tmp_p = hadoop_path(tmp)
-        fs = tmp_p.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(tmp_p):  # leftover from a crashed prior run
-            fs.delete(tmp_p, True)
+        tmp_p = _hp(tmp)
+        if _fs.exists(tmp_p):  # leftover from a crashed prior run
+            _fs.delete(tmp_p, True)
         _write(tmp)
-        for st in fs.listStatus(tmp_p):
+        for st in _fs.listStatus(tmp_p):
             name = st.getPath().getName()
             if not name.startswith(f"{partition_by}="):
                 continue  # _SUCCESS and friends
-            dst_child = hadoop_path(f"{table_path.rstrip('/')}/{name}")
-            if fs.exists(dst_child):
-                fs.delete(dst_child, True)
-            if not fs.rename(st.getPath(), dst_child):
-                raise IOError(
-                    f"merge_into_raw: could not swap partition {name} "
-                    f"into {table_path} (new data remains at {tmp})"
-                )
-        fs.delete(tmp_p, True)
+            commit_staged_dir(
+                f"{table_path.rstrip('/')}/{name}", f"{tmp}/{name}", spark
+            )
+        _fs.delete(tmp_p, True)
         spark.catalog.refreshByPath(table_path)
     else:
         # full replace (first write, schema mismatch, keyless,

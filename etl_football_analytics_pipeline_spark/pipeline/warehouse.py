@@ -209,7 +209,7 @@ def write_warehouse(
     for name, df in warehouse.items():
         pk, is_dim = WAREHOUSE_KEYS[name]
         path = os.path.join(out_dir, name)
-        recover_swapped_dir(path)
+        recover_swapped_dir(path, spark)
         if os.path.isdir(path):
             target = spark.read.parquet(path)
             merged = upsert(target, df, pk) if is_dim else insert_if_absent(target, df, pk)
@@ -224,7 +224,7 @@ def write_warehouse(
         tmp = path + ".__stage"
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
-        commit_staged_dir(path, tmp)
+        commit_staged_dir(path, tmp, spark)
         spark.catalog.refreshByPath(path)
         loaded[name] = spark.read.parquet(path)
     return loaded

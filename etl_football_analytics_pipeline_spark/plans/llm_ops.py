@@ -1493,15 +1493,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("int")
     )
-    cr = (
-        compression_ratio(docs, "doc_id", "text")
-        .join(
-            docs.select(
-                "doc_id", F.octet_length("text").cast("long").alias("cr_bytes")
-            ),
-            "doc_id",
-        )
-        .select("doc_id", "cr_bytes", in_bound.alias("cr_in_bound"))
+    # the kernel emits cr_bytes itself (same encode it compresses), so
+    # no second docs scan + join behind the mapInPandas boundary
+    cr = compression_ratio(docs, "doc_id", "text").select(
+        "doc_id", "cr_bytes", in_bound.alias("cr_in_bound")
     )
     return (
         language_id(docs, "doc_id", "text")

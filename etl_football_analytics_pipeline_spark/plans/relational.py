@@ -399,9 +399,13 @@ def bloom_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
     ]
     prev = {c: spark.conf.get(c, None) for c in touched}
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    enable_runtime_bloom(spark, application_side_min_bytes=0)
+    # the conf flips live INSIDE the try: a failure anywhere after the
+    # first set (even in the second set) must still restore the session
+    # — a leaked autoBroadcastJoinThreshold=-1 would silently slow
+    # every later broadcast-eligible join in the session
     try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_bloom(spark, application_side_min_bytes=0)
         revenue_e4 = scaled_long("l_extendedprice") * (
             F.lit(100) - scaled_long("l_discount")
         )

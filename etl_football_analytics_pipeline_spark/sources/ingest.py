@@ -153,7 +153,7 @@ def ingest_with_raw_merge(
     restored before the merge, so committed rows are never lost).
     Returns the merged frame re-read from the swapped path."""
     spark = new_df.sparkSession
-    recover_swapped_dir(raw_path)
+    recover_swapped_dir(raw_path, spark)
     if os.path.isdir(raw_path):
         merged = merge_replace(spark.read.parquet(raw_path), new_df, list(keys))
     else:
@@ -161,6 +161,6 @@ def ingest_with_raw_merge(
     tmp = raw_path + ".__stage"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
-    commit_staged_dir(raw_path, tmp)
+    commit_staged_dir(raw_path, tmp, spark)
     spark.catalog.refreshByPath(raw_path)
     return spark.read.parquet(raw_path)

@@ -439,7 +439,7 @@ def merge_sink(
 
         from ..utils import commit_staged_dir, recover_swapped_dir
 
-        recover_swapped_dir(target_path)
+        recover_swapped_dir(target_path, s)
         if os.path.isdir(target_path):
             old = s.read.parquet(target_path)
             merged = merge_replace(old, batch, keys)
@@ -455,7 +455,7 @@ def merge_sink(
         tmp = target_path + ".__stage"
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
-        commit_staged_dir(target_path, tmp)
+        commit_staged_dir(target_path, tmp, s)
         s.catalog.refreshByPath(target_path)
 
     return apply

@@ -8,15 +8,20 @@ import shutil
 from pyspark.sql import DataFrame
 
 
-def _hadoop_fs(path: str):
-    """(fs, Path-class) for the filesystem owning `path`, resolved
-    through the active session — so the swap helpers below work on
-    HDFS/S3 paths, not only the driver's local disk. None when no
-    session is active (pure-python contexts fall back to os/shutil,
-    which is correct there: without a session every path IS local)."""
-    from pyspark.sql import SparkSession
+def _hadoop_fs(path: str, spark=None):
+    """(fs, Path-class) for the filesystem owning `path` — so the swap
+    helpers below work on HDFS/S3 paths, not only the driver's local
+    disk. Callers that HAVE a session must pass it: getActiveSession()
+    is thread-local in PySpark, so resolving implicitly from a worker
+    thread would silently fall back to the local-disk branch while the
+    caller's own Hadoop FS sees the real paths — a split-brain that
+    can delete the only copy of a relation. None (no session anywhere)
+    falls back to os/shutil, which is correct there: without a session
+    every path IS local."""
+    if spark is None:
+        from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+        spark = SparkSession.getActiveSession()
     if spark is None:
         return None
     jvm = spark._jvm
@@ -24,7 +29,7 @@ def _hadoop_fs(path: str):
     return hp(path).getFileSystem(spark._jsc.hadoopConfiguration()), hp
 
 
-def recover_swapped_dir(path: str) -> bool:
+def recover_swapped_dir(path: str, spark=None) -> bool:
     """Crash recovery for the stage-and-rename swap pattern: a crash
     between its two renames leaves the live path ABSENT and the
     retired `.__old` copy holding the last complete table. Without
@@ -33,7 +38,7 @@ def recover_swapped_dir(path: str) -> bool:
     the live path so the recovered table participates in the merge.
     Returns True if a recovery happened."""
     retired = path + ".__old"
-    fsj = _hadoop_fs(path)
+    fsj = _hadoop_fs(path, spark)
     if fsj is None:
         if not os.path.isdir(path) and os.path.isdir(retired):
             os.rename(retired, path)
@@ -47,7 +52,7 @@ def recover_swapped_dir(path: str) -> bool:
     return False
 
 
-def commit_staged_dir(path: str, tmp: str) -> None:
+def commit_staged_dir(path: str, tmp: str, spark=None) -> None:
     """Swap a fully-written staging directory into place:
     retire the live dir — first clearing any stale retired copy left
     by a crash after a previous swap (rename onto an existing
@@ -58,7 +63,7 @@ def commit_staged_dir(path: str, tmp: str) -> None:
     when a session is active, so the pattern holds for warehouse
     paths on HDFS/S3, not only local disk."""
     retired = path + ".__old"
-    fsj = _hadoop_fs(path)
+    fsj = _hadoop_fs(path, spark)
     if fsj is None:
         if os.path.isdir(path):
             shutil.rmtree(retired, ignore_errors=True)

@@ -101,3 +101,42 @@ def test_merge_keyless_appends_and_dedups(spark, tmp_path):
     )
     out = merge_into_raw(spark, b, path, key_cols=[])
     assert _rows(out) == [("2324", "g1", 1), ("2425", "g9", 9)]
+
+
+def test_merge_recovers_whole_table_crash_before_probing(spark, base, tmp_path):
+    """A crash between the full-replace swap's two renames leaves the
+    table absent with the last copy at `.__old`. The next merge must
+    recover it BEFORE the existence probe — probing first would
+    classify the state as "no table yet" and silently replace all
+    prior rows with the new batch."""
+    path = str(tmp_path / "t")
+    merge_into_raw(spark, base, path, ["season", "game"])
+    os.rename(path, path + ".__old")  # the between-renames crash state
+    delta = spark.createDataFrame(
+        [("2425", "g3", 30)], "season string, game string, v int"
+    )
+    out = merge_into_raw(spark, delta, path, ["season", "game"])
+    assert _rows(out) == [
+        ("2324", "g1", 1), ("2324", "g2", 2), ("2425", "g3", 30)
+    ]
+    assert not os.path.exists(path + ".__old")
+
+
+def test_merge_recovers_partition_child_crash(spark, base, tmp_path):
+    """A crash between a partition child's two renames leaves that
+    partition absent with its last copy at `season=X.__old` inside the
+    table; the recovery sweep must restore it so the merge sees the
+    old rows (deleting it as a leftover would lose the partition)."""
+    path = str(tmp_path / "t")
+    merge_into_raw(spark, base, path, ["season", "game"])
+    child = os.path.join(path, "season=2425")
+    os.rename(child, child + ".__old")  # mid-child-swap crash state
+    delta = spark.createDataFrame(
+        [("2425", "g4", 40)], "season string, game string, v int"
+    )
+    out = merge_into_raw(spark, delta, path, ["season", "game"])
+    assert _rows(out) == [
+        ("2324", "g1", 1), ("2324", "g2", 2),
+        ("2425", "g3", 3), ("2425", "g4", 40),
+    ]
+    assert not os.path.exists(child + ".__old")

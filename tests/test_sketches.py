@@ -371,3 +371,31 @@ def test_misra_gries_flat_stream_keeps_bound(spark):
     # genuinely empty input still yields an empty summary
     empty = spark.createDataFrame([], "x string")
     assert misra_gries_topk(empty, "x", k=4).count() == 0
+
+
+def test_misra_gries_merge_reduction_cancel_keeps_bound(spark):
+    """The DRIVER-side merge reduction can itself cancel every counter
+    (near-uniform partial weights across partitions) — the carrier row
+    must survive that path too, not only the partials-empty path."""
+    from etl_football_analytics_pipeline_spark.operators.sketches import (
+        misra_gries_topk,
+    )
+
+    # two partitions with DISJOINT uniform domains: each partial's
+    # survivors share one weight, the merged 2k counters all tie, and
+    # the (k+1)-th-weight subtraction cancels every one of them
+    rows = [(f"p0_{i % 8}",) for i in range(4000)] + [
+        (f"p1_{i % 8}",) for i in range(4000)
+    ]
+    df = (
+        spark.createDataFrame(rows, "x string")
+        .repartition(2, F.col("x"))
+    )
+    out = misra_gries_topk(df, "x", k=4).collect()
+    assert out, "merge-reduction cancel must not drop the bound"
+    err = out[0].err_bound
+    # every value's true count (500) must satisfy est <= true <= est+err
+    got = {r.value: r.est for r in out if r.value is not None}
+    for v in ("p0_3", "p1_5"):
+        lo = got.get(v, 0) or 0
+        assert lo <= 500 <= lo + err, (v, lo, err)
