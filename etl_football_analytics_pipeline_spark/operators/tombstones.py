@@ -38,10 +38,10 @@ def _dir_exists(spark, path: str) -> bool:
     on HDFS/S3 (or any path only executors can see), silently
     resurrecting tombstoned ids. The FS resolved from the path's own
     scheme answers for every filesystem Spark can read."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    from ..utils import _hadoop_fs
+
+    fs, hp = _hadoop_fs(path, spark)
+    return bool(fs.exists(hp(path)))
 
 
 def replace_dir(spark, dest: str, write) -> None:
@@ -74,8 +74,9 @@ def replace_dir(spark, dest: str, write) -> None:
     replacement) — only then are leftovers cleaned. If the swap-in
     rename itself fails the old dir is restored immediately. Renames
     are metadata-atomic on HDFS and local FS; on object stores they
-    are copies — wrap the index in sources.versioned there, same
-    caveat as the appends."""
+    are copies, so the swap window widens — use a real table format
+    (Delta/Iceberg) for object-store indexes (sources.versioned is
+    local-FS-only by design and refuses remote schemes)."""
     from ..utils import _hadoop_fs, commit_staged_dir, recover_swapped_dir
 
     fs, hadoop_path = _hadoop_fs(dest, spark)
@@ -120,11 +121,12 @@ def drop_tombstones(spark, index_dir: str) -> None:
     module's *_compact_index does both). Deleting it any other way
     resurrects every tombstoned id. Same Hadoop FS path handling as
     the existence probe, so it works on any filesystem Spark writes."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(index_dir, _DIRNAME))
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
+    from ..utils import _hadoop_fs
+
+    tomb = os.path.join(index_dir, _DIRNAME)
+    fs, hp = _hadoop_fs(tomb, spark)
+    if fs.exists(hp(tomb)):
+        fs.delete(hp(tomb), True)
 
 
 def filter_tombstones(

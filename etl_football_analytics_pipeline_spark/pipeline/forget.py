@@ -87,27 +87,41 @@ def forget_keys(
             "index propagation needs a single-column key; "
             f"got keys={keys!r}"
         )
-    # materialize the (tiny) key set once: every index append and the
-    # table anti-join reuse it, and checkpoint blocks release on GC
-    ids = doomed.select(*keys).distinct().localCheckpoint()
+    # validate EVERY ref before the first mutation: an unknown kind or
+    # a disagreeing minhash id_col must fail with zero indexes
+    # tombstoned, not halfway through the loop (idempotency makes a
+    # partial run re-runnable, but failing cleanly is still better)
+    plans = []
     for ref in indexes:
         if ref.kind == "bm25":
             col = ref.id_col or "__id"
-            bm25_delete_from_index(
-                ids.withColumnRenamed(keys[0], col), ref.path, col
-            )
         elif ref.kind == "minhash":
-            col = ref.id_col or _minhash_index_params(spark, ref.path)[3]
-            minhash_index_delete(
-                spark, ref.path, ids.withColumnRenamed(keys[0], col)
-            )
+            # the index's persisted params are AUTHORITATIVE for its id
+            # column — minhash_index_delete re-reads them internally
+            # and selects that column, so a caller-supplied id_col that
+            # disagreed would crash the append, never rename around it
+            col = _minhash_index_params(spark, ref.path)[3]
+            if ref.id_col is not None and ref.id_col != col:
+                raise ValueError(
+                    f"minhash index at {ref.path!r} records id_col="
+                    f"{col!r}; IndexRef.id_col={ref.id_col!r} disagrees"
+                )
         elif ref.kind == "ivf":
             col = ref.id_col or "vec_id"
-            ivf_delete_index(
-                spark, ref.path, ids.withColumnRenamed(keys[0], col), col
-            )
         else:
             raise ValueError(f"unknown index kind {ref.kind!r}")
+        plans.append((ref, col))
+    # materialize the (tiny) key set once: every index append and the
+    # table anti-join reuse it, and checkpoint blocks release on GC
+    ids = doomed.select(*keys).distinct().localCheckpoint()
+    for ref, col in plans:
+        renamed = ids.withColumnRenamed(keys[0], col)
+        if ref.kind == "bm25":
+            bm25_delete_from_index(renamed, ref.path, col)
+        elif ref.kind == "minhash":
+            minhash_index_delete(spark, ref.path, renamed)
+        else:
+            ivf_delete_index(spark, ref.path, renamed, col)
     return delete_commit(spark, table_dir, ids, keys)
 
 

@@ -36,17 +36,46 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "_LATEST"
 
 
+def _require_local(table_dir: str) -> None:
+    """This module's pointer file and version directories live on the
+    DRIVER-LOCAL filesystem (open/os.replace/shutil — os.replace is
+    what makes the commit atomic). A remote-scheme path would silently
+    split the pointer (local) from the data (remote): a fresh driver
+    would then see no pointer, restart at v1, and overwrite committed
+    remote data. Fail loudly instead; on object stores use a real
+    table format (Delta/Iceberg), which this module's call shapes
+    mirror by design."""
+    if "://" in table_dir:
+        raise NotImplementedError(
+            f"sources.versioned is local-filesystem-only; got {table_dir!r}. "
+            "Use a table format (Delta/Iceberg) for object-store tables."
+        )
+
+
 def _pointer_path(table_dir: str) -> str:
+    _require_local(table_dir)
     return os.path.join(table_dir, _POINTER)
 
 
 def current_version(table_dir: str) -> int | None:
-    """The committed version number, or None for an empty table."""
+    """The committed version number: None ONLY for a never-committed
+    table (no pointer file). A pointer that exists but does not parse
+    is CORRUPTION and raises — treating it as an empty table would
+    make the next commit restart at v1, rmtree the real v00001 as an
+    'orphan', and silently replace the table with the delta alone."""
     try:
         with open(_pointer_path(table_dir)) as fh:
-            return int(fh.read().strip())
-    except (FileNotFoundError, ValueError):
+            text = fh.read().strip()
+    except FileNotFoundError:
         return None
+    try:
+        return int(text)
+    except ValueError:
+        raise IOError(
+            f"corrupt {_POINTER} pointer in {table_dir!r}: {text!r}. "
+            "Restore it to the highest complete version directory's "
+            "number before committing again."
+        ) from None
 
 
 def version_dir(table_dir: str, version: int) -> str:
@@ -68,7 +97,20 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
     tmp_pointer = _pointer_path(table_dir) + ".tmp"
     with open(tmp_pointer, "w") as fh:
         fh.write(str(next_v))
+        # fsync BEFORE the rename: os.replace journals the rename
+        # metadata independently of the data pages, so a power loss
+        # could otherwise publish a zero-length pointer (the classic
+        # ext4 empty-file-after-crash pattern) — which current_version
+        # would now refuse loudly, but durability is better than a
+        # good error message
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp_pointer, _pointer_path(table_dir))
+    dir_fd = os.open(table_dir, os.O_RDONLY)
+    try:  # make the rename itself durable
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
     return next_v
 
 
@@ -88,21 +130,37 @@ def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame
 
 
 def vacuum(table_dir: str, keep: int = 2) -> list[int]:
-    """Delete all but the newest `keep` versions; returns the dropped
-    version numbers. Never touches the live version."""
+    """Delete all but the newest `keep` COMMITTED versions; returns the
+    dropped version numbers. Never touches the live version.
+
+    Deletions RAISE on failure (a version reported dropped is
+    verifiably gone — forget_keys_hard's "rows exist nowhere on disk"
+    contract rests on this; a swallowed rmtree error would report
+    erasure that did not happen). Directories numbered ABOVE the live
+    pointer are a crashed commit's unpublished staging data, not
+    committed versions: they are excluded from the keep-window math
+    (counting them would retire one real snapshot early) and deleted
+    outright — the single-writer contract means no concurrent commit
+    can own them."""
+    _require_local(table_dir)
     live = current_version(table_dir)
     if live is None:
         return []
-    versions = sorted(
+    found = sorted(
         int(d[1:])
         for d in os.listdir(table_dir)
         if d.startswith("v") and d[1:].isdigit()
     )
+    versions = [v for v in found if v <= live]
     dropped = []
+    for v in found:
+        if v > live:  # crashed-commit staging orphan
+            shutil.rmtree(version_dir(table_dir, v))
+            dropped.append(v)
     for v in versions[:-keep] if keep > 0 else versions:
         if v == live:
             continue
-        shutil.rmtree(version_dir(table_dir, v), ignore_errors=True)
+        shutil.rmtree(version_dir(table_dir, v))
         dropped.append(v)
     return dropped
 
@@ -123,6 +181,20 @@ def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
             "migrate explicitly (read, cast, commit)"
         )
     order = list(ta) + [c for c in tb if c not in ta]
+    # Spark resolves column names case-insensitively by default, so a
+    # live 'ID' next to a delta 'id' is the SAME retype hazard the
+    # exact-match check above guards — and letting both through would
+    # commit a table default-config readers cannot select from
+    # unambiguously. Case-colliding names are a contract violation.
+    ci: dict[str, set[str]] = {}
+    for c in order:
+        ci.setdefault(c.lower(), set()).add(c)
+    case_clash = sorted(c for group in ci.values() if len(group) > 1 for c in group)
+    if case_clash:
+        raise ValueError(
+            f"schema evolution found case-colliding columns {case_clash}; "
+            "Spark resolves names case-insensitively — rename explicitly"
+        )
     wa = a.select(
         *[F.col(c) if c in ta else F.lit(None).cast(tb[c]).alias(c) for c in order]
     )

@@ -260,3 +260,77 @@ def test_merge_commit_schema_evolution(spark, table_dir):
     bad = spark.createDataFrame([(5, 7, 1.0)], "id long, name long, score double")
     with pytest.raises(ValueError, match="retype"):
         merge_commit(spark, table_dir, bad, ["id"], evolve_schema=True)
+
+
+def test_corrupt_pointer_raises_not_empty_table(spark, table_dir):
+    """A pointer that exists but does not parse is corruption and must
+    raise: treating it as 'no table yet' would make the next commit
+    restart at v1, rmtree the real v00001 as an orphan, and silently
+    replace the table with the delta alone."""
+    import os
+
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
+        current_version,
+        merge_commit,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    commit_version(df, table_dir)
+    with open(os.path.join(table_dir, "_LATEST"), "w") as fh:
+        fh.write("")  # the classic zero-length crash artifact
+    with pytest.raises(IOError, match="corrupt"):
+        current_version(table_dir)
+    with pytest.raises(IOError, match="corrupt"):
+        merge_commit(spark, table_dir, df, ["id"])
+    # v00001's data is untouched by the refusal
+    assert spark.read.parquet(os.path.join(table_dir, "v00001")).count() == 1
+
+
+def test_vacuum_ignores_and_cleans_crashed_commit_orphans(spark, table_dir):
+    """A staging dir numbered above the live pointer is a crashed
+    commit, not a committed version: it must not count toward `keep`
+    (that would retire a real snapshot early) and is deleted outright."""
+    import os
+
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
+        read_version,
+        vacuum,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    for _ in range(3):  # v1..v3, live=3
+        commit_version(df, table_dir)
+    os.makedirs(os.path.join(table_dir, "v00007"))  # crashed-commit orphan
+    dropped = vacuum(table_dir, keep=2)
+    assert 7 in dropped and 1 in dropped and 2 not in dropped
+    assert not os.path.isdir(os.path.join(table_dir, "v00007"))
+    assert read_version(spark, table_dir, 2).count() == 1  # kept
+    assert read_version(spark, table_dir, 3).count() == 1  # live
+
+
+def test_remote_scheme_refused(spark):
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        current_version,
+    )
+
+    with pytest.raises(NotImplementedError, match="local-filesystem-only"):
+        current_version("s3a://bucket/tbl")
+
+
+def test_schema_evolution_rejects_case_colliding_columns(spark, table_dir):
+    """Spark resolves names case-insensitively by default: live 'ID'
+    vs delta 'id' is the same retype hazard as an exact-name clash and
+    must raise, not commit an ambiguous table."""
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
+        merge_commit,
+    )
+
+    commit_version(
+        spark.createDataFrame([(1, "a")], "ID long, name string"), table_dir
+    )
+    delta = spark.createDataFrame([(1, "b", 2)], "ID long, name string, id int")
+    with pytest.raises(ValueError, match="case-colliding"):
+        merge_commit(spark, table_dir, delta, ["ID"], evolve_schema=True)
