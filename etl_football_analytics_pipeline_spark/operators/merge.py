@@ -43,10 +43,6 @@ class MergeAudit:
         return self.target_rows + self.source_rows - self.result_rows
 
 
-def _prep(src: DataFrame, keys: Sequence[str], broadcast_src: bool) -> DataFrame:
-    return F.broadcast(src) if broadcast_src else src
-
-
 def merge_replace(
     old: DataFrame,
     new: DataFrame,
@@ -59,9 +55,21 @@ def merge_replace(
     ≡ `old[~old.key.isin(new.key)] + new` (`scr/Extract.py:285-293`) and
     ≡ `INSERT ... ON CONFLICT (pk) DO UPDATE` (`scr/Load.py:79-89`).
     Idempotent: merge_replace(merge_replace(t, s), s) == merge_replace(t, s).
-    """
+
+    Source key-uniqueness is the CALLER'S contract: a source that
+    repeats a key passes every copy through (the old row is replaced
+    by ALL of them), leaving duplicate keys in the result. That
+    mirrors the relational content (`old ∖ keys(new) ∪ new`), but note
+    Postgres would ERROR on the equivalent statement ("cannot affect
+    row a second time") rather than duplicate — callers merging feeds
+    that can repeat keys must pick a survivor first (see
+    streaming.windowed.merge_sink, which keeps the deterministic
+    first row per key, or insert_if_absent's dedup rule)."""
     keys = list(keys)
-    survivors = old.join(_prep(new.select(*keys), keys, broadcast_src), keys, "left_anti")
+    src_keys = new.select(*keys)
+    if broadcast_src:
+        src_keys = F.broadcast(src_keys)
+    survivors = old.join(src_keys, keys, "left_anti")
     return survivors.unionByName(new)
 
 

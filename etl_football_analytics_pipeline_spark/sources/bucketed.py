@@ -103,9 +103,17 @@ def cobucketed_join(
             f"bucket-count mismatch ({left_table}={n_l}, {right_table}={n_r}) "
             "would silently fall back to a shuffled join"
         )
-    if keys_l != keys_r or keys_l != on[: len(keys_l)]:
+    # the bucket keys must equal the join keys EXACTLY: a strict
+    # prefix (bucketed on [user_id], joined on [user_id, event_type])
+    # passes a covering check but Spark does NOT accept a cluster-key
+    # subset for co-partitioning by default
+    # (spark.sql.requireAllClusterKeysForCoPartition=true), so both
+    # sides would get a full ShuffleExchange — exactly the silent
+    # fallback this guard exists to reject
+    if keys_l != keys_r or keys_l != on:
         raise ValueError(
-            f"bucket keys {keys_l} vs {keys_r} do not co-locate join keys {on}"
+            f"bucket keys {keys_l} vs {keys_r} do not co-locate join keys {on}; "
+            "bucket keys must equal the join keys exactly"
         )
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     return spark.table(left_table).join(spark.table(right_table), on, how)

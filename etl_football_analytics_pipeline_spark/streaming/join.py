@@ -63,6 +63,17 @@ def stream_stream_join(
     collisions = [
         c for c in right.columns if c not in keys and c in set(left.columns)
     ]
+    # the rename target must be FREE on the right side: renaming 'ts'
+    # to 'ts_r' when the right already carries a 'ts_r' would produce
+    # two identically-named columns (ambiguous downstream, or a
+    # silently doubled output column) — fail loudly instead
+    taken = set(right.columns)
+    clash = [c for c in collisions if c + right_suffix in taken]
+    if clash:
+        raise ValueError(
+            f"right side already has {[c + right_suffix for c in clash]}; "
+            f"pass a right_suffix that does not collide"
+        )
     r = right
     for c in collisions:
         r = r.withColumnRenamed(c, c + right_suffix)

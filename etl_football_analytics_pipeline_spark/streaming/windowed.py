@@ -150,7 +150,13 @@ def rollup_time(
     """
     finest = _finest_partials(events, resolutions[0], ts, key)
     if materialize:
-        finest = finest.persist()
+        # eager localCheckpoint, not persist(): checkpoint blocks are
+        # real copies the ContextCleaner frees when the frame is
+        # garbage-collected, whereas a persist() with no unpersist
+        # handle would pin CacheManager storage for the session's
+        # lifetime (this function returns only the cascaded view, so
+        # the caller CAN'T release a cache entry)
+        finest = finest.localCheckpoint(eager=True)
     out = _cascade(finest, resolutions, key)
     return out.select(
         "resolution",
@@ -162,20 +168,49 @@ def rollup_time(
 
 
 def _finest_partials(events: DataFrame, resolution: str, ts: str, key: str) -> DataFrame:
-    """Hourly-tier partials: (bucket, key, n_events, __v) — `__v` is the
-    exact decimal sum kept INTERNAL so coarser tiers (and incremental
-    refreshes) re-aggregate losslessly; the double cast happens only at
-    the public output boundary."""
+    """Hourly-tier partials: (bucket, key, n_events, __nv, __v) —
+    `__v` is the exact decimal sum kept INTERNAL so coarser tiers (and
+    incremental refreshes) re-aggregate losslessly; the double cast
+    happens only at the public output boundary. `__nv` counts the
+    NON-NULL values in the cell: `__v` is NULL exactly when
+    `__nv = 0` (SQL SUM over nothing), and CDC retractions need the
+    count to restore that state — a cell whose real values were all
+    retracted folds its decimal partial to 0.00, which must read back
+    as NULL to stay bit-for-bit with a fresh re-init."""
     return events.groupBy(F.date_trunc(resolution, F.col(ts)).alias("bucket"), key).agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.count(F.col("value")).alias("__nv"),
         # exact order-independent partial (see tumbling_agg)
         exact_scaled_sum(scaled_long("value"), 2).alias("__v"),
     )
 
 
+def _merge_finest(old_fin: DataFrame, delta_fin: DataFrame, key: str) -> DataFrame:
+    """Fold delta partials into stored finest-tier partials: union +
+    one partial-sized re-group, then normalize `__v` to NULL where no
+    non-null value survives (`__nv = 0`) so merged state is
+    indistinguishable from a fresh re-aggregation. Shared by
+    rollup_refresh (sign=+1 deltas only) and rollup_apply_cdc (signed
+    retract/add deltas)."""
+    return (
+        old_fin.unionByName(delta_fin)
+        .groupBy("bucket", key)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__nv").cast("long").alias("__nv"),
+            F.sum("__v").cast("decimal(18,2)").alias("__v"),
+        )
+        .withColumn("__v", F.when(F.col("__nv") > 0, F.col("__v")))
+    )
+
+
+_FINEST_COLS = ("bucket", "n_events", "__nv", "__v")
+
+
 def _cascade(finest: DataFrame, resolutions: tuple[str, ...], key: str) -> DataFrame:
     """Re-aggregate the finest-tier partials up the resolution ladder
-    and union all tiers as (resolution, bucket, key, n_events, __v)."""
+    and union all tiers as (resolution, bucket, key, n_events, __nv,
+    __v)."""
     tiers = [finest]
     for res in resolutions[1:]:
         tiers.append(
@@ -183,6 +218,7 @@ def _cascade(finest: DataFrame, resolutions: tuple[str, ...], key: str) -> DataF
             .groupBy(F.date_trunc(res, F.col("bucket")).alias("bucket"), key)
             .agg(
                 F.sum("n_events").alias("n_events"),
+                F.sum("__nv").cast("long").alias("__nv"),
                 F.sum("__v").cast("decimal(18,2)").alias("__v"),
             )
         )
@@ -193,6 +229,7 @@ def _cascade(finest: DataFrame, resolutions: tuple[str, ...], key: str) -> DataF
             "bucket",
             key,
             F.col("n_events").cast("long").alias("n_events"),
+            "__nv",
             "__v",
         )
         out = leg if out is None else out.unionByName(leg)
@@ -241,18 +278,10 @@ def rollup_refresh(spark, table_dir: str, new_events: DataFrame, *,
 
     old = read_latest(spark, table_dir)
     old_fin = old.filter(F.col("resolution") == resolutions[0]).select(
-        "bucket", key, "n_events", "__v"
+        "bucket", key, "n_events", "__nv", "__v"
     )
     delta_fin = _finest_partials(new_events, resolutions[0], ts, key)
-    merged_fin = (
-        old_fin.unionByName(delta_fin)
-        .groupBy("bucket", key)
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("__v").cast("decimal(18,2)").alias("__v"),
-        )
-        .persist()
-    )
+    merged_fin = _merge_finest(old_fin, delta_fin, key).persist()
     try:
         return commit_version(_cascade(merged_fin, resolutions, key), table_dir)
     finally:
@@ -405,10 +434,21 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def dedup_within_watermark(events: DataFrame, keys: Sequence[str] = ("event_id",)) -> DataFrame:
-    """Exactly-once-by-key over a stream: `dropDuplicates` keyed state,
-    bounded by the event-time watermark (`dropDuplicatesWithinWatermark`
-    when a watermark is set on a streaming frame). The streaming form of
-    the reference's raw-layer key dedup (`scr/Extract.py:285-299`)."""
+    """Keyed dedup over a stream: `dropDuplicatesWithinWatermark` on a
+    streaming frame (keyed state, bounded by the event-time watermark),
+    plain `dropDuplicates` in batch. The streaming form of the
+    reference's raw-layer key dedup (`scr/Extract.py:285-299`).
+
+    Contract caveat — this operator is deliberately WEAKER than the
+    module's batch≡stream rule, because bounded state forces it: a
+    duplicate arriving after the key's state was evicted (later than
+    the watermark delay past the first occurrence) is emitted AGAIN in
+    streaming, while the batch form dedups globally; and when
+    duplicate rows differ in payload, batch keeps an arbitrary
+    survivor while streaming keeps first-arrival. Size the watermark
+    delay to the real duplicate horizon, or use merge_sink (keyed
+    MERGE into a target) when the target itself must stay key-unique
+    across the whole history."""
     if events.isStreaming:
         return events.dropDuplicatesWithinWatermark(list(keys))
     return events.dropDuplicates(list(keys))
@@ -424,7 +464,16 @@ def merge_sink(
     into a parquet target — the reference's incremental upsert
     (`scr/Extract.py:262-303`) as a streaming sink. Replays of a batch
     after a failure re-merge the same keys, so the sink is idempotent
-    (effectively exactly-once by key).
+    (effectively exactly-once by key). A batch that repeats a key
+    (two updates of one entity in a single trigger) keeps ONE
+    deterministic survivor per key — the lowest row by the non-key
+    columns' sort order, the same rule as operators.merge
+    .insert_if_absent — because merge_replace passes duplicate source
+    keys through by contract and the target must stay key-unique.
+
+    `checkpoint_dir` is the writer's checkpointLocation, accepted here
+    so the call site reads as one unit; the sink's exactly-once comes
+    from the idempotent re-merge, not from batch-id gating.
 
     Usage:
         q = (stream.writeStream.foreachBatch(merge_sink(path, keys, ckpt))
@@ -434,13 +483,26 @@ def merge_sink(
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         s = spark or batch.sparkSession
-        import os
-        import shutil
+        from pyspark.sql import Window
 
-        from ..utils import commit_staged_dir, recover_swapped_dir
+        from ..utils import _hadoop_fs, commit_staged_dir, recover_swapped_dir
 
+        extra = [c for c in batch.columns if c not in keys]
+        if extra:
+            w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in extra])
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch = batch.dropDuplicates(keys)
         recover_swapped_dir(target_path, s)
-        if os.path.isdir(target_path):
+        # existence through the Hadoop FS (os.path.isdir is
+        # always-false for an HDFS/S3 target — the swap would then
+        # retire and DELETE the live table, keeping the batch alone)
+        fs, hp = _hadoop_fs(target_path, s)
+        if fs.exists(hp(target_path)):
             old = s.read.parquet(target_path)
             merged = merge_replace(old, batch, keys)
         else:
@@ -453,7 +515,6 @@ def merge_sink(
         # format (Delta/Iceberg) slots in behind this same signature
         # for true single-rename atomicity; documented SURVEY.md §7)
         tmp = target_path + ".__stage"
-        shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
         commit_staged_dir(target_path, tmp, s)
         s.catalog.refreshByPath(target_path)
@@ -506,21 +567,22 @@ def rollup_apply_cdc(spark, table_dir: str, changes: DataFrame, *,
         .groupBy(F.date_trunc(resolutions[0], F.col(ts)).alias("bucket"), key)
         .agg(
             F.sum("__sign").alias("n_events"),
+            # signed non-null-value count: retracting a real value must
+            # decrement it so a cell left with only NULL-valued events
+            # reads back __v = NULL, exactly like a fresh re-init
+            F.sum(
+                F.when(F.col(value).isNotNull(), F.col("__sign")).otherwise(0)
+            ).alias("__nv"),
             exact_scaled_sum(scaled_long(value) * F.col("__sign"), 2).alias("__v"),
         )
     )
     old = read_latest(spark, table_dir)
     old_fin = old.filter(F.col("resolution") == resolutions[0]).select(
-        "bucket", key, "n_events", "__v"
+        "bucket", key, "n_events", "__nv", "__v"
     )
     merged_fin = (
-        old_fin.unionByName(delta_fin)
-        .groupBy("bucket", key)
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("__v").cast("decimal(18,2)").alias("__v"),
-        )
-        .filter(F.col("n_events") != 0)
+        _merge_finest(old_fin, delta_fin, key)
+        .filter(F.col("n_events") != 0)  # emptied cells drop
         .persist()
     )
     try:

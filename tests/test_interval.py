@@ -177,17 +177,26 @@ def test_rollup_scans_raw_once(spark):
         [("2024-01-01 00:10:00", "click", 1.25), ("2024-01-02 05:10:00", "view", 2.50)],
         "ts string, event_type string, value double",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    # counter-assertion FIRST (before rollup_time persists the hourly
-    # subtree): without materialization every tier recomputes from raw
+    # counter-assertion FIRST: without materialization every tier
+    # recomputes from the raw input (one raw subtree per union branch,
+    # no checkpointed relation anywhere)
     plan_nomat = (
         rollup_time(raw, materialize=False)._jdf.queryExecution().withCachedData().toString()
     )
-    assert "InMemoryRelation" not in plan_nomat
+    # raw-schema relations (ts, ...) vs checkpointed partial-schema
+    # relations (bucket, ...): the input may surface as LogicalRDD or
+    # LocalRelation depending on the createDataFrame path, so match on
+    # the leading schema column instead of the node name
+    n_raw = plan_nomat.count("[ts#")
+    assert n_raw >= 3, plan_nomat  # every tier re-derives from raw
+    assert "[bucket#" not in plan_nomat
+    # materialized (r7: eager localCheckpoint — real blocks the
+    # ContextCleaner frees, instead of a persist() nothing ever
+    # unpersisted): all three tiers read the checkpointed hourly
+    # partials and NO raw-input subtree survives at all
     plan = rollup_time(raw)._jdf.queryExecution().withCachedData().toString()
-    # all three tiers read the cached hourly partials — no raw-input
-    # subtree survives outside the three cache reads
-    assert plan.count("InMemoryRelation") == 3, plan
-    assert "LocalTableScan" not in plan.split("InMemoryRelation")[0], plan
+    assert plan.count("LogicalRDD [bucket#") == 3, plan
+    assert "[ts#" not in plan, plan
 
 
 def test_rollup_incremental_refresh_exact(spark, events, tmp_path):
@@ -348,3 +357,47 @@ def test_gapfill_explicit_bounds_and_determinism(spark):
         bounds=("2024-01-01 02:00:00", "2024-01-01 05:00:00"),
     )
     assert rows == sorted(tuple(r) for r in out2.collect())
+
+
+def test_rollup_cdc_null_value_retraction_matches_reinit(spark, tmp_path):
+    """Retracting the only non-NULL value from a cell that keeps a
+    NULL-valued event must read back total_value NULL — exactly what a
+    fresh re-init computes (SQL SUM over all-NULL). Before the __nv
+    counter the decimal partial folded to 0.00 and diverged."""
+    import datetime as dt
+
+    from etl_football_analytics_pipeline_spark.streaming.windowed import (
+        read_rollup,
+        rollup_apply_cdc,
+        rollup_init,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 10), "click", 5.0),
+            (2, dt.datetime(2024, 1, 1, 0, 20), "click", None),
+            (3, dt.datetime(2024, 1, 1, 1, 10), "view", 7.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    td = f"{tmp_path}/ru"
+    rollup_init(ev, td)
+    changes = spark.createDataFrame(
+        [("delete", dt.datetime(2024, 1, 1, 0, 10), "click", 5.0, None, None, None)],
+        "change_type string, old_ts timestamp, old_event_type string, "
+        "old_value double, new_ts timestamp, new_event_type string, "
+        "new_value double",
+    )
+    rollup_apply_cdc(spark, td, changes)
+    got = sorted(map(tuple, read_rollup(spark, td).collect()))
+    td2 = f"{tmp_path}/ru2"
+    rollup_init(ev.filter("event_id != 1"), td2)
+    want = sorted(map(tuple, read_rollup(spark, td2).collect()))
+    assert got == want
+    hour_click = [
+        r for r in read_rollup(spark, td).collect()
+        if r.resolution == "hour" and r.event_type == "click"
+    ]
+    assert len(hour_click) == 1
+    assert hour_click[0].n_events == 1
+    assert hour_click[0].total_value is None

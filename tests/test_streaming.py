@@ -279,3 +279,27 @@ def test_stream_stream_left_outer_join_equals_batch(spark):
         assert _canon(streamed) == _canon(batch)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_sink_batch_repeating_key_keeps_one_survivor(spark, tmp_path):
+    """A micro-batch carrying two rows for one key (two updates of the
+    same entity in a single trigger) must leave the target key-unique
+    with the deterministic survivor (lowest by non-key columns), not
+    two rows — merge_replace passes duplicate source keys through by
+    contract, so the sink dedups first."""
+    target = f"{tmp_path}/tgt"
+    sink = merge_sink(target, ["event_id"], f"{tmp_path}/ckpt")
+    first = spark.createDataFrame(
+        [(1, "old", 1.0)], "event_id long, event_type string, value double"
+    )
+    sink(first, 0)
+    dup = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", 9.0), (2, "c", 2.0)],
+        "event_id long, event_type string, value double",
+    )
+    sink(dup, 1)
+    rows = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert rows == [(1, "a", 5.0), (2, "c", 2.0)]
+    sink(dup, 1)  # replay: idempotent
+    rows2 = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert rows2 == rows
