@@ -53,6 +53,16 @@ def asof_join(
     Determinism: among right rows sharing (key, right_ts) the one
     ordered last by `value_cols` wins — a total tiebreak, so results
     are identical under any partitioning.
+
+    The matched right row is carried as ONE struct, never as
+    independently-carried columns: per-column `last(ignorenulls)`
+    would smear a stale non-NULL value from an OLDER right row into a
+    match whose own value is NULL, fabricating a composite row that
+    never existed (the struct is non-NULL exactly when a right row
+    exists, so its fields travel together). NULL join keys follow SQL
+    equality: right rows with a NULL key are unmatchable (dropped
+    before the union), and left rows with a NULL key come back with
+    NULL enrichment — DuckDB's ASOF JOIN agrees.
     """
     on = list(on)
     if value_cols is None:
@@ -65,43 +75,60 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast(right_types[right_ts]).alias(ts_out),
+        F.lit(None).cast(right_types[right_ts]).alias("__m_ts"),
         *[F.lit(None).cast(right_types[c]).alias(f"__r_{c}") for c in value_cols],
     )
     left_types = dict(left.dtypes)
-    right_side = right.select(
+    key_not_null = F.lit(True)
+    for k in on:
+        key_not_null = key_not_null & F.col(k).isNotNull()
+    right_side = right.filter(key_not_null).select(
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left.columns if c not in on],
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.col(right_ts).alias(ts_out),
+        F.col(right_ts).alias("__m_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
-    u = left_side.unionByName(right_side)
+    u = left_side.unionByName(right_side).withColumn(
+        "__match",
+        F.when(
+            F.col("__is_left") == 0,
+            F.struct(
+                F.col("__m_ts").alias("ts"),
+                *[F.col(f"__r_{c}").alias(f"v{i}") for i, c in enumerate(value_cols)],
+            ),
+        ),
+    )
 
     # right rows (__is_left=0) sort BEFORE left rows at equal __ts, so
     # a right row exactly at the left timestamp is matchable (≤, not <);
-    # the value-col tail makes the order total among equal-ts right rows
+    # the struct tail makes the order total among equal-ts right rows
+    # (ts field equal → lexicographic on the value fields, so "ordered
+    # last by value_cols wins" is preserved)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("__ts"), F.asc("__is_left"), *[F.asc(f"__r_{c}") for c in value_cols])
+        .orderBy(F.asc("__ts"), F.asc("__is_left"), F.asc("__match"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [F.last(ts_out, ignorenulls=True).over(w).alias(ts_out)] + [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in value_cols
-    ]
-    resolved = u.select(*left.columns, "__ts", "__is_left", *carried).filter(
-        F.col("__is_left") == 1
-    )
+    resolved = u.select(
+        *left.columns,
+        "__ts",
+        "__is_left",
+        F.last("__match", ignorenulls=True).over(w).alias("__match"),
+    ).filter(F.col("__is_left") == 1)
+    match = F.col("__match")
     if tolerance is not None:
-        in_window = F.col(ts_out) >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        in_window = match["ts"] >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
         resolved = resolved.select(
-            *left.columns,
-            F.when(in_window, F.col(ts_out)).alias(ts_out),
-            *[F.when(in_window, F.col(f"__r_{c}")).alias(f"__r_{c}") for c in value_cols],
+            *left.columns, "__ts", F.when(in_window, match).alias("__match")
         )
+        match = F.col("__match")
     return resolved.select(
         *left.columns,
-        F.col(ts_out),
-        *[F.col(f"__r_{c}").alias(f"{c}{suffix}" if c in left.columns else c) for c in value_cols],
+        match["ts"].alias(ts_out),
+        *[
+            match[f"v{i}"].alias(f"{c}{suffix}" if c in left.columns else c)
+            for i, c in enumerate(value_cols)
+        ],
     )

@@ -330,10 +330,16 @@ def quality_gate(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    dim: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Keep documents the classifier scores ≥ threshold — the corpus
-    gate form (join back on id so the full document row survives)."""
-    kept = quality_score(df, weights, id_col, text_col).filter(
-        F.col("quality_prob") >= threshold
-    )
+    gate form (join back on id so the full document row survives).
+    `dim`/`portable` must match the TRAINING call: the gate scores
+    with the same feature hasher the weights were fit on (a portable-
+    trained model scored with xxhash64 buckets would pair every weight
+    with the wrong feature and gate documents at random)."""
+    kept = quality_score(
+        df, weights, id_col, text_col, dim=dim, portable=portable
+    ).filter(F.col("quality_prob") >= threshold)
     return df.join(kept.select(id_col, "quality_prob"), id_col)

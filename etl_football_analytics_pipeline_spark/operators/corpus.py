@@ -75,7 +75,14 @@ def _hex_threshold(fraction: float) -> str:
     16^8 would need 9 digits and break the trick); zero returns
     '00000000', which no key compares below."""
     f = min(max(fraction, 0.0), 1.0)
-    return "g" if f >= 1.0 else format(int(round(f * 16**8)), "08x")
+    if f >= 1.0:
+        return "g"
+    t = int(round(f * 16**8))
+    # fractions within 2^-33 of 1.0 ROUND to 16^8 itself, which would
+    # format as nine digits and invert the 8-char lexicographic
+    # comparison (only keys starting '0' would pass) — that rounding
+    # means "keep everything", same as f >= 1.0
+    return "g" if t >= 16**8 else format(t, "08x")
 
 
 def hash_sample(
@@ -180,10 +187,20 @@ def whitespace_token_counts(
 ) -> DataFrame:
     """(id, n_tokens) where n_tokens is the normalized whitespace word
     count — the cheap token proxy used for packing budgets and split
-    accounting (exact BPE counts swap in via operators.text)."""
+    accounting (exact BPE counts swap in via operators.text).
+
+    NULL and empty/whitespace-only text count 0 tokens: bare
+    size(split(...)) would bill empty docs 1 (split('') is ['']) and
+    NULL docs -1 (legacy sizeOfNull) — a NEGATIVE count that would
+    walk pack_sequences' cumulative token position backwards and
+    misassign every later document in the bucket."""
+    norm = normalized_text(text_col)
     return df.select(
         F.col(id_col),
-        F.size(F.split(normalized_text(text_col), " ")).cast("long").alias(out_col),
+        F.when(norm.isNull() | (norm == ""), F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias(out_col),
     )
 
 
@@ -381,7 +398,14 @@ def stratified_sample(
                 else pdf
             )
             best = {
-                s: g.sort_values("__sk", kind="stable").head(k)
+                # na_position='first' mirrors the Spark window's
+                # F.asc (nulls FIRST): a NULL sample key (NULL id)
+                # must survive the combiner iff the uncombined window
+                # would rank it — pandas' default nulls-last would
+                # silently drop it from the local top-k
+                s: g.sort_values(
+                    "__sk", kind="stable", na_position="first"
+                ).head(k)
                 for s, g in pool.groupby(stratum_col, dropna=False, sort=False)
             }
         if best:

@@ -71,6 +71,10 @@ def brute_force_topk(
     unique), per-batch pruning cannot change the global result.
     """
     spark = corpus.sparkSession
+    if queries.isEmpty():  # np.stack cannot build an empty matrix
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qids, qmat = _collect_matrix(queries, id_col, vec_col)
     bq = spark.sparkContext.broadcast((qids, qmat))
 
@@ -100,8 +104,13 @@ def brute_force_topk(
                 yield pd.concat(frames, ignore_index=True)
 
     # small single-file corpora arrive as one partition; spread the
-    # BLAS blocks across cores (workers run 1 BLAS thread each)
-    scored = spread(corpus, min_partitions).mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    # BLAS blocks across cores (workers run 1 BLAS thread each).
+    # Project FIRST: Spark cannot prune columns through a mapInPandas
+    # black box, so an unprojected corpus would ship every metadata
+    # column through Arrow into the Python workers
+    scored = spread(corpus.select(id_col, vec_col), min_partitions).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -148,7 +157,11 @@ def all_pairs_cosine(
                 }
             )
 
-    return spread(df, min_partitions).mapInPandas(pairs, "id_a long, id_b long, cosine double")
+    # project first: mapInPandas blocks column pruning, so metadata
+    # columns would otherwise ride the Arrow transfer
+    return spread(df.select(id_col, vec_col), min_partitions).mapInPandas(
+        pairs, "id_a long, id_b long, cosine double"
+    )
 
 
 def hyperplane_signatures(
@@ -319,6 +332,10 @@ def lsh_all_pairs_cosine(
         # pays per-CANDIDATE instead.
         scoring = "join" if (1 << n_planes) >= 4096 else "bucket"
     if scoring == "join":
+        # both join sides read the sign kernel's output — materialize
+        # it once (eager checkpoint, ContextCleaner-freed) or the
+        # full-corpus stack+matmul mapInPandas pass executes twice
+        buckets = buckets.localCheckpoint(eager=True)
         a = buckets.select(
             F.col("__id").alias("id_a"), F.col(vec_col).alias("__va"), "table", "bucket"
         )
@@ -413,12 +430,16 @@ def _assign_lists(
                 continue
             mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             sims = mat @ cents.T  # B × k
-            top = np.argsort(-sims, axis=1)[:, :nprobe]  # B × nprobe
+            # a quantizer trained on a tiny sample can hold fewer than
+            # nprobe centroids — clamp, or the id/list columns would
+            # disagree in length and the executor kernel would crash
+            p = min(nprobe, cents.shape[0])
+            top = np.argsort(-sims, axis=1)[:, :p]  # B × p
             n = len(pdf)
             yield pd.DataFrame(
                 {
-                    id_alias: np.repeat(pdf.iloc[:, 0].to_numpy(), nprobe),
-                    vec_alias: pdf[vec_col].iloc[np.repeat(np.arange(n), nprobe)].to_numpy(),
+                    id_alias: np.repeat(pdf.iloc[:, 0].to_numpy(), p),
+                    vec_alias: pdf[vec_col].iloc[np.repeat(np.arange(n), p)].to_numpy(),
                     "list_id": top.reshape(-1).astype(np.int32),
                 }
             )
@@ -639,6 +660,10 @@ def ivf_search_index(
     centroids = stored_centroids(spark, path)
 
     q_pdf = queries.select(id_col, vec_col).toPandas()
+    if q_pdf.empty:  # np.stack cannot build an empty matrix
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_mat = _unit_rows(np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64))
     top = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]  # Q × nprobe
     qb = spark.createDataFrame(
@@ -866,7 +891,7 @@ def pq_encode(
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
 
-    return spread(corpus, min_partitions).mapInPandas(
+    return spread(corpus.select(id_col, vec_col), min_partitions).mapInPandas(
         encode, f"{id_col} long, codes array<int>"
     )
 

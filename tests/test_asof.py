@@ -106,3 +106,48 @@ def test_asof_plan_is_single_key_shuffle(spark, events):
     plan = asof_join(left, right, ["user_id"], value_cols=["value"])._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_asof_no_value_smearing_across_right_rows(spark):
+    """The matched right row travels as a unit: when the most recent
+    right row has NULL in one value column, the output must NOT smear
+    in that column's value from an older right row."""
+    import datetime as dt
+
+    from etl_football_analytics_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 3))], "key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1, 1), 10.0, None),
+            ("k", dt.datetime(2024, 1, 1, 2), None, 5.0),
+        ],
+        "key string, ts timestamp, price double, qty double",
+    )
+    row = asof_join(left, right, on=["key"], value_cols=["price", "qty"]).collect()[0]
+    assert row.ts_right == dt.datetime(2024, 1, 1, 2)
+    assert row.price is None  # NOT 10.0 smeared from the ts=1 row
+    assert row.qty == 5.0
+
+
+def test_asof_null_keys_follow_sql_equality(spark):
+    """NULL keys never match (SQL equality; DuckDB ASOF agrees): a
+    NULL-key left row gets NULL enrichment even when a NULL-key right
+    row precedes it."""
+    import datetime as dt
+
+    from etl_football_analytics_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1, 5)), ("k", dt.datetime(2024, 1, 1, 5))],
+        "key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1, 3), 9.0), ("k", dt.datetime(2024, 1, 1, 3), 7.0)],
+        "key string, ts timestamp, v double",
+    )
+    rows = {r.key: r for r in asof_join(left, right, on=["key"]).collect()}
+    assert rows["k"].v == 7.0
+    assert rows[None].v is None and rows[None].ts_right is None

@@ -310,3 +310,59 @@ def test_split_rejects_overlapping_ranges(spark, ids_df):
         deterministic_split(
             ids_df, "doc_id", splits=(("a", "0", "8"), ("b", "8", "f"))
         )
+
+
+def test_whitespace_token_counts_null_and_empty_are_zero(spark):
+    """NULL and empty text bill 0 tokens: bare size(split(...)) gives
+    1 for '' and -1 for NULL — a negative count walks pack_sequences'
+    cumulative position backwards."""
+    from etl_football_analytics_pipeline_spark.operators.corpus import (
+        whitespace_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens for r in whitespace_token_counts(df, "doc_id", "text").collect()}
+    assert got == {1: 2, 2: 0, 3: 0, 4: 0}
+
+
+def test_hash_sample_fraction_just_below_one_keeps_everything(spark):
+    """Fractions within 2^-33 of 1.0 round to the full 16^8 keyspace:
+    the threshold must stay the keep-all sentinel, not a 9-digit hex
+    string that lexicographically keeps only keys starting '0'."""
+    from etl_football_analytics_pipeline_spark.operators.corpus import (
+        _hex_threshold,
+        hash_sample,
+    )
+
+    assert _hex_threshold(1.0 - 2**-40) == "g"
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, "doc_id", 1.0 - 2**-40).count() == 200
+
+
+def test_quality_gate_portable_passthrough(spark):
+    """A portable-trained model must gate with portable features —
+    the gate exposes the same hasher knobs as training/scoring."""
+    from etl_football_analytics_pipeline_spark.operators.classifier import (
+        quality_gate,
+        quality_score,
+        quality_train,
+    )
+
+    rows = [(i, "good clean text here" if i % 2 == 0 else "zz xx qq ww", i % 2 == 0)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t, int(l)) for i, t, l in rows], "doc_id long, text string, label long"
+    )
+    w = quality_train(df, "text", "label", dim=256, iters=10, portable=True)
+    scores = {
+        r.doc_id: r.quality_prob
+        for r in quality_score(df, w, "doc_id", "text", dim=256, portable=True).collect()
+    }
+    thresh = 0.5
+    kept = quality_gate(df, w, "doc_id", "text", threshold=thresh, dim=256, portable=True)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        i for i, p in scores.items() if p >= thresh
+    )

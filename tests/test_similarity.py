@@ -524,3 +524,37 @@ def test_ivf_pq_index_tombstone_delete_drops_neighbors(spark, tmp_path):
     after = ivf_pq_search(spark, idx, queries, k=5, nprobe=3).collect()
     assert after, "probe returned nothing after delete"
     assert not any(r.neighbor_id in doomed_ids for r in after)
+
+
+def test_empty_query_sets_return_empty_frames(spark, tmp_path):
+    """Empty query sets return typed empty frames (the contract the PQ
+    paths already had) instead of crashing np.stack on the driver."""
+    from etl_football_analytics_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_search_index,
+    )
+    from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    none = emb.filter("vec_id < 0")
+    out = brute_force_topk(emb, none)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    idx = f"{tmp_path}/ivf_empty"
+    ivf_build_index(emb, idx, n_lists=8)
+    out2 = ivf_search_index(spark, idx, none)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ivf_nprobe_exceeding_lists_is_clamped(spark):
+    """nprobe > trained centroid count must clamp instead of crashing
+    the executor kernel with mismatched column lengths."""
+    from etl_football_analytics_pipeline_spark.operators.similarity import ivf_topk
+    from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 3")
+    out = ivf_topk(emb, queries, k=3, n_lists=2, nprobe=8)
+    assert out.count() == 9  # 3 queries x k
