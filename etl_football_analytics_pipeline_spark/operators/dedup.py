@@ -463,6 +463,25 @@ def minhash_params(
     return a, b
 
 
+def _check_banding(num_hashes: int, num_bands: int) -> None:
+    """LSH banding parameters must satisfy num_bands | num_hashes with
+    rows_per_band >= 1. num_bands > num_hashes makes rows_per_band 0,
+    so EVERY band key hashes the empty slice and all docs share every
+    bucket — the candidate join degenerates to the full O(n²)
+    cross-product LSH exists to avoid (verified: 3 unrelated docs all
+    became candidates), silently. Non-divisible values silently drop
+    the trailing signature components, changing recall from what the
+    caller asked for. Both are caller bugs — raise."""
+    if num_bands < 1 or num_hashes < 1:
+        raise ValueError("num_hashes and num_bands must be >= 1")
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_bands ({num_bands}) must divide num_hashes "
+            f"({num_hashes}) — rows_per_band would be "
+            f"{'0 (all docs in one bucket)' if num_hashes // num_bands == 0 else f'{num_hashes // num_bands} with {num_hashes % num_bands} hashes silently unused'}"
+        )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -631,6 +650,7 @@ def minhash_dedup_pairs(
     Catalyst's stat-less sort-merge default while keeping both sides
     hash-partitioned on the join key (AQE can still split skewed
     keys)."""
+    _check_banding(num_hashes, num_bands)
     rows_per_band = num_hashes // num_bands
     # localCheckpoint: reused by candidates + est scoring, released on GC
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
@@ -715,6 +735,7 @@ def minhash_exact_dedup_pairs(
     docstrings point at; at sf-scale it is also testable against the
     all-pairs exact baseline (every returned pair appears there with
     the identical jaccard value)."""
+    _check_banding(num_hashes, num_bands)
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     cand = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
@@ -749,26 +770,39 @@ def minhash_index_build(
     but not transactional; wrap the index dir in sources.versioned
     for snapshot-isolated readers (same discipline as the IVF index).
     """
+    from .tombstones import drop_tombstones, replace_dir
+
+    _check_banding(num_hashes, num_bands)
     spark = df.sparkSession
     frame = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n,
         grams=gram_hashes(df, id_col, text_col, shingle_n, portable),
         keep_grams=True, portable=portable,
     ).localCheckpoint()  # two writes below; sign the corpus once
-    frame.write.mode("overwrite").parquet(f"{path}/docs")
+    replace_dir(spark, f"{path}/docs", lambda p: frame.write.parquet(p))
     # the band buckets ARE the LSH index — persist them so probes join
     # the delta's bands straight against this relation instead of
     # re-banding the resident corpus on every call (at 100 TB the
     # resident re-band is an O(corpus) explode paid per probe batch;
     # stored, it is paid once at build/append)
-    band_buckets(
-        frame.select(id_col, "signature"),
-        id_col, num_bands, num_hashes // num_bands, portable,
-    ).write.mode("overwrite").parquet(f"{path}/bands")
-    spark.createDataFrame(
-        [(num_hashes, num_bands, shingle_n, id_col, portable)],
-        "num_hashes int, num_bands int, shingle_n int, id_col string, portable boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    replace_dir(
+        spark, f"{path}/bands",
+        lambda p: band_buckets(
+            frame.select(id_col, "signature"),
+            id_col, num_bands, num_hashes // num_bands, portable,
+        ).write.parquet(p),
+    )
+    replace_dir(
+        spark, f"{path}/params",
+        lambda p: spark.createDataFrame(
+            [(num_hashes, num_bands, shingle_n, id_col, portable)],
+            "num_hashes int, num_bands int, shingle_n int, id_col string, portable boolean",
+        ).coalesce(1).write.parquet(p),
+    )
+    # full-rebuild semantics: a previous generation's tombstones refer
+    # to the OLD index; carried over, they would silently exclude
+    # freshly-indexed docs that reuse a tombstoned id from every probe
+    drop_tombstones(spark, path)
 
 
 def _bands_ready(spark, path: str) -> bool:

@@ -13,10 +13,16 @@ pairs are exactly those sharing at least one block key (the union
 over `blocks` expressions evaluated on the normalized name), then
 every candidate is verified with the exact Levenshtein distance.
 Recall therefore equals block-design recall — e.g. with the default
-prefix+suffix blocks, a single typo in the middle of a name is always
-caught, while simultaneous head-and-tail edits are not; callers
-needing guarantees supply blocks matching their invariant (the
-PassJoin segment family slots straight in as `blocks`). Everything is
+prefix+suffix blocks, a single interior typo in a name LONGER than
+width + max_dist is always caught (the shared prefix or suffix
+survives), while names short enough that one edit disturbs both the
+prefix and the suffix window (len ≤ width + dist — short team codes
+like 'FCB' vs 'FBC') need narrower blocks (pigeonhole_blocks, or a
+smaller width), and simultaneous head-and-tail edits are never
+caught by prefix+suffix alone; callers needing guarantees supply
+blocks matching their invariant (the PassJoin segment family slots
+straight in as `blocks`, and `pigeonhole_blocks` carries the
+distance-1 guarantee at every length). Everything is
 deterministic, so the whole operator is SQL-expressible and fully
 value-oracled.
 

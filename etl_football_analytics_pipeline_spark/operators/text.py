@@ -96,8 +96,17 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     tokenization (letter runs / digit runs / single non-space symbols)
     — the cheap proxy for LLM token budgeting."""
-    ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    bpe_ish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    stripped = F.trim(F.col(text_col))
+    # empty / whitespace-only / NULL text counts 0 tokens: bare
+    # size(split(...)) bills empty docs 1 (split('') is ['']) and NULL
+    # docs -1/NULL — inflating token budgets and breaking ws_tokens=0
+    # empty-doc filters
+    ws_tokens = F.when(
+        stripped.isNull() | (stripped == ""), F.lit(0)
+    ).otherwise(F.size(F.split(stripped, r"\s+")))
+    bpe_ish = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    )
     return df.select(
         F.col(id_col),
         ws_tokens.cast("long").alias("ws_tokens"),
@@ -258,6 +267,14 @@ def redact_pii(
     mailto-like token inside an URL is handled by whichever pattern
     matches first — the order is part of the contract and tested."""
     out_col = out_col or text_col
+    if kinds is not None:
+        unknown = set(kinds) - set(PII_PATTERNS)
+        if unknown:
+            # a typo'd kind must not silently disable a privacy scrub
+            raise ValueError(
+                f"unknown PII kinds {sorted(unknown)}; "
+                f"valid: {sorted(PII_PATTERNS)}"
+            )
     col = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
         if kinds is not None and name not in kinds:
@@ -582,17 +599,23 @@ def _lm_grams(df: DataFrame, text_col: str, n: int, id_col: str | None = None):
     With `id_col`, rows carry the doc id as __id."""
     bos = " ".join(["<s>"] * (n - 1))
     cols = [F.col(id_col).alias("__id")] if id_col else []
+    body = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    full = F.split(
+        F.trim(F.concat(F.lit(bos + " " if bos else ""), body)), r"\s+"
+    )
+    # empty/whitespace-only text has ZERO body tokens — split('')
+    # fabricates one '' token, which for unigram models (no BOS pad to
+    # keep size below n) would pollute the trained LM's vocabulary with
+    # '' and give empty docs a real score instead of the documented
+    # (n_scored=0, lm_logprob NULL)
+    bos_only = (
+        F.split(F.lit(bos), " ")
+        if bos
+        else F.expr("CAST(array() AS array<string>)")
+    )
     toks = df.select(
         *cols,
-        F.split(
-            F.trim(
-                F.concat(
-                    F.lit(bos + " " if bos else ""),
-                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                )
-            ),
-            r"\s+",
-        ).alias("__t"),
+        F.when(body == "", bos_only).otherwise(full).alias("__t"),
     )
     out_cols = ["__id"] if id_col else []
     return toks.select(
@@ -770,8 +793,7 @@ def bm25_topk(
     Returns (query_id, ``id_col``, rank, score) with score rounded to
     4 dp; exactly min(k, matching docs) rows per query.
     """
-    if not queries:
-        raise ValueError("queries must be a non-empty {query_id: [terms]} dict")
+    queries = _norm_queries(queries)
     vocab = sorted({t for terms in queries.values() for t in terms})
     words = _bm25_words(df, id_col, text_col)
     # exact-integer corpus stats: one row, broadcast — avgdl is a
@@ -799,6 +821,21 @@ def _bm25_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda w: w != F.lit(""),
         ).alias("__w"),
     )
+
+
+def _norm_queries(queries: dict[str, list[str]]) -> dict[str, list[str]]:
+    """Validate + normalize a query dict for the BM25 entry points:
+    documents tokenize through normalized_text (LOWERCASED), so query
+    terms must be lowercased the same way or an uppercase term would
+    silently match nothing; an empty dict or an empty term list is a
+    caller bug and raises instead of crashing later (or returning a
+    silently empty result)."""
+    if not queries:
+        raise ValueError("queries must be a non-empty {query_id: [terms]} dict")
+    empties = sorted(q for q, terms in queries.items() if not terms)
+    if empties:
+        raise ValueError(f"queries {empties} have no terms")
+    return {q: [t.lower() for t in terms] for q, terms in queries.items()}
 
 
 def _bm25_score(
@@ -912,6 +949,9 @@ def bm25_build_index(
     only way repeated retrieval is affordable: per query the probe
     reads a handful of term buckets instead of re-tokenizing the
     corpus."""
+    from .tombstones import drop_tombstones, replace_dir
+
+    spark = df.sparkSession
     words = _bm25_words(df, id_col, text_col)
     toks = words.select(
         "__id", F.size("__w").alias("__dl"), F.explode("__w").alias("term")
@@ -921,19 +961,33 @@ def bm25_build_index(
         .agg(F.count(F.lit(1)).alias("__tf"), F.min("__dl").alias("__dl"))
         .withColumn("tb", _term_bucket(F.col("term")))
     )
-    postings.write.mode("overwrite").partitionBy("tb").parquet(
-        f"{out_dir}/postings"
+    # full-REBUILD semantics when out_dir already holds an index:
+    # every relation rewrites via replace_dir (a bare partitioned
+    # overwrite under partitionOverwriteMode=dynamic would keep ghost
+    # postings in term buckets the new corpus never touches — verified
+    # to resurrect old-corpus docs in probes), and the previous
+    # generation's tombstones are dropped LAST (they refer to the old
+    # index; carried over, they would silently exclude freshly-indexed
+    # ids that reuse a tombstoned id)
+    replace_dir(
+        spark, f"{out_dir}/postings",
+        lambda p: postings.write.partitionBy("tb").parquet(p),
     )
-    words.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size("__w")).alias("sdl")
-    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    replace_dir(
+        spark, f"{out_dir}/stats",
+        lambda p: words.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("__w")).alias("sdl")
+        ).write.parquet(p),
+    )
     # per-doc (id, dl) sidecar — deletes compensate stats from THIS
     # relation, not from postings: a doc whose text tokenizes to zero
     # words has no postings rows but did contribute n+=1 at build time,
     # and only the sidecar remembers it.
-    words.select("__id", F.size("__w").alias("__dl")).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/docs")
+    replace_dir(
+        spark, f"{out_dir}/docs",
+        lambda p: words.select("__id", F.size("__w").alias("__dl")).write.parquet(p),
+    )
+    drop_tombstones(spark, out_dir)
 
 
 def bm25_append_index(
@@ -982,8 +1036,7 @@ def bm25_search_index(
     (__n, __sdl) row, and run the SAME scoring tail as bm25_topk —
     results are identical to the in-flight operator by construction
     (asserted)."""
-    if not queries:
-        raise ValueError("queries must be a non-empty {query_id: [terms]} dict")
+    queries = _norm_queries(queries)
     vocab = sorted({t for terms in queries.values() for t in terms})
     buckets = sorted({_term_bucket_py(t) for t in vocab})
     postings = (

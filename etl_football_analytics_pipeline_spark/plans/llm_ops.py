@@ -1345,8 +1345,10 @@ _PII_ORACLE_CTE = (
       FROM documents
     ), t AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tokens
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS ws_tokens,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) END AS regex_tokens
       FROM documents
     ), f AS (
       SELECT doc_id, md5({_NORM}) AS md5_fingerprint FROM documents

@@ -496,3 +496,58 @@ def test_minhash_index_orphan_band_rows_harmless(spark, tmp_path):
         map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
     )
     assert after == base
+
+
+def test_minhash_banding_params_validated(spark):
+    """num_bands > num_hashes makes rows_per_band 0 — every doc in one
+    bucket, the O(n^2) explosion LSH exists to avoid — and
+    non-divisible values silently drop signature components; both
+    raise."""
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=4, num_bands=8)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=64, num_bands=10)
+
+
+def test_minhash_rebuild_clears_tombstones(spark, tmp_path):
+    """Rebuilding a minhash index at a path that saw deletes must not
+    inherit the old generation's tombstones — a freshly-indexed doc
+    reusing a tombstoned id would silently never produce candidates."""
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_delete,
+        minhash_index_probe,
+    )
+    from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    resident = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = f"{tmp_path}/mh_rebuild"
+    minhash_index_build(resident, idx, num_hashes=64, num_bands=16, shingle_n=2)
+    before = sorted(
+        map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
+    )
+    assert before
+    doomed = sorted({r[1] for r in before})[:2]
+    minhash_index_delete(
+        spark, idx, spark.createDataFrame([(i,) for i in doomed], "doc_id long")
+    )
+    # rebuild over the SAME corpus: results must equal the original
+    # build, not the tombstone-filtered view
+    minhash_index_build(resident, idx, num_hashes=64, num_bands=16, shingle_n=2)
+    import os
+
+    assert not os.path.isdir(f"{idx}/tombstones")
+    after = sorted(
+        map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
+    )
+    assert after == before

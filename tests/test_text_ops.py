@@ -761,3 +761,76 @@ def test_bm25_compact_hard_erasure_under_dynamic_overwrite(spark, tmp_path):
     ).count() == 0, "deleted doc's terms must not survive compaction on disk"
     got = bm25_search_index(spark, idx, {"q": ["hash"]}, k=5).collect()
     assert [r.doc_id for r in got] == [2]
+
+
+def test_bm25_query_terms_are_case_normalized(spark):
+    """Documents tokenize lowercased, so an uppercase query term must
+    match the lowercased vocabulary instead of silently returning
+    nothing; empty term lists raise."""
+    from etl_football_analytics_pipeline_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie recipe"), (2, "banana bread")], "doc_id long, text string"
+    )
+    lower = sorted(map(tuple, bm25_topk(docs, "doc_id", "text", {"q": ["apple"]}).collect()))
+    upper = sorted(map(tuple, bm25_topk(docs, "doc_id", "text", {"q": ["Apple"]}).collect()))
+    assert lower == upper and len(lower) == 1
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk(docs, "doc_id", "text", {"q": []})
+
+
+def test_bm25_rebuild_replaces_index_and_clears_tombstones(spark, tmp_path):
+    """bm25_build_index has full-REBUILD semantics: ghost postings from
+    the previous corpus must not survive (even under
+    partitionOverwriteMode=dynamic), and the previous generation's
+    tombstones must not exclude freshly-indexed ids."""
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_delete_from_index,
+        bm25_search_index,
+    )
+
+    idx = f"{tmp_path}/bm25_rebuild"
+    docs_a = spark.createDataFrame(
+        [(1, "zebra stripes"), (2, "zebra crossing")], "doc_id long, text string"
+    )
+    bm25_build_index(docs_a, "doc_id", "text", idx)
+    bm25_delete_from_index(spark.createDataFrame([(1,)], "__id long"), idx)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        docs_b = spark.createDataFrame(
+            [(1, "hash join"), (3, "stream merge")], "doc_id long, text string"
+        )
+        bm25_build_index(docs_b, "doc_id", "text", idx)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # ghost postings from corpus A must be gone
+    assert bm25_search_index(spark, idx, {"q": ["zebra"]}, k=5).count() == 0
+    # doc 1 (tombstoned in the OLD generation) is findable again
+    got = [r.doc_id for r in bm25_search_index(spark, idx, {"q": ["hash"]}, k=5).collect()]
+    assert got == [1]
+
+
+def test_ngram_lm_unigram_ignores_empty_docs(spark):
+    """n=1 LMs must not learn a '' token from empty/whitespace docs,
+    and empty docs score (n_scored=0, NULL) as documented."""
+    from etl_football_analytics_pipeline_spark.operators.text import (
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    lm = ngram_lm_train(df, "text", n=1)
+    toks = {r.token for r in lm.collect()}
+    assert toks == {"hello", "world"}
+    scored = {r.doc_id: r for r in ngram_lm_score(df, lm, "doc_id", "text", n=1).collect()}
+    for d in (2, 3, 4):
+        assert scored[d].n_scored == 0 and scored[d].lm_logprob is None
+    assert scored[1].n_scored == 2
