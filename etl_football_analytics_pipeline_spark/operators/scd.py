@@ -143,6 +143,23 @@ def scd2_apply(
     to_type = dict(dim.dtypes)["effective_to"]
     history = dim.filter(~F.col("is_current"))
     current = dim.filter(F.col("is_current"))
+    # a dirty snapshot repeating a key would fan out the full-outer
+    # join: the SAME current row lands in closed_rows twice and TWO
+    # is_current replacement rows share one version — a permanently
+    # corrupt dimension. Keep one deterministic row per key (lowest by
+    # attrs, the insert_if_absent rule; the streaming sink dedupes the
+    # same way).
+    if attr_cols:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.asc(a) for a in attr_cols]
+        )
+        snapshot = (
+            snapshot.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        snapshot = snapshot.dropDuplicates(list(key_cols))
     # markers tell apart "key absent from that side" from "attr is
     # null" — attrs can be legitimately null on either side; the
     # observation time rides along as __ts so a Column snapshot_ts
@@ -163,9 +180,24 @@ def scd2_apply(
     # unchanged current rows + rows for keys the snapshot didn't
     # re-observe (absence is not deletion in SCD2)
     unchanged_rows = j.filter(existing & ~changed).select(dim.columns)
+    # a snapshot observed EARLIER than the current row's own start
+    # would close it to an empty interval [from, ts<from) and open an
+    # overlapping replacement — scd2_lookup's at-most-one-match
+    # guarantee breaks and the key's interval chain is permanently
+    # corrupt. Late/out-of-order observations need the scd2_build
+    # full-rebuild path; fail loudly here (assert embedded in the
+    # consumed expression so Catalyst cannot prune it).
+    ts_ok = F.assert_true(
+        ts >= F.col("effective_from"),
+        F.lit(
+            "scd2_apply: snapshot observation time precedes the current "
+            "row's effective_from — out-of-order/late data must go "
+            "through the scd2_build full-rebuild path"
+        ),
+    )
     closed_rows = (
         j.filter(changed)
-        .withColumn("effective_to", ts)
+        .withColumn("effective_to", F.when(ts_ok.isNull(), ts))
         .withColumn("is_current", F.lit(False))
         .select(dim.columns)
     )

@@ -41,14 +41,31 @@ def distinct_count_skew_safe(df: DataFrame, key: str, value: str) -> DataFrame:
     """`SELECT key, COUNT(DISTINCT value)` with the shuffle spread over
     (key, value): a key owning 90% of rows still distributes its
     distinct-dedup work across the whole cluster; only the final
-    algebraic count converges on the key. Output: (key, n_distinct)."""
+    algebraic count converges on the key. Output: (key, n_distinct).
+
+    NULL handling matches the plain groupBy(key).agg(countDistinct):
+    NULL values never count, but a key whose values are ALL NULL still
+    appears with n_distinct = 0 — a pre-group isNotNull filter would
+    silently drop that key from the output entirely."""
     return (
         df.select(key, value)
-        .where(F.col(value).isNotNull())
         .distinct()  # shuffles on (key, value) — hot keys spread
         .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        # count(col) skips NULLs, so the all-NULL key's single
+        # surviving (key, NULL) row counts 0 instead of vanishing
+        .agg(F.count(F.col(value)).alias("n_distinct"))
     )
+
+
+def _unambiguous(
+    joined: DataFrame, l_s: DataFrame, r_s: DataFrame, on: list[str], right_cols: list[str]
+) -> DataFrame:
+    """Project the salted join back to plain-join column order, taking
+    shared non-key names from the side the plain join would (both —
+    duplicate names survive, exactly like left.join(right, on))."""
+    out = [l_s[c] for c in l_s.columns if c != "__salt"]
+    out += [r_s[c] for c in right_cols]
+    return joined.select(*out)
 
 
 def salted_join(
@@ -72,6 +89,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salts < 1:
+        # salts=0 would fail deep in the job (ANSI pmod DIVIDE_BY_ZERO
+        # on an executor) instead of at the call site
+        raise ValueError(f"salts must be >= 1, got {salts}")
     on = list(on)
     non_key = [c for c in left.columns if c not in on] or on
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salts))
@@ -79,5 +100,9 @@ def salted_join(
     r_s = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
-    out_cols = list(left.columns) + [c for c in right.columns if c not in on]
-    return l_s.join(r_s, on + ["__salt"], how).select(*out_cols)
+    right_cols = [c for c in right.columns if c not in on]
+    # dataframe-qualified projection: a shared non-key column name
+    # (status, updated_at, ...) must come back like the plain join's
+    # duplicate columns, not raise AMBIGUOUS_REFERENCE on select(*names)
+    joined = l_s.join(r_s, on + ["__salt"], how)
+    return _unambiguous(joined, l_s, r_s, on, right_cols)

@@ -29,16 +29,20 @@ def flatten_header_levels(level0: list[str], level1: list[str]) -> list[str]:
         l1 = "" if l1.startswith("Unnamed:") else l1.strip()
         parts = [p for p in (l0, l1) if p]
         names.append("_".join(parts) if parts else "col")
-    # de-duplicate repeated names deterministically (left to right)
-    seen: dict[str, int] = {}
+    # de-duplicate repeated names deterministically (left to right);
+    # synthesized '<name>_<n>' suffixes are themselves checked against
+    # every emitted name — ['a','a','a_1'] must not produce two 'a_1'
+    # columns (a duplicate DDL name breaks every downstream resolve)
+    counts: dict[str, int] = {}
+    used: set[str] = set()
     out = []
     for n in names:
-        if n in seen:
-            seen[n] += 1
-            out.append(f"{n}_{seen[n]}")
-        else:
-            seen[n] = 0
-            out.append(n)
+        cand = n
+        while cand in used:
+            counts[n] = counts.get(n, 0) + 1
+            cand = f"{n}_{counts[n]}"
+        used.add(cand)
+        out.append(cand)
     return out
 
 
@@ -60,7 +64,17 @@ def read_two_row_header_csv(
     head = [r.value for r in spark.read.text(path).limit(2).collect()]
     if len(head) < 2:
         raise ValueError(f"{path}: expected at least 2 header lines")
-    names = flatten_header_levels(head[0].split(sep), head[1].split(sep))
+    # quote-aware header split: naive str.split would break a quoted
+    # field containing the separator ('"Goals, total"') into two
+    # tokens, misaligning every flattened column name against the
+    # quote-aware data pass (the reference's pandas header=[0,1] is
+    # quote-aware)
+    import csv as _csv
+
+    def _fields(line: str) -> list[str]:
+        return next(_csv.reader([line], delimiter=sep), [])
+
+    names = flatten_header_levels(_fields(head[0]), _fields(head[1]))
     data_rdd = (
         spark.sparkContext.textFile(path)
         .zipWithIndex()

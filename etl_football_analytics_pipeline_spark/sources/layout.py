@@ -32,8 +32,24 @@ def zvalue(
 ) -> Column:
     """Interleave the low `bits` bits of each already-ranked column
     (little-endian round-robin: output bit i·n+j takes bit i of column
-    j) — the Morton/Z curve key. Pure long arithmetic, no UDF."""
+    j) — the Morton/Z curve key. Pure long arithmetic, no UDF.
+
+    Requires n_cols · bits ≤ 63: Java shift counts wrap mod 64 (and
+    bit 63 is the sign), so a larger product would silently collide
+    bit planes onto the same output bit — the table would be written
+    "clustered" on a meaningless key and every promised min/max file
+    skip silently defeated. Lower `bits` for wide column sets
+    (4 cols → bits ≤ 15, 5 cols → bits ≤ 12; rank resolution beyond
+    ~2^12 rarely changes file-skipping behavior anyway)."""
     n = len(ranked)
+    if n < 1:
+        raise ValueError("zvalue needs at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} output bits > 63: "
+            f"shift counts would wrap mod 64 and corrupt the Z-curve; "
+            f"use bits <= {63 // n}"
+        )
     out = F.lit(0).cast("long")
     for i in range(bits):
         for j, col in enumerate(ranked):

@@ -16,6 +16,7 @@ defensive column resolution (`scr/Transform.py:25-66`).
 from __future__ import annotations
 
 import hashlib
+import shutil
 import os
 import tempfile
 
@@ -206,15 +207,26 @@ def scan_ready_path(path: str, parallelism: int) -> str:
         or size > _COMPACT_MAX_BYTES
     ):
         return path
-    key = hashlib.md5(
-        f"{os.path.abspath(path)}:{os.path.getmtime(path)}:{size}".encode()
-    ).hexdigest()[:16]
-    out = os.path.join(_COMPACT_ROOT, key, os.path.basename(path))
-    if os.path.exists(out):
-        # trust the mirror only if this user owns it; a foreign-owned
-        # file under a predictable key is read-verbatim territory
+    uid = getattr(os, "getuid", lambda: 0)()
+    # two-level key: per-SOURCE dir + per-(mtime,size) state subdir —
+    # a rewritten source gets a fresh state key, and the build below
+    # EVICTS the stale sibling states so daily-regenerated sources
+    # don't strand an unbounded trail of dead mirrors in /tmp
+    phash = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+    skey = hashlib.md5(f"{os.path.getmtime(path)}:{size}".encode()).hexdigest()[:16]
+    src_root = os.path.join(_COMPACT_ROOT, phash)
+    out = os.path.join(src_root, skey, os.path.basename(path))
+    if os.path.lexists(out):
+        # trust the mirror only if this user owns the WHOLE chain and
+        # nothing is a symlink: os.stat follows links, so a foreign
+        # symlink planted under a predictable key would otherwise pass
+        # the uid check by pointing at a file this user owns
         try:
-            if os.stat(out).st_uid == getattr(os, "getuid", lambda: 0)():
+            if (
+                not os.path.islink(out)
+                and os.stat(out).st_uid == uid
+                and os.stat(_COMPACT_ROOT).st_uid == uid
+            ):
                 return out
         except OSError:
             pass
@@ -224,6 +236,12 @@ def scan_ready_path(path: str, parallelism: int) -> str:
     # dir, transient IO) falls back to reading the source verbatim
     try:
         os.makedirs(_COMPACT_ROOT, mode=0o700, exist_ok=True)
+        # same ownership discipline as user_cache_dir: a pre-seeded
+        # foreign root under the predictable name is never written
+        # through (but here we degrade to verbatim reads, not an
+        # error — the mirror is optional)
+        if os.stat(_COMPACT_ROOT).st_uid != uid:
+            return path
         os.makedirs(os.path.dirname(out), exist_ok=True)
         table = pq.read_table(path)
         rows_per_group = max(1024, table.num_rows // max(2 * parallelism, 1))
@@ -235,6 +253,10 @@ def scan_ready_path(path: str, parallelism: int) -> str:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        # evict stale sibling states of THIS source (old mtime/size)
+        for d in os.listdir(src_root):
+            if d != skey:
+                shutil.rmtree(os.path.join(src_root, d), ignore_errors=True)
     except Exception:  # noqa: BLE001 — degraded layout beats a failed read
         return path
     return out

@@ -334,3 +334,16 @@ def test_semi_prefilter_exact_reduction(spark):
     assert "Broadcast" in plan, plan
     want = li.join(dim, li.l_partkey == dim.p_partkey, "left_semi")
     assert sorted(map(tuple, red.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zvalue_rejects_bit_overflow(spark):
+    """n_cols x bits > 63 wraps Java shift counts mod 64, silently
+    corrupting the Z-curve — must raise with the usable bound."""
+    import pytest as _pytest
+
+    from etl_football_analytics_pipeline_spark.sources.layout import zvalue
+
+    cols = [F.lit(i).cast("long") for i in range(5)]
+    with _pytest.raises(ValueError, match="bits <= 12"):
+        zvalue(cols, bits=16)
+    zvalue(cols, bits=12)  # at the bound: fine

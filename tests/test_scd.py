@@ -222,3 +222,54 @@ if _HAS_HYPOTHESIS:
             dim = scd2_apply(dim, snap, ["k"], ["attr"], _ts(d)).localCheckpoint()
         got = sorted(map(tuple, dim.collect()), key=repr)
         assert got == expect
+
+
+def test_scd2_apply_rejects_out_of_order_snapshot(spark):
+    """An observation time EARLIER than the current row's own start
+    would write an empty closed interval and an overlapping
+    replacement (scd2_lookup would match twice) — it must raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from etl_football_analytics_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+    )
+
+    feed = spark.createDataFrame(
+        [("k", "v1", dt.datetime(2024, 1, 5), 1)],
+        "key string, attr string, ts timestamp, tb long",
+    )
+    dim = scd2_build(feed, ["key"], ["attr"], "ts", "tb")
+    late = spark.createDataFrame([("k", "v2")], "key string, attr string")
+    with _pytest.raises(Exception, match="effective_from"):
+        scd2_apply(
+            dim, late, ["key"], ["attr"], dt.datetime(2024, 1, 3)
+        ).collect()
+
+
+def test_scd2_apply_dedupes_dirty_snapshot_keys(spark):
+    """A snapshot repeating a key must not fan out the join into
+    duplicate closed rows and two is_current rows per key."""
+    import datetime as dt
+
+    from etl_football_analytics_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+    )
+
+    feed = spark.createDataFrame(
+        [("k", "v1", dt.datetime(2024, 1, 1), 1)],
+        "key string, attr string, ts timestamp, tb long",
+    )
+    dim = scd2_build(feed, ["key"], ["attr"], "ts", "tb")
+    dirty = spark.createDataFrame(
+        [("k", "v2"), ("k", "v3")], "key string, attr string"
+    )
+    out = scd2_apply(dim, dirty, ["key"], ["attr"], dt.datetime(2024, 1, 2))
+    rows = out.filter("key = 'k'").collect()
+    current = [r for r in rows if r.is_current]
+    assert len(current) == 1
+    assert current[0].attr == "v2"  # deterministic survivor: lowest attr
+    assert len(rows) == 2  # one closed + one current

@@ -88,3 +88,38 @@ def test_salted_join_duplicate_multiplicity(spark):
     exp = sorted(tuple(x) for x in left.join(right, ["key"], "inner").collect())
     assert got == exp
     assert len(got) == 20 * 2 + 1
+
+
+def test_distinct_count_keeps_all_null_keys(spark):
+    """A key whose values are all NULL must appear with n_distinct=0,
+    exactly like groupBy(key).agg(countDistinct(value)) — not vanish."""
+    from etl_football_analytics_pipeline_spark.operators.skew import (
+        distinct_count_skew_safe,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None)], "k string, v int"
+    )
+    got = sorted(map(tuple, distinct_count_skew_safe(df, "k", "v").collect()))
+    want = sorted(
+        map(tuple, df.groupBy("k").agg(F.count_distinct("v").alias("n_distinct")).collect())
+    )
+    assert got == want == [("a", 2), ("b", 0)]
+
+
+def test_salted_join_tolerates_shared_non_key_columns(spark):
+    """salted_join must behave like the plain join when both sides
+    share a non-key column name (duplicate output columns, no
+    AMBIGUOUS_REFERENCE), and reject salts < 1 at the call site."""
+    import pytest as _pytest
+
+    from etl_football_analytics_pipeline_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, "x"), (2, "y")], "k long, name string")
+    r = spark.createDataFrame([(1, "u")], "k long, name string")
+    out = salted_join(l, r, ["k"])
+    plain = l.join(r, ["k"])
+    assert out.columns == plain.columns
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    with _pytest.raises(ValueError, match="salts"):
+        salted_join(l, r, ["k"], salts=0)

@@ -125,3 +125,58 @@ def test_scan_ready_path_compacts_and_noops(spark, tmp_path):
     out2 = scan_ready_path(src, parallelism=8)
     assert out2 != out
     assert pq.ParquetFile(out2).metadata.num_rows == 20000
+
+
+def test_two_row_header_quote_aware_and_dedup_collision(spark, tmp_path):
+    """Quoted header fields containing the separator must split
+    quote-aware (pandas header=[0,1] semantics), and synthesized
+    dedup suffixes must not collide with literal '<name>_1' columns."""
+    from etl_football_analytics_pipeline_spark.sources.csv_utils import (
+        flatten_header_levels,
+        read_two_row_header_csv,
+    )
+
+    p = str(tmp_path / "hdr.csv")
+    with open(p, "w") as fh:
+        fh.write('player,"Goals, total"\n')
+        fh.write("name,Gls\n")
+        fh.write("Kane,30\n")
+    df = read_two_row_header_csv(spark, p)
+    assert df.columns == ["player_name", "Goals, total_Gls"]
+    assert df.collect() == [("Kane", "30")]
+    out = flatten_header_levels(["a", "a", "a_1"], ["", "", ""])
+    assert len(set(out)) == len(out), out
+
+
+def test_compact_mirror_evicts_stale_states(spark, tmp_path):
+    """Rewriting a source file must not strand the previous mirror:
+    the per-source cache keeps only the current (mtime,size) state."""
+    import os
+    import time
+
+    from etl_football_analytics_pipeline_spark.sources.registry import (
+        _COMPACT_ROOT,
+        scan_ready_path,
+    )
+
+    src = str(tmp_path / "t.parquet")
+    spark.range(200_000).write.mode("overwrite").parquet(str(tmp_path / "d"))
+    # single-file source: copy one part file
+    part = [f for f in os.listdir(str(tmp_path / "d")) if f.endswith(".parquet")][0]
+    import shutil as _sh
+
+    _sh.copy(os.path.join(str(tmp_path / "d"), part), src)
+    out1 = scan_ready_path(src, 32)
+    import hashlib
+
+    phash = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:16]
+    src_root = os.path.join(_COMPACT_ROOT, phash)
+    if out1 == src:  # source didn't qualify for compaction on this host
+        return
+    states1 = set(os.listdir(src_root))
+    time.sleep(1.1)  # ensure a different mtime second
+    os.utime(src)
+    out2 = scan_ready_path(src, 32)
+    assert out2 != out1
+    states2 = set(os.listdir(src_root))
+    assert len(states2) == 1 and states2 != states1
