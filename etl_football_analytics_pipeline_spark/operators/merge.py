@@ -66,10 +66,22 @@ def merge_replace(
     streaming.windowed.merge_sink, which keeps the deterministic
     first row per key, or insert_if_absent's dedup rule)."""
     keys = list(keys)
-    src_keys = new.select(*keys)
+    # NULL-SAFE key comparison: a plain on=keys anti-join never matches
+    # NULL key components, so a NULL-keyed old row could never be
+    # replaced and every re-load would append the NULL-keyed new rows
+    # again — breaking the idempotence the raw/warehouse loads promise.
+    # eqNullSafe treats NULL = NULL as a match, like the reference's
+    # pandas isin over object keys.
+    src_keys = new.select(
+        *[F.col(k).alias(f"__mk_{k}") for k in keys]
+    ).dropDuplicates()
     if broadcast_src:
         src_keys = F.broadcast(src_keys)
-    survivors = old.join(src_keys, keys, "left_anti")
+    cond = None
+    for k in keys:
+        c = old[k].eqNullSafe(src_keys[f"__mk_{k}"])
+        cond = c if cond is None else cond & c
+    survivors = old.join(src_keys, cond, "left_anti")
     return survivors.unionByName(new)
 
 
@@ -108,8 +120,19 @@ def insert_if_absent(
         )
     else:
         src = src.dropDuplicates(pk)
-    tkeys = target.select(*pk)
-    fresh = src.join(F.broadcast(tkeys) if broadcast_target_keys else tkeys, pk, "left_anti")
+    # null-safe anti-join, same rationale as merge_replace: a
+    # NULL-keyed row that already exists in the target must be seen as
+    # present, or every re-load appends it again
+    tkeys = target.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in pk]
+    ).dropDuplicates()
+    if broadcast_target_keys:
+        tkeys = F.broadcast(tkeys)
+    cond = None
+    for k in pk:
+        c = src[k].eqNullSafe(tkeys[f"__tk_{k}"])
+        cond = c if cond is None else cond & c
+    fresh = src.join(tkeys, cond, "left_anti")
     return target.unionByName(fresh)
 
 

@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 from ..utils import spread
 
 _MAGIC = b"SMF0"
-REAL_FORMATS = {"jpeg", "png", "webp", "mp4", "wav"}
 
 IMAGE_SCHEMA = "id long, content binary, meta struct<width:int, height:int, format:string>"
 

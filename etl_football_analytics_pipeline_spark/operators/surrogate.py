@@ -54,7 +54,12 @@ def zip_with_index(
     lead_type = dict(df.dtypes).get(lead)
     if lead_type in ("tinyint", "smallint", "int", "bigint"):
         mn, mx = df.agg(F.min(lead), F.max(lead)).first()
-        if mn is not None:
+        # the bucket expression computes (lead - mn) in Spark LONG
+        # arithmetic — a key range past 2^62 would overflow it (ANSI:
+        # job aborts; legacy: wrapped negatives collide with the -1
+        # null sentinel and break the ordering contract), so extreme
+        # ranges take the generic repartitionByRange path instead
+        if mn is not None and (int(mx) - int(mn)) < (1 << 62):
             width = max(1, ((int(mx) - int(mn)) // parts) + 1)
             bucket = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(
                 ((F.col(lead) - F.lit(int(mn))) / F.lit(width)).cast("long")

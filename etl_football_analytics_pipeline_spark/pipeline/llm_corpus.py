@@ -190,11 +190,18 @@ def curate_corpus(
     )
     if not with_stats:
         return out
+    # the stat counts are FOUR separate actions over the curation DAG —
+    # uncached, each would re-run the quality gates, exact dedup and
+    # the MinHash/LSH shuffle from scratch (~4x the most expensive
+    # stage). One eager checkpoint of the final frame bounds that; the
+    # upstream counts reuse its lineage-truncated inputs where possible
+    # and the caller's own consumption of `out` is free afterwards.
+    out = out.localCheckpoint(eager=True)
     stats = CurationStats(
         input_docs=docs.count(),
         after_quality=good.count(),
         after_exact_dedup=exact_unique.count(),
-        after_neardup_dedup=curated.count(),
+        after_neardup_dedup=out.count(),
         total_tokens=out.agg(F.sum("regex_tokens")).collect()[0][0] or 0,
     )
     return out, stats
@@ -209,6 +216,7 @@ class AssemblyStats:
     sampled_train_docs: int
     contaminated_test_docs: int
     n_sequences: int
+    contaminated_val_docs: int = 0
 
 
 def assemble_training_set(
@@ -269,13 +277,23 @@ def assemble_training_set(
         F.col("containment") >= contamination_threshold
     ).select(id_col)
     clean_test = test.join(leaked, id_col, "left_anti")
+    # the VAL fold is an eval set too: a benchmark near-copy that
+    # hash-landed in val would otherwise survive and validation-based
+    # decisions (early stopping, mixture tuning) would measure
+    # memorization — the exact failure decontamination exists to stop
+    decontam_val = ngram_containment(train, val, id_col, text_col, n=contamination_n)
+    leaked_val = decontam_val.filter(
+        F.col("containment") >= contamination_threshold
+    ).select(id_col)
+    clean_val = val.join(leaked_val, id_col, "left_anti")
     toks = whitespace_token_counts(train, id_col, text_col)
     packed = pack_sequences(toks, id_col, "n_tokens", seq_len=seq_len)
     out = {
         "train": train,
-        "val": val,
+        "val": clean_val,
         "test": clean_test,
         "decontam": decontam,
+        "decontam_val": decontam_val,
         "train_packed": packed,
     }
     if not with_stats:
@@ -287,6 +305,7 @@ def assemble_training_set(
         sampled_train_docs=train.count(),
         contaminated_test_docs=leaked.count(),
         n_sequences=packed.select("seq_id").distinct().count(),
+        contaminated_val_docs=leaked_val.count(),
     )
     return out, stats
 
@@ -296,6 +315,7 @@ def curation_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.3,
+    keep_versions: int = 2,
 ):
     """`foreachBatch` sink: INCREMENTAL corpus curation — the
     streaming tier of curate_corpus, for corpora that arrive
@@ -349,5 +369,15 @@ def curation_sink(
         merge_commit(
             batch.sparkSession, table_dir, first, keys=["fingerprint"], insert_only=True
         )
+        # every micro-batch commits a FULL corpus snapshot: without a
+        # retention bound a 30s-trigger stream retains thousands of
+        # dead versions per day until the volume fills. keep_versions
+        # bounds history exactly like write_warehouse does;
+        # keep_versions=0 disables vacuuming for callers that run
+        # their own retention schedule.
+        if keep_versions > 0:
+            from ..sources.versioned import vacuum
+
+            vacuum(table_dir, keep=keep_versions)
 
     return apply

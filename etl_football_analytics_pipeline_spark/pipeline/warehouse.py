@@ -90,15 +90,26 @@ def jdbc_upsert_sql(table: str, columns: Sequence[str], pk: Sequence[str], is_di
     `:276-302` DO NOTHING for facts): bulk INSERT ... SELECT from the
     staging table with ON CONFLICT. One statement per table instead of
     the reference's per-row executemany round-trips."""
-    cols = ", ".join(columns)
-    conflict = ", ".join(pk)
+    # every identifier is double-quoted: warehouse columns include
+    # embedded spaces ("Opp Formation") and mixed case ("GF"), which
+    # unquoted SQL either rejects outright or case-folds away from the
+    # quoted (case-preserved) identifiers Spark's JDBC writer creates
+    # for the staging table
+    def _q(ident: str) -> str:
+        return '"' + ident.replace('"', '""') + '"'
+
+    cols = ", ".join(_q(c) for c in columns)
+    conflict = ", ".join(_q(c) for c in pk)
     if is_dim:
-        updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in pk)
+        updates = ", ".join(
+            f"{_q(c)} = EXCLUDED.{_q(c)}" for c in columns if c not in pk
+        )
         action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
     else:
         action = "DO NOTHING"
     return (
-        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {table}__stage "
+        f"INSERT INTO {_q(table)} ({cols}) SELECT {cols} "
+        f"FROM {_q(table + '__stage')} "
         f"ON CONFLICT ({conflict}) {action}"
     )
 
@@ -260,11 +271,15 @@ def write_dim_scd2(
         dim = snapshot.select(
             *pk,
             *attr_cols,
-            ts.alias("effective_from"),
-            ts.cast("timestamp").alias("effective_to"),
+            # cast BOTH interval bounds: a string snapshot_ts would
+            # otherwise commit a permanently string-typed
+            # effective_from (breaking as-of comparisons and flipping
+            # the column type when a later load passes a datetime)
+            ts.cast("timestamp").alias("effective_from"),
+            F.lit(None).cast("timestamp").alias("effective_to"),
             F.lit(True).alias("is_current"),
             F.lit(1).cast("int").alias("version"),
-        ).withColumn("effective_to", F.lit(None).cast("timestamp"))
+        )
     else:
         dim = scd2_apply(
             read_latest(spark, table_dir), snapshot, list(pk), list(attr_cols), ts

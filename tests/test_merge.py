@@ -124,3 +124,26 @@ if _HAS_HYPOTHESIS:
         # idempotent: merging the same delta again changes nothing
         out2 = merge_replace(out, new_df, ["k"])
         assert {r.k: r.v for r in out2.collect()} == got
+
+
+def test_merges_are_null_safe_on_keys(spark):
+    """NULL key components must compare null-safely: a NULL-keyed row
+    already in the target is SEEN (re-loads stay idempotent), and a
+    NULL-keyed old row is replaced by its NULL-keyed update."""
+    from etl_football_analytics_pipeline_spark.operators.merge import (
+        insert_if_absent,
+        merge_replace,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k int, v string"
+    )
+    # re-inserting the same frame is a no-op, including the NULL key
+    again = insert_if_absent(t, t, ["k"])
+    assert sorted(map(tuple, again.collect()), key=str) == sorted(
+        map(tuple, t.collect()), key=str
+    )
+    # new-wins replacement reaches the NULL-keyed row too
+    upd = spark.createDataFrame([(None, "B")], "k int, v string")
+    out = sorted(map(tuple, merge_replace(t, upd, ["k"]).collect()), key=str)
+    assert out == sorted([(1, "a"), (None, "B")], key=str)
