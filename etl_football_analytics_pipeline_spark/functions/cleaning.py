@@ -67,25 +67,37 @@ def canonicalize_via_map(
 
 def split_two(c: Column | str, sep: str) -> tuple[Column, Column]:
     """X5 — split one column into two (the reference's `GF:GA` →
-    GF, GA, `scr/Transform.py:788-790`)."""
+    GF, GA, `scr/Transform.py:788-790`). `sep` is a LITERAL separator:
+    F.split takes a Java regex, so metacharacters ('|', '.') are
+    escaped — an unescaped '|' would split on the empty match and
+    return ('', first-char)."""
+    import re as _re
+
     col = F.col(c) if isinstance(c, str) else c
-    parts = F.split(col, sep)
+    parts = F.split(col, _re.escape(sep))
     return parts.getItem(0), parts.getItem(1)
 
 
 def zero_pad(c: Column | str, width: int = 2) -> Column:
-    """X6 — `str.zfill` equivalent (`scr/Transform.py:482`)."""
-    return F.lpad(F.col(c) if isinstance(c, str) else c, width, "0")
+    """X6 — `str.zfill` equivalent (`scr/Transform.py:482`). zfill
+    never truncates, so values already >= `width` pass through
+    unchanged (bare lpad would cut '100' to '10' at width 2)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(F.length(col) >= width, col).otherwise(
+        F.lpad(col, width, "0")
+    )
 
 
 def encode_season(c: Column | str) -> Column:
     """X7 — season string encode: `"2024-2025"` → 2425
-    (`scr/Transform.py:711-725`). Last two digits of each year,
-    concatenated, cast to int; malformed input → NULL (the reference
-    returns None on ValueError)."""
+    (`scr/Transform.py:711-725`). LAST two digits of each year
+    (substring from the END, so the abbreviated '2024-25' form also
+    encodes 2425 instead of a silently wrong code), concatenated,
+    cast to int; malformed input → NULL (the reference returns None
+    on ValueError)."""
     col = F.col(c) if isinstance(c, str) else c
-    y0 = F.substring(F.split(col, "-").getItem(0), 3, 2)
-    y1 = F.substring(F.split(col, "-").getItem(1), 3, 2)
+    y0 = F.substring(F.split(col, "-").getItem(0), -2, 2)
+    y1 = F.substring(F.split(col, "-").getItem(1), -2, 2)
     return F.concat(y0, y1).try_cast("int")
 
 

@@ -110,13 +110,11 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double").alias("total_value"),
     )
+    from ..functions.cleaning import div0
+
     return agg.withColumn(
         "avg_value_per_order",
-        F.round(
-            F.col("total_value")
-            / F.when(F.col("n_orders") == 0, F.lit(None)).otherwise(F.col("n_orders")),
-            2,
-        ),
+        F.round(div0(F.col("total_value"), F.col("n_orders")), 2),
     )
 
 
@@ -601,7 +599,12 @@ def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_part = ev.filter(F.col("event_id") <= 2000).select(
         F.lit("json").alias("part"),
         "event_id",
-        F.get_json_object("props", "$.k").cast("double").alias("v1"),
+        # try_cast: the extracted value is an untyped JSON string —
+        # under ANSI mode (Spark 4 default) a plain cast would abort
+        # the whole suite on one non-numeric props.k; lenient-parse
+        # semantics (malformed -> NULL) match the repo's N1 rule and
+        # the oracle's CAST of the same all-numeric corpus
+        F.get_json_object("props", "$.k").try_cast("double").alias("v1"),
         F.lit(None).cast("timestamp").alias("ts_right"),
     )
     left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")

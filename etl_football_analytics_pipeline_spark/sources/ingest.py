@@ -25,7 +25,6 @@ Spark path the driver's parquet harness models.
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,6 +85,11 @@ def standings_rows(
     - every missing element (short chunk, short ranks/forms list)
       pads to "" rather than erroring — scraped DOMs are ragged.
     """
+    if row_width < 7:
+        # seven stat fields are read positionally below (mp..pts, the
+        # reference's values[i:i+7] shape) — a narrower chunk would
+        # IndexError on every row deep in the loop
+        raise ValueError(f"row_width must be >= 7, got {row_width}")
     chunks = [list(values[i : i + row_width]) for i in range(0, len(values), row_width)]
     rows: list[dict[str, str]] = []
     for i, row in enumerate(chunks):
@@ -136,7 +140,11 @@ def ingest_table(
             last = exc
     else:
         raise RuntimeError(f"fetch failed after {max_retries} attempts") from last
-    return spark.createDataFrame([tuple(r.values()) for r in rows] if rows else [], schema)
+    # pass the mappings THEMSELVES: createDataFrame matches dict rows
+    # by field NAME against the schema, whereas tuple(r.values()) is
+    # positional — JSON APIs do not guarantee key order, so a row with
+    # reordered keys would silently land values in the wrong columns
+    return spark.createDataFrame(list(rows) if rows else [], schema)
 
 
 def ingest_with_raw_merge(
@@ -152,14 +160,20 @@ def ingest_with_raw_merge(
     rewrite (an orphaned `.__old` from a crash between the renames is
     restored before the merge, so committed rows are never lost).
     Returns the merged frame re-read from the swapped path."""
+    from ..utils import _hadoop_fs
+
     spark = new_df.sparkSession
     recover_swapped_dir(raw_path, spark)
-    if os.path.isdir(raw_path):
+    # existence through the Hadoop FS: os.path.isdir is always-false
+    # for an HDFS/S3 raw table, and the swap below (which IS remote-
+    # capable) would then retire and DELETE the live table, keeping
+    # the new batch alone — same hazard class as merge_sink's probe
+    fs, hp = _hadoop_fs(raw_path, spark)
+    if fs.exists(hp(raw_path)):
         merged = merge_replace(spark.read.parquet(raw_path), new_df, list(keys))
     else:
         merged = new_df
     tmp = raw_path + ".__stage"
-    shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
     commit_staged_dir(raw_path, tmp, spark)
     spark.catalog.refreshByPath(raw_path)

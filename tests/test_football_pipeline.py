@@ -263,3 +263,34 @@ def test_fact_player_match_synthetic(spark):
     types = dict(out.dtypes)
     assert types["goals"] == "bigint" and types["xG"] == "double"
     assert types["pass_completion_percent"] == "double"
+
+
+def test_cleaning_helpers_edge_semantics(spark):
+    """X5/X6/X7 edge contracts: split_two treats the separator as a
+    LITERAL (metacharacters escaped); zero_pad never truncates
+    (str.zfill semantics); encode_season reads the LAST two digits so
+    the abbreviated '2024-25' form encodes correctly."""
+    from pyspark.sql import functions as F
+
+    from etl_football_analytics_pipeline_spark.functions.cleaning import (
+        encode_season,
+        split_two,
+        zero_pad,
+    )
+
+    df = spark.createDataFrame(
+        [("GF|GA", "100", "2024-25"), ("1|2", "7", "2024-2025")],
+        "s string, n string, season string",
+    )
+    a, b = split_two("s", "|")
+    rows = df.select(
+        a.alias("a"), b.alias("b"),
+        zero_pad("n", 2).alias("p"),
+        encode_season("season").alias("code"),
+    ).collect()
+    assert (rows[0].a, rows[0].b) == ("GF", "GA")
+    assert (rows[1].a, rows[1].b) == ("1", "2")
+    assert rows[0].p == "100"  # zfill never truncates
+    assert rows[1].p == "07"
+    assert rows[0].code == 2425  # abbreviated form
+    assert rows[1].code == 2425
