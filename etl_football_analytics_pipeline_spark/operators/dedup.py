@@ -823,7 +823,9 @@ def _bands_ready(spark, path: str) -> bool:
 
 
 def _minhash_index_params(spark, path: str) -> tuple[int, int, int, str, bool]:
-    df = spark.read.parquet(f"{path}/params")
+    from ..manifest import read_relation
+
+    df = read_relation(spark, f"{path}/params")
     r = df.first()
     # indexes written before the portable family existed lack the
     # column — they were xxhash64-signed, so default False
@@ -850,7 +852,11 @@ def minhash_index_append(
     candidate again (the probe uses the stored bands exclusively, no
     re-band fallback). A retry after a failure between the writes
     re-appends both; the duplicate band rows collapse in the probe's
-    candidate .distinct()."""
+    candidate .distinct(). Appends land in each relation's LIVE
+    manifest tree (manifest.resolved_dir) — new files only, no
+    replace, so the log-structured append stays object-store-safe."""
+    from ..manifest import resolved_dir
+
     num_hashes, num_bands, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     frame = minhash_signatures(
         delta, id_col, text_col, num_hashes, shingle_n,
@@ -861,8 +867,8 @@ def minhash_index_append(
         band_buckets(
             frame.select(id_col, "signature"),
             id_col, num_bands, num_hashes // num_bands, portable,
-        ).write.mode("append").parquet(f"{path}/bands")
-    frame.write.mode("append").parquet(f"{path}/docs")
+        ).write.mode("append").parquet(resolved_dir(spark, f"{path}/bands"))
+    frame.write.mode("append").parquet(resolved_dir(spark, f"{path}/docs"))
 
 
 def minhash_index_delete(spark, path: str, doomed: DataFrame) -> None:
@@ -890,16 +896,17 @@ def minhash_index_compact(spark, path: str) -> None:
     snapshot-isolated readers, same as appends. Probe results are
     unchanged by construction (probe already anti-joined the
     tombstones; asserted in tests)."""
+    from ..manifest import read_relation
     from .tombstones import drop_tombstones, filter_tombstones, replace_dir
 
     _, _, _, id_col, _ = _minhash_index_params(spark, path)
     live = filter_tombstones(
-        spark, path, spark.read.parquet(f"{path}/docs"), id_col
+        spark, path, read_relation(spark, f"{path}/docs"), id_col
     )
     replace_dir(spark, f"{path}/docs", lambda p: live.write.parquet(p))
     if _bands_ready(spark, path):
         bands = filter_tombstones(
-            spark, path, spark.read.parquet(f"{path}/bands"), "__id"
+            spark, path, read_relation(spark, f"{path}/bands"), "__id"
         )
         replace_dir(spark, f"{path}/bands", lambda p: bands.write.parquet(p))
     drop_tombstones(spark, path)
@@ -912,6 +919,7 @@ def minhash_index_probe(
     text_col: str = "text",
     threshold: float = 0.5,
     new_frame: DataFrame | None = None,
+    integrity_check: bool = True,
 ) -> DataFrame:
     """Check a batch of NEW documents against the persisted corpus
     index: LSH band-bucket candidates (new × resident only — the
@@ -937,10 +945,11 @@ def minhash_index_probe(
     signature kernels."""
     num_hashes, num_bands, shingle_n, id_col, portable = _minhash_index_params(spark, path)
     rows_per_band = num_hashes // num_bands
+    from ..manifest import read_relation
     from .tombstones import filter_tombstones
 
     resident = filter_tombstones(
-        spark, path, spark.read.parquet(f"{path}/docs"), id_col
+        spark, path, read_relation(spark, f"{path}/docs"), id_col
     )
     frame_new = new_frame if new_frame is not None else minhash_signatures(
         new_docs, id_col, text_col, num_hashes, shingle_n,
@@ -955,8 +964,36 @@ def minhash_index_probe(
         # resident corpus is never re-banded at probe time; tombstoned
         # ids are filtered the same way as the docs relation
         rb = filter_tombstones(
-            spark, path, spark.read.parquet(f"{path}/bands"), "__id"
+            spark, path, read_relation(spark, f"{path}/bands"), "__id"
         )
+        # drift assert: every live docs id MUST appear in the stored
+        # bands. The append protocol guarantees it by ORDER (bands
+        # first, docs second — an orphan band row is harmless, a docs
+        # row without bands would silently never produce a candidate
+        # again). This turns any future violation of that ordering —
+        # a partial manual restore, a truncated bands relation — into
+        # a loud failure instead of silent misses. Cost: one anti-join
+        # existence probe (take(1)) over two relations the probe scans
+        # anyway; both sides are tombstone-filtered identically, so a
+        # tombstoned doc cannot false-positive. `integrity_check=False`
+        # opts a latency-critical 100 TB probe out — the column-pruned
+        # id scan is cheap but not free.
+        drift = None if not integrity_check else (
+            resident.select(id_col)
+            .join(
+                rb.select(F.col("__id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            .take(1)
+        )
+        if drift:
+            raise IOError(
+                f"minhash index at {path!r} is inconsistent: doc id "
+                f"{drift[0][0]!r} has no stored band rows, so it could "
+                "never surface as a candidate. Rebuild the index "
+                "(minhash_index_build) or re-append the missing docs."
+            )
     else:  # pre-bands index layout: derive bands from signatures
         rb = band_buckets(
             resident.select(id_col, "signature"), id_col, num_bands, rows_per_band, portable

@@ -545,20 +545,34 @@ def ivf_build_index(
     # shuffle partition holding it, which is the layout a probe wants
     # to open. At larger scale this also bounds file count by the
     # shuffle partitioning instead of input × lists.
-    assigned.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/lists")
+    from .tombstones import replace_dir
+
+    # manifest-commit both relations (replace_dir): a plain in-place
+    # overwrite of an EXISTING index under a caller's
+    # partitionOverwriteMode=dynamic keeps ghost list partitions the
+    # new corpus never touches — the same resurrection defect class
+    # bm25_build_index guards; the fresh manifest tree is immune, and
+    # the publish is object-store-safe (no tree renames)
+    replace_dir(
+        spark, f"{path}/lists",
+        lambda p: assigned.repartition(F.col("list_id"))
+        .write.partitionBy("list_id")
+        .parquet(p),
+    )
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    cent_df = spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1)
+    replace_dir(spark, f"{path}/centroids", lambda p: cent_df.write.parquet(p))
     return centroids
 
 
 def stored_centroids(spark, path: str) -> np.ndarray:
     """The index's trained centroids, row i = list i — bounded
     (n_lists × dim) driver state by construction."""
-    pdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    from ..manifest import read_relation
+
+    pdf = read_relation(spark, f"{path}/centroids").toPandas()
     pdf = pdf.sort_values("list_id")
     return np.stack([np.asarray(c, dtype=np.float64) for c in pdf["centroid"]])
 
@@ -583,14 +597,17 @@ def ivf_append_index(
     same discipline every IVF system prescribes. Appends are
     file-atomic per task but not transactional across lists; wrap the
     index dir in sources.versioned for snapshot-isolated readers."""
+    from ..manifest import resolved_dir
+
     bc = spark.sparkContext.broadcast(stored_centroids(spark, path))
     assigned = _assign_lists(delta.select(id_col, vec_col), bc, id_col, vec_col, vec_col, 1)
     # same repartition-by-list discipline as the build: each touched
     # list gains ONE coherent file per shuffle partition holding it,
-    # not one per input partition
+    # not one per input partition. The append lands in the LIVE
+    # manifest tree (new files only — object-store-safe).
     assigned.repartition(F.col("list_id")).write.mode("append").partitionBy(
         "list_id"
-    ).parquet(f"{path}/lists")
+    ).parquet(resolved_dir(spark, f"{path}/lists"))
 
 
 def ivf_delete_index(
@@ -618,10 +635,11 @@ def ivf_compact_index(spark, path: str, id_col: str = "vec_id") -> None:
     a caller's partitionOverwriteMode=dynamic, under which an in-place
     overwrite would keep fully-tombstoned list partitions on disk.
     Probe results unchanged by construction (asserted in tests)."""
+    from ..manifest import read_relation
     from .tombstones import drop_tombstones, filter_tombstones, replace_dir
 
     live = filter_tombstones(
-        spark, path, spark.read.parquet(f"{path}/lists"), id_col
+        spark, path, read_relation(spark, f"{path}/lists"), id_col
     )
     replace_dir(
         spark, f"{path}/lists",
@@ -675,13 +693,14 @@ def ivf_search_index(
         "query_id long, __qvec array<float>, list_id int",
     )
     probed_lists = sorted({int(l) for row in top for l in row})
+    from ..manifest import read_relation
     from .tombstones import filter_tombstones
 
     corpus = (
         filter_tombstones(
             spark,
             path,
-            spark.read.parquet(f"{path}/lists").filter(
+            read_relation(spark, f"{path}/lists").filter(
                 F.col("list_id").isin(probed_lists)
             ),
             id_col,
@@ -1079,28 +1098,39 @@ def ivf_pq_build_index(
     # pq_encode projects (id, codes); re-attach list_id via the
     # assignment — both derive from the cached pass, joined on id
     coded = coded.join(assigned.select(id_col, "list_id"), id_col)
-    coded.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/lists")
+    from .tombstones import replace_dir
+
+    # manifest commits (see ivf_build_index): ghost-partition-immune
+    # rebuilds, object-store-safe publish
+    replace_dir(
+        spark, f"{path}/lists",
+        lambda p: coded.repartition(F.col("list_id"))
+        .write.partitionBy("list_id")
+        .parquet(p),
+    )
     assigned.unpersist()
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    cent_df = spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1)
+    replace_dir(spark, f"{path}/centroids", lambda p: cent_df.write.parquet(p))
     mm, nn, sub = books.shape
     book_rows = [
         (j, c, [float(x) for x in books[j, c]])
         for j in range(mm)
         for c in range(nn)
     ]
-    spark.createDataFrame(
+    book_df = spark.createDataFrame(
         book_rows, "subspace int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).coalesce(1)
+    replace_dir(spark, f"{path}/codebooks", lambda p: book_df.write.parquet(p))
 
 
 def stored_codebooks(spark, path: str) -> np.ndarray:
     """(m × n_codes × sub) PQ codebooks back from the index dir."""
-    pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
+    from ..manifest import read_relation
+
+    pdf = read_relation(spark, f"{path}/codebooks").toPandas()
     m = int(pdf["subspace"].max()) + 1
     n = int(pdf["code"].max()) + 1
     sub = len(pdf["centroid"].iloc[0])
@@ -1147,12 +1177,13 @@ def ivf_pq_search(
     bc = spark.sparkContext.broadcast((q_ids, lut, allowed))
     kk = k * oversample if rerank is not None else k
 
+    from ..manifest import read_relation
     from .tombstones import filter_tombstones
 
     codes_df = filter_tombstones(
         spark,
         path,
-        spark.read.parquet(f"{path}/lists").filter(F.col("list_id").isin(probed)),
+        read_relation(spark, f"{path}/lists").filter(F.col("list_id").isin(probed)),
         id_col,
     )
 

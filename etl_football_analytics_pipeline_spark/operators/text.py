@@ -999,24 +999,31 @@ def bm25_append_index(
     the union corpus (asserted in tests) because postings rows are
     per-(doc, term) and the probe sums all stats rows — df/idf/avgdl
     derive identically either way."""
+    from ..manifest import resolved_dir
+
+    spark = df.sparkSession
     words = _bm25_words(df, id_col, text_col)
     toks = words.select(
         "__id", F.size("__w").alias("__dl"), F.explode("__w").alias("term")
     )
+    # appends land in each relation's LIVE manifest tree — new files
+    # only, never a replace, so the log-structured append stays
+    # object-store-safe (manifest.resolved_dir; legacy plain indexes
+    # resolve to the root dir unchanged)
     (
         toks.groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("__tf"), F.min("__dl").alias("__dl"))
         .withColumn("tb", _term_bucket(F.col("term")))
         .write.mode("append")
         .partitionBy("tb")
-        .parquet(f"{index_dir}/postings")
+        .parquet(resolved_dir(spark, f"{index_dir}/postings"))
     )
     words.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size("__w")).alias("sdl")
-    ).write.mode("append").parquet(f"{index_dir}/stats")
+    ).write.mode("append").parquet(resolved_dir(spark, f"{index_dir}/stats"))
     words.select("__id", F.size("__w").alias("__dl")).write.mode(
         "append"
-    ).parquet(f"{index_dir}/docs")
+    ).parquet(resolved_dir(spark, f"{index_dir}/docs"))
 
 
 def bm25_search_index(
@@ -1045,7 +1052,9 @@ def bm25_search_index(
         .filter(F.col("term").isin(vocab))
         .select("__id", "term", "__tf", "__dl")
     )
-    stats = spark.read.parquet(f"{index_dir}/stats").agg(
+    from ..manifest import read_relation
+
+    stats = read_relation(spark, f"{index_dir}/stats").agg(
         F.sum("n").alias("__n"), F.sum("sdl").alias("__sdl")
     )
     return _bm25_score(postings, stats, queries, k, k1, b, salt_buckets, id_col)
@@ -1074,10 +1083,11 @@ def bm25_delete_from_index(
     double-subtracting — repeated deletes are idempotent."""
     spark = df_or_ids.sparkSession
     ids = df_or_ids.select(F.col(id_col).alias("__id")).distinct()
+    from ..manifest import read_relation, resolved_dir
     from .tombstones import append_tombstones, filter_tombstones
 
     doomed_docs = filter_tombstones(
-        spark, index_dir, spark.read.parquet(f"{index_dir}/docs"), "__id"
+        spark, index_dir, read_relation(spark, f"{index_dir}/docs"), "__id"
     ).join(F.broadcast(ids), "__id", "left_semi")
     comp = doomed_docs.agg(
         (-F.count(F.lit(1))).alias("n"),
@@ -1085,7 +1095,7 @@ def bm25_delete_from_index(
     )
     n_doomed, _ = comp.first()
     if n_doomed != 0:  # no-op deletes (unknown or re-deleted ids) add no row
-        comp.write.mode("append").parquet(f"{index_dir}/stats")
+        comp.write.mode("append").parquet(resolved_dir(spark, f"{index_dir}/stats"))
     append_tombstones(ids, index_dir, "__id")
 
 
@@ -1104,13 +1114,14 @@ def bm25_compact_index(spark, index_dir: str) -> None:
     overwrite would silently keep fully-tombstoned term buckets on
     disk — a hard-erasure failure). Probe results unchanged by
     construction (asserted in tests)."""
+    from ..manifest import read_relation
     from .tombstones import drop_tombstones, filter_tombstones, replace_dir
 
     live_post = _bm25_live_postings(spark, index_dir)
     live_docs = filter_tombstones(
-        spark, index_dir, spark.read.parquet(f"{index_dir}/docs"), "__id"
+        spark, index_dir, read_relation(spark, f"{index_dir}/docs"), "__id"
     )
-    stats = spark.read.parquet(f"{index_dir}/stats").agg(
+    stats = read_relation(spark, f"{index_dir}/stats").agg(
         F.sum("n").alias("n"), F.sum("sdl").alias("sdl")
     )
     replace_dir(
@@ -1128,8 +1139,9 @@ def _bm25_live_postings(spark, index_dir: str) -> DataFrame:
     """Postings minus tombstones (if any) — the probe's view
     (operators/tombstones.py, shared with the minhash and IVF
     indexes)."""
+    from ..manifest import read_relation
     from .tombstones import filter_tombstones
 
     return filter_tombstones(
-        spark, index_dir, spark.read.parquet(f"{index_dir}/postings"), "__id"
+        spark, index_dir, read_relation(spark, f"{index_dir}/postings"), "__id"
     )

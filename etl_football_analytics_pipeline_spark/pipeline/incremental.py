@@ -84,21 +84,29 @@ def merge_into_raw(
     write + rename swap: only partitions present in the merged delta
     rewrite, and the table is never truncated while the merged rows'
     only copy is volatile."""
+    from ..manifest import resolved_dir
     from ..utils import _hadoop_fs, recover_swapped_dir
 
     _fs, _hp = _hadoop_fs(table_path, spark)
-    # crash recovery BEFORE the existence probe: a prior run that died
-    # between its swap renames left the table (or one of its partition
-    # children) absent with the last complete copy at `.__old` —
-    # probing first would classify that as "no table yet" and the
-    # merge would silently replace all prior rows with the new batch
+    # crash recovery BEFORE the existence probe: a pre-r8 run that died
+    # between its whole-dir swap renames left the table absent with the
+    # last complete copy at `.__old` — probing first would classify
+    # that as "no table yet" and the merge would silently replace all
+    # prior rows with the new batch
     recover_swapped_dir(table_path, spark)
-    if _fs.exists(_hp(table_path)):
-        for st in _fs.listStatus(_hp(table_path)):
+    # the table's live data root: the current manifest tree once the
+    # full-replace path (replace_dir, manifest-committed since r8) has
+    # run, else the plain table dir (legacy layout). Partition children
+    # live INSIDE this root; the partition-local swap below mutates the
+    # live tree in place — same read-consistency level as the pre-r8
+    # in-place child swap, still O(delta partitions).
+    _root = resolved_dir(spark, table_path)
+    if _fs.exists(_hp(_root)):
+        for st in _fs.listStatus(_hp(_root)):
             name = st.getPath().getName()
             if not name.endswith(".__old"):
                 continue
-            live = _hp(f"{table_path.rstrip('/')}/{name[: -len('.__old')]}")
+            live = _hp(f"{_root.rstrip('/')}/{name[: -len('.__old')]}")
             if not _fs.exists(live):  # mid-swap crash: restore the child
                 if not _fs.rename(st.getPath(), live):
                     raise IOError(f"could not recover partition {name}")
@@ -108,7 +116,7 @@ def merge_into_raw(
     # which is always-false for HDFS/S3 tables and would silently turn
     # every merge into a full replace — same defect class as the
     # tombstone probe fixed in operators/tombstones._dir_exists)
-    _tp = _hp(table_path)
+    _tp = _hp(_root)
     exists = _fs.exists(_tp) and any(
         not st.getPath().getName().startswith((".", "_"))
         for st in _fs.listStatus(_tp)
@@ -134,7 +142,7 @@ def merge_into_raw(
         merged = new_df
         local = False
     else:
-        old_df = _restore_partition_type(spark.read.parquet(table_path))
+        old_df = _restore_partition_type(spark.read.parquet(_root))
         if set(old_df.columns) != set(new_df.columns):
             # schema-mismatch guard: new data only — the WHOLE table is
             # replaced (static overwrite below), like the reference's
@@ -185,7 +193,7 @@ def merge_into_raw(
         # retired ones before the next merge reads the table.
         from ..utils import commit_staged_dir
 
-        tmp = table_path.rstrip("/") + ".__new"
+        tmp = _root.rstrip("/") + ".__new"
         tmp_p = _hp(tmp)
         if _fs.exists(tmp_p):  # leftover from a crashed prior run
             _fs.delete(tmp_p, True)
@@ -195,12 +203,14 @@ def merge_into_raw(
             if not name.startswith(f"{partition_by}="):
                 continue  # _SUCCESS and friends
             commit_staged_dir(
-                f"{table_path.rstrip('/')}/{name}", f"{tmp}/{name}", spark
+                f"{_root.rstrip('/')}/{name}", f"{tmp}/{name}", spark
             )
         _fs.delete(tmp_p, True)
         spark.catalog.refreshByPath(table_path)
     else:
         # full replace (first write, schema mismatch, keyless,
-        # non-local keys): whole-dir rename swap
+        # non-local keys): manifest-pointer commit (object-store-safe)
         replace_dir(spark, table_path, _write)
-    return _restore_partition_type(spark.read.parquet(table_path))
+    return _restore_partition_type(
+        spark.read.parquet(resolved_dir(spark, table_path))
+    )

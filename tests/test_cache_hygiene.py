@@ -68,6 +68,8 @@ def test_quarantine_scan_and_incremental_merge_release_storage(spark, tmp_path):
         ["k"],
         partition_by=None,
     )
-    got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    from etl_football_analytics_pipeline_spark.manifest import read_relation
+
+    got = {r.k: r.v for r in read_relation(spark, tgt).collect()}
     assert got == {1: "x", 2: "z"}
     assert _cache_empty(spark)

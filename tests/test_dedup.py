@@ -387,9 +387,11 @@ def test_minhash_index_candidate_scan_prunes_gram_column(spark, docs, tmp_path):
         minhash_index_build,
     )
 
+    from etl_football_analytics_pipeline_spark.manifest import read_relation
+
     path = str(tmp_path / "prune")
     minhash_index_build(docs, path, "doc_id", "text", shingle_n=2)
-    resident = spark.read.parquet(f"{path}/docs")
+    resident = read_relation(spark, f"{path}/docs")
     cand_scan = band_buckets(resident.select("doc_id", "signature"), "doc_id", 16, 4)
     plan = cand_scan._jdf.queryExecution().executedPlan().toString()
     scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
@@ -435,11 +437,13 @@ def test_minhash_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
         minhash_index_compact,
     )
 
+    from etl_football_analytics_pipeline_spark.manifest import read_relation
+
     minhash_index_compact(spark, idx)
     assert not os.path.isdir(f"{idx}/tombstones")
     for rel, col in ((f"{idx}/docs", "doc_id"), (f"{idx}/bands", "__id")):
         assert (
-            spark.read.parquet(rel).filter(F.col(col).isin(doomed_ids)).count()
+            read_relation(spark, rel).filter(F.col(col).isin(doomed_ids)).count()
             == 0
         ), rel
     compacted = sorted(
@@ -486,12 +490,19 @@ def test_minhash_index_orphan_band_rows_harmless(spark, tmp_path):
     )
     assert base, "need at least one pair for the test to mean anything"
     # retry-after-partial-failure state: every band row duplicated,
-    # plus one orphan band row with no docs entry
-    bands = spark.read.parquet(f"{idx}/bands").localCheckpoint()
-    bands.write.mode("append").parquet(f"{idx}/bands")
+    # plus one orphan band row with no docs entry — staged into the
+    # LIVE manifest tree, exactly where a crashed append left them
+    from etl_football_analytics_pipeline_spark.manifest import (
+        read_relation,
+        resolved_dir,
+    )
+
+    bands_dir = resolved_dir(spark, f"{idx}/bands")
+    bands = read_relation(spark, f"{idx}/bands").localCheckpoint()
+    bands.write.mode("append").parquet(bands_dir)
     bands.limit(1).withColumn(
         "__id", F.lit(99_999_999).cast("long")
-    ).write.mode("append").parquet(f"{idx}/bands")
+    ).write.mode("append").parquet(bands_dir)
     after = sorted(
         map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
     )
@@ -551,3 +562,46 @@ def test_minhash_rebuild_clears_tombstones(spark, tmp_path):
         map(tuple, minhash_index_probe(spark, idx, delta, threshold=0.2).collect())
     )
     assert after == before
+
+
+def test_minhash_index_probe_integrity_assert_raises_on_docs_without_bands(
+    spark, tmp_path
+):
+    """Directive r7→r8: the bands-first append order is the index's
+    safety argument — a docs row WITHOUT band rows is the silent-miss
+    corruption (the probe uses stored bands exclusively, so that doc
+    could never surface as a candidate again). The probe's drift
+    assert must turn that state into a loud failure, and
+    integrity_check=False must opt out."""
+    from etl_football_analytics_pipeline_spark.manifest import (
+        read_relation,
+        resolved_dir,
+    )
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_probe,
+    )
+    from etl_football_analytics_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    resident = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(5)
+    idx = f"{tmp_path}/mh_drift"
+    minhash_index_build(resident, idx, num_hashes=64, num_bands=16, shingle_n=2)
+    # healthy index probes fine
+    minhash_index_probe(spark, idx, delta, threshold=0.2).collect()
+    # corrupt it: append a docs row that has NO band rows (the state
+    # the bands-first ordering makes unreachable — e.g. a partial
+    # manual restore or a truncated bands relation)
+    bad = read_relation(spark, f"{idx}/docs").limit(1).withColumn(
+        "doc_id", F.lit(88_888_888).cast("long")
+    )
+    bad.write.mode("append").parquet(resolved_dir(spark, f"{idx}/docs"))
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="no stored band rows"):
+        minhash_index_probe(spark, idx, delta, threshold=0.2).collect()
+    # the opt-out still answers (documented 100 TB escape hatch)
+    minhash_index_probe(
+        spark, idx, delta, threshold=0.2, integrity_check=False
+    ).collect()

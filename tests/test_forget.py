@@ -24,6 +24,7 @@ from etl_football_analytics_pipeline_spark.pipeline.forget import (
     IndexRef,
     forget_keys,
 )
+from etl_football_analytics_pipeline_spark.manifest import read_relation
 from etl_football_analytics_pipeline_spark.sources.registry import load_table
 from etl_football_analytics_pipeline_spark.sources.versioned import (
     commit_version,
@@ -214,25 +215,48 @@ def test_forget_keys_hard_erases_storage(spark, corpus, tmp_path):
     for d in (bm25_dir, mh_dir, ivf_dir):
         assert not os.path.isdir(os.path.join(d, "tombstones")), d
     assert (
-        spark.read.parquet(f"{bm25_dir}/postings")
+        read_relation(spark, f"{bm25_dir}/postings")
         .filter(F.col("term") == terms[0])
         .count()
         == 0
     )
     assert (
-        spark.read.parquet(f"{bm25_dir}/docs")
+        read_relation(spark, f"{bm25_dir}/docs")
         .filter(F.col("__id") == tid)
         .count()
         == 0
     )
     for rel, col in ((f"{mh_dir}/docs", "doc_id"), (f"{mh_dir}/bands", "__id")):
-        assert spark.read.parquet(rel).filter(F.col(col) == tid).count() == 0
+        assert read_relation(spark, rel).filter(F.col(col) == tid).count() == 0
     assert (
-        spark.read.parquet(f"{ivf_dir}/lists")
+        read_relation(spark, f"{ivf_dir}/lists")
         .filter(F.col("vec_id") == tid)
         .count()
         == 0
     )
+    # RAW-STORAGE proof, independent of manifest resolution: walk every
+    # parquet file anywhere under each index dir (retired trees, orphan
+    # trees, legacy roots included — nothing is exempt) and assert the
+    # forgotten id appears in NO file. This is the "rows exist nowhere
+    # on disk" contract the manifest retention's verified deletes back.
+    import glob
+
+    id_cols = {bm25_dir: "__id", mh_dir: None, ivf_dir: "vec_id"}
+    for d, col in id_cols.items():
+        for f in glob.glob(f"{d}/**/*.parquet", recursive=True):
+            if os.path.basename(f)[0] in "._":
+                continue
+            pdf = spark.read.parquet(f)
+            cols = (
+                [col]
+                if col is not None
+                else [c for c in ("doc_id", "__id") if c in pdf.columns]
+            )
+            for c in cols:
+                if c in pdf.columns:
+                    assert (
+                        pdf.filter(F.col(c) == tid).count() == 0
+                    ), f"forgotten id survives in {f} ({c})"
     # table: only the post-delete snapshot remains on disk
     vdirs = [d for d in os.listdir(tbl) if d.startswith("v")]
     assert [int(d[1:]) for d in vdirs] == [v]

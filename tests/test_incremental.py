@@ -10,6 +10,7 @@ from datetime import date
 
 import pytest
 
+from etl_football_analytics_pipeline_spark.manifest import resolved_dir
 from etl_football_analytics_pipeline_spark.pipeline.incremental import (
     merge_into_raw,
     read_checkpoint,
@@ -70,7 +71,8 @@ def test_merge_is_partition_local(spark, base, tmp_path):
     """The 2425 delta must not rewrite the 2324 partition's files."""
     path = str(tmp_path / "t")
     merge_into_raw(spark, base, path, ["season", "game"])
-    part_2324 = os.path.join(path, "season=2324")
+    # partition children live inside the live manifest tree since r8
+    part_2324 = os.path.join(resolved_dir(spark, path), "season=2324")
     before = {f: os.path.getmtime(os.path.join(part_2324, f))
               for f in os.listdir(part_2324) if f.endswith(".parquet")}
     delta = spark.createDataFrame([("2425", "g9", 9)], "season string, game string, v int")
@@ -129,7 +131,7 @@ def test_merge_recovers_partition_child_crash(spark, base, tmp_path):
     old rows (deleting it as a leftover would lose the partition)."""
     path = str(tmp_path / "t")
     merge_into_raw(spark, base, path, ["season", "game"])
-    child = os.path.join(path, "season=2425")
+    child = os.path.join(resolved_dir(spark, path), "season=2425")
     os.rename(child, child + ".__old")  # mid-child-swap crash state
     delta = spark.createDataFrame(
         [("2425", "g4", 40)], "season string, game string, v int"

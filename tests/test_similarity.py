@@ -3,6 +3,8 @@ hyperplane bucketing, and top-k ordering invariants."""
 
 from __future__ import annotations
 
+from etl_football_analytics_pipeline_spark.manifest import read_relation as _read_rel
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -169,7 +171,7 @@ def test_ivf_index_persists_and_prunes_partitions(spark, emb, tmp_path):
     import contextlib
     import io
 
-    scan = spark.read.parquet(f"{path}/lists").filter(F.col("list_id").isin([0, 1]))
+    scan = _read_rel(spark, f"{path}/lists").filter(F.col("list_id").isin([0, 1]))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         scan.explain("formatted")
@@ -177,7 +179,7 @@ def test_ivf_index_persists_and_prunes_partitions(spark, emb, tmp_path):
     pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
     assert "list_id" in pf_line
     # and the pruned row count equals those partitions' contents
-    expected = spark.read.parquet(f"{path}/lists").where("list_id in (0,1)").count()
+    expected = _read_rel(spark, f"{path}/lists").where("list_id in (0,1)").count()
     assert scan.count() == expected
     # layout: each inverted list is ONE coherent file (the build
     # repartitions by list_id before the partitioned write) — without
@@ -220,7 +222,7 @@ def test_ivf_append_reaches_probes(spark, emb, tmp_path):
     # centroids untouched by the append
     assert (stored_centroids(spark, path) == cents).all()
     # the index now holds the whole corpus, each vector exactly once
-    total = spark.read.parquet(f"{path}/lists").count()
+    total = _read_rel(spark, f"{path}/lists").count()
     assert total == emb.count()
     # a query that IS an appended vector finds appended near-dups:
     # the test corpus ships vec_id>=100000 rotated copies of low ids
@@ -332,7 +334,7 @@ def test_ivf_pq_index_end_to_end(spark, emb, tmp_path):
 
     path = str(tmp_path / "ivfpq")
     ivf_pq_build_index(emb, path, n_lists=8, m=16, n_codes=256, seed=42)
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = _read_rel(spark, f"{path}/lists")
     # compression: codes only — the raw embedding column must NOT be
     # stored in the lists
     assert set(lists.columns) == {"vec_id", "codes", "list_id"}
@@ -488,7 +490,7 @@ def test_ivf_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
     ivf_compact_index(spark, idx)
     assert not os.path.isdir(f"{idx}/tombstones")
     assert (
-        spark.read.parquet(f"{idx}/lists")
+        _read_rel(spark, f"{idx}/lists")
         .filter(F.col("vec_id").isin([int(i) for i in doomed_ids]))
         .count()
         == 0
@@ -498,9 +500,12 @@ def test_ivf_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
     )
     assert compacted == want
     # the list_id partitioning survives the rewrite (probe pruning
-    # depends on it)
+    # depends on it) — inside the live manifest tree since r8
+    from etl_football_analytics_pipeline_spark.manifest import resolved_dir
+
     assert any(
-        d.startswith("list_id=") for d in os.listdir(f"{idx}/lists")
+        d.startswith("list_id=")
+        for d in os.listdir(resolved_dir(spark, f"{idx}/lists"))
     )
 
 

@@ -3,6 +3,8 @@ xxhash64 shard key is Spark-specific) plus determinism checks."""
 
 from __future__ import annotations
 
+from etl_football_analytics_pipeline_spark.manifest import read_relation as _read_rel
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -614,9 +616,9 @@ def test_bm25_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
     # compensation must come from the tombstone-filtered doc view, so a
     # second delete appends no second negative stats row (a double
     # subtraction would corrupt idf/avgdl for every later probe)
-    stats_before = spark.read.parquet(f"{idx}/stats").groupBy().sum().collect()
+    stats_before = _read_rel(spark, f"{idx}/stats").groupBy().sum().collect()
     bm25_delete_from_index(doomed.withColumnRenamed("doc_id", "__id"), idx)
-    stats_after = spark.read.parquet(f"{idx}/stats").groupBy().sum().collect()
+    stats_after = _read_rel(spark, f"{idx}/stats").groupBy().sum().collect()
     assert stats_after == stats_before
     twice = sorted(
         map(tuple, bm25_search_index(spark, idx, queries, k=10).collect())
@@ -636,9 +638,9 @@ def test_bm25_index_tombstone_delete_equals_rebuild_without(spark, tmp_path):
 
     bm25_compact_index(spark, idx)
     assert not os.path.isdir(f"{idx}/tombstones")
-    assert spark.read.parquet(f"{idx}/stats").count() == 1
+    assert _read_rel(spark, f"{idx}/stats").count() == 1
     assert (
-        spark.read.parquet(f"{idx}/postings")
+        _read_rel(spark, f"{idx}/postings")
         .filter(F.col("__id").isin(top3))
         .count()
         == 0
@@ -688,7 +690,7 @@ def test_bm25_delete_zero_token_doc_compensates_stats(spark, tmp_path):
     idx = f"{tmp_path}/idx"
     bm25_build_index(df, "doc_id", "text", idx)
     bm25_delete_from_index(spark.createDataFrame([(3,)], "__id long"), idx)
-    n, sdl = spark.read.parquet(f"{idx}/stats").groupBy().agg(
+    n, sdl = _read_rel(spark, f"{idx}/stats").groupBy().agg(
         F.sum("n"), F.sum("sdl")
     ).first()
     assert (n, sdl) == (3, 9)
@@ -754,7 +756,7 @@ def test_bm25_compact_hard_erasure_under_dynamic_overwrite(spark, tmp_path):
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    post = spark.read.parquet(f"{idx}/postings")
+    post = _read_rel(spark, f"{idx}/postings")
     assert post.filter("__id = 1").count() == 0
     assert post.filter(
         F.col("term").isin(["zebra", "quagga", "okapi"])
