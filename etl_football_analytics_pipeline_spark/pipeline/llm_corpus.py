@@ -315,7 +315,7 @@ def curation_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.3,
-    keep_versions: int = 2,
+    keep_versions: int = 0,
 ):
     """`foreachBatch` sink: INCREMENTAL corpus curation — the
     streaming tier of curate_corpus, for corpora that arrive
@@ -371,10 +371,11 @@ def curation_sink(
         )
         # every micro-batch commits a FULL corpus snapshot: without a
         # retention bound a 30s-trigger stream retains thousands of
-        # dead versions per day until the volume fills. keep_versions
-        # bounds history exactly like write_warehouse does;
-        # keep_versions=0 disables vacuuming for callers that run
-        # their own retention schedule.
+        # dead versions per day until the volume fills. Retention is
+        # OPT-IN (keep_versions=0 default, ADVICE r7: destroying
+        # time-travel history silently is worse than growth callers
+        # can see) — long-running streams SHOULD pass a bound, e.g.
+        # keep_versions=2, exactly like write_warehouse's default.
         if keep_versions > 0:
             from ..sources.versioned import vacuum
 

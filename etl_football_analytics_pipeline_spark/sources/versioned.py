@@ -12,14 +12,28 @@ dependency:
       v00002/ ...
       _LATEST          ← one small file naming the current version
 
-Writers stage a NEW version directory completely, then commit by
-atomically replacing `_LATEST` (os.replace — atomic on POSIX).
-Readers resolve `_LATEST` once and scan an immutable directory, so a
-reader never observes a half-written table and an interrupted writer
-leaves the previous version live. This is snapshot isolation for
-single-writer pipelines; multi-writer coordination (optimistic
-conflict detection on the pointer) is what a real table format adds
-on top, behind these same call shapes.
+Writers stage a NEW version directory completely, then commit:
+
+- **local paths** — atomically replace `_LATEST` (os.replace, atomic
+  on POSIX; fsync'd against the ext4 empty-file-after-crash pattern);
+- **remote schemes** (``scheme://`` paths: hdfs:, s3a:, file:) —
+  create ONE empty marker file ``_commits/cNNNNNNNN`` through the
+  Hadoop FS API (NEW r8). The marker NAME is the committed version,
+  so there is no pointer content to tear and nothing is ever renamed
+  or overwritten: the publish is a single create-if-absent, atomic on
+  every filesystem Spark can write (a PUT on S3, an atomic namespace
+  create on HDFS). Readers resolve the highest marker. This closes
+  the r7 gap where remote schemes were refused outright — the same
+  manifest-pointer idea as ``manifest.manifest_commit``, specialized
+  to numbered snapshots.
+
+Readers resolve the pointer once and scan an immutable directory, so
+a reader never observes a half-written table and an interrupted
+writer leaves the previous version live. This is snapshot isolation
+for single-writer pipelines (remote commits detect a racing writer
+loudly: two creates of the same marker cannot both succeed);
+multi-writer coordination beyond that is what a real table format
+adds on top, behind these same call shapes.
 
 Reference analog: the warehouse loads of `scr/Load.py` commit through
 PostgreSQL transactions; this is the parquet-native equivalent the
@@ -29,31 +43,59 @@ engine's Load stage can use where no database exists.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_LATEST"
+_COMMITS = "_commits"
+_COMMIT_RE = re.compile(r"^c(\d{8})$")
 
 
-def _require_local(table_dir: str) -> None:
-    """This module's pointer file and version directories live on the
-    DRIVER-LOCAL filesystem (open/os.replace/shutil — os.replace is
-    what makes the commit atomic). A remote-scheme path would silently
-    split the pointer (local) from the data (remote): a fresh driver
-    would then see no pointer, restart at v1, and overwrite committed
-    remote data. Fail loudly instead; on object stores use a real
-    table format (Delta/Iceberg), which this module's call shapes
-    mirror by design."""
-    if "://" in table_dir:
-        raise NotImplementedError(
-            f"sources.versioned is local-filesystem-only; got {table_dir!r}. "
-            "Use a table format (Delta/Iceberg) for object-store tables."
+def _is_remote(table_dir: str) -> bool:
+    """Scheme'd paths (file://, hdfs://, s3a://, ...) take the
+    Hadoop-FS marker protocol; bare paths keep the original
+    driver-local pointer file. The local fast path stays os.replace —
+    not because the marker protocol wouldn't work there, but because
+    existing local tables already carry `_LATEST` pointers."""
+    return "://" in table_dir
+
+
+def _remote_fs(table_dir: str):
+    """(FileSystem, Path ctor) for a remote table — the commit marker
+    and retention run through the filesystem that owns the DATA, so
+    pointer and tree can never split across filesystems (the hazard
+    the old local-only guard refused)."""
+    from ..utils import _hadoop_fs
+
+    fsj = _hadoop_fs(table_dir, None)
+    if fsj is None:
+        raise ValueError(
+            f"remote versioned table {table_dir!r} needs an active "
+            "SparkSession (the Hadoop FS client lives in its JVM)"
         )
+    return fsj
+
+
+def _remote_versions(table_dir: str) -> list[int]:
+    """Committed versions of a remote table, ascending — the sorted
+    marker numbers under `_commits/`. An empty marker cannot be torn,
+    so existence IS commit; there is no corrupt-pointer state."""
+    fs, hp = _remote_fs(table_dir)
+    cdir = hp(f"{table_dir.rstrip('/')}/{_COMMITS}")
+    if not fs.exists(cdir):
+        return []
+    out = []
+    for st in fs.listStatus(cdir):
+        m = _COMMIT_RE.match(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    out.sort()
+    return out
 
 
 def _pointer_path(table_dir: str) -> str:
-    _require_local(table_dir)
     return os.path.join(table_dir, _POINTER)
 
 
@@ -63,6 +105,9 @@ def current_version(table_dir: str) -> int | None:
     is CORRUPTION and raises — treating it as an empty table would
     make the next commit restart at v1, rmtree the real v00001 as an
     'orphan', and silently replace the table with the delta alone."""
+    if _is_remote(table_dir):
+        versions = _remote_versions(table_dir)
+        return versions[-1] if versions else None
     try:
         with open(_pointer_path(table_dir)) as fh:
             text = fh.read().strip()
@@ -79,16 +124,48 @@ def current_version(table_dir: str) -> int | None:
 
 
 def version_dir(table_dir: str, version: int) -> str:
-    return os.path.join(table_dir, f"v{version:05d}")
+    return os.path.join(table_dir.rstrip("/"), f"v{version:05d}")
 
 
 def commit_version(df: DataFrame, table_dir: str) -> int:
     """Write `df` as the next version and atomically publish it.
 
     The data write happens entirely in an unpublished directory; the
-    commit is one `os.replace` of the pointer file. A crash before the
-    replace leaves the previous version live (the orphan directory is
+    commit is one `os.replace` of the pointer file (local) or one
+    create-if-absent of an empty `_commits/cNNNNNNNN` marker (remote —
+    no rename, no content, object-store-atomic). A crash before the
+    publish leaves the previous version live (the orphan directory is
     ignored by readers and overwritten by the next attempt)."""
+    if _is_remote(table_dir):
+        fs, hp = _remote_fs(table_dir)
+        next_v = (current_version(table_dir) or 0) + 1
+        target = version_dir(table_dir, next_v)
+        marker = f"{table_dir.rstrip('/')}/{_COMMITS}/c{next_v:08d}"
+        # re-probe the marker BEFORE touching the target dir: a writer
+        # working from a stale version read would otherwise delete the
+        # RACE WINNER'S committed data as a "crashed orphan" and only
+        # then die on the marker create — fail first, touch nothing
+        if fs.exists(hp(marker)):
+            raise IOError(
+                f"commit marker {marker!r} already exists — a "
+                "concurrent writer committed this version first (the "
+                "table is single-writer); re-read and retry"
+            )
+        if fs.exists(hp(target)):  # orphan from a crashed attempt
+            fs.delete(hp(target), True)
+        df.write.mode("overwrite").parquet(target)
+        try:
+            # create-if-absent: a writer racing this version number
+            # dies HERE, loudly, instead of silently replacing the
+            # other commit's data dir
+            fs.create(hp(marker), False).close()
+        except Exception as exc:
+            raise IOError(
+                f"commit marker {marker!r} already exists — a "
+                "concurrent writer committed this version first (the "
+                "table is single-writer); re-read and retry"
+            ) from exc
+        return next_v
     os.makedirs(table_dir, exist_ok=True)
     next_v = (current_version(table_dir) or 0) + 1
     target = version_dir(table_dir, next_v)
@@ -136,13 +213,50 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
     Deletions RAISE on failure (a version reported dropped is
     verifiably gone — forget_keys_hard's "rows exist nowhere on disk"
     contract rests on this; a swallowed rmtree error would report
-    erasure that did not happen). Directories numbered ABOVE the live
-    pointer are a crashed commit's unpublished staging data, not
-    committed versions: they are excluded from the keep-window math
-    (counting them would retire one real snapshot early) and deleted
-    outright — the single-writer contract means no concurrent commit
-    can own them."""
-    _require_local(table_dir)
+    erasure that did not happen). Local: directories numbered ABOVE
+    the live pointer are a crashed commit's unpublished staging data,
+    not committed versions: they are excluded from the keep-window
+    math (counting them would retire one real snapshot early) and
+    deleted outright — the single-writer contract means no concurrent
+    commit can own them. Remote: the same orphans are the version
+    dirs carrying NO commit marker (a retired version whose marker
+    vacuumed but whose dir-delete crashed also lands here and is
+    finished off); retirement deletes the marker FIRST, then the dir,
+    so a mid-vacuum crash can only demote a version to orphan, never
+    leave a marker naming missing data as the live version."""
+    if _is_remote(table_dir):
+        fs, hp = _remote_fs(table_dir)
+        committed = _remote_versions(table_dir)
+        if not committed:
+            return []
+        live = committed[-1]
+        root = table_dir.rstrip("/")
+
+        def _rm(path: str, what: str) -> None:
+            pp = hp(path)
+            if fs.exists(pp):
+                fs.delete(pp, True)
+                if fs.exists(pp):
+                    raise IOError(f"vacuum could not delete {what} {path!r}")
+
+        found = []
+        for st in fs.listStatus(hp(root)):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                found.append(int(name[1:]))
+        dropped = []
+        for v in sorted(found):
+            if v not in committed:  # crashed-commit orphan (no marker)
+                _rm(version_dir(table_dir, v), "orphan version dir")
+                dropped.append(v)
+        retire = committed[:-keep] if keep > 0 else committed
+        for v in retire:
+            if v == live:
+                continue
+            _rm(f"{root}/{_COMMITS}/c{v:08d}", "commit marker")
+            _rm(version_dir(table_dir, v), "version dir")
+            dropped.append(v)
+        return dropped
     live = current_version(table_dir)
     if live is None:
         return []

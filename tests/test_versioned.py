@@ -310,13 +310,143 @@ def test_vacuum_ignores_and_cleans_crashed_commit_orphans(spark, table_dir):
     assert read_version(spark, table_dir, 3).count() == 1  # live
 
 
-def test_remote_scheme_refused(spark):
+def test_remote_scheme_commit_protocol(spark, tmp_path):
+    """NEW r8: scheme'd paths commit via empty `_commits/cNNNNNNNN`
+    markers through the Hadoop FS API — a file:// URI exercises the
+    exact code path an s3a:// or hdfs:// table would (no renames, no
+    pointer content, create-if-absent publish)."""
     from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
         current_version,
+        delete_commit,
+        merge_commit,
+        read_latest,
+        read_version,
     )
 
-    with pytest.raises(NotImplementedError, match="local-filesystem-only"):
-        current_version("s3a://bucket/tbl")
+    tbl = f"file://{tmp_path}/remote_tbl"
+    assert current_version(tbl) is None
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert commit_version(df1, tbl) == 1
+    assert current_version(tbl) == 1
+    assert _rows(read_latest(spark, tbl)) == [(1, "a"), (2, "b")]
+    # merge + time travel
+    delta = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    assert merge_commit(spark, tbl, delta, ["k"]) == 2
+    assert _rows(read_latest(spark, tbl)) == [(1, "a"), (2, "B"), (3, "c")]
+    assert _rows(read_version(spark, tbl, 1)) == [(1, "a"), (2, "b")]
+    # row-level delete commits a third snapshot
+    doomed = spark.createDataFrame([(1,)], "k long")
+    assert delete_commit(spark, tbl, doomed, ["k"]) == 3
+    assert _rows(read_latest(spark, tbl)) == [(2, "B"), (3, "c")]
+
+
+def test_remote_crashed_writer_leaves_previous_version_live(spark, tmp_path):
+    """A remote data dir WITHOUT its marker is a crashed commit:
+    readers stay on the previous version and the next commit reuses
+    the number, replacing the orphan."""
+    import os as _os
+
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
+        current_version,
+        read_latest,
+    )
+
+    tbl = f"file://{tmp_path}/remote_tbl"
+    local = f"{tmp_path}/remote_tbl"
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    commit_version(df1, tbl)
+    # crash state: v00002 data written, marker never created
+    spark.createDataFrame([(9, "junk")], "k long, v string").write.parquet(
+        f"{tbl}/v00002"
+    )
+    assert current_version(tbl) == 1
+    assert _rows(read_latest(spark, tbl)) == [(1, "a")]
+    v = commit_version(
+        spark.createDataFrame([(2, "b")], "k long, v string"), tbl
+    )
+    assert v == 2  # the retry claims the number the crash abandoned
+    assert _rows(read_latest(spark, tbl)) == [(2, "b")]
+    assert _os.path.isdir(f"{local}/v00002")
+
+
+def test_remote_duplicate_marker_race_fails_loud(spark, tmp_path):
+    """Two writers racing one version number: the second marker create
+    must fail (create-if-absent), never silently clobber."""
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    from unittest import mock
+
+    from etl_football_analytics_pipeline_spark.sources import versioned
+
+    tbl = f"file://{tmp_path}/remote_tbl"
+    commit_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), tbl
+    )
+    # the race: BOTH writers read current=1 and target v2; the faster
+    # one's marker lands first. Simulate the slower writer by pinning
+    # its version read to the stale [1] while the real marker exists.
+    import os as _os
+
+    _os.makedirs(f"{tmp_path}/remote_tbl/_commits", exist_ok=True)
+    open(f"{tmp_path}/remote_tbl/_commits/c00000002", "w").close()
+    # give the forged marker a real data dir (the winner's commit)
+    spark.createDataFrame([(2, "b")], "k long, v string").write.parquet(
+        f"{tbl}/v00002"
+    )
+    with mock.patch.object(versioned, "_remote_versions", return_value=[1]):
+        with pytest.raises(IOError, match="single-writer"):
+            commit_version(
+                spark.createDataFrame([(2, "LOSER")], "k long, v string"),
+                tbl,
+            )
+    # the loser died BEFORE touching storage: the winner's data dir is
+    # intact (the pre-write marker probe — deleting it as a "crashed
+    # orphan" and then dying on the marker would lose committed data)
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    assert _rows(read_version(spark, tbl, 2)) == [(2, "b")]
+    # the retry path re-reads and commits v3 cleanly
+    v = commit_version(
+        spark.createDataFrame([(3, "c")], "k long, v string"), tbl
+    )
+    assert v == 3
+
+
+def test_remote_vacuum_retires_and_cleans_orphans(spark, tmp_path):
+    import os as _os
+
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
+        read_version,
+        vacuum,
+    )
+
+    tbl = f"file://{tmp_path}/remote_tbl"
+    local = f"{tmp_path}/remote_tbl"
+    for i in range(1, 5):
+        commit_version(
+            spark.createDataFrame([(i,)], "k long"), tbl
+        )
+    # crashed-commit orphan: data dir with no marker
+    spark.createDataFrame([(99,)], "k long").write.parquet(f"{tbl}/v00009")
+    dropped = vacuum(tbl, keep=2)
+    assert sorted(dropped) == [1, 2, 9]
+    assert not _os.path.isdir(f"{local}/v00001")
+    assert not _os.path.isdir(f"{local}/v00009")
+    assert not _os.path.exists(f"{local}/_commits/c00000001")
+    assert read_version(spark, tbl, 3).count() == 1  # kept
+    assert read_version(spark, tbl, 4).count() == 1  # live
+    # mid-vacuum crash state: marker gone, dir still present → the
+    # dir is an orphan now; the next vacuum finishes the retirement
+    _os.remove(f"{local}/_commits/c00000003")
+    assert vacuum(tbl, keep=2) == [3]
+    assert not _os.path.isdir(f"{local}/v00003")
 
 
 def test_schema_evolution_rejects_case_colliding_columns(spark, table_dir):
