@@ -113,6 +113,7 @@ def scd2_apply(
     key_cols: Sequence[str],
     attr_cols: Sequence[str],
     snapshot_ts,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Merge one new full snapshot into an existing Type-2 dimension.
 
@@ -146,18 +147,39 @@ def scd2_apply(
     # a dirty snapshot repeating a key would fan out the full-outer
     # join: the SAME current row lands in closed_rows twice and TWO
     # is_current replacement rows share one version — a permanently
-    # corrupt dimension. Keep one deterministic row per key (lowest by
-    # attrs, the insert_if_absent rule; the streaming sink dedupes the
-    # same way).
+    # corrupt dimension. Keep one deterministic survivor per key:
+    # with `order_col` (an observation-time / sequence column in the
+    # snapshot) the HIGHEST value wins — "keep latest", the right
+    # answer for CDC feeds carrying several updates of one key; else
+    # the lowest row by the ORDERABLE attrs (the insert_if_absent
+    # rule — a stable arbitrary pick, NOT recency: callers whose
+    # snapshots can repeat keys with different payloads should pass
+    # order_col, ADVICE r7). Unorderable attr types (maps) are
+    # excluded from the tiebreak instead of crashing the sort.
     if attr_cols:
-        w = Window.partitionBy(*key_cols).orderBy(
-            *[F.asc(a) for a in attr_cols]
-        )
-        snapshot = (
-            snapshot.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        from ..utils import orderable_columns
+
+        orderable = orderable_columns(snapshot, list(attr_cols))
+        if order_col is not None:
+            if order_col not in snapshot.columns:
+                raise ValueError(
+                    f"scd2_apply order_col {order_col!r} is not a "
+                    f"snapshot column; have {snapshot.columns}"
+                )
+            ordering = [F.desc_nulls_last(order_col)] + [
+                F.asc(a) for a in orderable if a != order_col
+            ]
+        else:
+            ordering = [F.asc(a) for a in orderable]
+        if ordering:
+            w = Window.partitionBy(*key_cols).orderBy(*ordering)
+            snapshot = (
+                snapshot.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            snapshot = snapshot.dropDuplicates(list(key_cols))
     else:
         snapshot = snapshot.dropDuplicates(list(key_cols))
     # markers tell apart "key absent from that side" from "attr is

@@ -19,6 +19,7 @@ import hashlib
 import shutil
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -155,6 +156,13 @@ _COMPACT_ROOT = os.path.join(
 )
 _COMPACT_MAX_BYTES = 1 << 30  # never bulk-copy beyond this; see docstring
 _COMPACT_MIN_GROUPS = 4
+# grace window before a superseded mirror state is evicted: a
+# concurrent process that resolved the OLD mirror just before the
+# source was rewritten may still be scanning it — deleting it mid-scan
+# fails that job (ADVICE r7). Old states linger this long, then the
+# next builder sweeps them; one stale mirror per source is the bounded
+# cost (they never accumulate past the window).
+_COMPACT_EVICT_GRACE_S = 6 * 3600
 _COMPACT_MIN_ROWS = 4096
 
 
@@ -253,10 +261,19 @@ def scan_ready_path(path: str, parallelism: int) -> str:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-        # evict stale sibling states of THIS source (old mtime/size)
+        # evict stale sibling states of THIS source (old mtime/size) —
+        # but only past the grace window, so a concurrent scan of the
+        # previously-immutable mirror is never yanked mid-read
+        now = time.time()
         for d in os.listdir(src_root):
-            if d != skey:
-                shutil.rmtree(os.path.join(src_root, d), ignore_errors=True)
+            if d == skey:
+                continue
+            sib = os.path.join(src_root, d)
+            try:
+                if now - os.path.getmtime(sib) > _COMPACT_EVICT_GRACE_S:
+                    shutil.rmtree(sib, ignore_errors=True)
+            except OSError:
+                pass
     except Exception:  # noqa: BLE001 — degraded layout beats a failed read
         return path
     return out

@@ -253,6 +253,25 @@ def rollup_init(events: DataFrame, table_dir: str, *,
         finest.unpersist()
 
 
+def _with_nv(old: DataFrame) -> DataFrame:
+    """Migration shim for rollup tables committed before the `__nv`
+    partial existed (pre-r7 schema): backfill the non-null-value count
+    on READ instead of failing the first incremental refresh with an
+    AnalysisException and no migration path (ADVICE r7). The old
+    schema could not represent partially-null cells, so the faithful
+    reconstruction is exactly its own invariant: `__v IS NULL` ⇔ no
+    non-null values (0), else every event counted (n_events). Tables
+    written since carry the true count and pass through untouched."""
+    if "__nv" in old.columns:
+        return old
+    return old.withColumn(
+        "__nv",
+        F.when(F.col("__v").isNull(), F.lit(0))
+        .otherwise(F.col("n_events"))
+        .cast("long"),
+    )
+
+
 def rollup_refresh(spark, table_dir: str, new_events: DataFrame, *,
                    resolutions: tuple[str, ...] = ROLLUP_TIERS,
                    ts: str = "ts", key: str = "event_type") -> int:
@@ -276,7 +295,7 @@ def rollup_refresh(spark, table_dir: str, new_events: DataFrame, *,
     """
     from ..sources.versioned import commit_version, read_latest
 
-    old = read_latest(spark, table_dir)
+    old = _with_nv(read_latest(spark, table_dir))
     old_fin = old.filter(F.col("resolution") == resolutions[0]).select(
         "bucket", key, "n_events", "__nv", "__v"
     )
@@ -459,17 +478,34 @@ def merge_sink(
     keys: Sequence[str],
     checkpoint_dir: str,
     spark: SparkSession | None = None,
+    order_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """`foreachBatch` sink: keyed MERGE (new-wins) of each micro-batch
     into a parquet target — the reference's incremental upsert
     (`scr/Extract.py:262-303`) as a streaming sink. Replays of a batch
     after a failure re-merge the same keys, so the sink is idempotent
-    (effectively exactly-once by key). A batch that repeats a key
-    (two updates of one entity in a single trigger) keeps ONE
-    deterministic survivor per key — the lowest row by the non-key
-    columns' sort order, the same rule as operators.merge
-    .insert_if_absent — because merge_replace passes duplicate source
-    keys through by contract and the target must stay key-unique.
+    (effectively exactly-once by key).
+
+    Intra-batch duplicates (two updates of one entity in a single
+    trigger) keep ONE survivor per key, because merge_replace passes
+    duplicate source keys through by contract and the target must stay
+    key-unique. WHICH survivor:
+
+    - ``order_col`` given (an event-time / sequence column): the row
+      with the HIGHEST value wins — "keep latest", what a multi-update
+      trigger almost always means; NULL order values lose to any real
+      one, and remaining orderable columns break exact ties
+      deterministically.
+    - ``order_col`` omitted: the lowest row by the ORDERABLE non-key
+      columns' sort order (the insert_if_absent rule). LOUD CAVEAT
+      (ADVICE r7): this is a stable arbitrary choice, not recency — a
+      trigger carrying two updates of a key can deterministically keep
+      the OLDER payload. Pass ``order_col`` whenever batches may carry
+      multi-update keys.
+    Unorderable columns (maps, or containers of maps) are excluded
+    from the tiebreak rather than crashing the sort; a batch with NO
+    orderable non-key columns falls back to an arbitrary single row
+    per key.
 
     `checkpoint_dir` is the writer's checkpointLocation, accepted here
     so the call site reads as one unit; the sink's exactly-once comes
@@ -485,11 +521,28 @@ def merge_sink(
         s = spark or batch.sparkSession
         from pyspark.sql import Window
 
-        from ..utils import _hadoop_fs, commit_staged_dir, recover_swapped_dir
+        from ..utils import (
+            _hadoop_fs,
+            commit_staged_dir,
+            orderable_columns,
+            recover_swapped_dir,
+        )
 
         extra = [c for c in batch.columns if c not in keys]
-        if extra:
-            w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in extra])
+        orderable = orderable_columns(batch, extra)
+        if order_col is not None:
+            if order_col not in batch.columns:
+                raise ValueError(
+                    f"merge_sink order_col {order_col!r} is not a batch "
+                    f"column; have {batch.columns}"
+                )
+            ordering = [F.desc_nulls_last(order_col)] + [
+                F.asc(c) for c in orderable if c != order_col
+            ]
+        else:
+            ordering = [F.asc(c) for c in orderable]
+        if ordering:
+            w = Window.partitionBy(*keys).orderBy(*ordering)
             batch = (
                 batch.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -576,7 +629,7 @@ def rollup_apply_cdc(spark, table_dir: str, changes: DataFrame, *,
             exact_scaled_sum(scaled_long(value) * F.col("__sign"), 2).alias("__v"),
         )
     )
-    old = read_latest(spark, table_dir)
+    old = _with_nv(read_latest(spark, table_dir))
     old_fin = old.filter(F.col("resolution") == resolutions[0]).select(
         "bucket", key, "n_events", "__nv", "__v"
     )

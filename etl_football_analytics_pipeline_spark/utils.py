@@ -84,6 +84,28 @@ def commit_staged_dir(path: str, tmp: str, spark=None) -> None:
     fs.delete(hp(retired), True)
 
 
+def orderable_columns(df: DataFrame, cols) -> list[str]:
+    """The subset of `cols` whose types Spark can ORDER BY — map
+    columns (and arrays/structs containing maps) are unorderable and
+    would raise AnalysisException inside a sort-based dedup tiebreak
+    (ADVICE r7: a batch carrying a map column crashed merge_sink where
+    the previous code merged fine). Callers sort by this subset and
+    fall back to an arbitrary-but-single survivor when it is empty."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def ok(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in cols if ok(types[c])]
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least `min_partitions` (default: defaultParallelism)
     input partitions for a CPU-heavy downstream stage.

@@ -401,3 +401,45 @@ def test_rollup_cdc_null_value_retraction_matches_reinit(spark, tmp_path):
     assert len(hour_click) == 1
     assert hour_click[0].n_events == 1
     assert hour_click[0].total_value is None
+
+
+def test_rollup_refresh_backfills_pre_r7_tables_missing_nv(
+    spark, events, tmp_path
+):
+    """ADVICE r7: a rollup table committed before the `__nv` partial
+    existed has no migration path — the first incremental refresh died
+    with AnalysisException. The shim backfills `__nv` ON READ using
+    the old schema's own invariant (`__v IS NULL` ⇔ zero non-null
+    values, else all counted), so legacy tables refresh without a full
+    rebuild and the result matches a from-scratch init."""
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        commit_version,
+        read_latest,
+    )
+    from etl_football_analytics_pipeline_spark.streaming.windowed import (
+        read_rollup,
+        rollup_init,
+        rollup_refresh,
+        rollup_time,
+    )
+
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)
+    # build a MODERN rollup of b1, then strip __nv to forge the
+    # pre-r7 on-disk schema
+    modern = str(tmp_path / "modern")
+    rollup_init(b1, modern)
+    legacy = str(tmp_path / "legacy")
+    commit_version(read_latest(spark, modern).drop("__nv"), legacy)
+
+    rollup_refresh(spark, legacy, b2)  # previously: AnalysisException
+
+    def canon(df):
+        return sorted(
+            (r.resolution, str(r.bucket), r.event_type, r.n_events, r.total_value)
+            for r in df.collect()
+        )
+
+    # b1's events all carry non-null values in this fixture, so the
+    # backfill is exact and refresh ≡ full rebuild
+    assert canon(read_rollup(spark, legacy)) == canon(rollup_time(events))

@@ -273,3 +273,23 @@ def test_scd2_apply_dedupes_dirty_snapshot_keys(spark):
     assert len(current) == 1
     assert current[0].attr == "v2"  # deterministic survivor: lowest attr
     assert len(rows) == 2  # one closed + one current
+
+
+def test_scd2_apply_order_col_keeps_latest(spark):
+    """ADVICE r7: the dirty-snapshot dedup kept the LOWEST row by
+    attrs — a stable arbitrary pick that can silently prefer the older
+    payload. With order_col the highest observation time wins. (Map
+    columns stay out of SCD2 attrs entirely: change detection needs
+    `<=>`, which does not order maps — the dedup tiebreak now filters
+    to orderable attrs so it can never be the first thing to crash.)"""
+    hist = scd2_build(_feed(spark), ["k"], ["attr"], "ts", "src_id")
+    dirty = spark.createDataFrame(
+        [(1, "OLDER", _ts(8)), (1, "NEWER", _ts(9)), (9, "NEW", _ts(9))],
+        "k int, attr string, seen_at timestamp",
+    )
+    out = scd2_apply(
+        hist, dirty.select("k", "attr", "seen_at"), ["k"], ["attr"],
+        _ts(9), order_col="seen_at",
+    )
+    cur = {r.k: r.attr for r in out.filter("is_current").collect()}
+    assert cur[1] == "NEWER" and cur[9] == "NEW"

@@ -149,8 +149,11 @@ def test_two_row_header_quote_aware_and_dedup_collision(spark, tmp_path):
 
 
 def test_compact_mirror_evicts_stale_states(spark, tmp_path):
-    """Rewriting a source file must not strand the previous mirror:
-    the per-source cache keeps only the current (mtime,size) state."""
+    """Rewriting a source file must not strand the previous mirror —
+    but eviction waits out a grace window first (ADVICE r7: a
+    concurrent process may still be scanning the old, previously-
+    immutable mirror; yanking it mid-read fails that job). Within the
+    window both states coexist; past it, the next build sweeps."""
     import os
     import time
 
@@ -179,4 +182,16 @@ def test_compact_mirror_evicts_stale_states(spark, tmp_path):
     out2 = scan_ready_path(src, 32)
     assert out2 != out1
     states2 = set(os.listdir(src_root))
-    assert len(states2) == 1 and states2 != states1
+    # the superseded state survives inside the grace window — a
+    # concurrent scan of the old mirror is never yanked mid-read
+    assert states1 < states2 and len(states2) == 2
+    # age the old state past the window; the next build sweeps it
+    (old_state,) = states1
+    aged = time.time() - 7 * 3600
+    os.utime(os.path.join(src_root, old_state), (aged, aged))
+    time.sleep(1.1)
+    os.utime(src)
+    out3 = scan_ready_path(src, 32)
+    assert out3 != out2
+    states3 = set(os.listdir(src_root))
+    assert old_state not in states3

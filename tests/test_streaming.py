@@ -303,3 +303,56 @@ def test_merge_sink_batch_repeating_key_keeps_one_survivor(spark, tmp_path):
     sink(dup, 1)  # replay: idempotent
     rows2 = sorted(map(tuple, spark.read.parquet(target).collect()))
     assert rows2 == rows
+
+
+def test_merge_sink_order_col_keeps_latest(spark, tmp_path):
+    """ADVICE r7: the default lowest-by-attrs survivor can keep the
+    OLDER payload when a trigger carries two updates of one key. With
+    order_col, the HIGHEST event-time row wins (NULL loses to any real
+    time), which is what multi-update batches mean."""
+    target = f"{tmp_path}/tgt"
+    sink = merge_sink(target, ["event_id"], f"{tmp_path}/ckpt", order_col="ts")
+    batch = spark.createDataFrame(
+        [
+            (1, "newer", 30),
+            (1, "older", 10),
+            (1, None, None),  # null event time never beats a real one
+            (2, "only", 5),
+        ],
+        "event_id long, payload string, ts int",
+    )
+    sink(batch, 0)
+    rows = sorted(
+        (r.event_id, r.payload)
+        for r in spark.read.parquet(target).collect()
+    )
+    assert rows == [(1, "newer"), (2, "only")]
+    # replay stays idempotent
+    sink(batch, 0)
+    assert sorted(
+        (r.event_id, r.payload)
+        for r in spark.read.parquet(target).collect()
+    ) == rows
+
+
+def test_merge_sink_tolerates_unorderable_map_columns(spark, tmp_path):
+    """ADVICE r7: a batch carrying a map column must not crash the
+    dedup sort — unorderable types are excluded from the tiebreak (the
+    orderable columns still decide the survivor)."""
+    target = f"{tmp_path}/tgt"
+    sink = merge_sink(target, ["k"], f"{tmp_path}/ckpt")
+    batch = spark.createDataFrame(
+        [(1, "a", {"x": 1}), (1, "b", {"y": 2})],
+        "k long, v string, m map<string,int>",
+    )
+    sink(batch, 0)  # previously: AnalysisException on the map sort
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and rows[0].v == "a"  # lowest orderable attr
+    # a batch with ONLY unorderable non-key columns still dedups
+    target2 = f"{tmp_path}/tgt2"
+    sink2 = merge_sink(target2, ["k"], f"{tmp_path}/ckpt2")
+    only_map = spark.createDataFrame(
+        [(1, {"x": 1}), (1, {"x": 1})], "k long, m map<string,int>"
+    )
+    sink2(only_map, 0)
+    assert spark.read.parquet(target2).count() == 1
