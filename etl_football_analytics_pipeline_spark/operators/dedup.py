@@ -326,6 +326,14 @@ def ngram_jaccard_pairs_prefix(
     with the corpus: every stage is a hash-partitioned shuffle on
     gram or id keys, so the plan survives arbitrary corpus growth.
     """
+    from ..utils import spread
+
+    # the gram explode + df-count map side run in the INPUT's
+    # partitioning (everything downstream is hash-shuffled): a small
+    # single-file corpus would serialize them on one core — measured
+    # 2× on the whole tier. No-op whenever the input is already wide,
+    # which at real scale it always is.
+    df = spread(df)
     grams = _with_grams(df, id_col, text_col, n)
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = W.partitionBy("__id").orderBy(F.asc("__df"), F.asc("gram"))
@@ -890,10 +898,10 @@ def minhash_index_compact(spark, path: str) -> None:
     delete defers ("tombstone now, compact later"), and the index half
     of HARD erasure: after compact, a deleted doc's signature and gram
     hashes no longer exist in storage, not merely in probe results.
-    Each relation rewrites via replace_dir (survivors to a sibling
-    dir, rename swap — durable before the source dir is touched, no
-    volatile-only copy). Wrap the index dir in sources.versioned for
-    snapshot-isolated readers, same as appends. Probe results are
+    Each relation rewrites via replace_dir (survivors into a fresh
+    manifest tree, one marker-file commit — durable and published
+    before the old tree is retired, no volatile-only copy, no
+    directory renames: object-store-safe since r8). Probe results are
     unchanged by construction (probe already anti-joined the
     tombstones; asserted in tests)."""
     from ..manifest import read_relation

@@ -630,8 +630,9 @@ def ivf_compact_index(spark, path: str, id_col: str = "vec_id") -> None:
     index (IVF-PQ shares the layout and tombstones, so this compacts
     both probe paths). Centroids are untouched (deletes don't move the
     quantizer; retraining is the separate rebuild path). The lists
-    relation rewrites via replace_dir (survivors to a sibling dir,
-    rename swap): durable before the source is touched, and immune to
+    relation rewrites via replace_dir (survivors into a fresh
+    manifest tree, one marker-file commit — object-store-safe since
+    r8): durable before the source is touched, and immune to
     a caller's partitionOverwriteMode=dynamic, under which an in-place
     overwrite would keep fully-tombstoned list partitions on disk.
     Probe results unchanged by construction (asserted in tests)."""

@@ -1107,8 +1107,9 @@ def bm25_compact_index(spark, index_dir: str) -> None:
     reset. After compact a deleted doc's terms no longer exist in
     postings storage — the HARD-erasure half of the log-structured
     delete ("tombstone now, compact later"). Each relation rewrites
-    via replace_dir (write survivors to a sibling dir, swap in by
-    rename): the source dir is never truncated while the only copy of
+    via replace_dir (write survivors into a fresh manifest tree, one
+    marker-file commit — object-store-safe since r8): the old tree is
+    never retired while the only copy of
     the survivors is volatile, and the fresh-dir write is immune to
     the session's partitionOverwriteMode (an in-place dynamic
     overwrite would silently keep fully-tombstoned term buckets on

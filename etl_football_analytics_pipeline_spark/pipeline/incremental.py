@@ -80,10 +80,13 @@ def merge_into_raw(
     First write / schema mismatch → new data only (reference guards
     `scr/Extract.py:268-281`); no keys → append + dedup-keep-last
     (:294-299, stated deterministically: new batch wins). The result
-    lands partitioned by `partition_by` via a durable sibling-dir
-    write + rename swap: only partitions present in the merged delta
-    rewrite, and the table is never truncated while the merged rows'
-    only copy is volatile."""
+    lands partitioned by `partition_by`: full replaces commit through
+    the manifest pointer (replace_dir — durable, object-store-safe
+    since r8), and the partition-LOCAL fast path stages the delta's
+    partitions durably and swaps only those children inside the live
+    tree — only partitions present in the merged delta rewrite, and
+    the table is never truncated while the merged rows' only copy is
+    volatile."""
     from ..manifest import resolved_dir
     from ..utils import _hadoop_fs, recover_swapped_dir
 

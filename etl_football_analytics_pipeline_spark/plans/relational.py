@@ -1361,6 +1361,18 @@ def a9_a10_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY acctbal ASC, s_suppkey ASC
       LIMIT 10
     )
+    UNION ALL
+    SELECT 'salted_topk' AS part, l_orderkey AS key_num, l_linenumber AS key_num2,
+           l_returnflag AS key_str,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+                        l_orderkey ASC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn <= 5
     """,
 )
 def t_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,7 +1384,18 @@ def t_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - part='bottom_k': bottom-k slicing (`tail(5)`/`nlargest`,
       `scr/ui.py:621,738-761`) as ORDER BY ASC + LIMIT with unique
       tiebreak — planned as sort + pushed-down local limits, so the
-      single-partition merge sees ≤ k rows per task, never the table.
+      single-partition merge sees ≤ k rows per task, never the table;
+    - part='salted_topk' (NEW r8, r7-verdict directive 7): the
+      SALTED two-stage per-group top-k (operators/topk.grouped_topk)
+      promoted from tests-only to a driver value oracle — top-5
+      lineitems per l_returnflag, the "few groups × fact-table rows"
+      regime where a plain PARTITION BY window funnels a corpus-sized
+      group through one task. Stage 1 keeps k per (group, salt)
+      bucket, stage 2 ranks the ≤ k·buckets survivors; the order
+      (price DESC, orderkey, linenumber) plus the projection equal to
+      the order keys makes the salted answer ≡ the oracle's plain
+      ROW_NUMBER even across the synthetic table's duplicate
+      (orderkey, linenumber) rows.
     """
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
@@ -1400,7 +1423,25 @@ def t_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("acctbal").alias("val"),
         )
     )
-    return recent.unionByName(bottom)
+    from ..operators.topk import grouped_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    salted = grouped_topk(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            dec("l_extendedprice").alias("__price"),
+        ),
+        ["l_returnflag"],
+        [F.desc("__price"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=5,
+    ).select(
+        F.lit("salted_topk").alias("part"),
+        F.col("l_orderkey").alias("key_num"),
+        F.col("l_linenumber").cast("long").alias("key_num2"),
+        F.col("l_returnflag").alias("key_str"),
+        F.col("__price").cast("double").alias("val"),
+    )
+    return recent.unionByName(bottom).unionByName(salted)
 
 
 @query(

@@ -616,6 +616,84 @@ def indexed_section(spark, scale: int) -> str:
     )
 
 
+
+def amplify_docs_bounded(docs, k: int):
+    """K× the corpus with CONSTANT true-pair output: copy 0 is the
+    original text verbatim (its near-dup pairs are the constant
+    output), and every word of a copy-c>0 doc is suffixed with a
+    per-(doc, copy) salt — shingle/word sets of any two distinct
+    amplified docs outside copy 0 are DISJOINT, so they can never pair
+    at any threshold. Input grows k×, emitted pairs stay the copy-0
+    set: wall-clock ratios then measure the INPUT term (signature/
+    fingerprint/prefix passes + candidate joins), not output volume —
+    the isolation verdict r7 directive 3 asked for (the r7 smoke held
+    these families at 30× because pairs grew with k and output
+    dominated the wall)."""
+    copies = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__c")
+    base = docs.select("doc_id", "text", copies)
+    words = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    salt = F.concat(F.lit("#"), F.conv(F.xxhash64("doc_id", "__c").cast("string"), 10, 16))
+    salted = F.array_join(F.transform(words, lambda w: F.concat(w, salt)), " ")
+    return base.select(
+        (F.col("doc_id") + F.col("__c") * 1_000_000).alias("doc_id"),
+        F.when(F.col("__c") == 0, F.col("text")).otherwise(salted).alias("text"),
+    )
+
+
+def pairs_section(spark, scale: int) -> str:
+    """Bounded-emission 100× smoke for the pairs-PRODUCING families
+    (minhash exact-verify, simhash near-pairs, ngram-jaccard prefix
+    tier). Scale shapes under test:
+
+    - minhash_exact_dedup_pairs: signature + banding are map-only
+      explodes (linear in rows); the (band, bucket) candidate join is
+      hash-partitioned; exact verify touches O(candidates) docs.
+    - simhash_near_pairs: fingerprint is map-only; pigeonhole banding
+      joins equal 16-bit pieces — salted copies have ~random
+      fingerprints, so buckets stay uniform and candidate pairs are
+      the chance-collision floor, verified then rejected by the
+      hamming filter (max_hamming=3 keeps chance survivors ~zero).
+    - ngram_jaccard_pairs_prefix (forced — the tier the auto
+      dispatcher uses beyond its collect/matrix budgets): prefix
+      selection is a per-doc sort/slice, the candidate join hits only
+      shared prefix grams — disjoint salted vocabularies make
+      non-copy-0 docs join-invisible.
+    """
+    from etl_football_analytics_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = amplify_docs_bounded(load_table(spark, SF, "documents"), scale).cache()
+    nd = docs.count()
+    t0 = time.time()
+    n_mh = minhash_exact_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=64, num_bands=16,
+        shingle_n=2, threshold=0.2,
+    ).count()
+    t_mh = time.time() - t0
+    t0 = time.time()
+    n_sim = simhash_near_pairs(
+        simhash(docs, "doc_id", "text"), "doc_id", max_hamming=3
+    ).count()
+    t_sim = time.time() - t0
+    t0 = time.time()
+    n_pre = ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 2, 0.8).count()
+    t_pre = time.time() - t0
+    docs.unpersist()
+    # loadavg bracket: this host shows multi-minute external steal
+    # bursts (BASELINE.md); the bracket attributes an inflated wall to
+    # contention vs a plan regression without re-running
+    import os as _os
+
+    return (
+        f"docs={nd:8d}  "
+        f"minhash+exact={t_mh:6.1f}s (pairs={n_mh})  "
+        f"simhash={t_sim:6.1f}s (pairs={n_sim})  "
+        f"ngram_prefix={t_pre:6.1f}s (pairs={n_pre})  "
+        f"load={_os.getloadavg()[0]:.1f}"
+    )
+
+
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -624,6 +702,11 @@ def main() -> int:
     if "--indexed" in flags:
         for scale in (1, k):
             print(f"scale={scale:3d}  {indexed_section(spark, scale)}", flush=True)
+        spark.stop()
+        return 0
+    if "--pairs" in flags:
+        for scale in (1, k):
+            print(f"scale={scale:3d}  {pairs_section(spark, scale)}", flush=True)
         spark.stop()
         return 0
     if "--temporal" in flags:
