@@ -356,10 +356,41 @@ def user_cache_dir(kind: str, tag: str) -> str:
 def owned_ready(path: str, *markers: str) -> bool:
     """True iff every `path/<marker>` exists AND `path` is owned by
     this user — the reuse gate for build-once artifacts (existence
-    alone would trust whoever created the predictable key first)."""
+    alone would trust whoever created the predictable key first).
+
+    Manifest-aware (r8): a relation committed through
+    `manifest.manifest_commit` keeps its data (and `_SUCCESS`) inside
+    the live `_trees/` tree, not at the root — the markers are checked
+    THERE. Without this, every index-backed registered query saw its
+    replace_dir-built cache as "not ready" and silently rebuilt the
+    index on every call (measured 2-3× on the minhash/BM25/IVF
+    suites)."""
     try:
         if os.stat(path).st_uid != getattr(os, "getuid", lambda: 0)():
             return False
     except OSError:
         return False
-    return all(os.path.exists(os.path.join(path, m)) for m in (markers or ("_SUCCESS",)))
+    root = _local_manifest_tree(path) or path
+    return all(os.path.exists(os.path.join(root, m)) for m in (markers or ("_SUCCESS",)))
+
+
+def _local_manifest_tree(path: str) -> str | None:
+    """The live manifest tree of a LOCAL relation dir, or None for the
+    plain layout — the os-level twin of `manifest.resolved_dir` for
+    gates that run before any SparkSession exists."""
+    from ..manifest import _MARKER_RE
+
+    try:
+        names = os.listdir(os.path.join(path, "_manifests"))
+    except OSError:
+        return None
+    best = None
+    for nm in names:
+        m = _MARKER_RE.match(nm)
+        if m:
+            key = (int(m.group(1)), m.group(2))
+            if best is None or key > best:
+                best = key
+    if best is None:
+        return None
+    return os.path.join(path, "_trees", f"v{best[0]:08d}-{best[1]}")
