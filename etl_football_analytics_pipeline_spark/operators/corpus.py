@@ -418,3 +418,51 @@ def stratified_sample(
         .filter(F.col("__rn") <= k)
         .drop("__sk", "__rn")
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_shards: int = 1024,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE + sharding — the training-reader
+    layout step downstream of packing: every example gets a
+    pseudo-random (shard, position-within-shard) so N data-loader
+    workers each read one shard's files SEQUENTIALLY and the global
+    visit order is still shuffled. Changing ``seed`` reshuffles
+    (epoch 2 = seed+1); same seed reproduces the exact order on any
+    cluster size, partitioning, or engine — the property checkpointed
+    training needs to resume mid-epoch.
+
+    No RNG state anywhere: the shuffle key is
+    ``md5('shuffle:<seed>:' || id)`` (the corpus family's seedless-
+    hash discipline — deterministic_split / hash_sample /
+    stratified_sample), the shard is the key's first 8 hex digits mod
+    ``n_shards``, and the position is a row_number within the shard
+    ordered by (key, id) — totally ordered, so ties cannot make
+    engines disagree.
+
+    100 TB shape: one hash-partition exchange on the shard key, then a
+    PARTITION-LOCAL sort of corpus/n_shards rows — pick ``n_shards``
+    so a shard fits an executor's sort budget (10k shards over 100 TB
+    = 10 GB/shard; spill-safe either way). No global sort exists in
+    the plan, and nothing depends on input layout.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.md5(
+        F.concat(F.lit(f"shuffle:{seed}:"), F.col(id_col).cast("string"))
+    )
+    tagged = df.withColumn("__sk", key).withColumn(
+        shard_col,
+        (F.conv(F.substring("__sk", 1, 8), 16, 10).cast("long") % n_shards)
+        .cast("int"),
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.asc("__sk"), F.asc(id_col))
+    return (
+        tagged.withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__sk")
+    )

@@ -1881,6 +1881,22 @@ _CLF_BIAS = repr(CLF_WEIGHTS[_CLF_DIM])
                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n1,
              ROUND(1.0 / (1.0 + exp(-dot)), 4) AS v1
       FROM clf_dot
+    ), shuf AS (
+      SELECT doc_id, md5('shuffle:7:' || CAST(doc_id AS VARCHAR)) AS sk
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, sk,
+             CAST(('0x' || substring(sk, 1, 8)) AS BIGINT) % 4 AS shard
+      FROM shuf
+    ), shard_part AS (
+      SELECT 'shard' AS part, CAST(doc_id AS VARCHAR) AS key,
+             shard AS n1, CAST(pos AS DOUBLE) AS v1
+      FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                                  ORDER BY sk ASC, doc_id ASC) AS pos
+        FROM sharded
+      )
     )
     SELECT * FROM split_part
     UNION ALL SELECT * FROM decontam_part
@@ -1888,6 +1904,7 @@ _CLF_BIAS = repr(CLF_WEIGHTS[_CLF_DIM])
     UNION ALL SELECT * FROM sample_part
     UNION ALL SELECT * FROM strat_part
     UNION ALL SELECT * FROM clf_part
+    UNION ALL SELECT * FROM shard_part
     """,
 )
 def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1916,6 +1933,12 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators.corpus.stratified_sample — k smallest md5(salt:id)
       keys per stratum; the partition-local Arrow combiner bounds the
       window exchange and provably cannot change the answer);
+    - part='shard' (NEW r8): deterministic epoch shuffle + sharding
+      (operators.corpus.shard_shuffle, seed=7, 4 shards) — every doc's
+      pseudo-random (shard, position) for parallel training readers,
+      reproducible on any cluster size/engine (md5 key, total order);
+      the oracle replays shard assignment AND within-shard positions
+      bit-for-bit;
     - part='clf': corpus-wide SUPERVISED quality scoring
       (operators.classifier.quality_score) with the pinned
       CLF_WEIGHTS model in the portable md5-bucket feature family —
@@ -1993,12 +2016,23 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality_prob") >= 0.5).cast("long").alias("n1"),
         F.round("quality_prob", 4).alias("v1"),
     )
+    from ..operators.corpus import shard_shuffle
+
+    shard_part = shard_shuffle(
+        docs.select("doc_id"), "doc_id", seed=7, n_shards=4
+    ).select(
+        F.lit("shard").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("shard").cast("long").alias("n1"),
+        F.col("pos").cast("double").alias("v1"),
+    )
     return (
         split_part.unionByName(decontam_part)
         .unionByName(pack_part)
         .unionByName(sample_part)
         .unionByName(strat_part)
         .unionByName(clf_part)
+        .unionByName(shard_part)
     )
 
 

@@ -479,6 +479,7 @@ def merge_sink(
     checkpoint_dir: str,
     spark: SparkSession | None = None,
     order_col: str | None = None,
+    use_manifest: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """`foreachBatch` sink: keyed MERGE (new-wins) of each micro-batch
     into a parquet target — the reference's incremental upsert
@@ -510,6 +511,15 @@ def merge_sink(
     `checkpoint_dir` is the writer's checkpointLocation, accepted here
     so the call site reads as one unit; the sink's exactly-once comes
     from the idempotent re-merge, not from batch-id gating.
+
+    ``use_manifest=True`` (r8) commits each batch through the
+    manifest-pointer protocol (`operators.tombstones.replace_dir`)
+    instead of the directory rename-swap: no renames anywhere, so the
+    per-batch commit is atomic on object stores, where the rename-swap
+    is a full-table COPY per micro-batch. The trade: consumers must
+    read the target through `manifest.read_relation` (a plain
+    `read.parquet(target)` sees no data once converted), which is why
+    the rename-swap stays the default for existing local/HDFS sinks.
 
     Usage:
         q = (stream.writeStream.foreachBatch(merge_sink(path, keys, ckpt))
@@ -555,6 +565,26 @@ def merge_sink(
         # always-false for an HDFS/S3 target — the swap would then
         # retire and DELETE the live table, keeping the batch alone)
         fs, hp = _hadoop_fs(target_path, s)
+        if use_manifest:
+            # manifest mode: resolve the live tree, merge against it,
+            # commit the result as the next version — one zero-byte
+            # marker create, object-store-atomic (see docstring)
+            from ..manifest import resolved_dir
+            from ..operators.tombstones import replace_dir
+
+            root = resolved_dir(s, target_path)
+            root_p = hp(root)
+            exists = fs.exists(root_p) and any(
+                not st.getPath().getName().startswith((".", "_"))
+                for st in fs.listStatus(root_p)
+            )
+            merged = (
+                merge_replace(s.read.parquet(root), batch, keys)
+                if exists
+                else batch
+            )
+            replace_dir(s, target_path, lambda p: merged.write.parquet(p))
+            return
         if fs.exists(hp(target_path)):
             old = s.read.parquet(target_path)
             merged = merge_replace(old, batch, keys)
@@ -564,9 +594,10 @@ def merge_sink(
         # directory renames: the window where the target path does not
         # hold a complete consistent table shrinks to two rename()
         # calls, and a crash inside that window is recovered losslessly
-        # by recover_swapped_dir on the next batch/restart (a table
-        # format (Delta/Iceberg) slots in behind this same signature
-        # for true single-rename atomicity; documented SURVEY.md §7)
+        # by recover_swapped_dir on the next batch/restart (the
+        # manifest mode above removes even that window; a table format
+        # (Delta/Iceberg) slots in behind this same signature too —
+        # documented SURVEY.md §7)
         tmp = target_path + ".__stage"
         merged.write.mode("overwrite").parquet(tmp)
         commit_staged_dir(target_path, tmp, s)

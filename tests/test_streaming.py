@@ -356,3 +356,30 @@ def test_merge_sink_tolerates_unorderable_map_columns(spark, tmp_path):
     )
     sink2(only_map, 0)
     assert spark.read.parquet(target2).count() == 1
+
+
+def test_merge_sink_manifest_mode_object_store_path(spark, tmp_path):
+    """use_manifest=True commits each batch through the manifest
+    pointer — no renames, so the per-batch commit is object-store-
+    atomic. Exercised over a file:// URI (the Hadoop-FS code path an
+    s3a:// target would take); readers resolve via read_relation."""
+    from etl_football_analytics_pipeline_spark.manifest import (
+        manifest_versions,
+        read_relation,
+    )
+
+    target = f"file://{tmp_path}/tgt"
+    sink = merge_sink(
+        target, ["k"], f"{tmp_path}/ckpt", spark=spark, use_manifest=True
+    )
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink(b1, 0)
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    sink(b2, 1)
+    rows = sorted(map(tuple, read_relation(spark, target).collect()))
+    assert rows == [(1, "a"), (2, "B"), (3, "c")]
+    # replay: idempotent by key
+    sink(b2, 1)
+    assert sorted(map(tuple, read_relation(spark, target).collect())) == rows
+    # keep=1 retention: exactly one live version on disk
+    assert len(manifest_versions(spark, target)) == 1
