@@ -344,13 +344,31 @@ def ngram_jaccard_pairs_prefix(
     )
     prefix = ranked.filter(
         F.col("__rn") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-    ).select("__id", "gram")
-    a = prefix.select(F.col("__id").alias("id_a"), "gram")
-    b = prefix.select(F.col("__id").alias("id_b"), "gram")
+    ).select("__id", "gram", "__sz")
+    a = prefix.select(
+        F.col("__id").alias("id_a"), "gram", F.col("__sz").alias("__sz_a")
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"), "gram", F.col("__sz").alias("__sz_b")
+    )
+    # LENGTH FILTER (PPJoin): jaccard ≥ t forces |∩| ≥ t·max(|A|,|B|)
+    # and |∩| ≤ min(|A|,|B|), so min ≥ t·max — evaluated INSIDE the
+    # gram join, before the distinct. On low-diversity corpora (small
+    # shared vocabularies make every gram hot, the prefix's weak spot)
+    # this prunes the candidate explosion by size incompatibility
+    # alone; on Zipfian corpora it is nearly free. Result unchanged —
+    # any true pair satisfies the inequality by the identity above.
     cand = (
         a.hint("shuffle_hash")
-        .join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .join(
+            b,
+            (a["gram"] == b["gram"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__sz_a", "__sz_b")
+                >= F.lit(threshold) * F.greatest("__sz_a", "__sz_b")
+            ),
+        )
         .select("id_a", "id_b")
         .distinct()
     )
