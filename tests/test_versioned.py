@@ -464,3 +464,53 @@ def test_schema_evolution_rejects_case_colliding_columns(spark, table_dir):
     delta = spark.createDataFrame([(1, "b", 2)], "ID long, name string, id int")
     with pytest.raises(ValueError, match="case-colliding"):
         merge_commit(spark, table_dir, delta, ["ID"], evolve_schema=True)
+
+
+def test_versioned_warehouse_on_remote_scheme(spark, tmp_path):
+    """The versioned-default warehouse composes with the r8 remote
+    commit protocol: write_warehouse to a file:// URI lands each table
+    as version dirs behind _commits markers (no pointer file, no
+    renames), loads stay idempotent, and retention vacuums through the
+    Hadoop FS."""
+    import os as _os
+
+    from etl_football_analytics_pipeline_spark.pipeline.warehouse import (
+        write_warehouse,
+    )
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        current_version,
+        read_latest,
+    )
+
+    out_dir = f"file://{tmp_path}/wh"
+    dims = {
+        "dim_team": spark.createDataFrame(
+            [(1, "Alpha", 10), (2, "Beta", 11)],
+            "team_id long, team_name string, stadium_id long",
+        )
+    }
+    out1 = write_warehouse(spark, dims, out_dir, versioned=True, keep_versions=2)
+    tdir = f"{out_dir}/dim_team"
+    assert current_version(tdir) == 1
+    assert _rows(out1["dim_team"]) == [(1, "Alpha", 10), (2, "Beta", 11)]
+    # upsert on reload; remote markers advance
+    dims2 = {
+        "dim_team": spark.createDataFrame(
+            [(2, "Beta-v2", 11)], "team_id long, team_name string, stadium_id long"
+        )
+    }
+    out2 = write_warehouse(spark, dims2, out_dir, versioned=True, keep_versions=2)
+    assert current_version(tdir) == 2
+    assert _rows(out2["dim_team"]) == [(1, "Alpha", 10), (2, "Beta-v2", 11)]
+    assert _rows(read_latest(spark, tdir)) == [(1, "Alpha", 10), (2, "Beta-v2", 11)]
+    # third load trips the keep=2 vacuum: v1 is retired, markers agree
+    write_warehouse(spark, dims2, out_dir, versioned=True, keep_versions=2)
+    local = f"{tmp_path}/wh/dim_team"
+    assert not _os.path.isdir(f"{local}/v00001")
+    assert not _os.path.exists(f"{local}/_commits/c00000001")
+    markers = sorted(
+        n for n in _os.listdir(f"{local}/_commits") if not n.startswith(".")
+    )  # the local Hadoop FS adds .crc sidecars; markers are the contract
+    assert markers == ["c00000002", "c00000003"]
+    # no pointer file in the remote layout
+    assert not _os.path.exists(f"{local}/_LATEST")
