@@ -1007,7 +1007,11 @@ def minhash_index_probe(
         drift = None if not integrity_check else (
             resident.select(id_col)
             .join(
-                rb.select(F.col("__id").alias(id_col)).distinct(),
+                # no .distinct() on the bands side: a LEFT ANTI join
+                # gives the identical result against a non-distinct
+                # right side, and skipping it saves that aggregate's
+                # shuffle on the 16-rows-per-doc relation
+                rb.select(F.col("__id").alias(id_col)),
                 id_col,
                 "left_anti",
             )

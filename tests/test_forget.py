@@ -280,3 +280,73 @@ def test_forget_keys_rejects_composite_keys_with_indexes(spark, tmp_path):
     v = forget_keys(spark, tbl, df.filter("a = 1"), ["a", "b"])
     assert v == 2
     assert read_latest(spark, tbl).count() == 0
+
+
+def test_forget_keys_hard_on_remote_scheme(spark, tmp_path):
+    """End-to-end GDPR over scheme'd paths (r8): the versioned table
+    commits via remote markers, every index builds/compacts through
+    manifest-pointer replaces, and after forget_keys_hard the doomed
+    doc's rows exist in NO parquet file anywhere under the local
+    mirror of those URIs — the full hard-erasure contract on the code
+    path an object store would take."""
+    import glob
+    import os
+
+    from etl_football_analytics_pipeline_spark.pipeline.forget import (
+        forget_keys_hard,
+    )
+
+    tid = 77_777
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") < 60
+    ).select("doc_id", "text")
+    sent = spark.createDataFrame(
+        [(tid, "zzzqremoteforget unique sentinel text zzzqremoteforget")],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(sent).localCheckpoint()
+
+    tbl = f"file://{tmp_path}/tbl"
+    commit_version(corpus, tbl)
+    bm25_dir = f"file://{tmp_path}/bm25"
+    bm25_build_index(corpus, "doc_id", "text", bm25_dir)
+    mh_dir = f"file://{tmp_path}/mh"
+    minhash_index_build(corpus, mh_dir, id_col="doc_id", text_col="text")
+
+    # reachable pre-delete
+    assert any(
+        r[1] == tid
+        for r in bm25_search_index(
+            spark, bm25_dir, {"q": ["zzzqremoteforget"]}, k=10
+        ).collect()
+    )
+
+    doomed = spark.createDataFrame([(tid,)], "doc_id long")
+    indexes = [IndexRef("bm25", bm25_dir), IndexRef("minhash", mh_dir)]
+    forget_keys_hard(spark, tbl, doomed, ["doc_id"], indexes)
+
+    # unreachable via every probe
+    assert not any(
+        r[1] == tid
+        for r in bm25_search_index(
+            spark, bm25_dir, {"q": ["zzzqremoteforget"]}, k=10
+        ).collect()
+    )
+    assert read_latest(spark, tbl).filter(F.col("doc_id") == tid).count() == 0
+
+    # raw storage walk over the LOCAL mirrors of the URIs: no file
+    # anywhere (trees, retired versions, tombstones) still carries the
+    # doc — the hard-erasure contract
+    for d, col in (
+        (f"{tmp_path}/tbl", "doc_id"),
+        (f"{tmp_path}/bm25", "__id"),
+        (f"{tmp_path}/mh", "doc_id"),
+    ):
+        for f in glob.glob(f"{d}/**/*.parquet", recursive=True):
+            if os.path.basename(f)[0] in "._":
+                continue
+            pdf = spark.read.parquet(f)
+            for c in {col, "doc_id", "__id"} & set(pdf.columns):
+                assert (
+                    pdf.filter(F.col(c) == tid).count() == 0
+                ), f"forgotten id survives in {f} ({c})"
