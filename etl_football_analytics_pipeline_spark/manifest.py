@@ -65,6 +65,7 @@ __all__ = [
     "manifest_vacuum",
     "manifest_versions",
     "read_relation",
+    "read_relation_version",
     "resolved_dir",
     "tree_dir",
 ]
@@ -150,6 +151,21 @@ def read_relation(spark, dest: str) -> DataFrame:
     """Scan the live tree of a manifest-managed (or legacy plain)
     relation directory."""
     return spark.read.parquet(resolved_dir(spark, dest))
+
+
+def read_relation_version(spark, dest: str, version: int) -> DataFrame:
+    """Time travel: scan a specific RETAINED version's tree (commits
+    made with keep>1 keep history; replace_dir's keep=1 does not).
+    Raises KeyError when the version was never committed or has been
+    vacuumed — reading a half-retired tree silently would defeat the
+    marker-first retirement ordering."""
+    for v, tok in manifest_versions(spark, dest):
+        if v == version:
+            return spark.read.parquet(tree_dir(dest, v, tok))
+    raise KeyError(
+        f"version {version} of {dest!r} is not committed (or was "
+        f"vacuumed); retained: {[v for v, _ in manifest_versions(spark, dest)]}"
+    )
 
 
 def _verified_delete(fs, hp, path: str, what: str) -> None:

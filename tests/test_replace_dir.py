@@ -236,3 +236,18 @@ def test_manifest_on_file_scheme_uri(spark, tmp_path):
     )
     assert read_relation(spark, dest).count() == 2
     assert _ids_on_disk(f"{tmp_path}/rel", spark) == {0, 1}
+
+
+def test_read_relation_version_time_travel(spark, tmp_path):
+    from etl_football_analytics_pipeline_spark.manifest import (
+        read_relation_version,
+    )
+
+    dest = f"{tmp_path}/rel"
+    manifest_commit(spark, dest, lambda p: spark.range(3).write.parquet(p), keep=3)
+    manifest_commit(spark, dest, lambda p: spark.range(7).write.parquet(p), keep=3)
+    assert read_relation_version(spark, dest, 1).count() == 3
+    assert read_relation_version(spark, dest, 2).count() == 7
+    manifest_vacuum(spark, dest, keep=1)
+    with pytest.raises(KeyError, match="vacuumed"):
+        read_relation_version(spark, dest, 1)
