@@ -159,12 +159,22 @@ def read_relation_version(spark, dest: str, version: int) -> DataFrame:
     Raises KeyError when the version was never committed or has been
     vacuumed — reading a half-retired tree silently would defeat the
     marker-first retirement ordering."""
-    for v, tok in manifest_versions(spark, dest):
-        if v == version:
-            return spark.read.parquet(tree_dir(dest, v, tok))
+    versions = manifest_versions(spark, dest)
+    hits = [tok for v, tok in versions if v == version]
+    if len(hits) > 1:
+        # same corruption current_manifest refuses: two markers for
+        # one version — returning an arbitrary tree would silently
+        # time-travel to the LOSING commit's data
+        raise IOError(
+            f"manifest corruption in {dest!r}: version {version} has "
+            f"{len(hits)} markers ({hits}); the single-writer "
+            "contract was violated — delete the losing marker first"
+        )
+    if hits:
+        return spark.read.parquet(tree_dir(dest, version, hits[0]))
     raise KeyError(
         f"version {version} of {dest!r} is not committed (or was "
-        f"vacuumed); retained: {[v for v, _ in manifest_versions(spark, dest)]}"
+        f"vacuumed); retained: {[v for v, _ in versions]}"
     )
 
 
@@ -202,16 +212,23 @@ def manifest_commit(spark, dest: str, write, keep: int = 1) -> int:
         raise IOError(f"manifest_commit: write produced nothing at {tree}")
     marker = _marker_path(dest, next_v, token)
     try:
-        # overwrite=False: create-if-absent is the atomic publish; a
+        # overwrite=False: create-if-absent is the publish; a
         # concurrent writer that raced to the same version number dies
-        # HERE instead of silently clobbering the committed tree
+        # HERE instead of silently clobbering the committed tree.
+        # Atomic on HDFS/local; on S3A create is check-then-put, so
+        # the collision guard is best-effort and correctness rests on
+        # the single-writer contract (unlike the rename-swap this
+        # replaces, a LOST race here still leaves both trees on disk —
+        # token-named, nothing overwritten).
         fs.create(hp(marker), False).close()
     except Exception as exc:  # Py4J wraps FileAlreadyExistsException
-        raise IOError(
-            f"manifest_commit: marker {marker!r} already exists — a "
-            "concurrent writer committed this version first (the "
-            "relation is single-writer); re-read and retry"
-        ) from exc
+        if fs.exists(hp(marker)):
+            raise IOError(
+                f"manifest_commit: marker {marker!r} already exists — "
+                "a concurrent writer committed this version first "
+                "(the relation is single-writer); re-read and retry"
+            ) from exc
+        raise  # a real storage fault, not a race — don't relabel
     manifest_vacuum(spark, dest, keep=keep)
     # any cached file listing keyed under dest (or the legacy root) is
     # stale now; the new tree path itself has never been scanned

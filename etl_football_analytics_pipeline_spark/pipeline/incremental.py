@@ -74,6 +74,7 @@ def merge_into_raw(
     table_path: str,
     key_cols: Sequence[str],
     partition_by: str | None = "season",
+    use_manifest: bool = True,
 ) -> DataFrame:
     """Raw-layer incremental MERGE (M1): new-wins by key tuple.
 
@@ -86,7 +87,19 @@ def merge_into_raw(
     partitions durably and swaps only those children inside the live
     tree — only partitions present in the merged delta rewrite, and
     the table is never truncated while the merged rows' only copy is
-    volatile."""
+    volatile.
+
+    ``use_manifest=False`` keeps full replaces on the stage-and-rename
+    swap so the table ROOT stays directly scannable by external tools
+    (`spark.read.parquet(table_path)`) — the manifest layout hides
+    data from direct reads (underscore-prefixed trees), which is the
+    right default for the engine's own resolved readers but a breaking
+    conversion for out-of-band consumers (review r8; merge_sink made
+    the same choice the other way because its target contract was
+    already direct-read). A table ALREADY converted to the manifest
+    layout stays manifest regardless — writing plain root files next
+    to a live manifest would make the new rows invisible to resolved
+    readers."""
     from ..manifest import resolved_dir
     from ..utils import _hadoop_fs, recover_swapped_dir
 
@@ -210,10 +223,22 @@ def merge_into_raw(
             )
         _fs.delete(tmp_p, True)
         spark.catalog.refreshByPath(table_path)
-    else:
+    elif use_manifest or _root != table_path.rstrip("/"):
         # full replace (first write, schema mismatch, keyless,
         # non-local keys): manifest-pointer commit (object-store-safe)
         replace_dir(spark, table_path, _write)
+    else:
+        # direct-read contract: durable sibling stage + rename swap
+        # (crash between the renames recovered by recover_swapped_dir
+        # at the top of the next merge)
+        from ..utils import commit_staged_dir
+
+        tmp = table_path.rstrip("/") + ".__stage"
+        if _fs.exists(_hp(tmp)):
+            _fs.delete(_hp(tmp), True)
+        _write(tmp)
+        commit_staged_dir(table_path, tmp, spark)
+        spark.catalog.refreshByPath(table_path)
     return _restore_partition_type(
         spark.read.parquet(resolved_dir(spark, table_path))
     )

@@ -159,9 +159,10 @@ _COMPACT_MIN_GROUPS = 4
 # grace window before a superseded mirror state is evicted: a
 # concurrent process that resolved the OLD mirror just before the
 # source was rewritten may still be scanning it — deleting it mid-scan
-# fails that job (ADVICE r7). Old states linger this long, then the
-# next builder sweeps them; one stale mirror per source is the bounded
-# cost (they never accumulate past the window).
+# fails that job (ADVICE r7). The clock starts when a sweep first
+# SEES the state superseded (a `.retired` stamp), not at build time;
+# a later sweep past the window deletes. One stale mirror per source
+# is the bounded cost (they never accumulate past the window).
 _COMPACT_EVICT_GRACE_S = 6 * 3600
 _COMPACT_MIN_ROWS = 4096
 
@@ -262,15 +263,23 @@ def scan_ready_path(path: str, parallelism: int) -> str:
             if os.path.exists(tmp):
                 os.unlink(tmp)
         # evict stale sibling states of THIS source (old mtime/size) —
-        # but only past the grace window, so a concurrent scan of the
-        # previously-immutable mirror is never yanked mid-read
+        # but only past a grace window measured from SUPERSESSION, not
+        # from build time (review r8: a mirror built 24 h ago would
+        # otherwise be older than any grace the moment it is
+        # superseded, deleting it out from under a concurrent scan —
+        # the exact case the window exists for). First sweep stamps
+        # the superseded state with `.retired`; deletion happens only
+        # when a LATER sweep finds the stamp aged past the grace.
         now = time.time()
         for d in os.listdir(src_root):
             if d == skey:
                 continue
             sib = os.path.join(src_root, d)
+            stamp = os.path.join(sib, ".retired")
             try:
-                if now - os.path.getmtime(sib) > _COMPACT_EVICT_GRACE_S:
+                if not os.path.exists(stamp):
+                    open(stamp, "w").close()
+                elif now - os.path.getmtime(stamp) > _COMPACT_EVICT_GRACE_S:
                     shutil.rmtree(sib, ignore_errors=True)
             except OSError:
                 pass

@@ -81,10 +81,27 @@ def _remote_fs(table_dir: str):
 def _remote_versions(table_dir: str) -> list[int]:
     """Committed versions of a remote table, ascending — the sorted
     marker numbers under `_commits/`. An empty marker cannot be torn,
-    so existence IS commit; there is no corrupt-pointer state."""
+    so existence IS commit; there is no corrupt-pointer state.
+
+    PROTOCOL GUARD: a table that carries a `_LATEST` pointer but no
+    `_commits` dir was committed with the LOCAL protocol — treating it
+    as "never committed" here would make the next commit restart at
+    v1, delete the real v00001 as a "crashed orphan", and let vacuum
+    erase every other committed version as markerless. A file://
+    spelling of a local path is exactly that trap, so refuse loudly
+    instead (the pre-r8 NotImplementedError existed for this)."""
     fs, hp = _remote_fs(table_dir)
     cdir = hp(f"{table_dir.rstrip('/')}/{_COMMITS}")
     if not fs.exists(cdir):
+        if fs.exists(hp(f"{table_dir.rstrip('/')}/{_POINTER}")):
+            raise IOError(
+                f"{table_dir!r} carries a local-protocol {_POINTER} "
+                "pointer but no _commits markers — it was committed "
+                "via its plain local path. Address it WITHOUT the "
+                "scheme (or migrate: create markers for each version, "
+                "then drop the pointer); proceeding would restart at "
+                "v1 and destroy committed versions."
+            )
         return []
     out = []
     for st in fs.listStatus(cdir):
@@ -112,6 +129,18 @@ def current_version(table_dir: str) -> int | None:
         with open(_pointer_path(table_dir)) as fh:
             text = fh.read().strip()
     except FileNotFoundError:
+        # symmetric protocol guard: a _commits dir without a pointer
+        # means the table was committed via a scheme'd spelling —
+        # "never committed" here would trigger the same restart-at-v1
+        # destruction in the other direction
+        if os.path.isdir(os.path.join(table_dir, _COMMITS)):
+            raise IOError(
+                f"{table_dir!r} carries remote-protocol _commits "
+                "markers but no _LATEST pointer — it was committed "
+                "via a scheme'd path (e.g. file://). Address it WITH "
+                "the scheme; proceeding would restart at v1 and "
+                "destroy committed versions."
+            ) from None
         return None
     try:
         return int(text)
@@ -156,15 +185,21 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
         df.write.mode("overwrite").parquet(target)
         try:
             # create-if-absent: a writer racing this version number
-            # dies HERE, loudly, instead of silently replacing the
-            # other commit's data dir
+            # dies HERE instead of silently replacing the other
+            # commit's data dir. Atomic on HDFS/local; on S3A the
+            # create is check-then-put, so the guard (like the
+            # pre-write probe above) is best-effort — the protocol's
+            # correctness rests on the documented single-writer
+            # contract, the guards just make most violations loud.
             fs.create(hp(marker), False).close()
         except Exception as exc:
-            raise IOError(
-                f"commit marker {marker!r} already exists — a "
-                "concurrent writer committed this version first (the "
-                "table is single-writer); re-read and retry"
-            ) from exc
+            if fs.exists(hp(marker)):
+                raise IOError(
+                    f"commit marker {marker!r} already exists — a "
+                    "concurrent writer committed this version first "
+                    "(the table is single-writer); re-read and retry"
+                ) from exc
+            raise  # a real storage fault, not a race — don't relabel
         return next_v
     os.makedirs(table_dir, exist_ok=True)
     next_v = (current_version(table_dir) or 0) + 1

@@ -142,3 +142,42 @@ def test_merge_recovers_partition_child_crash(spark, base, tmp_path):
         ("2425", "g3", 3), ("2425", "g4", 40),
     ]
     assert not os.path.exists(child + ".__old")
+
+
+def test_merge_use_manifest_false_keeps_direct_read_layout(spark, base, tmp_path):
+    """use_manifest=False: the table root stays directly scannable by
+    external tools across full replaces (schema change), instead of
+    converting to the manifest layout (review r8)."""
+    path = str(tmp_path / "t")
+    merge_into_raw(spark, base, path, ["season", "game"], use_manifest=False)
+    assert resolved_dir(spark, path) == path  # no manifest created
+    # direct read works — the out-of-band consumer contract
+    assert spark.read.parquet(path).count() == base.count()
+    reshaped = spark.createDataFrame(
+        [("2425", "g3", 30, "x")],
+        "season string, game string, v int, extra string",
+    )
+    out = merge_into_raw(
+        spark, reshaped, path, ["season", "game"], use_manifest=False
+    )
+    assert out.count() == 1 and "extra" in out.columns
+    assert resolved_dir(spark, path) == path
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_manifest_table_stays_manifest_despite_flag(spark, base, tmp_path):
+    """A table already committed through the manifest must NOT gain
+    plain root files when a caller later passes use_manifest=False —
+    resolved readers would never see them."""
+    path = str(tmp_path / "t")
+    merge_into_raw(spark, base, path, ["season", "game"])  # manifest layout
+    assert resolved_dir(spark, path) != path
+    reshaped = spark.createDataFrame(
+        [("2425", "g3", 30, "x")],
+        "season string, game string, v int, extra string",
+    )
+    out = merge_into_raw(
+        spark, reshaped, path, ["season", "game"], use_manifest=False
+    )
+    assert out.count() == 1
+    assert resolved_dir(spark, path) != path  # still manifest

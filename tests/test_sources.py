@@ -182,13 +182,16 @@ def test_compact_mirror_evicts_stale_states(spark, tmp_path):
     out2 = scan_ready_path(src, 32)
     assert out2 != out1
     states2 = set(os.listdir(src_root))
-    # the superseded state survives inside the grace window — a
-    # concurrent scan of the old mirror is never yanked mid-read
+    # the superseded state survives AND is stamped .retired — the
+    # grace clock starts at supersession, not at build time, so even
+    # an old mirror gets the full window for concurrent scans
     assert states1 < states2 and len(states2) == 2
-    # age the old state past the window; the next build sweeps it
     (old_state,) = states1
+    stamp = os.path.join(src_root, old_state, ".retired")
+    assert os.path.exists(stamp)
+    # age the STAMP past the window; the next build sweeps the state
     aged = time.time() - 7 * 3600
-    os.utime(os.path.join(src_root, old_state), (aged, aged))
+    os.utime(stamp, (aged, aged))
     time.sleep(1.1)
     os.utime(src)
     out3 = scan_ready_path(src, 32)
