@@ -278,3 +278,57 @@ def test_pq_encode_is_map_only(spark):
     plan = plan_of(df)
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_salted_topk_is_two_stage_not_global_group_sort(spark):
+    """grouped_topk's plan must show TWO Window operators: stage 1
+    partitioned by (group, salt) — the spread that keeps any single
+    task from sorting a whole group's corpus-sized rows — and stage 2
+    by the group alone over the bounded survivors. A regression to one
+    group-partitioned window funnels 100 TB/|groups| rows through one
+    task."""
+    from pyspark.sql import functions as F
+
+    from etl_football_analytics_pipeline_spark.operators.topk import (
+        grouped_topk,
+    )
+    from etl_football_analytics_pipeline_spark.sources.registry import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = grouped_topk(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+    # stage 1's partition spec carries the salt term alongside the group
+    assert "spark_partition_id" in plan.lower() or "pmod" in plan.lower(), plan
+    # bonus (Spark 4): WindowGroupLimit pushes the k-limit below BOTH
+    # exchanges — each map task forwards at most k rows per
+    # (group, salt) before any shuffle
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_shard_shuffle_window_is_shard_local(spark):
+    """shard_shuffle's position window must partition by the shard —
+    never a global (empty-partition) window, whose single task would
+    sort the whole corpus."""
+    from etl_football_analytics_pipeline_spark.operators.corpus import (
+        shard_shuffle,
+    )
+
+    out = shard_shuffle(
+        spark.range(1000).withColumnRenamed("id", "doc_id"),
+        "doc_id", seed=1, n_shards=16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the exchange ahead of the window hashes on the shard column
+    assert "hashpartitioning(shard" in plan, plan
+    # and no empty-partition window exists
+    import re as _re
+
+    assert not _re.search(r"windowspecdefinition\(id", plan), plan
