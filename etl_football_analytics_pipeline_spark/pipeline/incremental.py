@@ -104,12 +104,19 @@ def merge_into_raw(
     from ..utils import _hadoop_fs, recover_swapped_dir
 
     _fs, _hp = _hadoop_fs(table_path, spark)
+    table_path = table_path.rstrip("/")
     # crash recovery BEFORE the existence probe: a pre-r8 run that died
     # between its whole-dir swap renames left the table absent with the
     # last complete copy at `.__old` — probing first would classify
     # that as "no table yet" and the merge would silently replace all
     # prior rows with the new batch
     recover_swapped_dir(table_path, spark)
+    # a direct-branch full replace that crashed after its stage write
+    # leaves `table.__stage` (a full table copy) as a sibling; clean it
+    # here so it cannot leak until the next rare full-replace branch
+    _stale_stage = _hp(table_path + ".__stage")
+    if _fs.exists(_stale_stage):
+        _fs.delete(_stale_stage, True)
     # the table's live data root: the current manifest tree once the
     # full-replace path (replace_dir, manifest-committed since r8) has
     # run, else the plain table dir (legacy layout). Partition children
@@ -233,7 +240,7 @@ def merge_into_raw(
         # at the top of the next merge)
         from ..utils import commit_staged_dir
 
-        tmp = table_path.rstrip("/") + ".__stage"
+        tmp = table_path + ".__stage"
         if _fs.exists(_hp(tmp)):
             _fs.delete(_hp(tmp), True)
         _write(tmp)

@@ -236,6 +236,16 @@ def scan_ready_path(path: str, parallelism: int) -> str:
                 and os.stat(out).st_uid == uid
                 and os.stat(_COMPACT_ROOT).st_uid == uid
             ):
+                # a CURRENT state must carry no retirement stamp: a
+                # racing stale builder may have stamped it as a
+                # "sibling", and a source reverted to an old
+                # (mtime,size) resumes its old state — either way a
+                # pre-aged stamp would void the grace window at the
+                # next supersession (review r8)
+                try:
+                    os.unlink(os.path.join(os.path.dirname(out), ".retired"))
+                except OSError:
+                    pass
                 return out
         except OSError:
             pass
@@ -259,6 +269,12 @@ def scan_ready_path(path: str, parallelism: int) -> str:
         try:
             pq.write_table(table, tmp, row_group_size=rows_per_group, version="2.6")
             os.replace(tmp, out)
+            # fresh current state: drop any stamp a racing stale
+            # builder left (see the reuse path above)
+            try:
+                os.unlink(os.path.join(os.path.dirname(out), ".retired"))
+            except OSError:
+                pass
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)

@@ -326,9 +326,8 @@ def test_shard_shuffle_window_is_shard_local(spark):
         "doc_id", seed=1, n_shards=16,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the exchange ahead of the window hashes on the shard column
+    # the exchange ahead of the window hashes on the shard column...
     assert "hashpartitioning(shard" in plan, plan
-    # and no empty-partition window exists
-    import re as _re
-
-    assert not _re.search(r"windowspecdefinition\(id", plan), plan
+    # ...and the window spec itself leads with the shard term (a
+    # global-window regression would start with the order key instead)
+    assert "windowspecdefinition(shard" in plan, plan
