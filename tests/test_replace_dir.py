@@ -251,3 +251,70 @@ def test_read_relation_version_time_travel(spark, tmp_path):
     manifest_vacuum(spark, dest, keep=1)
     with pytest.raises(KeyError, match="vacuumed"):
         read_relation_version(spark, dest, 1)
+
+
+def test_manifest_protocol_random_crash_walk(spark, tmp_path):
+    """Model-based endurance: a seeded random walk of commits, crashes
+    at every distinct protocol point, vacuums and reads — after every
+    step the resolved relation must equal the MODEL (what a crash-free
+    observer expects), and after every successful replace the raw disk
+    must hold exactly the model's rows (keep=1 retention, orphan GC).
+    One deterministic walk instead of a hypothesis fuzz: each step
+    costs a Spark job, and the walk covers every transition class."""
+    import random
+
+    rng = random.Random(20260816)
+    dest = f"{tmp_path}/rel"
+    model: set[int] | None = None  # None = relation never written
+
+    def payload(step: int) -> list[int]:
+        base = step * 100
+        return list(range(base, base + rng.randrange(1, 5)))
+
+    class Kill(RuntimeError):
+        pass
+
+    for step in range(24):
+        action = rng.choice(
+            ["replace", "crash_in_writer", "crash_before_marker",
+             "commit_keep3", "vacuum", "read"]
+        )
+        rows = payload(step)
+
+        def write_rows(p, _rows=rows):
+            spark.createDataFrame(
+                [(i,) for i in _rows], "id long"
+            ).write.parquet(p)
+
+        if action == "replace":
+            replace_dir(spark, dest, write_rows)
+            model = set(rows)
+            # full replace: raw disk holds exactly the model
+            assert _ids_on_disk(dest, spark) == model, (step, action)
+        elif action == "crash_in_writer":
+            def boom(p):
+                raise Kill()
+            with pytest.raises(Kill):
+                replace_dir(spark, dest, boom)
+        elif action == "crash_before_marker":
+            def tree_then_die(p, _rows=rows):
+                spark.createDataFrame(
+                    [(i,) for i in _rows], "id long"
+                ).write.parquet(p)
+                raise Kill()
+            with pytest.raises(Kill):
+                replace_dir(spark, dest, tree_then_die)
+        elif action == "commit_keep3" and model is not None:
+            manifest_commit(spark, dest, write_rows, keep=3)
+            model = set(rows)
+        elif action == "vacuum" and model is not None:
+            manifest_vacuum(spark, dest, keep=1)
+            if current_manifest(spark, dest) is not None:
+                # keep=1 after a manifest commit: only the live tree
+                assert _ids_on_disk(dest, spark) == model, (step, action)
+        # invariant after EVERY step: resolved content == model
+        if model is None:
+            assert current_manifest(spark, dest) is None, (step, action)
+        else:
+            got = {r[0] for r in read_relation(spark, dest).collect()}
+            assert got == model, (step, action, got, model)
