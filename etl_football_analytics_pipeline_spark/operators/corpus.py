@@ -445,6 +445,10 @@ def shard_shuffle(
     ordered by (key, id) — totally ordered, so ties cannot make
     engines disagree.
 
+    NULL ids hash to a NULL key and land together in a NULL shard
+    (the corpus family's convention — deterministic, never an error);
+    filter them upstream if the reader layout requires dense shards.
+
     100 TB shape: one hash-partition exchange on the shard key, then a
     PARTITION-LOCAL sort of corpus/n_shards rows — pick ``n_shards``
     so a shard fits an executor's sort budget (10k shards over 100 TB

@@ -77,7 +77,16 @@ def replace_dir(spark, dest: str, write) -> None:
 
     Crash windows: before the marker, the old version stays live and
     the partial tree is an unreachable orphan (GC'd by the next
-    commit); after the marker, the commit already happened. A dir last
+    commit); after the marker, the commit already happened.
+
+    Reader-vs-retention: keep=1 deletes the old tree as soon as the
+    new one publishes — a reader that resolved the old version before
+    the commit loses its files mid-scan, exactly as under the old
+    rename-swap (no regression, same window). Relations with
+    long-running readers should commit via ``manifest_commit(...,
+    keep=2)`` and vacuum on a schedule instead; replace_dir keeps
+    keep=1 because its compaction callers are the HARD-ERASURE path,
+    where retained history is precisely what must not exist. A dir last
     written by the pre-r8 rename-swap converts transparently — its
     mid-swap crash states are recovered here first, the plain root
     files serve as the source tree, and after the first manifest

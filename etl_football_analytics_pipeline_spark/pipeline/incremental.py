@@ -99,7 +99,15 @@ def merge_into_raw(
     already direct-read). A table ALREADY converted to the manifest
     layout stays manifest regardless — writing plain root files next
     to a live manifest would make the new rows invisible to resolved
-    readers."""
+    readers.
+
+    Object-store note: the partition-LOCAL fast path swaps touched
+    partition children by rename (inside the live tree) — on S3-likes
+    each child swap is a copy bounded by that partition's size, far
+    below the full-table copy the pre-r8 whole-dir swap cost but not
+    zero; deployments that need strictly rename-free commits should
+    let the full-replace manifest path handle merges (keys without the
+    partition column) or adopt a table format for the raw layer."""
     from ..manifest import resolved_dir
     from ..utils import _hadoop_fs, recover_swapped_dir
 
