@@ -1,0 +1,47 @@
+"""Engine-wide helpers (utils.py): the orderable-type filter behind
+the dedup-survivor tiebreaks, and spread's no-op contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_football_analytics_pipeline_spark.utils import (
+    orderable_columns,
+    spread,
+)
+
+
+def test_orderable_columns_excludes_maps_at_any_nesting(spark):
+    """Maps are unorderable wherever they hide — bare, inside arrays,
+    inside structs, structs-inside-arrays — while every orderable
+    composite passes; the tiebreak sorts only what Spark can ORDER BY
+    (ADVICE r7: a map column crashed merge_sink's dedup sort)."""
+    df = spark.range(1).select(
+        F.col("id"),
+        F.lit("s").alias("s"),
+        F.array(F.lit(1)).alias("arr"),
+        F.struct(F.lit(1).alias("a"), F.lit("b").alias("b")).alias("st"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.array(F.create_map(F.lit("k"), F.lit(1))).alias("arr_of_map"),
+        F.struct(F.create_map(F.lit("k"), F.lit(1)).alias("m")).alias("st_of_map"),
+        F.array(F.struct(F.lit(1).alias("x"))).alias("arr_of_st"),
+    )
+    cols = df.columns
+    got = orderable_columns(df, cols)
+    assert got == ["id", "s", "arr", "st", "arr_of_st"]
+    # order of the input list is preserved (tiebreaks are order-sensitive)
+    assert orderable_columns(df, ["s", "id"]) == ["s", "id"]
+    # and the verdict of the filter matches Spark's own: sorting by the
+    # accepted columns succeeds, sorting by a rejected one raises
+    df.orderBy(*[F.asc(c) for c in got]).collect()
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        df.orderBy(F.asc("m")).collect()
+
+
+def test_spread_is_noop_when_already_wide(spark):
+    df = spark.range(0, 1000, 1, 16)
+    assert spread(df, 8) is df  # no shuffle added
+    assert spread(df, 32).rdd.getNumPartitions() == 32
