@@ -31,13 +31,32 @@ committed version and scan an immutable tree. The properties:
   table's ``_LATEST`` needed fsync choreography for).
 - **Crash anywhere is recoverable, never destructive.** A crash
   before the marker leaves an orphan tree that readers never resolve
-  (the next commit garbage-collects it); a crash after the marker has
-  already committed — retention just hasn't retired the old tree yet,
-  which the next commit finishes.
-- **Concurrent-writer collisions fail LOUD.** ``create(overwrite=
-  False)`` makes two writers racing the same version an error on the
-  second, not a silent clobber — the single-writer contract is now
-  machine-checked at the commit point.
+  (swept once a later commit moves the top version past it, or
+  immediately by an explicit quiesced ``manifest_vacuum`` — the
+  commit-path vacuum spares same-or-higher-version orphans because
+  they may be a concurrent writer's in-flight tree); a crash after
+  the marker has already committed — retention just hasn't retired
+  the old tree yet, which the next commit finishes.
+- **Concurrent-writer collisions are detected AT COMMIT TIME (r9),
+  without any compare-and-swap primitive.** Marker names carry the
+  writer's token, so two racers create DIFFERENT names and a bare
+  create-if-absent can never collide across writers. The commit is
+  therefore create-then-VERIFY: after creating its marker, a writer
+  lists the version's markers and succeeds only if it is ALONE;
+  otherwise it withdraws its own marker and tree and raises
+  ``CommitConflict``. With linearizable storage (local, HDFS, and
+  S3 since its 2020 strong-consistency upgrade — LIST included),
+  whichever marker lands second is always visible to its own
+  writer's verify, so at most one writer per version can observe
+  itself alone: exactly-once commit without If-None-Match. Both
+  racers may mutually withdraw (each saw the other) — then neither
+  committed and the version number is simply re-used, which
+  ``retries > 0`` resolves with jittered backoff: the loser
+  re-resolves the latest version, re-RUNS its write against the new
+  live tree (automatic rebase for merge-shaped writes), and commits
+  the next version — the Delta/Iceberg optimistic protocol reduced
+  to this layout. A crash between create and verify can leave a
+  duplicate-marker state, which readers still refuse loudly.
 
 Retention is explicit: ``manifest_vacuum(keep=N)`` retires all but
 the newest N versions and deletes any tree no surviving marker
@@ -60,6 +79,7 @@ import uuid
 from pyspark.sql import DataFrame
 
 __all__ = [
+    "CommitConflict",
     "current_manifest",
     "manifest_commit",
     "manifest_vacuum",
@@ -69,6 +89,19 @@ __all__ = [
     "resolved_dir",
     "tree_dir",
 ]
+
+
+class CommitConflict(IOError):
+    """A concurrent writer committed the version this commit targeted.
+
+    Raised at the publish point (marker / pointer create-if-absent)
+    when the version number resolved at the start of the attempt was
+    taken by another writer in the meantime. The losing commit has
+    touched NOTHING live: its staged tree/dir is token- or
+    version-named and unreferenced, so the caller may simply
+    re-resolve and retry — which is exactly what the ``retries``
+    parameter of ``manifest_commit`` / ``sources.versioned``'s
+    merge-type commits automates."""
 
 _TREES = "_trees"
 _MANIFESTS = "_manifests"
@@ -189,7 +222,10 @@ def _verified_delete(fs, hp, path: str, what: str) -> None:
         raise IOError(f"manifest retention could not delete {what} {path!r}")
 
 
-def manifest_commit(spark, dest: str, write, keep: int = 1) -> int:
+def manifest_commit(
+    spark, dest: str, write, keep: int = 1, retries: int = 0,
+    backoff_s: float = 0.05,
+) -> int:
     """Commit ``write``'s output as the relation's next version.
 
     ``write(tree_path)`` materializes the new tree into a fresh
@@ -200,49 +236,103 @@ def manifest_commit(spark, dest: str, write, keep: int = 1) -> int:
     semantics) runs after the marker so a crash at any point leaves
     either the old version live and complete, or the new one.
 
+    ``retries`` (default 0 = fail loud, the pre-r9 contract) enables
+    OPTIMISTIC CONCURRENCY: when the publish collides with a racing
+    writer (``CommitConflict``), the staged orphan tree is deleted,
+    the latest version re-resolved, and ``write`` re-invoked against a
+    fresh token directory — up to ``retries`` more times with
+    exponential backoff. For this rebase to be CORRECT, ``write`` must
+    re-derive its output from the live state each invocation (read
+    through ``resolved_dir(spark, dest)`` INSIDE the callable, as a
+    merge/append/compaction naturally does); a full-replace writer
+    whose output ignores the live tree is last-writer-wins under
+    retry — keep ``retries=0`` there so a raced replace stays a loud
+    ``CommitConflict`` for a human to adjudicate (the documented
+    non-rebaseable case).
+
     Returns the committed version number."""
     dest = dest.rstrip("/")
     fs, hp = _fs(spark, dest)
-    committed = manifest_versions(spark, dest)
-    next_v = committed[-1][0] + 1 if committed else 1
-    token = uuid.uuid4().hex[:12]
-    tree = tree_dir(dest, next_v, token)
-    write(tree)
-    if not fs.exists(hp(tree)):
-        raise IOError(f"manifest_commit: write produced nothing at {tree}")
-    marker = _marker_path(dest, next_v, token)
-    try:
-        # overwrite=False: create-if-absent is the publish; a
-        # concurrent writer that raced to the same version number dies
-        # HERE instead of silently clobbering the committed tree.
-        # Atomic on HDFS/local; on S3A create is check-then-put, so
-        # the collision guard is best-effort and correctness rests on
-        # the single-writer contract (unlike the rename-swap this
-        # replaces, a LOST race here still leaves both trees on disk —
-        # token-named, nothing overwritten).
-        fs.create(hp(marker), False).close()
-    except Exception as exc:  # Py4J wraps FileAlreadyExistsException
-        if fs.exists(hp(marker)):
+    attempt = 0
+    while True:
+        committed = manifest_versions(spark, dest)
+        next_v = committed[-1][0] + 1 if committed else 1
+        token = uuid.uuid4().hex[:12]
+        tree = tree_dir(dest, next_v, token)
+        write(tree)
+        if not fs.exists(hp(tree)):
+            raise IOError(f"manifest_commit: write produced nothing at {tree}")
+        marker = _marker_path(dest, next_v, token)
+        # publish, then VERIFY sole ownership of the version. Marker
+        # names carry the token, so two racers create DIFFERENT names
+        # and create-if-absent alone cannot detect the race (it only
+        # guards replaying the same (version, token)). The post-create
+        # listing can: with linearizable storage (local/HDFS/modern
+        # S3), whichever marker lands second is always visible to its
+        # own writer's verify, so at most one writer per version can
+        # observe itself alone and return success — the rest withdraw
+        # their marker AND tree (nothing the winner owns is touched;
+        # its tree lives under its own token) and conflict.
+        try:
+            fs.create(hp(marker), False).close()
+        except Exception:  # Py4J wraps FileAlreadyExistsException
+            if not fs.exists(hp(marker)):
+                raise  # a real storage fault, not a race — don't relabel
+            # same (version, token) replay — uuid collision is not a
+            # thing; treat as the storage fault it would be
             raise IOError(
-                f"manifest_commit: marker {marker!r} already exists — "
-                "a concurrent writer committed this version first "
-                "(the relation is single-writer); re-read and retry"
-            ) from exc
-        raise  # a real storage fault, not a race — don't relabel
-    manifest_vacuum(spark, dest, keep=keep)
-    # any cached file listing keyed under dest (or the legacy root) is
-    # stale now; the new tree path itself has never been scanned
-    spark.catalog.refreshByPath(dest)
-    return next_v
+                f"manifest_commit: marker {marker!r} already exists"
+            )
+        rivals = [
+            t for v2, t in manifest_versions(spark, dest)
+            if v2 == next_v and t != token
+        ]
+        if rivals:
+            _verified_delete(fs, hp, marker, "losing commit's marker")
+            _verified_delete(fs, hp, tree, "losing commit's tree")
+            if attempt >= retries:
+                raise CommitConflict(
+                    f"manifest_commit: version {next_v} of {dest!r} was "
+                    f"raced by a concurrent writer ({rivals}); this "
+                    "commit was withdrawn untouched — re-read and "
+                    "retry (or pass retries>0 for a rebasing write)"
+                )
+            import random
+            import time
+
+            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            attempt += 1
+            continue
+        manifest_vacuum(spark, dest, keep=keep, spare_in_flight=True)
+        # any cached file listing keyed under dest (or the legacy root)
+        # is stale now; the new tree path itself has never been scanned
+        spark.catalog.refreshByPath(dest)
+        return next_v
 
 
-def manifest_vacuum(spark, dest: str, keep: int = 1) -> list[int]:
+def manifest_vacuum(
+    spark, dest: str, keep: int = 1, spare_in_flight: bool = False
+) -> list[int]:
     """Retire all but the newest ``keep`` committed versions (marker
     first, then tree — a marker pointing at a deleted tree would break
     a time-travel read, a tree without a marker is just an orphan) and
     garbage-collect orphan trees no surviving marker references (the
-    residue of commits that crashed between tree write and marker).
-    Deletions are verified; returns the retired version numbers."""
+    residue of commits that crashed between tree write and marker, or
+    of raced commits that were withdrawn).
+
+    ``spare_in_flight`` makes orphan GC CONCURRENCY-SAFE without
+    clocks (r9): a tree whose version is >= the top committed version
+    is spared, because that is exactly where an IN-FLIGHT rival
+    writer's tree lives (it resolved top-or-earlier and targets
+    top+1; the vacuum a commit runs on its own success must not
+    delete a half-written rival's tree out from under it — worse, a
+    deletion landing between the rival's write and its marker create
+    would publish a marker naming a missing tree). ``manifest_commit``
+    always vacuums with this set; spared orphans are swept once the
+    top moves past them, or by an EXPLICIT quiesced
+    ``manifest_vacuum`` (default False = GC every unreferenced tree —
+    the post-crash-recovery / hard-erasure path). Deletions are
+    verified; returns the retired version numbers."""
     dest = dest.rstrip("/")
     fs, hp = _fs(spark, dest)
     committed = manifest_versions(spark, dest)
@@ -250,20 +340,26 @@ def manifest_vacuum(spark, dest: str, keep: int = 1) -> list[int]:
         return []
     keep = max(1, keep)
     kept = committed[-keep:]
+    top = committed[-1][0]
     dropped = []
     for v, tok in committed[: len(committed) - len(kept)]:
         _verified_delete(fs, hp, _marker_path(dest, v, tok), "marker")
         _verified_delete(fs, hp, tree_dir(dest, v, tok), "tree")
         dropped.append(v)
     keep_names = {f"v{v:08d}-{tok}" for v, tok in kept}
+    _tree_re = re.compile(r"^v(\d{8})-[0-9a-f]{12}$")
     tdir = hp(f"{dest}/{_TREES}")
     if fs.exists(tdir):
         for st in fs.listStatus(tdir):
             name = st.getPath().getName()
-            if name not in keep_names:
-                _verified_delete(
-                    fs, hp, f"{dest}/{_TREES}/{name}", "orphan tree"
-                )
+            if name in keep_names:
+                continue
+            m = _tree_re.match(name)
+            if spare_in_flight and m and int(m.group(1)) >= top:
+                continue  # possibly an in-flight rival writer's tree
+            _verified_delete(
+                fs, hp, f"{dest}/{_TREES}/{name}", "orphan tree"
+            )
     return dropped
 
 

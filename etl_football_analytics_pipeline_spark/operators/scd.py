@@ -156,30 +156,41 @@ def scd2_apply(
     # snapshots can repeat keys with different payloads should pass
     # order_col, ADVICE r7). Unorderable attr types (maps) are
     # excluded from the tiebreak instead of crashing the sort.
-    if attr_cols:
-        from ..utils import orderable_columns
+    from ..utils import orderable_columns
 
-        orderable = orderable_columns(snapshot, list(attr_cols))
-        if order_col is not None:
-            if order_col not in snapshot.columns:
-                raise ValueError(
-                    f"scd2_apply order_col {order_col!r} is not a "
-                    f"snapshot column; have {snapshot.columns}"
-                )
-            ordering = [F.desc_nulls_last(order_col)] + [
-                F.asc(a) for a in orderable if a != order_col
-            ]
-        else:
-            ordering = [F.asc(a) for a in orderable]
-        if ordering:
-            w = Window.partitionBy(*key_cols).orderBy(*ordering)
-            snapshot = (
-                snapshot.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
+    if order_col is not None:
+        if order_col not in snapshot.columns:
+            raise ValueError(
+                f"scd2_apply order_col {order_col!r} is not a "
+                f"snapshot column; have {snapshot.columns}"
             )
-        else:
-            snapshot = snapshot.dropDuplicates(list(key_cols))
+        if order_col in key_cols:
+            # constant within each key partition: the caller's recency
+            # intent is unsatisfiable and the survivor would be the
+            # arbitrary attr-tiebreak pick — refuse instead of
+            # silently ignoring the request (ADVICE r8)
+            raise ValueError(
+                f"scd2_apply order_col {order_col!r} is a key column — "
+                "it cannot order rows WITHIN a key; pass an "
+                "observation-time / sequence column instead"
+            )
+    # order_col is honored even with empty attr_cols (ADVICE r8: the
+    # ordering branch used to be gated on attr_cols, silently dropping
+    # the caller's recency intent when the dimension is key-only)
+    orderable = orderable_columns(snapshot, list(attr_cols)) if attr_cols else []
+    if order_col is not None:
+        ordering = [F.desc_nulls_last(order_col)] + [
+            F.asc(a) for a in orderable if a != order_col
+        ]
+    else:
+        ordering = [F.asc(a) for a in orderable]
+    if ordering:
+        w = Window.partitionBy(*key_cols).orderBy(*ordering)
+        snapshot = (
+            snapshot.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     else:
         snapshot = snapshot.dropDuplicates(list(key_cols))
     # markers tell apart "key absent from that side" from "attr is

@@ -101,15 +101,23 @@ def merge_into_raw(
     to a live manifest would make the new rows invisible to resolved
     readers.
 
-    Object-store note: the partition-LOCAL fast path swaps touched
-    partition children by rename (inside the live tree) — on S3-likes
-    each child swap is a copy bounded by that partition's size, far
-    below the full-table copy the pre-r8 whole-dir swap cost but not
-    zero; deployments that need strictly rename-free commits should
-    let the full-replace manifest path handle merges (keys without the
-    partition column) or adopt a table format for the raw layer."""
+    Manifest tables stay IMMUTABLE (r9, ADVICE r8): for a table already
+    converted to the manifest layout, the partition-local merge commits
+    a brand-new tree through `manifest_commit` — delta partitions are
+    written fresh, untouched partitions are HARD-LINKED from the live
+    tree (local filesystems; O(files) metadata, zero data copied) or
+    FS-copied (remote schemes) — so retained versions never mutate and
+    `read_relation_version` time travel stays sound. The in-place child
+    swap below now runs ONLY on plain-layout (never-manifest) tables,
+    where there is no version history to corrupt.
+
+    Object-store note: on S3-likes the manifest-preserving path copies
+    untouched partitions server-side (no hard links there) — correct
+    but O(table − delta) per merge; deployments where that dominates
+    should adopt a table format for the raw layer (its metadata layer
+    is exactly a cheap cross-version file-sharing mechanism)."""
     from ..manifest import resolved_dir
-    from ..utils import _hadoop_fs, recover_swapped_dir
+    from ..utils import _clone_dir, _hadoop_fs, recover_swapped_dir
 
     _fs, _hp = _hadoop_fs(table_path, spark)
     table_path = table_path.rstrip("/")
@@ -211,8 +219,39 @@ def merge_into_raw(
             w = w.partitionBy(partition_by)
         w.parquet(p)
 
-    if local:
-        # partition-local merge: merged holds ONLY the delta's
+    if local and _root != table_path:
+        # manifest-converted table: the pre-r9 in-place child swap
+        # mutated the LIVE tree, breaking the immutable-tree invariant
+        # (a retained version read via read_relation_version silently
+        # showed post-merge data — ADVICE r8). Instead, commit a NEW
+        # tree: write the delta's partitions fresh, then reuse every
+        # untouched partition child from the live tree by hard link
+        # (local: O(files) metadata, no data copied; both trees point
+        # at the same immutable parquet files, and retiring either
+        # tree just unlinks) or FS copy (remote schemes — see the
+        # object-store note in the docstring). One zero-byte marker
+        # create publishes the tree; retention keeps replace semantics.
+        from ..manifest import manifest_commit
+
+        def _write_linked_tree(tree: str) -> None:
+            _write(tree)  # delta partitions + _SUCCESS
+            live = resolved_dir(spark, table_path)
+            fresh = {
+                st.getPath().getName()
+                for st in _fs.listStatus(_hp(tree))
+            }
+            for st in _fs.listStatus(_hp(live)):
+                name = st.getPath().getName()
+                if not name.startswith(f"{partition_by}=") or name in fresh:
+                    continue
+                _clone_dir(
+                    spark, f"{live.rstrip('/')}/{name}", f"{tree}/{name}"
+                )
+
+        manifest_commit(spark, table_path, _write_linked_tree, keep=1)
+    elif local:
+        # plain-layout table (never manifest-committed — no version
+        # history to corrupt): merged holds ONLY the delta's
         # partitions — land them durably in the sibling dir, then swap
         # each partition child over its old copy with the SAME
         # two-rename discipline as the whole-table path (retire to

@@ -409,13 +409,20 @@ def _local_manifest_tree(path: str) -> str | None:
         names = os.listdir(os.path.join(path, "_manifests"))
     except OSError:
         return None
-    best = None
+    by_version: dict[int, list[str]] = {}
     for nm in names:
         m = _MARKER_RE.match(nm)
         if m:
-            key = (int(m.group(1)), m.group(2))
-            if best is None or key > best:
-                best = key
-    if best is None:
+            by_version.setdefault(int(m.group(1)), []).append(m.group(2))
+    if not by_version:
         return None
-    return os.path.join(path, "_trees", f"v{best[0]:08d}-{best[1]}")
+    top = max(by_version)
+    if len(by_version[top]) > 1:
+        # duplicate markers for the top version = the same corruption
+        # `manifest.current_manifest` REFUSES with IOError; silently
+        # taking max(token) here could validate and reuse the LOSING
+        # commit's tree while Spark-side readers refuse the relation
+        # (ADVICE r8). Return None → the caller falls through to the
+        # Spark-resolution/rebuild path, which raises loudly.
+        return None
+    return os.path.join(path, "_trees", f"v{top:08d}-{by_version[top][0]}")

@@ -30,10 +30,31 @@ Writers stage a NEW version directory completely, then commit:
 Readers resolve the pointer once and scan an immutable directory, so
 a reader never observes a half-written table and an interrupted
 writer leaves the previous version live. This is snapshot isolation
-for single-writer pipelines (remote commits detect a racing writer
-loudly: two creates of the same marker cannot both succeed);
-multi-writer coordination beyond that is what a real table format
-adds on top, behind these same call shapes.
+for single-writer pipelines. Concurrency, stated precisely:
+
+- **Collision detection** — remote commits collide at the marker
+  create-if-absent, which is atomic on HDFS and local file:// but
+  check-then-PUT on plain S3A (advisory there: two racers can both
+  "succeed"; correctness on S3A rests on external single-writer
+  coordination or a conditional-write S3A build). Local bare-path
+  commits pin their base via an O_CREAT|O_EXCL claim file when
+  ``expected_base`` is given (merge-type commits always pin).
+- **Optimistic retry (r9)** — ``merge_commit`` / ``delete_commit``
+  accept ``retries``: a detected collision re-reads the NEW live
+  version, rebuilds the merge against it, and re-commits — an
+  appender and a compactor racing the same table both land,
+  serially, with neither's rows lost. A raced full-replace
+  (``commit_version`` directly) stays a loud ``CommitConflict``:
+  replaying a replace over a commit it never saw is last-writer-wins
+  data loss, a human decision, not a retry.
+- **Residual window** — version directories are FIXED names
+  (``vNNNNN``), so two writers inside the same microsecond window on
+  a filesystem without atomic create could interleave files in one
+  dir before either publish. The manifest layout (``manifest.py``,
+  uuid-token trees) is immune to this by construction and is the
+  recommended surface where true multi-writer overlap is possible;
+  full MVCC beyond that is what a real table format adds on top,
+  behind these same call shapes.
 
 Reference analog: the warehouse loads of `scr/Load.py` commit through
 PostgreSQL transactions; this is the parquet-native equivalent the
@@ -47,6 +68,8 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..manifest import CommitConflict
 
 _POINTER = "_LATEST"
 _COMMITS = "_commits"
@@ -156,7 +179,13 @@ def version_dir(table_dir: str, version: int) -> str:
     return os.path.join(table_dir.rstrip("/"), f"v{version:05d}")
 
 
-def commit_version(df: DataFrame, table_dir: str) -> int:
+def _claim_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f".c{version:05d}.__claim")
+
+
+def commit_version(
+    df: DataFrame, table_dir: str, expected_base: int | None = None
+) -> int:
     """Write `df` as the next version and atomically publish it.
 
     The data write happens entirely in an unpublished directory; the
@@ -164,10 +193,26 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
     create-if-absent of an empty `_commits/cNNNNNNNN` marker (remote —
     no rename, no content, object-store-atomic). A crash before the
     publish leaves the previous version live (the orphan directory is
-    ignored by readers and overwritten by the next attempt)."""
+    ignored by readers and overwritten by the next attempt).
+
+    ``expected_base`` (r9) pins the commit optimistically: the write
+    targets exactly ``expected_base + 1`` and raises ``CommitConflict``
+    if any other commit landed since the caller read that base —
+    WITHOUT it, a writer whose plan was built against a stale read
+    would re-resolve a fresh version number here and silently publish
+    a merge that drops the interleaved commit's rows. Remote tables
+    get this from the per-version marker create-if-absent; local
+    tables claim the version with an O_CREAT|O_EXCL file first (a
+    crashed claimer leaves a stale ``.cNNNNN.__claim`` that blocks
+    that version until ``vacuum`` — run quiesced — clears it).
+    Merge-type commits (`merge_commit`, `delete_commit`) always pin;
+    use ``retries`` there to turn the loud conflict into a rebase."""
     if _is_remote(table_dir):
         fs, hp = _remote_fs(table_dir)
-        next_v = (current_version(table_dir) or 0) + 1
+        if expected_base is None:
+            next_v = (current_version(table_dir) or 0) + 1
+        else:
+            next_v = expected_base + 1
         target = version_dir(table_dir, next_v)
         marker = f"{table_dir.rstrip('/')}/{_COMMITS}/c{next_v:08d}"
         # re-probe the marker BEFORE touching the target dir: a writer
@@ -175,10 +220,11 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
         # RACE WINNER'S committed data as a "crashed orphan" and only
         # then die on the marker create — fail first, touch nothing
         if fs.exists(hp(marker)):
-            raise IOError(
+            raise CommitConflict(
                 f"commit marker {marker!r} already exists — a "
-                "concurrent writer committed this version first (the "
-                "table is single-writer); re-read and retry"
+                "concurrent writer committed this version first; "
+                "re-read and retry (merge_commit/delete_commit "
+                "retries=N automates the rebase)"
             )
         if fs.exists(hp(target)):  # orphan from a crashed attempt
             fs.delete(hp(target), True)
@@ -188,41 +234,94 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
             # dies HERE instead of silently replacing the other
             # commit's data dir. Atomic on HDFS/local; on S3A the
             # create is check-then-put, so the guard (like the
-            # pre-write probe above) is best-effort — the protocol's
-            # correctness rests on the documented single-writer
-            # contract, the guards just make most violations loud.
+            # pre-write probe above) is advisory — correctness on
+            # plain S3A rests on external single-writer coordination,
+            # the guards make violations loud where the store can.
             fs.create(hp(marker), False).close()
         except Exception as exc:
             if fs.exists(hp(marker)):
-                raise IOError(
+                raise CommitConflict(
                     f"commit marker {marker!r} already exists — a "
-                    "concurrent writer committed this version first "
-                    "(the table is single-writer); re-read and retry"
+                    "concurrent writer committed this version first; "
+                    "re-read and retry (merge_commit/delete_commit "
+                    "retries=N automates the rebase)"
                 ) from exc
             raise  # a real storage fault, not a race — don't relabel
         return next_v
     os.makedirs(table_dir, exist_ok=True)
-    next_v = (current_version(table_dir) or 0) + 1
-    target = version_dir(table_dir, next_v)
-    shutil.rmtree(target, ignore_errors=True)  # orphan from a crashed attempt
-    df.write.mode("overwrite").parquet(target)
-    tmp_pointer = _pointer_path(table_dir) + ".tmp"
-    with open(tmp_pointer, "w") as fh:
-        fh.write(str(next_v))
-        # fsync BEFORE the rename: os.replace journals the rename
-        # metadata independently of the data pages, so a power loss
-        # could otherwise publish a zero-length pointer (the classic
-        # ext4 empty-file-after-crash pattern) — which current_version
-        # would now refuse loudly, but durability is better than a
-        # good error message
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp_pointer, _pointer_path(table_dir))
-    dir_fd = os.open(table_dir, os.O_RDONLY)
-    try:  # make the rename itself durable
-        os.fsync(dir_fd)
+    claim = None
+    if expected_base is None:
+        next_v = (current_version(table_dir) or 0) + 1
+    else:
+        next_v = expected_base + 1
+        # atomic per-version claim (O_CREAT|O_EXCL): the local pointer
+        # replace is blind, so WITHOUT this two pinned writers racing
+        # one version would interleave files in the same fixed-name
+        # vNNNNN dir before either pointer flip
+        claim = _claim_path(table_dir, next_v)
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"version claim {claim!r} already exists — a concurrent "
+                "writer is committing (or crashed while committing) "
+                "this version; retry, or vacuum a quiesced table to "
+                "clear a stale claim"
+            ) from exc
+    try:
+        # pinned: verify the base BEFORE touching the target dir (the
+        # remote branch's pre-write marker probe, mirrored) — a writer
+        # holding a stale base would otherwise rmtree the RACE WINNER'S
+        # committed vNNNNN dir as a "crashed orphan" and only then die
+        # on the post-write check, leaving the live pointer naming a
+        # dir whose content it replaced. Fail first, touch nothing.
+        if expected_base is not None and (
+            current_version(table_dir) or 0
+        ) != expected_base:
+            raise CommitConflict(
+                f"{table_dir!r} advanced past expected base "
+                f"{expected_base}; re-read and retry"
+            )
+        target = version_dir(table_dir, next_v)
+        shutil.rmtree(target, ignore_errors=True)  # orphan from a crashed attempt
+        df.write.mode("overwrite").parquet(target)
+        if expected_base is not None:
+            # defense against an interleaved UNPINNED commit (mixing
+            # pinned and legacy writers on one table is a contract
+            # violation; this converts the common serial case of it
+            # into a loud conflict instead of silent row loss)
+            if (current_version(table_dir) or 0) != expected_base:
+                raise CommitConflict(
+                    f"{table_dir!r} advanced past expected base "
+                    f"{expected_base} during the commit; re-read and retry"
+                )
+        tmp_pointer = _pointer_path(table_dir) + ".tmp"
+        with open(tmp_pointer, "w") as fh:
+            fh.write(str(next_v))
+            # fsync BEFORE the rename: os.replace journals the rename
+            # metadata independently of the data pages, so a power loss
+            # could otherwise publish a zero-length pointer (the classic
+            # ext4 empty-file-after-crash pattern) — which
+            # current_version would now refuse loudly, but durability
+            # is better than a good error message
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_pointer, _pointer_path(table_dir))
+        dir_fd = os.open(table_dir, os.O_RDONLY)
+        try:  # make the rename itself durable
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
     finally:
-        os.close(dir_fd)
+        # release the claim on success AND on failure (a failed write
+        # must not fence the version forever; the half-written target
+        # is an orphan the next attempt rmtree's). Only a process
+        # CRASH leaves a stale claim — vacuum clears those.
+        if claim is not None:
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass
     return next_v
 
 
@@ -295,6 +394,13 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
     live = current_version(table_dir)
     if live is None:
         return []
+    # stale version claims (a pinned writer that CRASHED between its
+    # O_EXCL claim and the pointer flip) fence their version number
+    # forever; vacuum runs quiesced by contract, so any claim present
+    # here is stale — clear them all
+    for d in os.listdir(table_dir):
+        if d.startswith(".c") and d.endswith(".__claim"):
+            os.unlink(os.path.join(table_dir, d))
     found = sorted(
         int(d[1:])
         for d in os.listdir(table_dir)
@@ -360,12 +466,28 @@ def merge_commit(
     keys: list[str],
     insert_only: bool = False,
     evolve_schema: bool = False,
+    retries: int = 0,
+    backoff_s: float = 0.05,
 ) -> int:
     """Keyed MERGE of a delta into the versioned table, committed as a
     new snapshot: read the live version, merge (new-wins, or
     insert-if-absent when `insert_only`), commit. The read and the
     write touch DIFFERENT directories, so the overwrite-what-you-read
     hazard cannot occur by construction.
+
+    The merge reads the PINNED base version and commits with
+    ``expected_base`` set, so a commit that lands in between raises
+    ``CommitConflict`` instead of silently dropping its rows (the
+    read path is `read_version`, not `read_latest`, precisely so the
+    plan cannot drift onto a newer snapshot mid-attempt). With
+    ``retries > 0`` the conflict triggers a REBASE: re-read the new
+    live version, rebuild the merge against it, re-commit — bounded,
+    with exponential backoff. A merge is always rebaseable (it is a
+    function of (live, delta)); this is how an appender and a
+    compactor racing one table both land serially with neither's
+    rows lost. Compare ``commit_version`` directly (full replace):
+    deliberately NOT retried, because replaying a replace over a
+    commit it never saw is last-writer-wins row loss.
 
     ``evolve_schema=True`` permits ADDITIVE evolution: a delta
     carrying new columns widens the table (pre-existing rows read
@@ -375,18 +497,31 @@ def merge_commit(
     fail loudly, the right behavior for a production feed."""
     from ..operators.merge import insert_if_absent, merge_replace
 
-    if current_version(table_dir) is None:
-        merged = delta
-    else:
-        live = read_latest(spark, table_dir)
-        if evolve_schema:
-            live, delta = _align_schemas(live, delta)
-        merged = (
-            insert_if_absent(live, delta, keys)
-            if insert_only
-            else merge_replace(live, delta, keys)
-        )
-    return commit_version(merged, table_dir)
+    attempt = 0
+    while True:
+        base = current_version(table_dir)
+        if base is None:
+            merged = delta
+        else:
+            live = read_version(spark, table_dir, base)
+            d = delta
+            if evolve_schema:
+                live, d = _align_schemas(live, d)
+            merged = (
+                insert_if_absent(live, d, keys)
+                if insert_only
+                else merge_replace(live, d, keys)
+            )
+        try:
+            return commit_version(merged, table_dir, expected_base=base or 0)
+        except CommitConflict:
+            if attempt >= retries:
+                raise
+            import random
+            import time
+
+            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            attempt += 1
 
 
 def snapshot_diff(
@@ -421,6 +556,8 @@ def delete_commit(
     table_dir: str,
     doomed: DataFrame,
     keys: list[str],
+    retries: int = 0,
+    backoff_s: float = 0.05,
 ) -> int:
     """Row-level delete (the GDPR/right-to-be-forgotten primitive),
     committed as a new snapshot: the live version anti-joins the
@@ -435,12 +572,29 @@ def delete_commit(
 
     `doomed` carries just the key columns (extra columns are ignored);
     at scale the anti-join is one hash shuffle on the keys, or a
-    broadcast when the doomed set is small — Catalyst's choice."""
-    v = current_version(table_dir)
-    if v is None:
-        raise ValueError(f"no committed version under {table_dir}")
-    live = read_latest(spark, table_dir)
-    survivors = live.join(
-        doomed.select(*keys).distinct(), keys, "left_anti"
-    )
-    return commit_version(survivors, table_dir)
+    broadcast when the doomed set is small — Catalyst's choice.
+
+    Base-pinned like ``merge_commit``, and for the same reason: a
+    commit landing between the live read and the publish must raise
+    ``CommitConflict``, not have its rows silently anti-joined away.
+    ``retries > 0`` rebases (re-read, re-anti-join, re-commit) — a
+    delete is rebaseable because it is a function of (live, doomed)."""
+    attempt = 0
+    while True:
+        v = current_version(table_dir)
+        if v is None:
+            raise ValueError(f"no committed version under {table_dir}")
+        live = read_version(spark, table_dir, v)
+        survivors = live.join(
+            doomed.select(*keys).distinct(), keys, "left_anti"
+        )
+        try:
+            return commit_version(survivors, table_dir, expected_base=v)
+        except CommitConflict:
+            if attempt >= retries:
+                raise
+            import random
+            import time
+
+            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            attempt += 1

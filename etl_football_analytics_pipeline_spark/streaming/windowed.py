@@ -526,6 +526,15 @@ def merge_sink(
              .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
     """
     keys = list(keys)
+    if order_col is not None and order_col in keys:
+        # constant within each key partition — the "keep latest" intent
+        # is unsatisfiable and the survivor would be the arbitrary
+        # tiebreak pick; refuse at sink construction (ADVICE r8)
+        raise ValueError(
+            f"merge_sink order_col {order_col!r} is a key column — it "
+            "cannot order rows WITHIN a key; pass an event-time / "
+            "sequence column instead"
+        )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         s = spark or batch.sparkSession
@@ -585,6 +594,19 @@ def merge_sink(
             )
             replace_dir(s, target_path, lambda p: merged.write.parquet(p))
             return
+        # protocol guard (ADVICE r8): a target previously committed
+        # through the manifest layout keeps its data under _-prefixed
+        # children only — the rename-swap branch below would fail every
+        # batch with Spark's opaque "Unable to infer schema", and a
+        # batch that DID land would write root files the manifest
+        # resolver never sees. Mirror versioned.py's protocol guard.
+        if fs.exists(hp(f"{target_path.rstrip('/')}/{'_manifests'}")):
+            raise IOError(
+                f"merge_sink target {target_path!r} was committed "
+                "through the manifest layout (_manifests/ exists) but "
+                "the sink was built with use_manifest=False — pass "
+                "use_manifest=True (readers use manifest.read_relation)"
+            )
         if fs.exists(hp(target_path)):
             old = s.read.parquet(target_path)
             merged = merge_replace(old, batch, keys)

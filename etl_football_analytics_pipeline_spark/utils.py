@@ -84,6 +84,39 @@ def commit_staged_dir(path: str, tmp: str, spark=None) -> None:
     fs.delete(hp(retired), True)
 
 
+def _clone_dir(spark, src: str, dst: str) -> None:
+    """Materialize `dst` as a same-content twin of directory `src`
+    WITHOUT copying data where the filesystem allows it: local paths
+    (bare or file://) hard-link every file (O(files) metadata ops —
+    parquet files are immutable once committed, so two trees sharing
+    inodes is safe, and deleting either tree merely unlinks); remote
+    schemes fall back to Hadoop FileUtil.copy (no link primitive
+    there). This is how manifest-preserving partition-local merges
+    reuse untouched partitions across immutable tree versions."""
+
+    def _local(p: str) -> str | None:
+        if "://" not in p:
+            return p
+        if p.startswith("file://"):
+            return p[len("file://"):] or "/"
+        return None
+
+    lsrc, ldst = _local(src), _local(dst)
+    if lsrc is not None and ldst is not None:
+        for root, _dirs, files in os.walk(lsrc):
+            rel = os.path.relpath(root, lsrc)
+            out = ldst if rel == "." else os.path.join(ldst, rel)
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(root, f), os.path.join(out, f))
+        return
+    fs, hp = _hadoop_fs(src, spark)
+    conf = spark._jsc.hadoopConfiguration()
+    futil = spark._jvm.org.apache.hadoop.fs.FileUtil
+    if not futil.copy(fs, hp(src), fs, hp(dst), False, conf):
+        raise IOError(f"could not clone {src!r} -> {dst!r}")
+
+
 def orderable_columns(df: DataFrame, cols) -> list[str]:
     """The subset of `cols` whose types Spark can ORDER BY — map
     columns (and arrays/structs containing maps) are unorderable and

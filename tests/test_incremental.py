@@ -68,18 +68,28 @@ def test_merge_first_write_then_keyed_replace(spark, base, tmp_path):
 
 
 def test_merge_is_partition_local(spark, base, tmp_path):
-    """The 2425 delta must not rewrite the 2324 partition's files."""
+    """The 2425 delta must not rewrite the 2324 partition's files.
+
+    Since r9 a manifest-converted table's partition-local merge commits
+    a NEW immutable tree (ADVICE r8: the old in-place child swap
+    mutated retained versions), reusing untouched partitions by hard
+    link — so the check is by inode: the 2324 files in the new tree
+    are literally the same inodes as before, zero bytes copied."""
     path = str(tmp_path / "t")
     merge_into_raw(spark, base, path, ["season", "game"])
     # partition children live inside the live manifest tree since r8
-    part_2324 = os.path.join(resolved_dir(spark, path), "season=2324")
-    before = {f: os.path.getmtime(os.path.join(part_2324, f))
+    old_tree = resolved_dir(spark, path)
+    part_2324 = os.path.join(old_tree, "season=2324")
+    before = {f: os.stat(os.path.join(part_2324, f)).st_ino
               for f in os.listdir(part_2324) if f.endswith(".parquet")}
     delta = spark.createDataFrame([("2425", "g9", 9)], "season string, game string, v int")
     merge_into_raw(spark, delta, path, ["season", "game"])
-    after = {f: os.path.getmtime(os.path.join(part_2324, f))
+    new_tree = resolved_dir(spark, path)
+    assert new_tree != old_tree  # a fresh immutable tree, not a mutation
+    part_2324 = os.path.join(new_tree, "season=2324")
+    after = {f: os.stat(os.path.join(part_2324, f)).st_ino
              for f in os.listdir(part_2324) if f.endswith(".parquet")}
-    assert before == after  # same files, same mtimes — never rewritten
+    assert before == after  # same file names, same inodes — never rewritten
 
 
 def test_merge_schema_mismatch_replaces_table(spark, base, tmp_path):

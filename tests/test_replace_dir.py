@@ -166,8 +166,14 @@ def test_crash_between_tree_write_and_marker(spark, tmp_path):
     ]
     assert orphans  # the crashed tree is on disk...
     replace_dir(spark, dest, lambda p: spark.range(8).write.parquet(p))
-    # ...until the next commit GCs it along with the replaced tree
     assert read_relation(spark, dest).count() == 8
+    # ...and SURVIVES the commit-path vacuum (r9: it sits at the same
+    # version a rival in-flight writer could occupy, so the commit's
+    # own vacuum must spare it — readers never resolve it either way)
+    assert len(os.listdir(f"{dest}/_trees")) == 2
+    # an EXPLICIT quiesced vacuum is the post-crash hard-erasure path:
+    # it GCs every unreferenced tree
+    manifest_vacuum(spark, dest, keep=1)
     assert _ids_on_disk(dest, spark) == set(range(8))
     assert len(os.listdir(f"{dest}/_trees")) == 1
 
@@ -289,8 +295,11 @@ def test_manifest_protocol_random_crash_walk(spark, tmp_path):
         if action == "replace":
             replace_dir(spark, dest, write_rows)
             model = set(rows)
-            # full replace: raw disk holds exactly the model
-            assert _ids_on_disk(dest, spark) == model, (step, action)
+            # full replace: raw disk holds the model, plus possibly a
+            # crashed orphan tree the commit-path vacuum spared (r9:
+            # same-version orphans may be a rival's in-flight tree);
+            # the explicit-vacuum action below asserts exact equality
+            assert _ids_on_disk(dest, spark) >= model, (step, action)
         elif action == "crash_in_writer":
             def boom(p):
                 raise Kill()

@@ -293,3 +293,38 @@ def test_scd2_apply_order_col_keeps_latest(spark):
     )
     cur = {r.k: r.attr for r in out.filter("is_current").collect()}
     assert cur[1] == "NEWER" and cur[9] == "NEW"
+
+
+def test_scd2_apply_order_col_honored_with_empty_attrs(spark):
+    """ADVICE r8: the ordering branch was gated on attr_cols, so a
+    key-only dimension silently ignored a supplied order_col and kept
+    an arbitrary dropDuplicates survivor. The dedup must honor the
+    recency intent regardless — observable through which row's
+    PER-ROW observation time (a Column snapshot_ts) the opened
+    version carries."""
+    import pyspark.sql.functions as F
+
+    dim = scd2_build(
+        spark.createDataFrame([(1, _ts(1))], "k int, seen_at timestamp"),
+        ["k"], [], "seen_at", "k",
+    )
+    snap = spark.createDataFrame(
+        [(2, _ts(5)), (2, _ts(9))], "k int, seen_at timestamp"
+    )
+    out = scd2_apply(dim, snap, ["k"], [], F.col("seen_at"),
+                     order_col="seen_at")
+    opened = out.filter("k = 2").collect()
+    assert len(opened) == 1
+    assert opened[0].effective_from == _ts(9)  # latest observation won
+
+
+def test_scd2_apply_rejects_key_order_col(spark):
+    """An order_col that is also a key is constant within each key
+    partition — the recency intent is unsatisfiable; refuse loudly
+    (ADVICE r8)."""
+    import pytest as _pytest
+
+    dim = scd2_build(_feed(spark), ["k"], ["attr"], "ts", "src_id")
+    snap = spark.createDataFrame([(1, "x")], "k int, attr string")
+    with _pytest.raises(ValueError, match="key column"):
+        scd2_apply(dim, snap, ["k"], ["attr"], _ts(9), order_col="k")

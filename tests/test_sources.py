@@ -198,3 +198,25 @@ def test_compact_mirror_evicts_stale_states(spark, tmp_path):
     assert out3 != out2
     states3 = set(os.listdir(src_root))
     assert old_state not in states3
+
+
+def test_local_manifest_tree_refuses_duplicate_top_markers(tmp_path):
+    """ADVICE r8: duplicate markers for the top version are the exact
+    corruption `manifest.current_manifest` raises on — the os-level
+    twin must return None (forcing the Spark-resolution path, which
+    raises loudly) instead of silently picking max(token), which could
+    validate and reuse the LOSING commit's tree."""
+    from etl_football_analytics_pipeline_spark.sources.registry import (
+        _local_manifest_tree,
+    )
+
+    d = tmp_path / "rel"
+    (d / "_manifests").mkdir(parents=True)
+    (d / "_manifests" / "v00000001.aaaaaaaaaaaa").touch()
+    assert _local_manifest_tree(str(d)).endswith("v00000001-aaaaaaaaaaaa")
+    (d / "_manifests" / "v00000001.bbbbbbbbbbbb").touch()
+    assert _local_manifest_tree(str(d)) is None
+    # a clean higher version resolves again (the duplicate below top
+    # is stale residue, not ambiguity about the live tree)
+    (d / "_manifests" / "v00000002.cccccccccccc").touch()
+    assert _local_manifest_tree(str(d)).endswith("v00000002-cccccccccccc")

@@ -383,3 +383,31 @@ def test_merge_sink_manifest_mode_object_store_path(spark, tmp_path):
     assert sorted(map(tuple, read_relation(spark, target).collect())) == rows
     # keep=1 retention: exactly one live version on disk
     assert len(manifest_versions(spark, target)) == 1
+
+
+def test_merge_sink_rejects_key_order_col(tmp_path):
+    """An order_col that is also a key is constant within each key
+    partition — refuse at sink construction (ADVICE r8), before any
+    stream starts."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key column"):
+        merge_sink(f"{tmp_path}/tgt", ["event_id"], f"{tmp_path}/ckpt",
+                   order_col="event_id")
+
+
+def test_merge_sink_refuses_manifest_target_without_flag(spark, tmp_path):
+    """ADVICE r8: a target previously converted to the manifest layout
+    holds only _-prefixed children, so the rename-swap branch failed
+    every batch with Spark's opaque 'Unable to infer schema'. The sink
+    must refuse with an explicit protocol-mismatch error instead."""
+    import pytest as _pytest
+
+    target = f"{tmp_path}/tgt"
+    batch = spark.createDataFrame([(1, "a")], "event_id long, v string")
+    manifest_sink = merge_sink(target, ["event_id"], f"{tmp_path}/ck1",
+                               use_manifest=True)
+    manifest_sink(batch, 0)
+    plain_sink = merge_sink(target, ["event_id"], f"{tmp_path}/ck2")
+    with _pytest.raises(IOError, match="use_manifest=True"):
+        plain_sink(batch, 1)

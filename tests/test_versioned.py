@@ -397,8 +397,10 @@ def test_remote_duplicate_marker_race_fails_loud(spark, tmp_path):
     spark.createDataFrame([(2, "b")], "k long, v string").write.parquet(
         f"{tbl}/v00002"
     )
+    from etl_football_analytics_pipeline_spark.manifest import CommitConflict
+
     with mock.patch.object(versioned, "_remote_versions", return_value=[1]):
-        with pytest.raises(IOError, match="single-writer"):
+        with pytest.raises(CommitConflict, match="concurrent writer"):
             commit_version(
                 spark.createDataFrame([(2, "LOSER")], "k long, v string"),
                 tbl,
