@@ -71,8 +71,14 @@ def main() -> int:
     # run from being recorded inside a burst. Bounded: never blocks
     # more than WAIT_MAX, and the actual wait is recorded in the JSON
     # so a still-contended run is attributable.
-    wait_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_LOAD", "2.5"))
-    wait_max = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_MAX", "180"))
+    # r9 (VERDICT r8 #4): threshold 2.5 → 1.0 and bound 180 → 600 s.
+    # The r8 official record started at loadavg 2.23 — ADMITTED by the
+    # old gate — and read as a 10% regression while every quiet re-run
+    # showed a 10% improvement; a sub-1.0 start is what both quiet r8
+    # verification runs actually had, and ten minutes bounds the wait
+    # at roughly half a burst-free window's typical spacing.
+    wait_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_LOAD", "1.0"))
+    wait_max = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_MAX", "600"))
     waited = 0.0
     while os.getloadavg()[0] > wait_thresh and waited < wait_max:
         time.sleep(10)
