@@ -97,6 +97,18 @@ def main() -> int:
         with open(SIDECAR) as fh:
             results = json.load(fh)
 
+    # the same bounded quiet-wait as bench.py (r9, VERDICT r8 #4): the
+    # r8 sidecar was re-recorded inside a steal burst (loadavg_start
+    # 8-12) and contradicted the prose citing it — the sidecar exists
+    # to REPLACE prose with evidence, so its own recording must gate on
+    # a quiet window and stamp what it actually got
+    wait_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_LOAD", "1.0"))
+    wait_max = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_MAX", "600"))
+    waited = 0.0
+    while os.getloadavg()[0] > wait_thresh and waited < wait_max:
+        time.sleep(10)
+        waited += 10
+
     for name in names:
         # FRESH session per entry — the point of the exercise: no heap,
         # cache, or cleaner state inherited from any other query
