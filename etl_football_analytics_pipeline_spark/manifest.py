@@ -148,23 +148,32 @@ def manifest_versions(spark, dest: str) -> list[tuple[int, str]]:
 
 def current_manifest(spark, dest: str) -> tuple[int, str] | None:
     """The live ``(version, token)``, or None when the relation has no
-    manifest (resolve falls back to the plain directory). Duplicate
-    markers for one version would mean two writers violated the
-    single-writer contract AND both dodged the create-if-absent guard
-    (possible only on filesystems without atomic create) — refuse to
-    guess which tree is real."""
-    versions = manifest_versions(spark, dest)
-    if not versions:
-        return None
-    top = [vt for vt in versions if vt[0] == versions[-1][0]]
-    if len(top) > 1:
-        raise IOError(
-            f"manifest corruption in {dest!r}: version {top[0][0]} has "
-            f"{len(top)} markers ({[t for _, t in top]}); the "
-            "single-writer contract was violated — delete the marker "
-            "of the losing commit before reading"
-        )
-    return versions[-1]
+    manifest (resolve falls back to the plain directory).
+
+    Duplicate markers for one version are TRANSIENT during a writer
+    race (the commit protocol is create-then-verify: the losing writer
+    withdraws its marker within milliseconds of creating it — see
+    ``manifest_commit``), so a reader that catches the window re-lists
+    briefly before concluding corruption. PERSISTENT duplicates mean a
+    racer crashed between create and withdraw — refuse to guess which
+    tree is real."""
+    for wait in (0.05, 0.15, 0.3, None):
+        versions = manifest_versions(spark, dest)
+        if not versions:
+            return None
+        top = [vt for vt in versions if vt[0] == versions[-1][0]]
+        if len(top) == 1:
+            return versions[-1]
+        if wait is not None:
+            import time
+
+            time.sleep(wait)
+    raise IOError(
+        f"manifest corruption in {dest!r}: version {top[0][0]} has "
+        f"{len(top)} markers ({[t for _, t in top]}); a racing commit "
+        "crashed between marker create and withdraw — delete the "
+        "losing marker before reading"
+    )
 
 
 def resolved_dir(spark, dest: str) -> str:
@@ -249,6 +258,15 @@ def manifest_commit(
     retry — keep ``retries=0`` there so a raced replace stays a loud
     ``CommitConflict`` for a human to adjudicate (the documented
     non-rebaseable case).
+
+    RETENTION UNDER CONCURRENCY: a rebasing writer reads the tree that
+    was live when its attempt started; a rival committing meanwhile
+    triggers retention, and with ``keep=1`` that retires the very tree
+    the rebase is still scanning (the classic vacuum-vs-reader race —
+    Delta answers it with retention periods). Size ``keep`` to at
+    least (concurrent writers + 1) so the previous ``keep-1`` trees
+    outlive any in-flight rebase; ``keep=1`` is the single-writer
+    replace setting.
 
     Returns the committed version number."""
     dest = dest.rstrip("/")

@@ -224,3 +224,94 @@ def test_stale_claim_blocks_then_vacuum_clears(spark, tmp_path):
     assert not os.path.exists(claim)
     assert V.merge_commit(spark, td, delta, ["k"]) == 2
     assert _kv(spark, td) == [(1, "a"), (2, "b")]
+
+
+# ------------------------------------------------------------- real threads
+
+
+def test_manifest_threaded_appenders_all_land(spark, tmp_path):
+    """TRUE concurrency (no interleaving mocks): two driver threads
+    each append three batches to one manifest relation with retries —
+    every batch must land exactly once, versions strictly serial.
+
+    keep=3 per the retention-under-concurrency rule (writers + 1): a
+    rebasing writer scans the tree that was live at its attempt start,
+    and keep=1 would let the rival's commit vacuum that tree mid-plan
+    (the classic vacuum-vs-reader race)."""
+    import threading
+
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(
+        spark, dest, lambda t: spark.range(0, 0).write.parquet(t), keep=3
+    )
+    errors = []
+
+    def appender(lo_base: int):
+        try:
+            for i in range(3):
+                lo = lo_base + i * 100
+
+                def write(tree, lo=lo):
+                    live = M.read_relation(spark, dest)
+                    live.unionByName(
+                        spark.range(lo, lo + 10).select(*live.columns)
+                    ).write.parquet(tree)
+
+                M.manifest_commit(spark, dest, write, keep=3, retries=10)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(1000,)),
+        threading.Thread(target=appender, args=(2000,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = sorted(r.id for r in M.read_relation(spark, dest).collect())
+    want = sorted(
+        x for base in (1000, 2000) for i in range(3)
+        for x in range(base + i * 100, base + i * 100 + 10)
+    )
+    assert got == want  # all six batches, nothing lost, nothing doubled
+    versions = [v for v, _ in M.manifest_versions(spark, dest)]
+    assert len(versions) == 3  # keep=3 retention
+    assert versions[-1] == 7  # seed + six serial commits
+
+
+def test_versioned_threaded_writers_all_land(spark, tmp_path):
+    """Two driver threads merge disjoint key batches into one LOCAL
+    versioned table with retries — the O_EXCL claim + pinned base must
+    serialize them with no silent row loss."""
+    import threading
+
+    td = str(tmp_path / "t")
+    V.commit_version(
+        spark.createDataFrame([(0, "seed")], "k int, val string"), td
+    )
+    errors = []
+
+    def writer(base: int):
+        try:
+            for i in range(3):
+                delta = spark.createDataFrame(
+                    [(base + i, f"w{base}_{i}")], "k int, val string"
+                )
+                V.merge_commit(spark, td, delta, ["k"], retries=10)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(100,)),
+        threading.Thread(target=writer, args=(200,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    ks = sorted(r.k for r in V.read_latest(spark, td).collect())
+    assert ks == [0, 100, 101, 102, 200, 201, 202]
+    assert V.current_version(td) == 7  # six serial commits on the seed
