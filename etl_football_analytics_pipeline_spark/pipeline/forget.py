@@ -125,6 +125,33 @@ def forget_keys(
     return delete_commit(spark, table_dir, ids, keys)
 
 
+def _manifest_relations(spark, root: str) -> list[str]:
+    """Every manifest-managed relation directory under ``root`` (a dir
+    carrying a ``_manifests`` child), found through the Hadoop FS so
+    remote index roots walk the same way local ones do. Bounded: index
+    roots hold a handful of relation dirs, never data-sized fanout."""
+    from ..utils import _hadoop_fs
+
+    fs, hp = _hadoop_fs(root, spark)
+    out: list[str] = []
+    stack = [root.rstrip("/")]
+    while stack:
+        d = stack.pop()
+        if not fs.exists(hp(d)):
+            continue
+        subdirs = [
+            st.getPath().getName()
+            for st in fs.listStatus(hp(d))
+            if st.isDirectory()
+        ]
+        if "_manifests" in subdirs:
+            out.append(d)
+        for name in subdirs:
+            if name not in ("_manifests", "_trees"):
+                stack.append(f"{d}/{name}")
+    return out
+
+
 def compact_indexes(
     spark: SparkSession, indexes: Sequence[IndexRef]
 ) -> None:
@@ -166,4 +193,18 @@ def forget_keys_hard(
     v = forget_keys(spark, table_dir, doomed, keys, indexes)
     vacuum(table_dir, keep=keep_versions)
     compact_indexes(spark, indexes)
+    # crash-residue sweep (r9): the commit-path vacuum inside each
+    # compaction spares unreferenced trees at same-or-higher versions
+    # (they could be a CONCURRENT writer's in-flight tree — see
+    # manifest_vacuum), but a compaction attempt that crashed before
+    # its marker can have left exactly such an orphan still holding
+    # pre-forget rows. forget_keys_hard runs quiesced by contract, so
+    # it finishes with an explicit full-GC vacuum of every
+    # manifest-managed relation under each index root — after this the
+    # doomed rows exist nowhere on disk, crash residue included.
+    from ..manifest import manifest_vacuum
+
+    for ref in indexes:
+        for rel in _manifest_relations(spark, ref.path):
+            manifest_vacuum(spark, rel, keep=1)
     return v

@@ -188,7 +188,24 @@ def test_forget_keys_hard_erases_storage(spark, corpus, tmp_path):
         IndexRef("minhash", mh_dir),
         IndexRef("ivf", ivf_dir, "vec_id"),
     ]
+    # forge a CRASHED compaction attempt on one index relation: a tree
+    # written at the next version, no marker (died pre-publish), still
+    # holding the doomed doc. The commit-path vacuum spares it (it sits
+    # where an in-flight concurrent writer's tree would), so hard
+    # erasure must finish with the explicit full-GC sweep (r9) — the
+    # raw parquet walk below proves the residue is gone.
+    from etl_football_analytics_pipeline_spark.manifest import (
+        manifest_versions,
+        tree_dir,
+    )
+
+    docs_rel = f"{mh_dir}/docs"
+    top_v = manifest_versions(spark, docs_rel)[-1][0]
+    orphan = tree_dir(docs_rel, top_v + 1, "deadbeef0000")
+    read_relation(spark, docs_rel).write.parquet(orphan)
+
     v = forget_keys_hard(spark, tbl, doomed, ["doc_id"], indexes)
+    assert not os.path.isdir(orphan)  # crash residue swept
 
     # probes: compaction must not change any answer
     assert _bm25_hits(spark, bm25_dir, terms) == want
