@@ -108,8 +108,8 @@ def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              n1, n2, v1, v2
       FROM (
         SELECT n.n_name AS k1,
-               SUM(CASE WHEN LOWER(o.o_orderstatus) = 'o' THEN 1 ELSE 0 END) AS n1,
-               SUM(CASE WHEN LOWER(o.o_orderstatus) = 'f' THEN 1 ELSE 0 END) AS n2,
+               CAST(SUM(CASE WHEN LOWER(o.o_orderstatus) = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN LOWER(o.o_orderstatus) = 'f' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
                CAST(CAST(SUM(CASE WHEN LOWER(o.o_orderstatus) = 'o'
                     THEN CAST(o.o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS v1,
                CAST(CAST(SUM(CASE WHEN LOWER(o.o_orderstatus) = 'f'
