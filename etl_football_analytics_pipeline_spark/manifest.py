@@ -81,6 +81,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "CommitConflict",
     "current_manifest",
+    "manifest_append",
     "manifest_commit",
     "manifest_vacuum",
     "manifest_versions",
@@ -326,6 +327,61 @@ def manifest_commit(
         # is stale now; the new tree path itself has never been scanned
         spark.catalog.refreshByPath(dest)
         return next_v
+
+
+def manifest_append(
+    spark, dest: str, df: DataFrame, keep: int = 2, retries: int = 0,
+    backoff_s: float = 0.05,
+) -> int:
+    """Append ``df``'s rows as the relation's next version in O(delta):
+    the new tree gets ``df`` written as FRESH parquet files plus every
+    data file of the live tree HARD-LINKED in (local filesystems —
+    zero bytes copied, parquet files are immutable so two trees
+    sharing inodes is safe; remote schemes FS-copy, see the
+    object-store note in ``pipeline.incremental.merge_into_raw``).
+    This is the add-files commit of a table format reduced to this
+    layout — the cost of an append is the delta plus O(files)
+    metadata, never a table rewrite.
+
+    The append is REBASEABLE by construction (it re-reads the live
+    tree on every attempt), so ``retries > 0`` gives lock-free
+    multi-writer appends: rivals detect each other at the
+    create-then-verify publish and the loser relinks against the
+    winner's tree. ``keep`` defaults to 2 (not 1): under concurrency
+    the previous tree must outlive an in-flight rival's relink — see
+    the retention-under-concurrency note on ``manifest_commit``.
+
+    UNPARTITIONED relations only: the live tree's files are linked
+    flat, and ``df`` is written flat next to them — a partitionBy
+    layout needs the partition-aware merge in
+    ``pipeline.incremental.merge_into_raw``. Raises on a live tree
+    with partition subdirectories."""
+
+    def write(tree: str) -> None:
+        from .utils import _clone_dir
+
+        df.write.mode("append").parquet(tree)
+        cur = current_manifest(spark, dest)
+        if cur is None:
+            return
+        fs, hp = _fs(spark, dest)
+        live = tree_dir(dest, *cur)
+        for st in fs.listStatus(hp(live)):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                raise ValueError(
+                    f"manifest_append: {dest!r} is a partitioned layout "
+                    f"(child {name!r}); use "
+                    "pipeline.incremental.merge_into_raw for "
+                    "partition-aware appends"
+                )
+            _clone_dir(spark, f"{live}/{name}", f"{tree}/{name}")
+
+    return manifest_commit(
+        spark, dest, write, keep=keep, retries=retries, backoff_s=backoff_s
+    )
 
 
 def manifest_vacuum(

@@ -85,14 +85,15 @@ def commit_staged_dir(path: str, tmp: str, spark=None) -> None:
 
 
 def _clone_dir(spark, src: str, dst: str) -> None:
-    """Materialize `dst` as a same-content twin of directory `src`
-    WITHOUT copying data where the filesystem allows it: local paths
-    (bare or file://) hard-link every file (O(files) metadata ops —
-    parquet files are immutable once committed, so two trees sharing
-    inodes is safe, and deleting either tree merely unlinks); remote
-    schemes fall back to Hadoop FileUtil.copy (no link primitive
-    there). This is how manifest-preserving partition-local merges
-    reuse untouched partitions across immutable tree versions."""
+    """Materialize `dst` as a same-content twin of `src` (a directory
+    tree or a single file) WITHOUT copying data where the filesystem
+    allows it: local paths (bare or file://) hard-link every file
+    (O(files) metadata ops — parquet files are immutable once
+    committed, so two trees sharing inodes is safe, and deleting
+    either tree merely unlinks); remote schemes fall back to Hadoop
+    FileUtil.copy (no link primitive there). This is how
+    manifest-preserving partition-local merges and `manifest_append`
+    reuse untouched data across immutable tree versions."""
 
     def _local(p: str) -> str | None:
         if "://" not in p:
@@ -103,6 +104,10 @@ def _clone_dir(spark, src: str, dst: str) -> None:
 
     lsrc, ldst = _local(src), _local(dst)
     if lsrc is not None and ldst is not None:
+        if os.path.isfile(lsrc):
+            os.makedirs(os.path.dirname(ldst), exist_ok=True)
+            os.link(lsrc, ldst)
+            return
         for root, _dirs, files in os.walk(lsrc):
             rel = os.path.relpath(root, lsrc)
             out = ldst if rel == "." else os.path.join(ldst, rel)

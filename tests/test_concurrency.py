@@ -315,3 +315,94 @@ def test_versioned_threaded_writers_all_land(spark, tmp_path):
     ks = sorted(r.k for r in V.read_latest(spark, td).collect())
     assert ks == [0, 100, 101, 102, 200, 201, 202]
     assert V.current_version(td) == 7  # six serial commits on the seed
+
+
+# ---------------------------------------------------------- manifest_append
+
+
+def test_manifest_append_is_o_delta_and_accumulates(spark, tmp_path):
+    """manifest_append commits a new version whose PRIOR data files are
+    hard links of the previous tree (same inodes — zero bytes copied;
+    the add-files commit of a table format reduced to this layout)."""
+    dest = str(tmp_path / "rel")
+    M.manifest_append(spark, dest, spark.range(0, 10))
+    v1_tree = M.resolved_dir(spark, dest)
+    v1_inodes = {
+        f: os.stat(os.path.join(v1_tree, f)).st_ino
+        for f in os.listdir(v1_tree)
+        if f.endswith(".parquet")
+    }
+    M.manifest_append(spark, dest, spark.range(10, 15))
+    assert _ids(spark, dest) == list(range(15))
+    v2_tree = M.resolved_dir(spark, dest)
+    assert v2_tree != v1_tree
+    v2_inodes = {
+        f: os.stat(os.path.join(v2_tree, f)).st_ino
+        for f in os.listdir(v2_tree)
+        if f.endswith(".parquet")
+    }
+    # every v1 file appears in v2 as the SAME inode (linked, not copied)
+    for f, ino in v1_inodes.items():
+        assert v2_inodes.get(f) == ino, f
+    # and v2 carries new delta files beyond the linked ones
+    assert len(v2_inodes) > len(v1_inodes)
+
+
+def test_manifest_append_refuses_partitioned_layout(spark, tmp_path):
+    """A partitionBy tree needs the partition-aware merge; flat-linking
+    it would interleave layouts — refuse loudly."""
+    from etl_football_analytics_pipeline_spark.operators.tombstones import (
+        replace_dir,
+    )
+
+    dest = str(tmp_path / "rel")
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "part string, v int"
+    )
+    replace_dir(
+        spark, dest, lambda p: df.write.partitionBy("part").parquet(p)
+    )
+    with pytest.raises(ValueError, match="partitioned layout"):
+        M.manifest_append(
+            spark, dest,
+            spark.createDataFrame([("c", 3)], "part string, v int"),
+        )
+
+
+def test_manifest_append_threaded_writers_all_land(spark, tmp_path):
+    """Lock-free multi-writer appends: two threads each append three
+    disjoint batches with retries — every row lands exactly once."""
+    import threading
+
+    dest = str(tmp_path / "rel")
+    M.manifest_append(spark, dest, spark.range(0, 5))
+    errors = []
+
+    def appender(lo_base: int):
+        try:
+            for i in range(3):
+                lo = lo_base + i * 100
+                M.manifest_append(
+                    spark, dest, spark.range(lo, lo + 10),
+                    keep=3, retries=10,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(1000,)),
+        threading.Thread(target=appender, args=(2000,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    want = sorted(
+        list(range(5))
+        + [
+            x for base in (1000, 2000) for i in range(3)
+            for x in range(base + i * 100, base + i * 100 + 10)
+        ]
+    )
+    assert _ids(spark, dest) == want
