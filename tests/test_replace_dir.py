@@ -219,11 +219,13 @@ def test_manifest_duplicate_version_markers_refuse(spark, tmp_path):
     dest = f"{tmp_path}/rel"
     manifest_commit(spark, dest, lambda p: spark.range(2).write.parquet(p))
     (v, tok) = current_manifest(spark, dest)
-    # forge a second marker for the same version (two writers dodging
-    # the create-if-absent guard — only possible without atomic create)
+    # forge a persistent second marker for the same version — the state
+    # a racer leaves if it CRASHES between its marker create and its
+    # verify-withdraw (r9); transient duplicates resolve within the
+    # reader's brief re-list window, persistent ones must refuse
     forged = f"{dest}/_manifests/v{v:08d}.{'0' * 12}"
     open(forged, "w").close()
-    with pytest.raises(IOError, match="single-writer"):
+    with pytest.raises(IOError, match="delete the losing marker"):
         current_manifest(spark, dest)
     os.remove(forged)
     assert current_manifest(spark, dest) == (v, tok)
