@@ -122,6 +122,16 @@ def main() -> int:
         if active is not None:
             active.stop()
             time.sleep(2)  # let executors/cleaner threads die down
+        # PER-ENTRY quiet gate: the previous entry's own 32-thread
+        # burst rides the 1-minute loadavg for ~a minute after its
+        # session stops, so a single up-front wait leaves every entry
+        # after the first stamped "contended" by our own decay (the
+        # r8 sidecar's 8-12 stamps) — wait it out before each entry so
+        # loadavg_start means what a reader assumes it means
+        waited_e = 0.0
+        while os.getloadavg()[0] > wait_thresh and waited_e < wait_max / 2:
+            time.sleep(10)
+            waited_e += 10
         spark = get_spark(app_name=f"solo-{name}")
         load0 = round(os.getloadavg()[0], 2)
         _warmup(spark, args.sf_dir)
