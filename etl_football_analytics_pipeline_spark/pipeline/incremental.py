@@ -75,6 +75,9 @@ def merge_into_raw(
     key_cols: Sequence[str],
     partition_by: str | None = "season",
     use_manifest: bool = True,
+    retries: int = 0,
+    keep_versions: int = 1,
+    backoff_s: float = 0.05,
 ) -> DataFrame:
     """Raw-layer incremental MERGE (M1): new-wins by key tuple.
 
@@ -115,12 +118,51 @@ def merge_into_raw(
     untouched partitions server-side (no hard links there) — correct
     but O(table − delta) per merge; deployments where that dominates
     should adopt a table format for the raw layer (its metadata layer
-    is exactly a cheap cross-version file-sharing mechanism)."""
+    is exactly a cheap cross-version file-sharing mechanism).
+
+    ``retries`` (r9) makes the merge multi-writer-capable on
+    manifest-layout tables: two extract jobs racing DIFFERENT seasons
+    into one raw table collide at the commit marker, and the loser
+    recomputes the whole merge from the new live tree and retries —
+    both land serially with neither's partitions lost. Size
+    ``keep_versions`` ≥ concurrent writers + 1 (see manifest_commit's
+    retention-under-concurrency note) so a rival's commit cannot
+    vacuum the tree an in-flight rebase is still scanning; the plain
+    (never-manifest) layout has no commit-time detection and stays
+    single-writer regardless."""
+    from ..manifest import CommitConflict
+
+    table_path = table_path.rstrip("/")
+    attempt = 0
+    while True:
+        try:
+            return _merge_into_raw_once(
+                spark, new_df, table_path, key_cols, partition_by,
+                use_manifest, keep_versions,
+            )
+        except CommitConflict:
+            if attempt >= retries:
+                raise
+            import random
+            import time
+
+            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            attempt += 1
+
+
+def _merge_into_raw_once(
+    spark: SparkSession,
+    new_df: DataFrame,
+    table_path: str,
+    key_cols: Sequence[str],
+    partition_by: str | None,
+    use_manifest: bool,
+    keep_versions: int,
+) -> DataFrame:
     from ..manifest import resolved_dir
     from ..utils import _clone_dir, _hadoop_fs, recover_swapped_dir
 
     _fs, _hp = _hadoop_fs(table_path, spark)
-    table_path = table_path.rstrip("/")
     # crash recovery BEFORE the existence probe: a pre-r8 run that died
     # between its whole-dir swap renames left the table absent with the
     # last complete copy at `.__old` — probing first would classify
@@ -136,9 +178,8 @@ def merge_into_raw(
     # the table's live data root: the current manifest tree once the
     # full-replace path (replace_dir, manifest-committed since r8) has
     # run, else the plain table dir (legacy layout). Partition children
-    # live INSIDE this root; the partition-local swap below mutates the
-    # live tree in place — same read-consistency level as the pre-r8
-    # in-place child swap, still O(delta partitions).
+    # live INSIDE this root; resolved fresh on every attempt so a
+    # rebase recomputes the merge against the rival's committed tree.
     _root = resolved_dir(spark, table_path)
     if _fs.exists(_hp(_root)):
         for st in _fs.listStatus(_hp(_root)):
@@ -248,7 +289,9 @@ def merge_into_raw(
                     spark, f"{live.rstrip('/')}/{name}", f"{tree}/{name}"
                 )
 
-        manifest_commit(spark, table_path, _write_linked_tree, keep=1)
+        manifest_commit(
+            spark, table_path, _write_linked_tree, keep=keep_versions
+        )
     elif local:
         # plain-layout table (never manifest-committed — no version
         # history to corrupt): merged holds ONLY the delta's

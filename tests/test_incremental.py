@@ -191,3 +191,58 @@ def test_merge_manifest_table_stays_manifest_despite_flag(spark, base, tmp_path)
     )
     assert out.count() == 1
     assert resolved_dir(spark, path) != path  # still manifest
+
+
+def test_merge_into_raw_threaded_disjoint_seasons(spark, tmp_path):
+    """Multi-writer raw layer (r9): two threads merge DIFFERENT seasons
+    into one manifest table with retries — the loser of each commit
+    race recomputes its merge from the winner's tree, so every season
+    partition lands with no silent loss. keep_versions=3 per the
+    retention-under-concurrency rule (a rival's commit must not vacuum
+    the tree an in-flight rebase still scans)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [("2021", "g0", 0)], "season string, game string, v int"
+    )
+    merge_into_raw(spark, seed, path, ["season", "game"])
+    errors = []
+
+    def writer(season: str):
+        try:
+            for i in range(2):
+                delta = spark.createDataFrame(
+                    [(season, f"g{season}_{i}", i)],
+                    "season string, game string, v int",
+                )
+                merge_into_raw(
+                    spark, delta, path, ["season", "game"],
+                    retries=10, keep_versions=3,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=("2324",)),
+        threading.Thread(target=writer, args=("2425",)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    from etl_football_analytics_pipeline_spark.manifest import read_relation
+
+    # raw readback type-infers the season partition values as ints;
+    # the engine's own outputs restore the declared type
+    # (_restore_partition_type) — normalize here for the comparison
+    got = sorted(
+        (str(r.season), r.game, r.v)
+        for r in read_relation(spark, path).collect()
+    )
+    assert got == [
+        ("2021", "g0", 0),
+        ("2324", "g2324_0", 0), ("2324", "g2324_1", 1),
+        ("2425", "g2425_0", 0), ("2425", "g2425_1", 1),
+    ]
