@@ -797,11 +797,73 @@ def skew_section(spark, scale: int) -> str:
     return "  ".join(out)
 
 
+def commits_section(spark, scale: int) -> str:
+    """Commit-machinery scaling (r9): against a 100k×scale-row manifest
+    relation, time (a) `manifest_append` of a FIXED 10k-row delta —
+    the add-files commit whose new tree hard-links the live tree's
+    files, so its wall must track the DELTA, not the table — vs (b)
+    the naive rewrite append (read live ∪ delta → full new tree),
+    whose wall tracks the table and is exactly what (a) exists to
+    avoid. Both asserted row-correct."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from etl_football_analytics_pipeline_spark import manifest as Mf
+
+    n = 100_000 * scale
+
+    def frame(lo: int, hi: int):
+        # ~130B/row of incompressible payload: without real bytes the
+        # table is a few MB at any scale and the rewrite-vs-linked
+        # contrast washes out (range ints compress to nothing)
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2((F.col("id") + 1).cast("string"), 256),
+            ).alias("payload"),
+        )
+
+    base = frame(0, n)
+    delta = frame(n, n + 10_000)
+    root = tempfile.mkdtemp(prefix="commits-smoke-")
+    out = []
+    try:
+        dest = f"{root}/rel"
+        t0 = time.time()
+        Mf.manifest_commit(spark, dest, lambda t: base.write.parquet(t))
+        out.append(f"build={time.time() - t0:6.1f}s")
+        t0 = time.time()
+        Mf.manifest_append(spark, dest, delta)
+        out.append(f"append_linked={time.time() - t0:6.1f}s")
+        assert Mf.read_relation(spark, dest).count() == n + 10_000
+        naive = f"{root}/naive"
+        Mf.manifest_commit(spark, naive, lambda t: base.write.parquet(t))
+        t0 = time.time()
+        Mf.manifest_commit(
+            spark, naive,
+            lambda t: Mf.read_relation(spark, naive)
+            .unionByName(delta).write.parquet(t),
+        )
+        out.append(f"append_rewrite={time.time() - t0:6.1f}s")
+        assert Mf.read_relation(spark, naive).count() == n + 10_000
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out.append(f"rows={n}  load={_os.getloadavg()[0]:.1f}")
+    return "  ".join(out)
+
+
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 10
     spark = get_spark(app_name="scale-smoke")
+    if "--commits" in flags:
+        for scale in (1, k):
+            print(f"scale={scale:3d}  {commits_section(spark, scale)}", flush=True)
+        spark.stop()
+        return 0
     if "--skew" in flags:
         for scale in (1, k):
             print(f"scale={scale:3d}  {skew_section(spark, scale)}", flush=True)

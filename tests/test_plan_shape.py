@@ -331,3 +331,29 @@ def test_shard_shuffle_window_is_shard_local(spark):
     # ...and the window spec itself leads with the shard term (a
     # global-window regression would start with the order key instead)
     assert "windowspecdefinition(shard" in plan, plan
+
+
+def test_dash_suite_broadcasts_dims_and_rank_pushes_down(plans):
+    """The r9 dashboard parts keep the 100 TB shapes: every dim join
+    broadcast-hash (never a fact-side shuffle for a tiny dim), no
+    sort-merge anywhere, and the recent-k window compiles to
+    WindowGroupLimit — rank evaluated with per-partition group limits
+    below the exchange, so the shuffle carries ≤ k rows per key, not
+    the selected teams' whole history. Catalyst also propagates the
+    dim-side c_custkey<=20 pruning across the join onto the ORDERS
+    scan as a pushed filter — asserted because losing it would turn
+    the recent-form leg into a full fact scan."""
+    plan = plans["dash_season_summary"]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "WindowGroupLimit" in plan
+    assert "LessThanOrEqual(o_custkey,20)" in plan
+
+
+def test_stream_merge_leg_reads_resolved_tree_with_pruned_agg(plans):
+    """The stream_merge tier scans the manifest-resolved merged target
+    (a parquet scan, not a re-run of the stream) and aggregates with
+    map-side partials like every other tier."""
+    plan = plans["events_rollup_suite"]
+    assert "_trees/v" in plan  # the manifest tree path is in the scan
+    assert "partial_count" in plan or "partial_sum" in plan
