@@ -92,6 +92,17 @@ __all__ = [
 ]
 
 
+def _conflict_backoff(attempt: int, backoff_s: float) -> None:
+    """Jittered exponential backoff between optimistic-commit retries —
+    ONE policy shared by every retrying commit path (manifest_commit,
+    merge_into_raw, merge_commit, delete_commit), so contention
+    behavior cannot silently diverge between protocols."""
+    import random
+    import time
+
+    time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+
+
 class CommitConflict(IOError):
     """A concurrent writer committed the version this commit targeted.
 
@@ -316,10 +327,7 @@ def manifest_commit(
                     "commit was withdrawn untouched — re-read and "
                     "retry (or pass retries>0 for a rebasing write)"
                 )
-            import random
-            import time
-
-            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            _conflict_backoff(attempt, backoff_s)
             attempt += 1
             continue
         manifest_vacuum(spark, dest, keep=keep, spare_in_flight=True)
@@ -360,8 +368,32 @@ def manifest_append(
     def write(tree: str) -> None:
         from .utils import _clone_dir
 
-        df.write.mode("append").parquet(tree)
         cur = current_manifest(spark, dest)
+        if cur is not None:
+            # schema contract BEFORE writing anything: the delta's
+            # files will sit NEXT TO the linked live files in one flat
+            # tree, so a drifted delta (renamed/retyped column) would
+            # commit a mixed-schema tree whose reads resolve from an
+            # arbitrary footer — old columns silently NULL on new
+            # files, or read-time type errors far from the cause.
+            # Appends require the EXACT live schema; evolution goes
+            # through a rewrite commit (versioned.merge_commit's
+            # evolve_schema, or a manifest_commit full rewrite).
+            live_schema = {
+                f.name: f.dataType
+                for f in spark.read.parquet(
+                    tree_dir(dest, *cur)
+                ).schema.fields
+            }
+            got = {f.name: f.dataType for f in df.schema.fields}
+            if got != live_schema:
+                raise ValueError(
+                    f"manifest_append schema mismatch for {dest!r}: "
+                    f"live {sorted(live_schema)} vs delta {sorted(got)} "
+                    "(or a type differs); appends are exact-schema — "
+                    "evolve through a rewrite commit instead"
+                )
+        df.write.mode("append").parquet(tree)
         if cur is None:
             return
         fs, hp = _fs(spark, dest)
@@ -409,7 +441,25 @@ def manifest_vacuum(
     verified; returns the retired version numbers."""
     dest = dest.rstrip("/")
     fs, hp = _fs(spark, dest)
+    # duplicate-marker guard BEFORE any retirement: with duplicate
+    # markers at the top version, the keep-window math would retire one
+    # of them by TOKEN ORDER — silently adjudicating (and destroying)
+    # one of two complete commits, the very decision current_manifest
+    # refuses and demands a human make. current_manifest's bounded
+    # re-list absorbs the transient window of a racer mid-withdraw;
+    # persistent duplicates raise here, loudly, with nothing deleted.
+    current_manifest(spark, dest)
     committed = manifest_versions(spark, dest)
+    dup = {v for i, (v, _) in enumerate(committed[1:], 1) if committed[i - 1][0] == v}
+    if dup:
+        # non-top duplicates cannot be a transient withdraw window
+        # (withdraws happen at the top) — this is persisted corruption;
+        # retiring one twin by token order would adjudicate it silently
+        raise IOError(
+            f"manifest corruption in {dest!r}: versions {sorted(dup)} "
+            "have duplicate markers; delete each losing marker before "
+            "vacuuming"
+        )
     if not committed:
         return []
     keep = max(1, keep)

@@ -130,7 +130,7 @@ def merge_into_raw(
     vacuum the tree an in-flight rebase is still scanning; the plain
     (never-manifest) layout has no commit-time detection and stays
     single-writer regardless."""
-    from ..manifest import CommitConflict
+    from ..manifest import CommitConflict, _conflict_backoff
 
     table_path = table_path.rstrip("/")
     attempt = 0
@@ -143,10 +143,7 @@ def merge_into_raw(
         except CommitConflict:
             if attempt >= retries:
                 raise
-            import random
-            import time
-
-            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            _conflict_backoff(attempt, backoff_s)
             attempt += 1
 
 
@@ -159,7 +156,12 @@ def _merge_into_raw_once(
     use_manifest: bool,
     keep_versions: int,
 ) -> DataFrame:
-    from ..manifest import resolved_dir
+    from ..manifest import (
+        CommitConflict,
+        current_manifest,
+        resolved_dir,
+        tree_dir,
+    )
     from ..utils import _clone_dir, _hadoop_fs, recover_swapped_dir
 
     _fs, _hp = _hadoop_fs(table_path, spark)
@@ -180,7 +182,22 @@ def _merge_into_raw_once(
     # run, else the plain table dir (legacy layout). Partition children
     # live INSIDE this root; resolved fresh on every attempt so a
     # rebase recomputes the merge against the rival's committed tree.
-    _root = resolved_dir(spark, table_path)
+    # The manifest state is PINNED here (_base) and re-verified inside
+    # every manifest write callable: without the pin, a rival landing
+    # between this resolution and our commit would never collide (we'd
+    # target the NEXT version number) and its rows in our touched
+    # partitions would silently vanish under our stale merge.
+    _base = current_manifest(spark, table_path)
+    _root = tree_dir(table_path, *_base) if _base else table_path
+
+    def _assert_unmoved() -> None:
+        now = current_manifest(spark, table_path)
+        if now != _base:
+            raise CommitConflict(
+                f"{table_path!r} advanced from manifest {_base} to "
+                f"{now} while this merge was computing; re-read and "
+                "retry (merge_into_raw retries=N automates the rebase)"
+            )
     if _fs.exists(_hp(_root)):
         for st in _fs.listStatus(_hp(_root)):
             name = st.getPath().getName()
@@ -255,6 +272,13 @@ def _merge_into_raw_once(
     from ..operators.tombstones import replace_dir
 
     def _write(p: str) -> None:
+        # staleness pin: the merged plan was built against _root; if a
+        # rival committed since, writing would publish a merge that
+        # drops the rival's rows — conflict instead (the rival landing
+        # AFTER this check targets the same version we do and is caught
+        # by manifest_commit's create-then-verify, so the two checks
+        # together cover the whole window)
+        _assert_unmoved()
         w = merged.write
         if partitioned:
             w = w.partitionBy(partition_by)
@@ -275,18 +299,22 @@ def _merge_into_raw_once(
         from ..manifest import manifest_commit
 
         def _write_linked_tree(tree: str) -> None:
-            _write(tree)  # delta partitions + _SUCCESS
-            live = resolved_dir(spark, table_path)
+            _write(tree)  # delta partitions + _SUCCESS (pin-checked)
+            # link untouched partitions from the PINNED base tree (not
+            # a re-resolve): the merged delta was computed against
+            # _root, and a rival landing after the pin check collides
+            # at manifest_commit's create-then-verify anyway — linking
+            # from a rival's newer tree here would mix bases
             fresh = {
                 st.getPath().getName()
                 for st in _fs.listStatus(_hp(tree))
             }
-            for st in _fs.listStatus(_hp(live)):
+            for st in _fs.listStatus(_hp(_root)):
                 name = st.getPath().getName()
                 if not name.startswith(f"{partition_by}=") or name in fresh:
                     continue
                 _clone_dir(
-                    spark, f"{live.rstrip('/')}/{name}", f"{tree}/{name}"
+                    spark, f"{_root.rstrip('/')}/{name}", f"{tree}/{name}"
                 )
 
         manifest_commit(

@@ -405,24 +405,32 @@ def _local_manifest_tree(path: str) -> str | None:
     gates that run before any SparkSession exists."""
     from ..manifest import _MARKER_RE
 
-    try:
-        names = os.listdir(os.path.join(path, "_manifests"))
-    except OSError:
-        return None
-    by_version: dict[int, list[str]] = {}
-    for nm in names:
-        m = _MARKER_RE.match(nm)
-        if m:
-            by_version.setdefault(int(m.group(1)), []).append(m.group(2))
-    if not by_version:
-        return None
-    top = max(by_version)
-    if len(by_version[top]) > 1:
-        # duplicate markers for the top version = the same corruption
-        # `manifest.current_manifest` REFUSES with IOError; silently
-        # taking max(token) here could validate and reuse the LOSING
-        # commit's tree while Spark-side readers refuse the relation
-        # (ADVICE r8). Return None → the caller falls through to the
-        # Spark-resolution/rebuild path, which raises loudly.
-        return None
-    return os.path.join(path, "_trees", f"v{top:08d}-{by_version[top][0]}")
+    for wait in (0.05, 0.15, 0.3, None):
+        try:
+            names = os.listdir(os.path.join(path, "_manifests"))
+        except OSError:
+            return None
+        by_version: dict[int, list[str]] = {}
+        for nm in names:
+            m = _MARKER_RE.match(nm)
+            if m:
+                by_version.setdefault(int(m.group(1)), []).append(m.group(2))
+        if not by_version:
+            return None
+        top = max(by_version)
+        if len(by_version[top]) == 1:
+            return os.path.join(
+                path, "_trees", f"v{top:08d}-{by_version[top][0]}"
+            )
+        # duplicate top markers: TRANSIENT during a commit race (the
+        # r9 create-then-verify loser withdraws within milliseconds —
+        # mirror current_manifest's brief re-list so a healthy cache
+        # is not misread as unready, silently triggering a full index
+        # rebuild), PERSISTENT only when a racer crashed mid-window —
+        # then return None so the caller falls through to the
+        # Spark-resolution path, which raises loudly (ADVICE r8).
+        if wait is not None:
+            import time
+
+            time.sleep(wait)
+    return None

@@ -69,7 +69,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..manifest import CommitConflict
+from ..manifest import CommitConflict, _conflict_backoff
 
 _POINTER = "_LATEST"
 _COMMITS = "_commits"
@@ -201,10 +201,15 @@ def commit_version(
     WITHOUT it, a writer whose plan was built against a stale read
     would re-resolve a fresh version number here and silently publish
     a merge that drops the interleaved commit's rows. Remote tables
-    get this from the per-version marker create-if-absent; local
-    tables claim the version with an O_CREAT|O_EXCL file first (a
-    crashed claimer leaves a stale ``.cNNNNN.__claim`` that blocks
-    that version until ``vacuum`` — run quiesced — clears it).
+    get this from the per-version marker create-if-absent PLUS a
+    refuse-existing-target probe: a pinned writer never deletes the
+    fixed-name version dir, because it may be a rival's IN-FLIGHT
+    write whose late task commits would otherwise merge into the
+    published snapshot (crashed orphans are cleared by ``vacuum`` on a
+    quiesced table instead). Local tables claim the version with an
+    O_CREAT|O_EXCL file first (a crashed claimer leaves a stale
+    ``.cNNNNN.__claim`` that blocks that version until ``vacuum`` —
+    run quiesced — clears it).
     Merge-type commits (`merge_commit`, `delete_commit`) always pin;
     use ``retries`` there to turn the loud conflict into a rebase."""
     if _is_remote(table_dir):
@@ -226,8 +231,22 @@ def commit_version(
                 "re-read and retry (merge_commit/delete_commit "
                 "retries=N automates the rebase)"
             )
-        if fs.exists(hp(target)):  # orphan from a crashed attempt
-            fs.delete(hp(target), True)
+        if fs.exists(hp(target)):
+            if expected_base is not None:
+                # pinned writers must NOT delete an existing target:
+                # version dirs are FIXED names, so that dir may be a
+                # rival's IN-FLIGHT write (deleting it mid-job would
+                # let the rival's late task commits merge into OUR
+                # published snapshot — interleaved files in a
+                # "committed" version). Refuse; a genuinely crashed
+                # orphan is cleared by `vacuum` on a quiesced table.
+                raise CommitConflict(
+                    f"version dir {target!r} already exists — either a "
+                    "concurrent writer is mid-commit on this version, "
+                    "or a crashed attempt left an orphan; retry, or "
+                    "vacuum a quiesced table to clear the orphan"
+                )
+            fs.delete(hp(target), True)  # legacy single-writer: orphan
         df.write.mode("overwrite").parquet(target)
         try:
             # create-if-absent: a writer racing this version number
@@ -517,10 +536,7 @@ def merge_commit(
         except CommitConflict:
             if attempt >= retries:
                 raise
-            import random
-            import time
-
-            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            _conflict_backoff(attempt, backoff_s)
             attempt += 1
 
 
@@ -593,8 +609,5 @@ def delete_commit(
         except CommitConflict:
             if attempt >= retries:
                 raise
-            import random
-            import time
-
-            time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+            _conflict_backoff(attempt, backoff_s)
             attempt += 1

@@ -406,3 +406,40 @@ def test_manifest_append_threaded_writers_all_land(spark, tmp_path):
         ]
     )
     assert _ids(spark, dest) == want
+
+
+def test_manifest_append_rejects_schema_drift(spark, tmp_path):
+    """r9 review: an appended delta sits NEXT TO the linked live files
+    in one flat tree, so schema drift would commit a mixed-schema tree
+    that reads back from an arbitrary footer — refuse at commit time,
+    where the contract violation actually happened."""
+    dest = str(tmp_path / "rel")
+    M.manifest_append(spark, dest, spark.range(5))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        M.manifest_append(spark, dest, spark.range(5).toDF("renamed"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        M.manifest_append(
+            spark, dest,
+            spark.range(5).selectExpr("CAST(id AS INT) AS id"),
+        )
+    assert _ids(spark, dest) == list(range(5))  # nothing published
+
+
+def test_manifest_vacuum_refuses_duplicate_markers(spark, tmp_path):
+    """r9 review: with duplicate markers for one version, the
+    keep-window retire loop would delete one twin by TOKEN order —
+    silently adjudicating (and destroying) one of two complete
+    commits, the decision readers refuse and demand a human make.
+    Vacuum must raise with nothing deleted."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(3).write.parquet(t))
+    v, tok = M.current_manifest(spark, dest)
+    forged = f"{dest}/_manifests/v{v:08d}.{'f' * 12}"
+    open(forged, "w").close()
+    with pytest.raises(IOError, match="losing marker"):
+        M.manifest_vacuum(spark, dest, keep=1)
+    os.remove(forged)
+    # the real commit is untouched and vacuum works again
+    assert M.current_manifest(spark, dest) == (v, tok)
+    assert _ids(spark, dest) == list(range(3))
+    assert M.manifest_vacuum(spark, dest, keep=1) == []

@@ -246,3 +246,45 @@ def test_merge_into_raw_threaded_disjoint_seasons(spark, tmp_path):
         ("2324", "g2324_0", 0), ("2324", "g2324_1", 1),
         ("2425", "g2425_0", 0), ("2425", "g2425_1", 1),
     ]
+
+
+def test_merge_into_raw_rebases_on_same_partition_race(
+    spark, tmp_path, monkeypatch
+):
+    """r9 review: a rival committing BETWEEN this merge's tree
+    resolution and its write used to be undetectable (the loser would
+    target the NEXT version, so the commit-time verify never fired)
+    and the rival's rows in the touched partition silently vanished
+    under the stale merge. The manifest-state pin converts that into a
+    CommitConflict, and retries rebase: both writers' rows land."""
+    import etl_football_analytics_pipeline_spark.pipeline.incremental as inc
+
+    path = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [("2425", "g1", 1)], "season string, game string, v int"
+    )
+    inc.merge_into_raw(spark, seed, path, ["season", "game"])
+    rival = spark.createDataFrame(
+        [("2425", "gB", 2)], "season string, game string, v int"
+    )
+    mine = spark.createDataFrame(
+        [("2425", "gA", 3)], "season string, game string, v int"
+    )
+    orig = inc.merge_replace
+    state = {"fired": False}
+
+    def racy(old, new, keys):
+        if not state["fired"]:
+            state["fired"] = True
+            # the rival lands a SAME-partition merge while this one is
+            # still building its plan against the old tree
+            inc.merge_into_raw(spark, rival, path, ["season", "game"])
+        return orig(old, new, keys)
+
+    monkeypatch.setattr(inc, "merge_replace", racy)
+    out = inc.merge_into_raw(
+        spark, mine, path, ["season", "game"], retries=3, keep_versions=3
+    )
+    assert _rows(out) == [
+        ("2425", "g1", 1), ("2425", "gA", 3), ("2425", "gB", 2)
+    ]  # neither writer's rows lost
