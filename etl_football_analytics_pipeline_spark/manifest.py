@@ -330,7 +330,18 @@ def manifest_commit(
             _conflict_backoff(attempt, backoff_s)
             attempt += 1
             continue
-        manifest_vacuum(spark, dest, keep=keep, spare_in_flight=True)
+        try:
+            manifest_vacuum(spark, dest, keep=keep, spare_in_flight=True)
+        except IOError as exc:
+            # the marker IS published — this commit is durable; only
+            # retention failed (e.g. a crashed racer's persistent
+            # duplicate marker, or a delete fault). Relabel so the
+            # caller cannot misread an ambiguous outcome and
+            # double-commit: repair, then vacuum explicitly.
+            raise IOError(
+                f"manifest_commit: version {next_v} of {dest!r} IS "
+                f"COMMITTED, but post-commit retention failed: {exc}"
+            ) from exc
         # any cached file listing keyed under dest (or the legacy root)
         # is stale now; the new tree path itself has never been scanned
         spark.catalog.refreshByPath(dest)
