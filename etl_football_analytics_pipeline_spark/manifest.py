@@ -31,12 +31,12 @@ committed version and scan an immutable tree. The properties:
   table's ``_LATEST`` needed fsync choreography for).
 - **Crash anywhere is recoverable, never destructive.** A crash
   before the marker leaves an orphan tree that readers never resolve
-  (swept once a later commit moves the top version past it, or
-  immediately by an explicit quiesced ``manifest_vacuum`` — the
-  commit-path vacuum spares same-or-higher-version orphans because
-  they may be a concurrent writer's in-flight tree); a crash after
-  the marker has already committed — retention just hasn't retired
-  the old tree yet, which the next commit finishes.
+  (swept by an explicit quiesced ``manifest_vacuum`` — the
+  commit-path vacuum never GCs unreferenced trees, because one may be
+  a concurrent writer's in-flight tree and no version arithmetic can
+  tell them apart); a crash after the marker has already committed —
+  retention just hasn't retired the old tree yet, which the next
+  commit finishes.
 - **Concurrent-writer collisions are detected AT COMMIT TIME (r9),
   without any compare-and-swap primitive.** Marker names carry the
   writer's token, so two racers create DIFFERENT names and a bare
@@ -437,19 +437,20 @@ def manifest_vacuum(
     residue of commits that crashed between tree write and marker, or
     of raced commits that were withdrawn).
 
-    ``spare_in_flight`` makes orphan GC CONCURRENCY-SAFE without
-    clocks (r9): a tree whose version is >= the top committed version
-    is spared, because that is exactly where an IN-FLIGHT rival
-    writer's tree lives (it resolved top-or-earlier and targets
-    top+1; the vacuum a commit runs on its own success must not
-    delete a half-written rival's tree out from under it — worse, a
-    deletion landing between the rival's write and its marker create
-    would publish a marker naming a missing tree). ``manifest_commit``
-    always vacuums with this set; spared orphans are swept once the
-    top moves past them, or by an EXPLICIT quiesced
-    ``manifest_vacuum`` (default False = GC every unreferenced tree —
-    the post-crash-recovery / hard-erasure path). Deletions are
-    verified; returns the retired version numbers."""
+    ``spare_in_flight`` makes the commit-path vacuum CONCURRENCY-SAFE
+    without clocks (r9): it skips orphan GC ENTIRELY, because an
+    unreferenced tree cannot be distinguished from an IN-FLIGHT rival
+    writer's half-written tree by any version arithmetic — under
+    contention the top version can advance PAST a still-writing
+    rival's target (two commits land during one write), so even a
+    "spare >= top" rule deletes live work (observed in the threaded
+    fleet soak: a rival's vacuum removed a writer's _temporary dir
+    mid-job). ``manifest_commit`` always vacuums with this set; it
+    still RETIRES marked trees (the keep window — safe, markers mean
+    complete), and unreferenced crash/withdraw residue is swept by an
+    EXPLICIT quiesced ``manifest_vacuum`` (default False = GC every
+    unreferenced tree — the post-crash-recovery / hard-erasure path).
+    Deletions are verified; returns the retired version numbers."""
     dest = dest.rstrip("/")
     fs, hp = _fs(spark, dest)
     # duplicate-marker guard BEFORE any retirement: with duplicate
@@ -475,23 +476,20 @@ def manifest_vacuum(
         return []
     keep = max(1, keep)
     kept = committed[-keep:]
-    top = committed[-1][0]
     dropped = []
     for v, tok in committed[: len(committed) - len(kept)]:
         _verified_delete(fs, hp, _marker_path(dest, v, tok), "marker")
         _verified_delete(fs, hp, tree_dir(dest, v, tok), "tree")
         dropped.append(v)
+    if spare_in_flight:
+        return dropped  # orphan GC deferred to an explicit vacuum
     keep_names = {f"v{v:08d}-{tok}" for v, tok in kept}
-    _tree_re = re.compile(r"^v(\d{8})-[0-9a-f]{12}$")
     tdir = hp(f"{dest}/{_TREES}")
     if fs.exists(tdir):
         for st in fs.listStatus(tdir):
             name = st.getPath().getName()
             if name in keep_names:
                 continue
-            m = _tree_re.match(name)
-            if spare_in_flight and m and int(m.group(1)) >= top:
-                continue  # possibly an in-flight rival writer's tree
             _verified_delete(
                 fs, hp, f"{dest}/{_TREES}/{name}", "orphan tree"
             )

@@ -194,9 +194,9 @@ def forget_keys_hard(
     vacuum(table_dir, keep=keep_versions)
     compact_indexes(spark, indexes)
     # crash-residue sweep (r9): the commit-path vacuum inside each
-    # compaction spares unreferenced trees at same-or-higher versions
-    # (they could be a CONCURRENT writer's in-flight tree — see
-    # manifest_vacuum), but a compaction attempt that crashed before
+    # compaction never GCs unreferenced trees (one could be a CONCURRENT
+    # writer's in-flight tree — see manifest_vacuum), but a compaction
+    # attempt that crashed before
     # its marker can have left exactly such an orphan still holding
     # pre-forget rows. forget_keys_hard runs quiesced by contract, so
     # it finishes with an explicit full-GC vacuum of every

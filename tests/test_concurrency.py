@@ -443,3 +443,61 @@ def test_manifest_vacuum_refuses_duplicate_markers(spark, tmp_path):
     assert M.current_manifest(spark, dest) == (v, tok)
     assert _ids(spark, dest) == list(range(3))
     assert M.manifest_vacuum(spark, dest, keep=1) == []
+
+
+def test_manifest_mixed_fleet_appenders_and_compactor(spark, tmp_path):
+    """The exact fleet scenario the r8 verdict named as routine at
+    100 TB: appenders and a compactor colliding on one relation. Two
+    appender threads (three O(delta) linked appends each) race one
+    compactor thread (two full rewrite commits), all with retries and
+    keep=5 (writers + headroom per the retention-under-concurrency
+    rule). Every appended row must survive every compaction — a
+    compaction is rebaseable because its write re-reads the live tree
+    on each attempt."""
+    import threading
+
+    dest = str(tmp_path / "rel")
+    M.manifest_append(spark, dest, spark.range(0, 10), keep=5)
+    errors = []
+
+    def appender(lo_base: int):
+        try:
+            for i in range(3):
+                lo = lo_base + i * 100
+                M.manifest_append(
+                    spark, dest, spark.range(lo, lo + 10),
+                    keep=5, retries=12,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def compactor():
+        try:
+            for _ in range(2):
+                def write(tree):
+                    M.read_relation(spark, dest).coalesce(1).write.parquet(tree)
+
+                M.manifest_commit(spark, dest, write, keep=5, retries=12)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(1000,)),
+        threading.Thread(target=appender, args=(2000,)),
+        threading.Thread(target=compactor),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    want = sorted(
+        list(range(10))
+        + [
+            x for base in (1000, 2000) for i in range(3)
+            for x in range(base + i * 100, base + i * 100 + 10)
+        ]
+    )
+    assert _ids(spark, dest) == want  # nothing lost across compactions
+    versions = [v for v, _ in M.manifest_versions(spark, dest)]
+    assert len(versions) == 5 and versions[-1] == 9  # 1 seed + 8 serial

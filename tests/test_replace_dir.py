@@ -167,9 +167,10 @@ def test_crash_between_tree_write_and_marker(spark, tmp_path):
     assert orphans  # the crashed tree is on disk...
     replace_dir(spark, dest, lambda p: spark.range(8).write.parquet(p))
     assert read_relation(spark, dest).count() == 8
-    # ...and SURVIVES the commit-path vacuum (r9: it sits at the same
-    # version a rival in-flight writer could occupy, so the commit's
-    # own vacuum must spare it — readers never resolve it either way)
+    # ...and SURVIVES the commit-path vacuum (r9: no version arithmetic
+    # can distinguish a crashed orphan from a rival writer's in-flight
+    # tree, so the commit's own vacuum never GCs unreferenced trees —
+    # readers never resolve them either way)
     assert len(os.listdir(f"{dest}/_trees")) == 2
     # an EXPLICIT quiesced vacuum is the post-crash hard-erasure path:
     # it GCs every unreferenced tree
