@@ -67,8 +67,9 @@ verified, exactly like ``sources.versioned.vacuum``.
 Reference analog: the reference commits its warehouse loads through
 PostgreSQL transactions (`scr/Load.py`); this is the same atomicity
 for parquet relations on any Hadoop-visible filesystem, shaped like
-the metadata layer of a table format (Delta/Iceberg) reduced to the
-single-writer case the engine's indexes need.
+the metadata layer of a table format (Delta/Iceberg) reduced to what
+the engine's relations need — including (r9) its optimistic
+multi-writer commit protocol.
 """
 
 from __future__ import annotations
@@ -114,6 +115,7 @@ class CommitConflict(IOError):
     re-resolve and retry — which is exactly what the ``retries``
     parameter of ``manifest_commit`` / ``sources.versioned``'s
     merge-type commits automates."""
+
 
 _TREES = "_trees"
 _MANIFESTS = "_manifests"
@@ -221,8 +223,9 @@ def read_relation_version(spark, dest: str, version: int) -> DataFrame:
         # time-travel to the LOSING commit's data
         raise IOError(
             f"manifest corruption in {dest!r}: version {version} has "
-            f"{len(hits)} markers ({hits}); the single-writer "
-            "contract was violated — delete the losing marker first"
+            f"{len(hits)} markers ({hits}); a racing commit crashed "
+            "between marker create and withdraw — delete the losing "
+            "marker first"
         )
     if hits:
         return spark.read.parquet(tree_dir(dest, version, hits[0]))
