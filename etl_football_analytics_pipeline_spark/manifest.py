@@ -38,25 +38,34 @@ committed version and scan an immutable tree. The properties:
   retention just hasn't retired the old tree yet, which the next
   commit finishes.
 - **Concurrent-writer collisions are detected AT COMMIT TIME (r9),
-  without any compare-and-swap primitive.** Marker names carry the
-  writer's token, so two racers create DIFFERENT names and a bare
+  without any compare-and-swap primitive — and a final marker's
+  existence always means the commit is COMPLETE.** Marker names carry
+  the writer's token, so two racers create DIFFERENT names and a bare
   create-if-absent can never collide across writers. The commit is
-  therefore create-then-VERIFY: after creating its marker, a writer
-  lists the version's markers and succeeds only if it is ALONE;
-  otherwise it withdraws its own marker and tree and raises
-  ``CommitConflict``. With linearizable storage (local, HDFS, and
-  S3 since its 2020 strong-consistency upgrade — LIST included),
-  whichever marker lands second is always visible to its own
-  writer's verify, so at most one writer per version can observe
-  itself alone: exactly-once commit without If-None-Match. Both
-  racers may mutually withdraw (each saw the other) — then neither
-  committed and the version number is simply re-used, which
+  therefore TWO-PHASE: (1) create an INTENT file
+  (``vNNNNNNNN.token.__intent`` — a name readers never match), (2)
+  VERIFY by listing the version: any other intent, or any final
+  marker, means a race — withdraw own intent+tree and raise
+  ``CommitConflict``; (3) alone → create the final marker, delete the
+  intent. With linearizable storage (local, HDFS, and S3 since its
+  2020 strong-consistency upgrade — LIST included), whichever intent
+  lands second is always visible to its own writer's verify, and the
+  winner's intent stays visible until AFTER its final exists, so at
+  most one FINAL per version can ever be created: exactly-once commit
+  without If-None-Match, and readers / retention / rebasers — who
+  consume only finals — can never observe, base on, or retire a
+  not-yet-verified commit. Both racers may mutually withdraw — then
+  neither committed and the version number is simply re-used, which
   ``retries > 0`` resolves with jittered backoff: the loser
   re-resolves the latest version, re-RUNS its write against the new
   live tree (automatic rebase for merge-shaped writes), and commits
   the next version — the Delta/Iceberg optimistic protocol reduced
-  to this layout. A crash between create and verify can leave a
-  duplicate-marker state, which readers still refuse loudly.
+  to this layout. A writer that CRASHES inside the (sub-second,
+  three-FS-op) intent→final window leaves a stale intent fencing its
+  version; rivals STEAL it only after observing it unchanged with no
+  final across several re-lists spanning ``INTENT_STEAL_S`` — a pause
+  longer than that by a still-live writer degrades to a duplicate
+  FINAL state that readers refuse loudly (never silent loss).
 
 Retention is explicit: ``manifest_vacuum(keep=N)`` retires all but
 the newest N versions and deletes any tree no surviving marker
@@ -119,8 +128,44 @@ class CommitConflict(IOError):
 
 _TREES = "_trees"
 _MANIFESTS = "_manifests"
-# marker file name: v<8-digit version>.<12-hex tree token>
+# FINAL marker file name: v<8-digit version>.<12-hex tree token> —
+# existence means the commit is COMPLETE (created only after the
+# two-phase verify). Intent files carry the __intent suffix and are
+# invisible to this regex, hence to every reader/retention path.
 _MARKER_RE = re.compile(r"^v(\d{8})\.([0-9a-f]{12})$")
+_INTENT_RE = re.compile(r"^v(\d{8})\.([0-9a-f]{12})\.__intent$")
+# a stale intent (writer crashed inside the sub-second intent→final
+# window) may be stolen by a rival after being observed unchanged,
+# with no final, across re-lists spanning at least this many seconds
+INTENT_STEAL_S = 10.0
+# shared reader settle schedule: how long a resolver re-lists before
+# concluding that an anomalous marker state is persistent (kept as a
+# backstop; with two-phase commits finals are never withdrawn, so this
+# should never fire on a healthy relation)
+SETTLE_WAITS = (0.05, 0.15, 0.3, None)
+
+
+def _intent_path(dest: str, version: int, token: str) -> str:
+    return f"{dest.rstrip('/')}/{_MANIFESTS}/v{version:08d}.{token}.__intent"
+
+
+def _list_markers(fs, hp, dest: str):
+    """(finals, intents) under ``dest/_manifests`` as
+    {(version, token), ...} sets — ONE listing serves both."""
+    mdir = hp(f"{dest.rstrip('/')}/{_MANIFESTS}")
+    finals, intents = set(), set()
+    if not fs.exists(mdir):
+        return finals, intents
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        m = _MARKER_RE.match(name)
+        if m:
+            finals.add((int(m.group(1)), m.group(2)))
+            continue
+        m = _INTENT_RE.match(name)
+        if m:
+            intents.add((int(m.group(1)), m.group(2)))
+    return finals, intents
 
 
 def _fs(spark, path: str):
@@ -164,14 +209,14 @@ def current_manifest(spark, dest: str) -> tuple[int, str] | None:
     """The live ``(version, token)``, or None when the relation has no
     manifest (resolve falls back to the plain directory).
 
-    Duplicate markers for one version are TRANSIENT during a writer
-    race (the commit protocol is create-then-verify: the losing writer
-    withdraws its marker within milliseconds of creating it — see
-    ``manifest_commit``), so a reader that catches the window re-lists
-    briefly before concluding corruption. PERSISTENT duplicates mean a
-    racer crashed between create and withdraw — refuse to guess which
-    tree is real."""
-    for wait in (0.05, 0.15, 0.3, None):
+    Duplicate FINAL markers should be impossible under the two-phase
+    commit (a final is created only after its intent verified alone;
+    see ``manifest_commit``) — they can arise only from a writer that
+    paused longer than ``INTENT_STEAL_S`` mid-publish and was stolen
+    from, or from manual tampering. The brief ``SETTLE_WAITS`` re-list
+    is kept as a backstop; persistent duplicates refuse loudly rather
+    than guess which tree is real."""
+    for wait in SETTLE_WAITS:
         versions = manifest_versions(spark, dest)
         if not versions:
             return None
@@ -287,6 +332,14 @@ def manifest_commit(
     dest = dest.rstrip("/")
     fs, hp = _fs(spark, dest)
     attempt = 0
+    # stale-intent steal bookkeeping: (version, token) → first
+    # observation time. A rival intent with no final that persists
+    # across attempts for INTENT_STEAL_S is a crashed writer's residue
+    # (the live intent→final window is three FS ops, sub-second) —
+    # steal it so a crash cannot fence the version until manual repair.
+    import time as _time
+
+    seen_intents: dict[tuple[int, str], float] = {}
     while True:
         committed = manifest_versions(spark, dest)
         next_v = committed[-1][0] + 1 if committed else 1
@@ -295,34 +348,37 @@ def manifest_commit(
         write(tree)
         if not fs.exists(hp(tree)):
             raise IOError(f"manifest_commit: write produced nothing at {tree}")
-        marker = _marker_path(dest, next_v, token)
-        # publish, then VERIFY sole ownership of the version. Marker
-        # names carry the token, so two racers create DIFFERENT names
-        # and create-if-absent alone cannot detect the race (it only
-        # guards replaying the same (version, token)). The post-create
-        # listing can: with linearizable storage (local/HDFS/modern
-        # S3), whichever marker lands second is always visible to its
-        # own writer's verify, so at most one writer per version can
-        # observe itself alone and return success — the rest withdraw
-        # their marker AND tree (nothing the winner owns is touched;
-        # its tree lives under its own token) and conflict.
-        try:
-            fs.create(hp(marker), False).close()
-        except Exception:  # Py4J wraps FileAlreadyExistsException
-            if not fs.exists(hp(marker)):
-                raise  # a real storage fault, not a race — don't relabel
-            # same (version, token) replay — uuid collision is not a
-            # thing; treat as the storage fault it would be
-            raise IOError(
-                f"manifest_commit: marker {marker!r} already exists"
-            )
-        rivals = [
-            t for v2, t in manifest_versions(spark, dest)
-            if v2 == next_v and t != token
-        ]
+        # TWO-PHASE PUBLISH (see module docstring): intent → verify →
+        # final. Marker names carry the token, so two racers create
+        # DIFFERENT names and create-if-absent alone cannot detect the
+        # race; the post-intent listing can, and because the final is
+        # created only after verifying the intent is ALONE (and the
+        # winner's intent outlives its final-create), at most one FINAL
+        # per version can ever exist — readers, retention and rebasers
+        # consume finals only, so they can never observe a
+        # not-yet-verified commit.
+        intent = _intent_path(dest, next_v, token)
+        fs.create(hp(intent), False).close()
+        finals, intents = _list_markers(fs, hp, dest)
+        rivals = sorted(
+            tok for v2, tok in (finals | intents)
+            if v2 == next_v and tok != token
+        )
         if rivals:
-            _verified_delete(fs, hp, marker, "losing commit's marker")
+            _verified_delete(fs, hp, intent, "losing commit's intent")
             _verified_delete(fs, hp, tree, "losing commit's tree")
+            # steal bookkeeping: rival INTENTS (not finals) that keep
+            # blocking this version with no final are crash residue
+            now = _time.monotonic()
+            final_versions = {v2 for v2, _ in finals}
+            for v2, tok in intents:
+                if v2 == next_v and tok != token and v2 not in final_versions:
+                    first = seen_intents.setdefault((v2, tok), now)
+                    if now - first >= INTENT_STEAL_S:
+                        _verified_delete(
+                            fs, hp, _intent_path(dest, v2, tok),
+                            "crashed writer's stale intent",
+                        )
             if attempt >= retries:
                 raise CommitConflict(
                     f"manifest_commit: version {next_v} of {dest!r} was "
@@ -333,7 +389,25 @@ def manifest_commit(
             _conflict_backoff(attempt, backoff_s)
             attempt += 1
             continue
+        marker = _marker_path(dest, next_v, token)
         try:
+            fs.create(hp(marker), False).close()
+        except Exception:  # Py4J wraps FileAlreadyExistsException
+            if not fs.exists(hp(marker)):
+                raise  # a real storage fault, not a race — don't relabel
+            # a final under OUR (version, token) without us creating it
+            # — uuid collision is not a thing; surface the fault
+            raise IOError(
+                f"manifest_commit: marker {marker!r} already exists"
+            )
+        try:
+            # intent released only AFTER the final exists: a rival
+            # verifying in between sees one or the other, never a
+            # clean slate. (Inside the relabel-try: a lingering own
+            # intent next to its final is harmless residue — rivals
+            # target later versions and readers ignore intents — so a
+            # delete fault here must not read as a failed commit.)
+            _verified_delete(fs, hp, intent, "own intent (post-final)")
             manifest_vacuum(spark, dest, keep=keep, spare_in_flight=True)
         except IOError as exc:
             # the marker IS published — this commit is durable; only
@@ -486,6 +560,15 @@ def manifest_vacuum(
         dropped.append(v)
     if spare_in_flight:
         return dropped  # orphan GC deferred to an explicit vacuum
+    # explicit (quiesced) vacuum also clears stale INTENT files — a
+    # writer that crashed inside the intent→final window leaves one
+    # fencing its version; with no writers running, every intent
+    # present is stale by definition (live intents exist for three FS
+    # ops). This is the manual unfence for retries=0 callers that hit
+    # the fence before the steal window elapsed.
+    _, intents = _list_markers(fs, hp, dest)
+    for v, tok in intents:
+        _verified_delete(fs, hp, _intent_path(dest, v, tok), "stale intent")
     keep_names = {f"v{v:08d}-{tok}" for v, tok in kept}
     tdir = hp(f"{dest}/{_TREES}")
     if fs.exists(tdir):

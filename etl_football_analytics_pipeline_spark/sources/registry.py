@@ -405,7 +405,9 @@ def _local_manifest_tree(path: str) -> str | None:
     gates that run before any SparkSession exists."""
     from ..manifest import _MARKER_RE
 
-    for wait in (0.05, 0.15, 0.3, None):
+    from ..manifest import SETTLE_WAITS
+
+    for wait in SETTLE_WAITS:
         try:
             names = os.listdir(os.path.join(path, "_manifests"))
         except OSError:

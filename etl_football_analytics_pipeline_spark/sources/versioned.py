@@ -213,13 +213,16 @@ def commit_version(
     Merge-type commits (`merge_commit`, `delete_commit`) always pin;
     use ``retries`` there to turn the loud conflict into a rebase."""
     if _is_remote(table_dir):
+        import uuid as _uuid
+
         fs, hp = _remote_fs(table_dir)
         if expected_base is None:
             next_v = (current_version(table_dir) or 0) + 1
         else:
             next_v = expected_base + 1
         target = version_dir(table_dir, next_v)
-        marker = f"{table_dir.rstrip('/')}/{_COMMITS}/c{next_v:08d}"
+        root = table_dir.rstrip("/")
+        marker = f"{root}/{_COMMITS}/c{next_v:08d}"
         # re-probe the marker BEFORE touching the target dir: a writer
         # working from a stale version read would otherwise delete the
         # RACE WINNER'S committed data as a "crashed orphan" and only
@@ -231,41 +234,74 @@ def commit_version(
                 "re-read and retry (merge_commit/delete_commit "
                 "retries=N automates the rebase)"
             )
-        if fs.exists(hp(target)):
-            if expected_base is not None:
-                # pinned writers must NOT delete an existing target:
-                # version dirs are FIXED names, so that dir may be a
-                # rival's IN-FLIGHT write (deleting it mid-job would
-                # let the rival's late task commits merge into OUR
-                # published snapshot — interleaved files in a
-                # "committed" version). Refuse; a genuinely crashed
-                # orphan is cleared by `vacuum` on a quiesced table.
+        intent = None
+        if expected_base is not None:
+            # INTENT claim before touching the fixed-name target dir
+            # (r9 review): version dirs are SHARED names, so without a
+            # claim two pinned writers passing the marker probe
+            # together would interleave writes in one dir — the loser's
+            # late task commits merging into the winner's published
+            # snapshot. Create-then-verify on intent files (same
+            # protocol as manifest.py, same linearizable-listing
+            # argument) means the loser dies BEFORE its first byte.
+            # The intent is held for the whole (long) data write, so
+            # there is no observed-stability steal here: a crashed
+            # writer's stale intent fences the version until `vacuum`
+            # on a quiesced table clears it.
+            token = _uuid.uuid4().hex[:12]
+            intent = f"{root}/{_COMMITS}/c{next_v:08d}.__intent.{token}"
+            fs.create(hp(intent), False).close()
+            cdir = hp(f"{root}/{_COMMITS}")
+            prefix = f"c{next_v:08d}.__intent."
+            rivals = [
+                st.getPath().getName()
+                for st in fs.listStatus(cdir)
+                if st.getPath().getName().startswith(prefix)
+                and not st.getPath().getName().endswith(token)
+            ]
+            if rivals or fs.exists(hp(marker)):
+                fs.delete(hp(intent), False)
                 raise CommitConflict(
-                    f"version dir {target!r} already exists — either a "
-                    "concurrent writer is mid-commit on this version, "
-                    "or a crashed attempt left an orphan; retry, or "
-                    "vacuum a quiesced table to clear the orphan"
+                    f"version {next_v} of {table_dir!r} is claimed "
+                    f"({rivals or [marker]}) — a concurrent writer is "
+                    "mid-commit, or a crashed writer's stale intent "
+                    "fences it (clear with vacuum on a quiesced table)"
                 )
-            fs.delete(hp(target), True)  # legacy single-writer: orphan
-        df.write.mode("overwrite").parquet(target)
         try:
-            # create-if-absent: a writer racing this version number
-            # dies HERE instead of silently replacing the other
-            # commit's data dir. Atomic on HDFS/local; on S3A the
-            # create is check-then-put, so the guard (like the
-            # pre-write probe above) is advisory — correctness on
-            # plain S3A rests on external single-writer coordination,
-            # the guards make violations loud where the store can.
-            fs.create(hp(marker), False).close()
-        except Exception as exc:
-            if fs.exists(hp(marker)):
-                raise CommitConflict(
-                    f"commit marker {marker!r} already exists — a "
-                    "concurrent writer committed this version first; "
-                    "re-read and retry (merge_commit/delete_commit "
-                    "retries=N automates the rebase)"
-                ) from exc
-            raise  # a real storage fault, not a race — don't relabel
+            if fs.exists(hp(target)):
+                # safe now even when pinned: a LIVE pinned rival would
+                # have collided at the intent verify above, so an
+                # existing dir is a crashed attempt's orphan (or a
+                # legacy unpinned writer's — a documented contract
+                # violation)
+                fs.delete(hp(target), True)
+            df.write.mode("overwrite").parquet(target)
+            try:
+                # create-if-absent: a writer racing this version number
+                # dies HERE instead of silently replacing the other
+                # commit's data dir. Atomic on HDFS/local; on S3A the
+                # create is check-then-put, so for UNPINNED writers the
+                # guard is advisory — pinned writers get the intent
+                # claim above, and plain-S3A unpinned correctness rests
+                # on external single-writer coordination.
+                fs.create(hp(marker), False).close()
+            except Exception as exc:
+                if fs.exists(hp(marker)):
+                    raise CommitConflict(
+                        f"commit marker {marker!r} already exists — a "
+                        "concurrent writer committed this version "
+                        "first; re-read and retry "
+                        "(merge_commit/delete_commit retries=N "
+                        "automates the rebase)"
+                    ) from exc
+                raise  # a real storage fault, not a race
+        finally:
+            # release the intent on success AND failure (a failed
+            # write must not fence the version; the half-written
+            # target is an orphan the next attempt clears). Only a
+            # process CRASH leaves a stale intent — vacuum clears it.
+            if intent is not None and fs.exists(hp(intent)):
+                fs.delete(hp(intent), False)
         return next_v
     os.makedirs(table_dir, exist_ok=True)
     claim = None
@@ -392,6 +428,15 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
                 if fs.exists(pp):
                     raise IOError(f"vacuum could not delete {what} {path!r}")
 
+        # stale intent claims (a pinned writer that CRASHED mid-commit)
+        # fence their version; vacuum runs quiesced by contract, so any
+        # intent present is stale — clear them all
+        cdir = hp(f"{root}/{_COMMITS}")
+        if fs.exists(cdir):
+            for st in fs.listStatus(cdir):
+                if ".__intent." in st.getPath().getName():
+                    _rm(f"{root}/{_COMMITS}/{st.getPath().getName()}",
+                        "stale intent")
         found = []
         for st in fs.listStatus(hp(root)):
             name = st.getPath().getName()

@@ -501,3 +501,77 @@ def test_manifest_mixed_fleet_appenders_and_compactor(spark, tmp_path):
     assert _ids(spark, dest) == want  # nothing lost across compactions
     versions = [v for v, _ in M.manifest_versions(spark, dest)]
     assert len(versions) == 5 and versions[-1] == 9  # 1 seed + 8 serial
+
+
+# ------------------------------------------------------- two-phase markers
+
+
+def test_intent_is_invisible_to_readers_and_rebasers(spark, tmp_path):
+    """r9 two-phase: an intent (created-but-not-verified claim) must
+    never be resolved as a commit — readers, rebasers and retention
+    consume FINAL markers only, so a to-be-withdrawn rival can never
+    poison a base tree or a read."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(3).write.parquet(t))
+    cur = M.current_manifest(spark, dest)
+    # forge a racer's in-flight intent at the NEXT version
+    open(f"{dest}/_manifests/v{cur[0] + 1:08d}.{'a' * 12}.__intent", "w").close()
+    assert M.current_manifest(spark, dest) == cur  # unmoved
+    assert M.manifest_versions(spark, dest) == [cur]
+    assert _ids(spark, dest) == [0, 1, 2]
+
+
+def test_stale_intent_fences_then_steal_and_vacuum_unfence(
+    spark, tmp_path, monkeypatch
+):
+    """A writer crashing inside the (sub-second) intent→final window
+    leaves a stale intent fencing its version: a retries=0 commit
+    conflicts loudly; a retrying commit STEALS the intent once it has
+    been observed unchanged with no final past INTENT_STEAL_S; and an
+    explicit quiesced vacuum clears it immediately."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(3).write.parquet(t))
+    cur = M.current_manifest(spark, dest)
+    stale = f"{dest}/_manifests/v{cur[0] + 1:08d}.{'b' * 12}.__intent"
+    open(stale, "w").close()
+    with pytest.raises(CommitConflict, match="raced by a concurrent writer"):
+        M.manifest_commit(
+            spark, dest, lambda t: spark.range(9).write.parquet(t)
+        )
+    assert _ids(spark, dest) == [0, 1, 2]  # fence held, nothing lost
+    # a retrying writer waits out the steal window, then proceeds
+    monkeypatch.setattr(M, "INTENT_STEAL_S", 0.2)
+    v = M.manifest_commit(
+        spark, dest, lambda t: spark.range(9).write.parquet(t), retries=8
+    )
+    assert v == cur[0] + 1
+    assert not os.path.exists(stale)  # stolen
+    assert _ids(spark, dest) == list(range(9))
+    # explicit vacuum clears any remaining stale intent outright
+    open(stale + "x", "w").close()  # non-matching name: ignored
+    stale2 = f"{dest}/_manifests/v{v + 1:08d}.{'c' * 12}.__intent"
+    open(stale2, "w").close()
+    M.manifest_vacuum(spark, dest, keep=1)
+    assert not os.path.exists(stale2)
+
+
+def test_versioned_pinned_intent_blocks_before_any_write(spark, tmp_path):
+    """r9 review: versioned version dirs are FIXED names, so a pinned
+    writer must die BEFORE its first byte when the version is claimed
+    — a rival's in-flight intent (or a crashed writer's stale one)
+    conflicts with the target dir untouched; quiesced vacuum unfences."""
+    tbl = f"file://{tmp_path}/t"
+    V.commit_version(
+        spark.createDataFrame([(1, "a")], "k int, val string"), tbl
+    )
+    local = f"{tmp_path}/t"
+    rival_intent = f"{local}/_commits/c00000002.__intent.{'d' * 12}"
+    open(rival_intent, "w").close()
+    delta = spark.createDataFrame([(2, "b")], "k int, val string")
+    with pytest.raises(CommitConflict, match="claimed"):
+        V.merge_commit(spark, tbl, delta, ["k"])
+    assert not os.path.exists(f"{local}/v00002")  # never touched
+    V.vacuum(tbl)
+    assert not os.path.exists(rival_intent)
+    assert V.merge_commit(spark, tbl, delta, ["k"]) == 2
+    assert _kv(spark, tbl) == [(1, "a"), (2, "b")]
