@@ -340,9 +340,47 @@ def manifest_commit(
     import time as _time
 
     seen_intents: dict[tuple[int, str], float] = {}
+
+    def _note_and_steal(intents, finals, next_v: int) -> list[str]:
+        """Record rival intents blocking ``next_v``, steal the ones
+        observed past INTENT_STEAL_S with no final, and return the
+        tokens still blocking."""
+        now = _time.monotonic()
+        final_versions = {v2 for v2, _ in finals}
+        blocking = []
+        for v2, tok in sorted(intents):
+            if v2 != next_v or v2 in final_versions:
+                continue
+            first = seen_intents.setdefault((v2, tok), now)
+            if now - first >= INTENT_STEAL_S:
+                _verified_delete(
+                    fs, hp, _intent_path(dest, v2, tok),
+                    "crashed writer's stale intent",
+                )
+            else:
+                blocking.append(tok)
+        return blocking
+
     while True:
         committed = manifest_versions(spark, dest)
         next_v = committed[-1][0] + 1 if committed else 1
+        if attempt > 0:
+            # fail fast BEFORE re-running the (possibly expensive)
+            # write: a rival intent already visible at our target
+            # version dooms the attempt anyway — steal it if it is
+            # overdue, otherwise conflict without writing a tree
+            finals, intents = _list_markers(fs, hp, dest)
+            blocking = _note_and_steal(intents, finals, next_v)
+            if blocking:
+                if attempt >= retries:
+                    raise CommitConflict(
+                        f"manifest_commit: version {next_v} of {dest!r} "
+                        f"is claimed by in-flight intents {blocking}; "
+                        "re-read and retry"
+                    )
+                _conflict_backoff(attempt, backoff_s)
+                attempt += 1
+                continue
         token = uuid.uuid4().hex[:12]
         tree = tree_dir(dest, next_v, token)
         write(tree)
@@ -369,16 +407,9 @@ def manifest_commit(
             _verified_delete(fs, hp, tree, "losing commit's tree")
             # steal bookkeeping: rival INTENTS (not finals) that keep
             # blocking this version with no final are crash residue
-            now = _time.monotonic()
-            final_versions = {v2 for v2, _ in finals}
-            for v2, tok in intents:
-                if v2 == next_v and tok != token and v2 not in final_versions:
-                    first = seen_intents.setdefault((v2, tok), now)
-                    if now - first >= INTENT_STEAL_S:
-                        _verified_delete(
-                            fs, hp, _intent_path(dest, v2, tok),
-                            "crashed writer's stale intent",
-                        )
+            _note_and_steal(
+                {(v2, t) for v2, t in intents if t != token}, finals, next_v
+            )
             if attempt >= retries:
                 raise CommitConflict(
                     f"manifest_commit: version {next_v} of {dest!r} was "
