@@ -362,14 +362,17 @@ def manifest_commit(
         return blocking
 
     while True:
-        committed = manifest_versions(spark, dest)
+        # ONE listing per attempt serves version resolution AND the
+        # fail-fast probe (two back-to-back listings could also
+        # disagree, sending the writer into a doomed tree write)
+        finals, intents = _list_markers(fs, hp, dest)
+        committed = sorted(finals)
         next_v = committed[-1][0] + 1 if committed else 1
         if attempt > 0:
             # fail fast BEFORE re-running the (possibly expensive)
             # write: a rival intent already visible at our target
             # version dooms the attempt anyway — steal it if it is
             # overdue, otherwise conflict without writing a tree
-            finals, intents = _list_markers(fs, hp, dest)
             blocking = _note_and_steal(intents, finals, next_v)
             if blocking:
                 if attempt >= retries:
@@ -397,40 +400,54 @@ def manifest_commit(
         # not-yet-verified commit.
         intent = _intent_path(dest, next_v, token)
         fs.create(hp(intent), False).close()
-        finals, intents = _list_markers(fs, hp, dest)
-        rivals = sorted(
-            tok for v2, tok in (finals | intents)
-            if v2 == next_v and tok != token
-        )
-        if rivals:
-            _verified_delete(fs, hp, intent, "losing commit's intent")
-            _verified_delete(fs, hp, tree, "losing commit's tree")
-            # steal bookkeeping: rival INTENTS (not finals) that keep
-            # blocking this version with no final are crash residue
-            _note_and_steal(
-                {(v2, t) for v2, t in intents if t != token}, finals, next_v
-            )
-            if attempt >= retries:
-                raise CommitConflict(
-                    f"manifest_commit: version {next_v} of {dest!r} was "
-                    f"raced by a concurrent writer ({rivals}); this "
-                    "commit was withdrawn untouched — re-read and "
-                    "retry (or pass retries>0 for a rebasing write)"
-                )
-            _conflict_backoff(attempt, backoff_s)
-            attempt += 1
-            continue
-        marker = _marker_path(dest, next_v, token)
+        published = False
         try:
-            fs.create(hp(marker), False).close()
-        except Exception:  # Py4J wraps FileAlreadyExistsException
-            if not fs.exists(hp(marker)):
-                raise  # a real storage fault, not a race — don't relabel
-            # a final under OUR (version, token) without us creating it
-            # — uuid collision is not a thing; surface the fault
-            raise IOError(
-                f"manifest_commit: marker {marker!r} already exists"
+            finals2, intents2 = _list_markers(fs, hp, dest)
+            rivals = sorted(
+                tok for v2, tok in (finals2 | intents2)
+                if v2 == next_v and tok != token
             )
+            if rivals:
+                _verified_delete(fs, hp, intent, "losing commit's intent")
+                _verified_delete(fs, hp, tree, "losing commit's tree")
+                # steal bookkeeping: rival INTENTS (not finals) that
+                # keep blocking this version with no final are residue
+                _note_and_steal(
+                    {(v2, t) for v2, t in intents2 if t != token},
+                    finals2, next_v,
+                )
+                if attempt >= retries:
+                    raise CommitConflict(
+                        f"manifest_commit: version {next_v} of {dest!r} "
+                        f"was raced by a concurrent writer ({rivals}); "
+                        "this commit was withdrawn untouched — re-read "
+                        "and retry (or pass retries>0 for a rebasing "
+                        "write)"
+                    )
+                _conflict_backoff(attempt, backoff_s)
+                attempt += 1
+                continue
+            marker = _marker_path(dest, next_v, token)
+            try:
+                fs.create(hp(marker), False).close()
+            except Exception:  # Py4J wraps FileAlreadyExistsException
+                if not fs.exists(hp(marker)):
+                    raise  # a real storage fault — don't relabel
+                # a final under OUR (version, token) without us creating
+                # it — uuid collision is not a thing; surface the fault
+                raise IOError(
+                    f"manifest_commit: marker {marker!r} already exists"
+                )
+            published = True
+        finally:
+            # a FAILED-but-alive writer must not leave its intent
+            # fencing the version (versioned.py's claim release has the
+            # same rule): on any exception between intent create and
+            # final create, release the intent best-effort. The
+            # withdraw path above already deleted it; the success path
+            # releases it verified, below.
+            if not published and fs.exists(hp(intent)):
+                fs.delete(hp(intent), False)
         try:
             # intent released only AFTER the final exists: a rival
             # verifying in between sees one or the other, never a
@@ -580,10 +597,8 @@ def manifest_vacuum(
             "have duplicate markers; delete each losing marker before "
             "vacuuming"
         )
-    if not committed:
-        return []
     keep = max(1, keep)
-    kept = committed[-keep:]
+    kept = committed[-keep:] if committed else []
     dropped = []
     for v, tok in committed[: len(committed) - len(kept)]:
         _verified_delete(fs, hp, _marker_path(dest, v, tok), "marker")
@@ -596,7 +611,11 @@ def manifest_vacuum(
     # fencing its version; with no writers running, every intent
     # present is stale by definition (live intents exist for three FS
     # ops). This is the manual unfence for retries=0 callers that hit
-    # the fence before the steal window elapsed.
+    # the fence before the steal window elapsed — and it must run even
+    # on a NEVER-COMMITTED relation (a crashed FIRST commit is exactly
+    # the state that leaves intents and orphan trees with no finals;
+    # an early empty-committed return here would make the unfence the
+    # error messages point to a silent no-op).
     _, intents = _list_markers(fs, hp, dest)
     for v, tok in intents:
         _verified_delete(fs, hp, _intent_path(dest, v, tok), "stale intent")

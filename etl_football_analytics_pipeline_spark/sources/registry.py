@@ -403,9 +403,7 @@ def _local_manifest_tree(path: str) -> str | None:
     """The live manifest tree of a LOCAL relation dir, or None for the
     plain layout — the os-level twin of `manifest.resolved_dir` for
     gates that run before any SparkSession exists."""
-    from ..manifest import _MARKER_RE
-
-    from ..manifest import SETTLE_WAITS
+    from ..manifest import _MARKER_RE, SETTLE_WAITS
 
     for wait in SETTLE_WAITS:
         try:

@@ -183,6 +183,17 @@ def _claim_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f".c{version:05d}.__claim")
 
 
+def _rm_checked(fs, hp, path: str, what: str) -> None:
+    """Delete a file and VERIFY it is gone — a swallowed failure on a
+    protocol file (intent/claim) would leave the next writer chasing a
+    phantom rival."""
+    p = hp(path)
+    if fs.exists(p):
+        fs.delete(p, False)
+        if fs.exists(p):
+            raise IOError(f"could not delete {what} {path!r}")
+
+
 def commit_version(
     df: DataFrame, table_dir: str, expected_base: int | None = None
 ) -> int:
@@ -201,15 +212,20 @@ def commit_version(
     WITHOUT it, a writer whose plan was built against a stale read
     would re-resolve a fresh version number here and silently publish
     a merge that drops the interleaved commit's rows. Remote tables
-    get this from the per-version marker create-if-absent PLUS a
-    refuse-existing-target probe: a pinned writer never deletes the
-    fixed-name version dir, because it may be a rival's IN-FLIGHT
-    write whose late task commits would otherwise merge into the
-    published snapshot (crashed orphans are cleared by ``vacuum`` on a
-    quiesced table instead). Local tables claim the version with an
-    O_CREAT|O_EXCL file first (a crashed claimer leaves a stale
-    ``.cNNNNN.__claim`` that blocks that version until ``vacuum`` —
-    run quiesced — clears it).
+    claim an INTENT file (``cNNNNNNNN.__intent.<token>``,
+    create-then-verify — the manifest protocol's first phase) BEFORE
+    touching the fixed-name version dir, so a pinned rival dies
+    before its first byte and two pinned writers can never interleave
+    files in one dir; having won the claim, clearing a pre-existing
+    target dir is safe — it can only be a crashed attempt's orphan
+    (or a LEGACY unpinned writer's in-flight dir: unpinned writers
+    create no intents, so MIXING pinned and unpinned writers on one
+    table — a contract violation both before and after r9 — can still
+    destroy the unpinned writer's in-flight work; unpinned writers
+    delete "orphan" dirs just as blindly in the other direction).
+    Local tables claim the version with an O_CREAT|O_EXCL file.
+    Either claim left by a CRASHED writer fences its version until
+    ``vacuum`` — run quiesced — clears it.
     Merge-type commits (`merge_commit`, `delete_commit`) always pin;
     use ``retries`` there to turn the loud conflict into a rebase."""
     if _is_remote(table_dir):
@@ -260,20 +276,21 @@ def commit_version(
                 and not st.getPath().getName().endswith(token)
             ]
             if rivals or fs.exists(hp(marker)):
-                fs.delete(hp(intent), False)
+                _rm_checked(fs, hp, intent, "own withdrawn intent")
                 raise CommitConflict(
                     f"version {next_v} of {table_dir!r} is claimed "
                     f"({rivals or [marker]}) — a concurrent writer is "
                     "mid-commit, or a crashed writer's stale intent "
                     "fences it (clear with vacuum on a quiesced table)"
                 )
+        committed = False
         try:
             if fs.exists(hp(target)):
                 # safe now even when pinned: a LIVE pinned rival would
                 # have collided at the intent verify above, so an
                 # existing dir is a crashed attempt's orphan (or a
-                # legacy unpinned writer's — a documented contract
-                # violation)
+                # legacy unpinned writer's — the documented
+                # mixed-writers contract violation, see docstring)
                 fs.delete(hp(target), True)
             df.write.mode("overwrite").parquet(target)
             try:
@@ -295,13 +312,26 @@ def commit_version(
                         "automates the rebase)"
                     ) from exc
                 raise  # a real storage fault, not a race
+            committed = True
         finally:
             # release the intent on success AND failure (a failed
             # write must not fence the version; the half-written
-            # target is an orphan the next attempt clears). Only a
-            # process CRASH leaves a stale intent — vacuum clears it.
+            # target is an orphan the next attempt clears). On the
+            # SUCCESS path the release is VERIFIED and relabeled so a
+            # swallowed delete cannot leave a lingering intent that
+            # sends the next writer chasing a phantom rival — while a
+            # failure path stays best-effort to not mask the original
+            # exception. Only a process CRASH leaves a stale intent —
+            # vacuum clears it.
             if intent is not None and fs.exists(hp(intent)):
                 fs.delete(hp(intent), False)
+                if committed and fs.exists(hp(intent)):
+                    raise IOError(
+                        f"version {next_v} of {table_dir!r} IS "
+                        f"COMMITTED, but releasing the commit intent "
+                        f"{intent!r} failed — clear it with vacuum on "
+                        "a quiesced table"
+                    )
         return next_v
     os.makedirs(table_dir, exist_ok=True)
     claim = None
@@ -416,9 +446,6 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
     if _is_remote(table_dir):
         fs, hp = _remote_fs(table_dir)
         committed = _remote_versions(table_dir)
-        if not committed:
-            return []
-        live = committed[-1]
         root = table_dir.rstrip("/")
 
         def _rm(path: str, what: str) -> None:
@@ -430,7 +457,14 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
 
         # stale intent claims (a pinned writer that CRASHED mid-commit)
         # fence their version; vacuum runs quiesced by contract, so any
-        # intent present is stale — clear them all
+        # intent present is stale — clear them all. This runs even on a
+        # NEVER-COMMITTED table: a crashed FIRST commit is exactly the
+        # state that leaves an intent (and an orphan v00001 dir) with
+        # no committed version — an early empty-committed return would
+        # make the unfence the CommitConflict message points to a
+        # silent no-op (r9 review).
+        if not fs.exists(hp(root)):
+            return []
         cdir = hp(f"{root}/{_COMMITS}")
         if fs.exists(cdir):
             for st in fs.listStatus(cdir):
@@ -447,6 +481,9 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
             if v not in committed:  # crashed-commit orphan (no marker)
                 _rm(version_dir(table_dir, v), "orphan version dir")
                 dropped.append(v)
+        if not committed:
+            return dropped
+        live = committed[-1]
         retire = committed[:-keep] if keep > 0 else committed
         for v in retire:
             if v == live:
@@ -455,16 +492,25 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
             _rm(version_dir(table_dir, v), "version dir")
             dropped.append(v)
         return dropped
-    live = current_version(table_dir)
-    if live is None:
-        return []
     # stale version claims (a pinned writer that CRASHED between its
     # O_EXCL claim and the pointer flip) fence their version number
     # forever; vacuum runs quiesced by contract, so any claim present
-    # here is stale — clear them all
+    # here is stale — clear them all (even on a never-committed table,
+    # where a crashed first commit leaves a claim and no pointer)
+    if not os.path.isdir(table_dir):
+        return []
     for d in os.listdir(table_dir):
         if d.startswith(".c") and d.endswith(".__claim"):
             os.unlink(os.path.join(table_dir, d))
+    live = current_version(table_dir)
+    if live is None:
+        # never committed: any vNNNNN dirs are crashed staging orphans
+        dropped = []
+        for d in os.listdir(table_dir):
+            if d.startswith("v") and d[1:].isdigit():
+                shutil.rmtree(os.path.join(table_dir, d))
+                dropped.append(int(d[1:]))
+        return sorted(dropped)
     found = sorted(
         int(d[1:])
         for d in os.listdir(table_dir)

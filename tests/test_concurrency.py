@@ -575,3 +575,73 @@ def test_versioned_pinned_intent_blocks_before_any_write(spark, tmp_path):
     assert not os.path.exists(rival_intent)
     assert V.merge_commit(spark, tbl, delta, ["k"]) == 2
     assert _kv(spark, tbl) == [(1, "a"), (2, "b")]
+
+
+def test_vacuum_unfences_never_committed_relation(spark, tmp_path):
+    """r9 review: a crashed FIRST commit leaves an intent (and an
+    orphan tree) with NO committed version — the early empty-committed
+    return used to skip the intent sweep, making the unfence the
+    CommitConflict message points to a silent no-op."""
+    dest = str(tmp_path / "rel")
+    os.makedirs(f"{dest}/_manifests")
+    open(f"{dest}/_manifests/v{1:08d}.{'e' * 12}.__intent", "w").close()
+    os.makedirs(f"{dest}/_trees/v{1:08d}-{'e' * 12}")
+    with pytest.raises(CommitConflict):
+        M.manifest_commit(
+            spark, dest, lambda t: spark.range(3).write.parquet(t)
+        )
+    assert M.manifest_vacuum(spark, dest) == []  # unfence: must not no-op
+    assert os.listdir(f"{dest}/_manifests") == []
+    assert os.listdir(f"{dest}/_trees") == []
+    assert M.manifest_commit(
+        spark, dest, lambda t: spark.range(3).write.parquet(t)
+    ) == 1
+
+
+def test_versioned_vacuum_unfences_never_committed_table(spark, tmp_path):
+    """Same crashed-first-commit state on a remote versioned table:
+    vacuum must clear the stale intent (and the orphan staging dir)
+    even though no version was ever committed."""
+    tbl = f"file://{tmp_path}/t"
+    local = f"{tmp_path}/t"
+    os.makedirs(f"{local}/_commits")
+    open(f"{local}/_commits/c00000001.__intent.{'f' * 12}", "w").close()
+    os.makedirs(f"{local}/v00001")  # the crashed attempt's staging dir
+    delta = spark.createDataFrame([(1, "a")], "k int, val string")
+    with pytest.raises(CommitConflict, match="claimed"):
+        V.merge_commit(spark, tbl, delta, ["k"])
+    assert V.vacuum(tbl) == [1]  # orphan staging dir GC'd
+    assert os.listdir(f"{local}/_commits") == []
+    assert V.merge_commit(spark, tbl, delta, ["k"]) == 1
+    assert _kv(spark, tbl) == [(1, "a")]
+
+
+def test_failed_live_writer_releases_its_intent(spark, tmp_path, monkeypatch):
+    """r9 review: a writer that fails LIVE between intent create and
+    final create (storage fault, listing error) must release its
+    intent — otherwise one failed writer fences the version for every
+    retries=0 rival until a steal or explicit vacuum."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(2).write.parquet(t))
+    orig = M._list_markers
+    state = {"calls": 0}
+
+    def flaky(fs, hp, d):
+        state["calls"] += 1
+        if state["calls"] == 2:  # the post-intent verify listing
+            raise IOError("injected listing fault")
+        return orig(fs, hp, d)
+
+    monkeypatch.setattr(M, "_list_markers", flaky)
+    with pytest.raises(IOError, match="injected"):
+        M.manifest_commit(
+            spark, dest, lambda t: spark.range(5).write.parquet(t)
+        )
+    monkeypatch.setattr(M, "_list_markers", orig)
+    intents = [n for n in os.listdir(f"{dest}/_manifests")
+               if n.endswith(".__intent")]
+    assert intents == []  # no fence left behind
+    # and a retries=0 commit proceeds immediately
+    assert M.manifest_commit(
+        spark, dest, lambda t: spark.range(5).write.parquet(t)
+    ) == 2
