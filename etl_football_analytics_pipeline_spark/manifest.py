@@ -300,10 +300,12 @@ def manifest_commit(
     ``write(tree_path)`` materializes the new tree into a fresh
     token directory (it may freely READ the current tree — e.g. a
     compaction's survivors plan — because nothing it reads moves until
-    after the marker is committed). The commit is then one empty-file
-    create; retention (``keep`` newest versions, default 1 = replace
-    semantics) runs after the marker so a crash at any point leaves
-    either the old version live and complete, or the new one.
+    after the marker is committed). The commit is then the TWO-PHASE
+    publish (intent → verify-alone → final marker; see the module
+    docstring); retention (``keep`` newest versions, default 1 =
+    replace semantics) runs after the final marker so a crash at any
+    point leaves either the old version live and complete, or the new
+    one.
 
     ``retries`` (default 0 = fail loud, the pre-r9 contract) enables
     OPTIMISTIC CONCURRENCY: when the publish collides with a racing
