@@ -63,9 +63,29 @@ committed version and scan an immutable tree. The properties:
   to this layout. A writer that CRASHES inside the (sub-second,
   three-FS-op) intent→final window leaves a stale intent fencing its
   version; rivals STEAL it only after observing it unchanged with no
-  final across several re-lists spanning ``INTENT_STEAL_S`` — a pause
-  longer than that by a still-live writer degrades to a duplicate
-  FINAL state that readers refuse loudly (never silent loss).
+  final across several re-lists spanning the steal window
+  (``INTENT_STEAL_S``, configurable per commit via ``steal_after_s``).
+- **The paused-writer duplicate window is FENCED (r10).** A still-live
+  writer paused longer than the steal window between its verify and
+  its final create used to degrade to two FINAL markers for one
+  version. Two defenses close it: (1) every writer re-lists
+  immediately before the final create and WITHDRAWS if its own intent
+  was stolen or any final ≥ its target version appeared — the exposed
+  window shrinks from the whole verify→final span to one listing
+  round-trip; (2) on filesystems whose ``create(path, overwrite=
+  False)`` is a true atomic create-if-absent (local O_EXCL, HDFS
+  namespace create — and object stores that advertise conditional
+  create, probed via ``hasPathCapability``), the final create happens
+  under a shared per-version ``vNNNNNNNN.__lock`` file, so the
+  fence-check+final-create pair is serialized: a duplicate then
+  additionally requires the rival to steal BOTH the paused writer's
+  intent and its held lock — each a full steal-window observation —
+  inside that one-call span. Plain object stores without conditional
+  PUT keep the two-phase protocol alone (documented fallback). Should the
+  duplicate state still be forged or reached (manual tampering, a
+  non-atomic store plus a doubly-paused writer), readers keep refusing
+  loudly and ``manifest_repair`` now resolves it mechanically —
+  lowest-token final wins, losers retired with verified deletes.
 
 Retention is explicit: ``manifest_vacuum(keep=N)`` retires all but
 the newest N versions and deletes any tree no surviving marker
@@ -93,6 +113,7 @@ __all__ = [
     "current_manifest",
     "manifest_append",
     "manifest_commit",
+    "manifest_repair",
     "manifest_vacuum",
     "manifest_versions",
     "read_relation",
@@ -134,10 +155,36 @@ _MANIFESTS = "_manifests"
 # invisible to this regex, hence to every reader/retention path.
 _MARKER_RE = re.compile(r"^v(\d{8})\.([0-9a-f]{12})$")
 _INTENT_RE = re.compile(r"^v(\d{8})\.([0-9a-f]{12})\.__intent$")
+# token-free shared publish lock (exclusive-create filesystems only):
+# held across the fence-check + final-create pair, see manifest_commit
+_LOCK_RE = re.compile(r"^v(\d{8})\.__lock$")
 # a stale intent (writer crashed inside the sub-second intent→final
 # window) may be stolen by a rival after being observed unchanged,
-# with no final, across re-lists spanning at least this many seconds
-INTENT_STEAL_S = 10.0
+# with no final, across re-lists spanning at least this many seconds.
+# 30 s (r10, was 10): the window must outlast a realistic JVM GC pause
+# or object-store retry storm, because stealing from a STILL-LIVE
+# writer forces that writer into a withdraw/retry (the r10 fence makes
+# the steal safe, but it is still wasted work). Per-commit override:
+# ``steal_after_s``; the module default stays monkeypatch-friendly.
+INTENT_STEAL_S = 30.0
+# schemes whose create(path, overwrite=False) is a TRUE atomic
+# create-if-absent (O_EXCL on local disk, an atomic namespace op on
+# HDFS): the publish there additionally serializes under the shared
+# per-version __lock, closing the paused-writer duplicate window
+# entirely. Plain object stores are NOT listed (a bare S3 PUT is
+# last-writer-wins); stores that advertise conditional create are
+# detected via the capability probe below.
+EXCLUSIVE_CREATE_SCHEMES = {"", "file", "local", "hdfs", "viewfs", "webhdfs"}
+# capability names probed (defensively — an unrecognized name just
+# means the two-phase fallback) for conditional-create support on
+# schemes outside the allowlist; recent Hadoop S3A exposes S3
+# If-None-Match conditional PUT through the create builder and
+# advertises it as a path capability
+_CONDITIONAL_CREATE_CAPS = (
+    "fs.capability.conditional.create",
+    "fs.option.create.conditional.overwrite",
+)
+_lock_support_cache: dict[str, bool] = {}
 # shared reader settle schedule: how long a resolver re-lists before
 # concluding that an anomalous marker state is persistent (kept as a
 # backstop; with two-phase commits finals are never withdrawn, so this
@@ -147,6 +194,45 @@ SETTLE_WAITS = (0.05, 0.15, 0.3, None)
 
 def _intent_path(dest: str, version: int, token: str) -> str:
     return f"{dest.rstrip('/')}/{_MANIFESTS}/v{version:08d}.{token}.__intent"
+
+
+def _lock_path(dest: str, version: int) -> str:
+    return f"{dest.rstrip('/')}/{_MANIFESTS}/v{version:08d}.__lock"
+
+
+def _publish_lock_supported(fs, hp, dest: str) -> bool:
+    """Whether ``dest``'s filesystem gives a TRUE atomic
+    create-if-absent, making the shared publish lock sound there —
+    scheme allowlist first, then the conditional-create capability
+    probe for object stores that support If-None-Match PUT. Cached per
+    scheme (the answer is a property of the store, not the path)."""
+    scheme = dest.split("://", 1)[0] if "://" in dest else ""
+    hit = _lock_support_cache.get(scheme)
+    if hit is not None:
+        return hit
+    ok = scheme in EXCLUSIVE_CREATE_SCHEMES
+    if not ok:
+        for cap in _CONDITIONAL_CREATE_CAPS:
+            try:
+                if fs.hasPathCapability(hp(dest), cap):
+                    ok = True
+                    break
+            except Exception:  # older Hadoop / unknown capability name
+                pass
+    _lock_support_cache[scheme] = ok
+    return ok
+
+
+def _lock_mtime(fs, hp, path: str) -> int | None:
+    """The lock file's modificationTime, or None when absent — the
+    token-free lock's only identity, used to tell 'my lock, still
+    mine' from 'stolen and re-created by a rival' (a steal happens
+    only after a full INTENT_STEAL_S observation window, so two locks
+    can never share an mtime)."""
+    try:
+        return fs.getFileStatus(hp(path)).getModificationTime()
+    except Exception:
+        return None
 
 
 def _list_markers(fs, hp, dest: str):
@@ -230,8 +316,9 @@ def current_manifest(spark, dest: str) -> tuple[int, str] | None:
     raise IOError(
         f"manifest corruption in {dest!r}: version {top[0][0]} has "
         f"{len(top)} markers ({[t for _, t in top]}); a racing commit "
-        "crashed between marker create and withdraw — delete the "
-        "losing marker before reading"
+        "crashed between marker create and withdraw — run "
+        "manifest_repair (lowest token wins) or delete the losing "
+        "marker before reading"
     )
 
 
@@ -269,8 +356,8 @@ def read_relation_version(spark, dest: str, version: int) -> DataFrame:
         raise IOError(
             f"manifest corruption in {dest!r}: version {version} has "
             f"{len(hits)} markers ({hits}); a racing commit crashed "
-            "between marker create and withdraw — delete the losing "
-            "marker first"
+            "between marker create and withdraw — run manifest_repair "
+            "(lowest token wins) or delete the losing marker first"
         )
     if hits:
         return spark.read.parquet(tree_dir(dest, version, hits[0]))
@@ -293,7 +380,7 @@ def _verified_delete(fs, hp, path: str, what: str) -> None:
 
 def manifest_commit(
     spark, dest: str, write, keep: int = 1, retries: int = 0,
-    backoff_s: float = 0.05,
+    backoff_s: float = 0.05, steal_after_s: float | None = None,
 ) -> int:
     """Commit ``write``'s output as the relation's next version.
 
@@ -328,24 +415,39 @@ def manifest_commit(
     Delta answers it with retention periods). Size ``keep`` to at
     least (concurrent writers + 1) so the previous ``keep-1`` trees
     outlive any in-flight rebase; ``keep=1`` is the single-writer
-    replace setting.
+    replace setting — and because a retrying commit IS declaring
+    concurrency, ``retries > 0`` enforces ``keep >= 2`` (r10, ADVICE
+    r9: undersized retention under contention can retire the final a
+    slow rival's verify needed to see, or the tree its rebase is
+    scanning).
+
+    ``steal_after_s`` overrides the stale-intent/lock steal window
+    (default: module ``INTENT_STEAL_S``) — raise it on stores with
+    long pause tails, shrink it in tests.
 
     Returns the committed version number."""
     dest = dest.rstrip("/")
     fs, hp = _fs(spark, dest)
+    if retries > 0:
+        keep = max(keep, 2)
+    steal_s = INTENT_STEAL_S if steal_after_s is None else steal_after_s
+    use_lock = _publish_lock_supported(fs, hp, dest)
     attempt = 0
     # stale-intent steal bookkeeping: (version, token) → first
     # observation time. A rival intent with no final that persists
-    # across attempts for INTENT_STEAL_S is a crashed writer's residue
-    # (the live intent→final window is three FS ops, sub-second) —
-    # steal it so a crash cannot fence the version until manual repair.
+    # across attempts for the steal window is a crashed writer's
+    # residue (the live intent→final window is three FS ops,
+    # sub-second) — steal it so a crash cannot fence the version until
+    # manual repair. Locks get the same treatment keyed on (version,
+    # mtime): the token-free lock's mtime is its identity.
     import time as _time
 
     seen_intents: dict[tuple[int, str], float] = {}
+    seen_locks: dict[tuple[int, int], float] = {}
 
     def _note_and_steal(intents, finals, next_v: int) -> list[str]:
         """Record rival intents blocking ``next_v``, steal the ones
-        observed past INTENT_STEAL_S with no final, and return the
+        observed past the steal window with no final, and return the
         tokens still blocking."""
         now = _time.monotonic()
         final_versions = {v2 for v2, _ in finals}
@@ -354,7 +456,7 @@ def manifest_commit(
             if v2 != next_v or v2 in final_versions:
                 continue
             first = seen_intents.setdefault((v2, tok), now)
-            if now - first >= INTENT_STEAL_S:
+            if now - first >= steal_s:
                 _verified_delete(
                     fs, hp, _intent_path(dest, v2, tok),
                     "crashed writer's stale intent",
@@ -362,6 +464,23 @@ def manifest_commit(
             else:
                 blocking.append(tok)
         return blocking
+
+    def _note_and_steal_lock(lock: str, next_v: int) -> bool:
+        """A rival (or crashed writer) holds the publish lock at
+        ``next_v``: record the observation, steal the lock once it has
+        persisted a full steal window (a LIVE publish holds it for two
+        FS ops), and return True when it still blocks."""
+        mt = _lock_mtime(fs, hp, lock)
+        if mt is None:
+            return False  # released between our create-fail and stat
+        now = _time.monotonic()
+        first = seen_locks.setdefault((next_v, mt), now)
+        if now - first >= steal_s:
+            _verified_delete(
+                fs, hp, lock, "crashed writer's stale publish lock"
+            )
+            return False
+        return True
 
     while True:
         # ONE listing per attempt serves version resolution AND the
@@ -403,10 +522,20 @@ def manifest_commit(
         intent = _intent_path(dest, next_v, token)
         fs.create(hp(intent), False).close()
         published = False
+        lock = _lock_path(dest, next_v)
+        my_lock_mt: int | None = None  # set while this writer holds it
         try:
             finals2, intents2 = _list_markers(fs, hp, dest)
+            # rivals: any FINAL at or ABOVE the target version (>= not
+            # == — r10, ADVICE r9: with undersized retention a slow
+            # writer's exact-version rival final can already be retired
+            # by the time it verifies, and publishing below the live
+            # top would silently shadow the rows it never saw), plus
+            # any rival INTENT at the target version itself.
             rivals = sorted(
-                tok for v2, tok in (finals2 | intents2)
+                f"v{v2}.{tok}" for v2, tok in finals2 if v2 >= next_v
+            ) + sorted(
+                tok for v2, tok in intents2
                 if v2 == next_v and tok != token
             )
             if rivals:
@@ -429,6 +558,71 @@ def manifest_commit(
                 _conflict_backoff(attempt, backoff_s)
                 attempt += 1
                 continue
+            # PUBLISH LOCK (r10; exclusive-create filesystems only):
+            # serialize the fence-check + final-create pair under a
+            # shared per-version name, so a paused-then-stolen writer
+            # and its stealer can never both reach the final create.
+            # With linearizable listings at most one writer per version
+            # survives verify-alone, so a held lock here means a
+            # crashed holder (steal after the observation window) — or
+            # a mid-steal rival, which the withdraw handles.
+            if use_lock:
+                try:
+                    fs.create(hp(lock), False).close()
+                except Exception:
+                    _note_and_steal_lock(lock, next_v)
+                    _verified_delete(
+                        fs, hp, intent, "losing commit's intent"
+                    )
+                    _verified_delete(fs, hp, tree, "losing commit's tree")
+                    if attempt >= retries:
+                        raise CommitConflict(
+                            f"manifest_commit: the publish lock for "
+                            f"version {next_v} of {dest!r} is held; a "
+                            "rival is mid-publish or a crashed writer "
+                            "left it (stolen after the steal window by "
+                            "retrying commits; quiesced manifest_vacuum "
+                            "clears it) — this commit was withdrawn "
+                            "untouched"
+                        )
+                    _conflict_backoff(attempt, backoff_s)
+                    attempt += 1
+                    continue
+                my_lock_mt = _lock_mtime(fs, hp, lock)
+            # FENCE (r10): re-list immediately before the final create.
+            # A writer paused past the steal window between verify and
+            # here has been stolen from — its intent is gone and/or a
+            # rival final landed at/above its version; it must WITHDRAW
+            # rather than publish a duplicate or shadowed final. This
+            # shrinks the exposed span from the whole verify→final
+            # window to the single create call below; under the lock a
+            # duplicate additionally needs the rival to steal BOTH the
+            # intent and the held lock (each a full observation window)
+            # inside that span.
+            finals3, intents3 = _list_markers(fs, hp, dest)
+            fenced = (
+                (next_v, token) not in intents3
+                or any(v2 >= next_v for v2, _ in finals3)
+                or (my_lock_mt is not None
+                    and _lock_mtime(fs, hp, lock) != my_lock_mt)
+            )
+            if fenced:
+                if fs.exists(hp(intent)):
+                    _verified_delete(
+                        fs, hp, intent, "losing commit's intent"
+                    )
+                _verified_delete(fs, hp, tree, "losing commit's tree")
+                if attempt >= retries:
+                    raise CommitConflict(
+                        f"manifest_commit: this writer's claim on "
+                        f"version {next_v} of {dest!r} was stolen while "
+                        "it was paused (or a rival committed at/above "
+                        "it); the commit was withdrawn untouched — "
+                        "re-read and retry"
+                    )
+                _conflict_backoff(attempt, backoff_s)
+                attempt += 1
+                continue
             marker = _marker_path(dest, next_v, token)
             try:
                 fs.create(hp(marker), False).close()
@@ -442,22 +636,43 @@ def manifest_commit(
                 )
             published = True
         finally:
-            # a FAILED-but-alive writer must not leave its intent
-            # fencing the version (versioned.py's claim release has the
-            # same rule): on any exception between intent create and
-            # final create, release the intent best-effort. The
-            # withdraw path above already deleted it; the success path
-            # releases it verified, below.
-            if not published and fs.exists(hp(intent)):
-                fs.delete(hp(intent), False)
+            # a FAILED-but-alive writer must not leave its intent (or
+            # lock) fencing the version (versioned.py's claim release
+            # has the same rule): on any exception between intent
+            # create and final create, release both best-effort — the
+            # lock only while still OURS (mtime match; deleting a
+            # rival's re-created lock would unfence a live publish).
+            # The withdraw paths above already deleted the intent; the
+            # success path releases everything verified, below.
+            if not published:
+                if (
+                    my_lock_mt is not None
+                    and _lock_mtime(fs, hp, lock) == my_lock_mt
+                ):
+                    fs.delete(hp(lock), False)
+                if fs.exists(hp(intent)):
+                    fs.delete(hp(intent), False)
+        # lock + intent released only AFTER the final exists: a rival
+        # verifying in between sees one or the other, never a clean
+        # slate. Each post-final step gets a DISTINCT relabel (r10,
+        # ADVICE r9: one shared 'retention failed' label steered
+        # operators to vacuum when the actual residue was the writer's
+        # own intent file) — in every case the commit IS durable.
         try:
-            # intent released only AFTER the final exists: a rival
-            # verifying in between sees one or the other, never a
-            # clean slate. (Inside the relabel-try: a lingering own
-            # intent next to its final is harmless residue — rivals
-            # target later versions and readers ignore intents — so a
-            # delete fault here must not read as a failed commit.)
+            if my_lock_mt is not None:
+                _verified_delete(
+                    fs, hp, lock, "own publish lock (post-final)"
+                )
             _verified_delete(fs, hp, intent, "own intent (post-final)")
+        except IOError as exc:
+            raise IOError(
+                f"manifest_commit: version {next_v} of {dest!r} IS "
+                "COMMITTED, but releasing this writer's own publish "
+                f"residue failed: {exc}; delete the named file (rivals "
+                "steal it after the steal window, and quiesced "
+                "manifest_vacuum clears it) — retention did NOT fail"
+            ) from exc
+        try:
             manifest_vacuum(spark, dest, keep=keep, spare_in_flight=True)
         except IOError as exc:
             # the marker IS published — this commit is durable; only
@@ -477,7 +692,7 @@ def manifest_commit(
 
 def manifest_append(
     spark, dest: str, df: DataFrame, keep: int = 2, retries: int = 0,
-    backoff_s: float = 0.05,
+    backoff_s: float = 0.05, steal_after_s: float | None = None,
 ) -> int:
     """Append ``df``'s rows as the relation's next version in O(delta):
     the new tree gets ``df`` written as FRESH parquet files plus every
@@ -550,7 +765,8 @@ def manifest_append(
             _clone_dir(spark, f"{live}/{name}", f"{tree}/{name}")
 
     return manifest_commit(
-        spark, dest, write, keep=keep, retries=retries, backoff_s=backoff_s
+        spark, dest, write, keep=keep, retries=retries,
+        backoff_s=backoff_s, steal_after_s=steal_after_s,
     )
 
 
@@ -596,8 +812,8 @@ def manifest_vacuum(
         # retiring one twin by token order would adjudicate it silently
         raise IOError(
             f"manifest corruption in {dest!r}: versions {sorted(dup)} "
-            "have duplicate markers; delete each losing marker before "
-            "vacuuming"
+            "have duplicate markers; run manifest_repair (lowest token "
+            "wins) or delete each losing marker before vacuuming"
         )
     keep = max(1, keep)
     kept = committed[-keep:] if committed else []
@@ -621,6 +837,18 @@ def manifest_vacuum(
     _, intents = _list_markers(fs, hp, dest)
     for v, tok in intents:
         _verified_delete(fs, hp, _intent_path(dest, v, tok), "stale intent")
+    # ... and stale publish LOCKS for the same reason: a writer that
+    # crashed while holding one fences its version (lock-FS schemes)
+    # until the steal window elapses for a retrying rival — quiesced,
+    # every lock present is a crashed holder's residue
+    mdir = hp(f"{dest}/{_MANIFESTS}")
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            if _LOCK_RE.match(st.getPath().getName()):
+                _verified_delete(
+                    fs, hp, f"{dest}/{_MANIFESTS}/{st.getPath().getName()}",
+                    "stale publish lock",
+                )
     keep_names = {f"v{v:08d}-{tok}" for v, tok in kept}
     tdir = hp(f"{dest}/{_TREES}")
     if fs.exists(tdir):
@@ -632,6 +860,50 @@ def manifest_vacuum(
                 fs, hp, f"{dest}/{_TREES}/{name}", "orphan tree"
             )
     return dropped
+
+
+def manifest_repair(spark, dest: str) -> list[tuple[int, str]]:
+    """Mechanically resolve the duplicate-final corruption that
+    ``current_manifest`` / ``manifest_vacuum`` refuse loudly: for every
+    version carrying more than one FINAL marker, the LOWEST token wins
+    (deterministic — the same lexicographic order the refusal messages
+    list the twins in, so two operators repairing concurrently pick
+    the same survivor) and each losing final's marker, then tree, is
+    retired with verified deletes (marker first: a marker pointing at
+    a deleted tree would break a read landing between the two).
+
+    The losing commit's rows are DESTROYED — that is the point: the
+    duplicate state means two complete commits claimed one version and
+    no reader can serve either; the pre-r10 remedy was the same
+    deletion done by hand. A deployment that needs the loser's rows
+    re-applies them as a NEW commit after the repair (they remain
+    readable via ``tree_dir`` until this runs). Run QUIESCED, like an
+    explicit vacuum, and run ``manifest_vacuum`` afterwards to sweep
+    any stale intents/locks the same incident left.
+
+    Returns the retired ``(version, token)`` pairs ([] when the
+    relation was healthy — repair is idempotent and safe to run on
+    suspicion)."""
+    dest = dest.rstrip("/")
+    fs, hp = _fs(spark, dest)
+    by_version: dict[int, list[str]] = {}
+    for v, tok in manifest_versions(spark, dest):
+        by_version.setdefault(v, []).append(tok)
+    retired = []
+    for v, toks in sorted(by_version.items()):
+        for tok in sorted(toks)[1:]:
+            _verified_delete(
+                fs, hp, _marker_path(dest, v, tok),
+                "losing duplicate final marker",
+            )
+            _verified_delete(
+                fs, hp, tree_dir(dest, v, tok),
+                "losing duplicate final's tree",
+            )
+            retired.append((v, tok))
+    if retired:
+        spark.catalog.refreshByPath(dest)
+    return retired
 
 
 def clear_legacy_root(spark, dest: str) -> None:

@@ -127,12 +127,18 @@ def merge_into_raw(
     both land serially with neither's partitions lost. Size
     ``keep_versions`` ≥ concurrent writers + 1 (see manifest_commit's
     retention-under-concurrency note) so a rival's commit cannot
-    vacuum the tree an in-flight rebase is still scanning; the plain
-    (never-manifest) layout has no commit-time detection and stays
-    single-writer regardless."""
+    vacuum the tree an in-flight rebase is still scanning — and
+    because ``retries > 0`` IS a declaration of concurrency, it
+    enforces ``keep_versions >= 2`` (r10, ADVICE r9: the old default
+    pair retries>0 + keep_versions=1 was exactly the undersized
+    retention the docstring warned about); the plain (never-manifest)
+    layout has no commit-time detection and stays single-writer
+    regardless."""
     from ..manifest import CommitConflict, _conflict_backoff
 
     table_path = table_path.rstrip("/")
+    if retries > 0:
+        keep_versions = max(keep_versions, 2)
     attempt = 0
     while True:
         try:

@@ -645,3 +645,217 @@ def test_failed_live_writer_releases_its_intent(spark, tmp_path, monkeypatch):
     assert M.manifest_commit(
         spark, dest, lambda t: spark.range(5).write.parquet(t)
     ) == 2
+
+
+# ------------------------------------------------- r10 fence + lock + repair
+
+
+def test_slow_writer_cannot_publish_below_live_top(spark, tmp_path):
+    """ADVICE r9 (medium): two rivals commit next_v AND next_v+1 with
+    keep=1 while a slow writer is still writing its tree for next_v —
+    retention retires the final at next_v, so a verify that only
+    checked == next_v saw a clean slate and published a final BELOW
+    the live top: rows silently shadowed, then vacuumed. The verify
+    must treat ANY final >= next_v as a rival."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(3).write.parquet(t))
+    fired = {"done": False}
+
+    def slow_write(tree):
+        if not fired["done"]:
+            fired["done"] = True
+            # two rivals land during the slow write; the second one's
+            # keep=1 retention retires the first's final at next_v=2
+            M.manifest_commit(
+                spark, dest, lambda t: spark.range(7).write.parquet(t)
+            )
+            M.manifest_commit(
+                spark, dest, lambda t: spark.range(11).write.parquet(t)
+            )
+        spark.range(99).write.parquet(tree)
+
+    with pytest.raises(CommitConflict, match="raced by a concurrent"):
+        M.manifest_commit(spark, dest, slow_write)
+    # the live top is the second rival's commit, unshadowed
+    versions = M.manifest_versions(spark, dest)
+    assert [v for v, _ in versions] == [3]
+    assert _ids(spark, dest) == list(range(11))
+    # and the slow writer's withdrawn tree left no residue
+    trees = set(os.listdir(os.path.join(dest, "_trees")))
+    assert trees == {f"v{v:08d}-{tok}" for v, tok in versions}
+
+
+def test_fence_withdraws_paused_writer_instead_of_duplicate_final(
+    spark, tmp_path, monkeypatch
+):
+    """The r9 degradation, now fenced: writer A pauses between its
+    verify and its final create for longer than the steal window; a
+    retrying rival B steals A's intent (and publish lock) and commits.
+    Pre-r10, A woke and created a SECOND final for the version —
+    readers then refused until manual marker surgery. With the fence,
+    A re-lists immediately before the final create, sees its claim
+    stolen, and WITHDRAWS: exactly one final exists, B's commit is
+    live, A gets a clean CommitConflict it can retry."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(3).write.parquet(t))
+    monkeypatch.setattr(M, "INTENT_STEAL_S", 0.1)
+    orig = M._list_markers
+    state = {"calls": 0}
+
+    def pausing(fs, hp, d):
+        res = orig(fs, hp, d)
+        state["calls"] += 1
+        if state["calls"] == 2:
+            # A's verify listing just completed (captured in `res`);
+            # simulate A pausing past the steal window here, during
+            # which rival B steals A's intent+lock and commits v2
+            M.manifest_commit(
+                spark, dest,
+                lambda t: spark.range(7).write.parquet(t),
+                retries=10, backoff_s=0.03,
+            )
+        return res
+
+    monkeypatch.setattr(M, "_list_markers", pausing)
+    with pytest.raises(CommitConflict, match="stolen while it was paused"):
+        M.manifest_commit(
+            spark, dest, lambda t: spark.range(99).write.parquet(t)
+        )
+    monkeypatch.setattr(M, "_list_markers", orig)
+    # exactly ONE final at v2 — B's; A withdrew, no duplicate state
+    # (v1 is retained too: B's retries>0 enforces keep>=2)
+    versions = M.manifest_versions(spark, dest)
+    assert [v for v, _ in versions] == [1, 2]
+    assert _ids(spark, dest) == list(range(7))
+    trees = set(os.listdir(os.path.join(dest, "_trees")))
+    assert trees == {f"v{v:08d}-{tok}" for v, tok in versions}
+    # no intent or lock residue from either writer
+    leftover = [
+        n for n in os.listdir(f"{dest}/_manifests")
+        if n.endswith(".__intent") or n.endswith(".__lock")
+    ]
+    assert leftover == []
+
+
+def test_stale_publish_lock_fences_then_steal_and_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """A writer that crashed while HOLDING the publish lock fences its
+    version on lock-filesystem schemes: a retries=0 commit withdraws
+    loudly (intent released, tree gone); a retrying commit steals the
+    lock once observed unchanged past the steal window; an explicit
+    quiesced vacuum clears it immediately."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(3).write.parquet(t))
+    stale = f"{dest}/_manifests/v{2:08d}.__lock"
+    open(stale, "w").close()  # the crashed holder's residue
+    with pytest.raises(CommitConflict, match="publish lock"):
+        M.manifest_commit(
+            spark, dest, lambda t: spark.range(9).write.parquet(t)
+        )
+    assert _ids(spark, dest) == [0, 1, 2]
+    assert not any(
+        n.endswith(".__intent") for n in os.listdir(f"{dest}/_manifests")
+    )  # the loser's intent was withdrawn with it
+    # a retrying writer waits out the steal window, then proceeds
+    monkeypatch.setattr(M, "INTENT_STEAL_S", 0.1)
+    v = M.manifest_commit(
+        spark, dest, lambda t: spark.range(9).write.parquet(t),
+        retries=10, backoff_s=0.03,
+    )
+    assert v == 2
+    assert not os.path.exists(stale)  # stolen
+    assert _ids(spark, dest) == list(range(9))
+    # explicit quiesced vacuum clears a fresh stale lock outright
+    stale2 = f"{dest}/_manifests/v{3:08d}.__lock"
+    open(stale2, "w").close()
+    M.manifest_vacuum(spark, dest, keep=1)
+    assert not os.path.exists(stale2)
+
+
+def test_manifest_repair_resolves_duplicate_finals(spark, tmp_path):
+    """The mechanical repair for the duplicate-final state (r10): two
+    complete commits claim one version (forged here — the fence + lock
+    make it unreachable through the protocol on local disk); readers
+    and vacuum refuse loudly; manifest_repair retires the losers
+    deterministically (lowest token wins) and the relation serves
+    again."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(3).write.parquet(t))
+    v1, tok1 = M.current_manifest(spark, dest)
+    # forge a rival complete commit at the SAME version: real tree,
+    # real marker — tok1 is a random uuid hex, so pick forged tokens
+    # around it to pin the lowest-token-wins adjudication both ways
+    lo_tok, hi_tok = "0" * 12, "f" * 12
+    spark.range(50).write.parquet(M.tree_dir(dest, v1, hi_tok))
+    open(f"{dest}/_manifests/v{v1:08d}.{hi_tok}", "w").close()
+    spark.range(70).write.parquet(M.tree_dir(dest, v1, lo_tok))
+    open(f"{dest}/_manifests/v{v1:08d}.{lo_tok}", "w").close()
+    # readers, time travel and vacuum all refuse, pointing at repair
+    with pytest.raises(IOError, match="manifest_repair"):
+        M.current_manifest(spark, dest)
+    with pytest.raises(IOError, match="manifest_repair"):
+        M.read_relation_version(spark, dest, v1)
+    with pytest.raises(IOError, match="manifest_repair"):
+        M.manifest_vacuum(spark, dest, keep=1)
+    retired = M.manifest_repair(spark, dest)
+    # lowest token survives; the real commit's token and hi_tok retired
+    assert retired == sorted([(v1, tok1), (v1, hi_tok)], key=lambda x: x[1])
+    assert M.current_manifest(spark, dest) == (v1, lo_tok)
+    assert _ids(spark, dest) == list(range(70))
+    assert M.read_relation_version(spark, dest, v1).count() == 70
+    # losers' trees verifiably gone; vacuum works again; idempotent
+    trees = set(os.listdir(os.path.join(dest, "_trees")))
+    assert trees == {f"v{v1:08d}-{lo_tok}"}
+    assert M.manifest_vacuum(spark, dest, keep=1) == []
+    assert M.manifest_repair(spark, dest) == []
+
+
+def test_post_final_release_fault_relabels_distinctly(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: a fault releasing the writer's OWN intent after the
+    final exists must not be reported as 'retention failed' — the
+    operator would vacuum when the residue is an intent file. The
+    relabel must name the right cleanup and state the commit IS
+    durable."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(spark, dest, lambda t: spark.range(3).write.parquet(t))
+    orig = M._verified_delete
+
+    def flaky(fs, hp, path, what):
+        if what == "own intent (post-final)":
+            raise IOError("injected intent-release fault")
+        return orig(fs, hp, path, what)
+
+    monkeypatch.setattr(M, "_verified_delete", flaky)
+    with pytest.raises(IOError, match="retention did NOT fail"):
+        M.manifest_commit(
+            spark, dest, lambda t: spark.range(9).write.parquet(t)
+        )
+    monkeypatch.setattr(M, "_verified_delete", orig)
+    # the commit IS durable despite the release fault
+    assert M.current_manifest(spark, dest)[0] == 2
+    assert _ids(spark, dest) == list(range(9))
+
+
+def test_retries_enforce_concurrency_safe_retention(spark, tmp_path):
+    """ADVICE r9: retries>0 declares concurrency, and keep=1 under
+    concurrency is the undersized retention that can vacuum a tree an
+    in-flight rebase is scanning (or retire the final a slow rival's
+    verify needed) — manifest_commit bumps keep to >= 2 there."""
+    dest = str(tmp_path / "rel")
+    M.manifest_commit(
+        spark, dest, lambda t: spark.range(3).write.parquet(t),
+        keep=1, retries=2,
+    )
+    M.manifest_commit(
+        spark, dest, lambda t: spark.range(5).write.parquet(t),
+        keep=1, retries=2,
+    )
+    assert [v for v, _ in M.manifest_versions(spark, dest)] == [1, 2]
+    # retries=0 keeps the single-writer replace semantics untouched
+    M.manifest_commit(
+        spark, dest, lambda t: spark.range(7).write.parquet(t), keep=1
+    )
+    assert [v for v, _ in M.manifest_versions(spark, dest)] == [3]
