@@ -136,10 +136,33 @@ def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 20
       ) ranked
       WHERE rn <= 5
+    ), attack AS (
+      SELECT n.n_name AS k1, COUNT(*) AS n1,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total1
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE LOWER(o.o_orderstatus) = 'o'
+      GROUP BY n.n_name
+    ), defense AS (
+      SELECT n.n_name AS k1, COUNT(*) AS n2,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total2
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE LOWER(o.o_orderstatus) = 'f'
+      GROUP BY n.n_name
+    ), attack_defense AS (
+      SELECT 'attack_defense' AS part, a.k1, CAST(NULL AS VARCHAR) AS k2,
+             a.n1, d.n2,
+             ROUND(CAST(a.total1 / NULLIF(a.n1, 0) AS DOUBLE), 2) AS v1,
+             ROUND(CAST(d.total2 / NULLIF(d.n2, 0) AS DOUBLE), 2) AS v2
+      FROM attack a JOIN defense d ON a.k1 = d.k1
     )
     SELECT * FROM summary
     UNION ALL SELECT * FROM home_away
     UNION ALL SELECT * FROM recent_form
+    UNION ALL SELECT * FROM attack_defense
     """,
 )
 def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,13 +186,25 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       team by date with a unique tiebreak (T2 recent-k; the
       reference's ORDER BY match_date DESC LIMIT 5 per selected
       team). k1=customer, k2=date, n1=orderkey, n2=recency rank,
-      v1=order value.
+      v1=order value;
+    - part='attack_defense' (r10): the attack-vs-defense quadrant
+      behind `scr/ui.py:655-698` — `get_offensive_stats` (:238-252)
+      and `get_defensive_stats` (:220-236) are two INDEPENDENT
+      per-team aggregations that the reference merges client-side in
+      pandas (`offensive_df.merge(defensive_df, on='team_name')`);
+      here the merge is engine-side: J7's real consumer, a
+      post-aggregation join of two grouped frames, with the derived
+      ROUND(x/NULLIF(n,0), 2) averages (P5 + N3). Mapped: status 'o'
+      orders = attack leg, 'f' = defense leg, per nation. k1=nation,
+      n1/n2=leg row counts, v1/v2=avg order value per leg.
 
     100 TB shape: both dim joins broadcast (nation/customer-slice are
     tiny vs the orders fact — Catalyst picks BroadcastHashJoin), the
-    conditional agg is one hash aggregate with map-side partials, and
+    conditional agg is one hash aggregate with map-side partials,
     recent-k is a windowed rank over a pruned key subset, not a global
-    sort."""
+    sort, and the attack/defense post-agg join runs on two
+    already-aggregated |nations|-row frames — the join cost is
+    O(groups), never O(fact)."""
     from ..functions.cleaning import div0
 
     orders = _t(spark, sf_dir, "orders")
@@ -233,7 +268,47 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("v2"),
         )
     )
-    return summary.unionByName(home_away).unionByName(recent)
+
+    # attack/defense quadrant: two independent per-nation aggregates
+    # merged POST-aggregation (J7's consumer) — the reference does this
+    # merge in pandas; here both legs stay lazy DataFrames and the join
+    # runs on |nations|-row aggregated frames
+    def _leg(status_val: str, n_col: str, v_col: str) -> DataFrame:
+        total = (
+            F.sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double")
+        )
+        return (
+            filtered.filter(status == status_val)
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy(F.col("n_name").alias("k1"))
+            .agg(
+                F.count("*").alias(n_col),
+                F.round(div0(total, F.count("*")), 2).alias(v_col),
+            )
+        )
+
+    # the merge side is an AGGREGATED frame — O(|nations|) rows by
+    # construction — so broadcast it explicitly: Catalyst's static
+    # size estimate for a post-agg subplan is too conservative to pick
+    # the broadcast on its own (AQE would fix it at runtime, but the
+    # right plan shouldn't need the fallback)
+    attack_defense = (
+        _leg("o", "n1", "v1")
+        .join(F.broadcast(_leg("f", "n2", "v2")), "k1")
+        .select(
+            F.lit("attack_defense").alias("part"), "k1",
+            F.lit(None).cast("string").alias("k2"), "n1", "n2", "v1", "v2",
+        )
+    )
+    return (
+        summary.unionByName(home_away)
+        .unionByName(recent)
+        .unionByName(attack_defense)
+    )
 
 
 def _stream_merged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
