@@ -123,15 +123,26 @@ __all__ = [
 ]
 
 
-def _conflict_backoff(attempt: int, backoff_s: float) -> None:
+def _conflict_backoff(
+    attempt: int, backoff_s: float, cap_s: float = 2.0
+) -> None:
     """Jittered exponential backoff between optimistic-commit retries —
     ONE policy shared by every retrying commit path (manifest_commit,
     merge_into_raw, merge_commit, delete_commit), so contention
-    behavior cannot silently diverge between protocols."""
+    behavior cannot silently diverge between protocols.
+
+    CAPPED at ``cap_s`` (r10): the r10 contention sweep
+    (SCALE.md, `scale_smoke.py --contention`) showed uncapped doubling
+    is the p95 tail at 8 writers — a writer reaching attempt 12 slept
+    ~80 s while the relation sat idle between its rivals' commits.
+    Commits serialize per relation by design, so the productive wait
+    is ~one rival commit duration, not an unbounded double; the jitter
+    (uniform 0.5–1.5×) keeps capped writers decorrelated — the same
+    bounded-exponential policy Delta/Iceberg converge on."""
     import random
     import time
 
-    time.sleep(backoff_s * (2**attempt) * (0.5 + random.random()))
+    time.sleep(min(backoff_s * (2**attempt), cap_s) * (0.5 + random.random()))
 
 
 class CommitConflict(IOError):

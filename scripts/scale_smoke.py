@@ -854,11 +854,181 @@ def commits_section(spark, scale: int) -> str:
     return "  ".join(out)
 
 
+def contention_section(spark, n_writers: int) -> str:
+    """Commit throughput UNDER CONTENTION (r10): N threaded writers
+    hammer ONE relation; tests/test_concurrency.py proves safety, this
+    measures cost. Three workloads per N:
+      append  — N manifest_append writers (the rebaseable O(delta)
+                commit), 4 commits each;
+      merge   — N versioned merge_commit writers on disjoint keys
+                (pinned-base rebase), 4 commits each;
+      mix     — (N-1) appenders + 1 compactor on one manifest relation
+                (the fleet scenario), 4 commits each.
+    Reported per workload: commits/sec, mean/max BACKOFFS per commit
+    (each backoff = one withdrawn attempt → rebase), and p95 commit
+    latency. Every row is asserted correct (all rows landed exactly
+    once) — a throughput number from a lossy run would be noise."""
+    import shutil
+    import tempfile
+    import threading
+
+    from etl_football_analytics_pipeline_spark import manifest as Mf
+    from etl_football_analytics_pipeline_spark.sources import versioned as Vr
+
+    commits_per_writer = 4
+    root = tempfile.mkdtemp(prefix="contention-smoke-")
+    out = []
+
+    # count withdrawn attempts via the shared backoff hook (one policy
+    # for every retrying commit path, so one hook sees them all)
+    orig_backoff = Mf._conflict_backoff
+
+    def run(workload: str, writer_fn, verify_fn) -> str:
+        errors: list[Exception] = []
+        lat: list[float] = []
+        per_commit_backoffs: list[int] = []
+        lat_lock = threading.Lock()
+        # per-thread backoff counters keyed by writer index via TLS
+        # (each slot is touched only by its own thread — no lock)
+        _thread_backoffs = [0] * n_writers
+        tls = threading.local()
+
+        def writer(idx: int):
+            try:
+                for i in range(commits_per_writer):
+                    n_before = _thread_backoffs[idx]
+                    t0 = time.time()
+                    writer_fn(idx, i)
+                    with lat_lock:
+                        lat.append(time.time() - t0)
+                        per_commit_backoffs.append(
+                            _thread_backoffs[idx] - n_before
+                        )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        def tls_backoff(attempt, backoff_s):
+            idx = getattr(tls, "idx", None)
+            if idx is not None:
+                _thread_backoffs[idx] += 1
+            orig_backoff(attempt, backoff_s)
+
+        # versioned.py binds _conflict_backoff by value at import —
+        # patch both modules or merge-path backoffs go uncounted
+        Mf._conflict_backoff = tls_backoff
+        Vr._conflict_backoff = tls_backoff
+        try:
+            def boot(idx: int):
+                tls.idx = idx
+                writer(idx)
+
+            threads = [
+                threading.Thread(target=boot, args=(i,))
+                for i in range(n_writers)
+            ]
+            t0 = time.time()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.time() - t0
+        finally:
+            Mf._conflict_backoff = orig_backoff
+            Vr._conflict_backoff = orig_backoff
+        assert not errors, errors[:2]
+        verify_fn()
+        total = n_writers * commits_per_writer
+        per = sorted(per_commit_backoffs) or [0]
+        p95 = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)]
+        return (
+            f"{workload}: {total / wall:5.2f} commits/s  "
+            f"backoffs mean={sum(per) / len(per):4.1f} max={per[-1]:2d}  "
+            f"p95={p95:5.2f}s"
+        )
+
+    try:
+        # -- append: N manifest_append writers on one relation
+        dest = f"{root}/append"
+        Mf.manifest_append(spark, dest, spark.range(0, 100))
+        keep = n_writers + 1
+
+        def ap_write(idx, i):
+            lo = (idx + 1) * 100_000 + i * 1_000
+            Mf.manifest_append(
+                spark, dest, spark.range(lo, lo + 100),
+                keep=keep, retries=40, backoff_s=0.02,
+            )
+
+        def ap_verify():
+            n = Mf.read_relation(spark, dest).count()
+            assert n == 100 * (1 + n_writers * commits_per_writer), n
+
+        out.append(run("append", ap_write, ap_verify))
+
+        # -- merge: N versioned merge_commit writers, disjoint keys
+        td = f"{root}/versioned"
+        Vr.commit_version(
+            spark.range(0, 100).selectExpr("id AS k", "'seed' AS val"), td
+        )
+
+        def mg_write(idx, i):
+            lo = (idx + 1) * 100_000 + i * 1_000
+            delta = spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "'w' AS val"
+            )
+            Vr.merge_commit(
+                spark, td, delta, ["k"], retries=40, backoff_s=0.02
+            )
+
+        def mg_verify():
+            n = Vr.read_latest(spark, td).count()
+            assert n == 100 * (1 + n_writers * commits_per_writer), n
+
+        out.append(run("merge", mg_write, mg_verify))
+
+        # -- mix: (N-1) appenders + 1 compactor on one manifest relation
+        dest2 = f"{root}/mix"
+        Mf.manifest_append(spark, dest2, spark.range(0, 100), keep=keep)
+
+        def mx_write(idx, i):
+            if idx == 0:  # the compactor: full rewrite of the live tree
+                def write(tree):
+                    Mf.read_relation(spark, dest2).coalesce(4).write.parquet(
+                        tree
+                    )
+
+                Mf.manifest_commit(
+                    spark, dest2, write, keep=keep, retries=40,
+                    backoff_s=0.02,
+                )
+            else:
+                lo = (idx + 1) * 100_000 + i * 1_000
+                Mf.manifest_append(
+                    spark, dest2, spark.range(lo, lo + 100),
+                    keep=keep, retries=40, backoff_s=0.02,
+                )
+
+        def mx_verify():
+            n = Mf.read_relation(spark, dest2).count()
+            want = 100 * (1 + (n_writers - 1) * commits_per_writer)
+            assert n == want, (n, want)
+
+        out.append(run("mix", mx_write, mx_verify))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return "  |  ".join(out)
+
+
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 10
     spark = get_spark(app_name="scale-smoke")
+    if "--contention" in flags:
+        for n in (2, 4, 8):
+            print(f"writers={n}  {contention_section(spark, n)}", flush=True)
+        spark.stop()
+        return 0
     if "--commits" in flags:
         for scale in (1, k):
             print(f"scale={scale:3d}  {commits_section(spark, scale)}", flush=True)

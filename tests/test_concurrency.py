@@ -859,3 +859,80 @@ def test_retries_enforce_concurrency_safe_retention(spark, tmp_path):
         spark, dest, lambda t: spark.range(7).write.parquet(t), keep=1
     )
     assert [v for v, _ in M.manifest_versions(spark, dest)] == [3]
+
+
+def test_two_phase_fallback_without_publish_lock(spark, tmp_path, monkeypatch):
+    """Plain object stores without conditional create run the
+    two-phase protocol WITHOUT the publish lock (the documented
+    fallback): threaded appenders must still all land exactly once,
+    and the r10 fence alone must still withdraw a paused-then-stolen
+    writer instead of publishing a duplicate final."""
+    import threading
+
+    monkeypatch.setattr(
+        M, "_publish_lock_supported", lambda fs, hp, d: False
+    )
+    # -- threaded appenders, lock disabled
+    dest = str(tmp_path / "rel")
+    M.manifest_append(spark, dest, spark.range(0, 5))
+    errors = []
+
+    def appender(lo_base: int):
+        try:
+            for i in range(3):
+                lo = lo_base + i * 100
+                M.manifest_append(
+                    spark, dest, spark.range(lo, lo + 10),
+                    keep=3, retries=10,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(1000,)),
+        threading.Thread(target=appender, args=(2000,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    want = sorted(
+        list(range(5))
+        + [
+            x for base in (1000, 2000) for i in range(3)
+            for x in range(base + i * 100, base + i * 100 + 10)
+        ]
+    )
+    assert _ids(spark, dest) == want
+    assert not any(
+        n.endswith(".__lock") for n in os.listdir(f"{dest}/_manifests")
+    )  # the lock path genuinely never ran
+
+    # -- paused-writer steal, lock disabled: the fence alone withdraws
+    dest2 = str(tmp_path / "rel2")
+    M.manifest_commit(spark, dest2, lambda t: spark.range(3).write.parquet(t))
+    monkeypatch.setattr(M, "INTENT_STEAL_S", 0.1)
+    orig = M._list_markers
+    state = {"calls": 0}
+
+    def pausing(fs, hp, d):
+        res = orig(fs, hp, d)
+        state["calls"] += 1
+        if state["calls"] == 2:  # the paused writer's verify listing
+            M.manifest_commit(
+                spark, dest2,
+                lambda t: spark.range(7).write.parquet(t),
+                retries=10, backoff_s=0.03,
+            )
+        return res
+
+    monkeypatch.setattr(M, "_list_markers", pausing)
+    with pytest.raises(CommitConflict, match="stolen while it was paused"):
+        M.manifest_commit(
+            spark, dest2, lambda t: spark.range(99).write.parquet(t)
+        )
+    monkeypatch.setattr(M, "_list_markers", orig)
+    versions = M.manifest_versions(spark, dest2)
+    assert [v for v, _ in versions] == [1, 2]  # ONE final at v2, no dup
+    assert _ids(spark, dest2) == list(range(7))
