@@ -504,8 +504,17 @@ def manifest_commit(
             # fail fast BEFORE re-running the (possibly expensive)
             # write: a rival intent already visible at our target
             # version dooms the attempt anyway — steal it if it is
-            # overdue, otherwise conflict without writing a tree
+            # overdue, otherwise conflict without writing a tree. Same
+            # for a held publish lock: without this probe a crashed
+            # holder would cost one full tree write per retry until
+            # the steal window elapsed.
             blocking = _note_and_steal(intents, finals, next_v)
+            if not blocking and use_lock:
+                lock_probe = _lock_path(dest, next_v)
+                if fs.exists(hp(lock_probe)) and _note_and_steal_lock(
+                    lock_probe, next_v
+                ):
+                    blocking = ["__lock"]
             if blocking:
                 if attempt >= retries:
                     raise CommitConflict(

@@ -158,11 +158,27 @@ def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(CAST(a.total1 / NULLIF(a.n1, 0) AS DOUBLE), 2) AS v1,
              ROUND(CAST(d.total2 / NULLIF(d.n2, 0) AS DOUBLE), 2) AS v2
       FROM attack a JOIN defense d ON a.k1 = d.k1
+    ), xg_vs_goals AS (
+      SELECT 'xg_vs_goals' AS part, k1, CAST(NULL AS VARCHAR) AS k2,
+             n1, CAST(NULL AS BIGINT) AS n2, v1,
+             ROUND(v1 - xg / 1000.0, 2) AS v2
+      FROM (
+        SELECT n.n_name AS k1, COUNT(*) AS n1,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v1,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS xg
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE l.l_shipdate >= DATE '1995-01-01'
+          AND l.l_shipdate < DATE '1996-01-01'
+        GROUP BY n.n_name
+      ) sums
     )
     SELECT * FROM summary
     UNION ALL SELECT * FROM home_away
     UNION ALL SELECT * FROM recent_form
     UNION ALL SELECT * FROM attack_defense
+    UNION ALL SELECT * FROM xg_vs_goals
     """,
 )
 def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +212,16 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       post-aggregation join of two grouped frames, with the derived
       ROUND(x/NULLIF(n,0), 2) averages (P5 + N3). Mapped: status 'o'
       orders = attack leg, 'f' = defense leg, per nation. k1=nation,
-      n1/n2=leg row counts, v1/v2=avg order value per leg.
+      n1/n2=leg row counts, v1/v2=avg order value per leg;
+    - part='xg_vs_goals' (r10): `get_xg_vs_goals_data`
+      (`scr/ui.py:178-190`) — season-filtered fact grouped by team
+      with TWO summed measures (A2), then the `performance = goals −
+      xg` column derived on the AGGREGATED frame (P5 — the reference
+      computes it in pandas after read_sql; here it is a projection
+      over the grouped output, O(groups) rows). Mapped: lineitem
+      shipped in 1995 = the season, supplier nation = team,
+      quantity = goals, extendedprice/1000 = xG. k1=nation, n1=rows,
+      v1=total goals, v2=performance.
 
     100 TB shape: both dim joins broadcast (nation/customer-slice are
     tiny vs the orders fact — Catalyst picks BroadcastHashJoin), the
@@ -304,10 +329,42 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("k2"), "n1", "n2", "v1", "v2",
         )
     )
+
+    # xG vs goals: one season-filtered grouped two-SUM over the fact,
+    # the derived performance column projected over the AGGREGATED
+    # frame (the reference derives it in pandas post-read_sql)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # season filter as a RANGE predicate (not YEAR(x)=k): ranges push
+    # to the parquet scan's min/max stats — at 100 TB this is the
+    # difference between pruning row groups and decoding every date
+    xg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("k1"))
+        .agg(
+            F.count("*").alias("n1"),
+            F.sum(dec("l_quantity")).cast("double").alias("v1"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("xg"),
+        )
+        .select(
+            F.lit("xg_vs_goals").alias("part"), "k1",
+            F.lit(None).cast("string").alias("k2"),
+            "n1", F.lit(None).cast("long").alias("n2"), "v1",
+            F.round(F.col("v1") - F.col("xg") / F.lit(1000.0), 2).alias("v2"),
+        )
+    )
     return (
         summary.unionByName(home_away)
         .unionByName(recent)
         .unionByName(attack_defense)
+        .unionByName(xg)
     )
 
 

@@ -345,12 +345,16 @@ def test_dash_suite_broadcasts_dims_and_rank_pushes_down(plans):
     the recent-form leg into a full fact scan."""
     plan = plans["dash_season_summary"]
     assert "SortMergeJoin" not in plan
-    # r10: 2 dims × (home_away, recent, attack leg, defense leg) plus
-    # the attack/defense POST-AGG join itself — an aggregated frame is
-    # O(groups) rows by construction, so it must broadcast too
-    assert plan.count("BroadcastHashJoin") >= 9
+    # r10: 2 dims × (home_away, recent, attack leg, defense leg,
+    # xg_vs_goals) plus the attack/defense POST-AGG join itself — an
+    # aggregated frame is O(groups) rows by construction, so it must
+    # broadcast too
+    assert plan.count("BroadcastHashJoin") >= 11
     assert "WindowGroupLimit" in plan
     assert "LessThanOrEqual(o_custkey,20)" in plan
+    # the xg leg's season filter is a RANGE predicate pushed to the
+    # lineitem scan (min/max row-group pruning), never YEAR(x)=k
+    assert "GreaterThanOrEqual(l_shipdate" in plan
 
 
 def test_stream_merge_leg_reads_resolved_tree_with_pruned_agg(plans):
