@@ -445,7 +445,12 @@ def test_manifest_vacuum_refuses_duplicate_markers(spark, tmp_path):
     assert M.manifest_vacuum(spark, dest, keep=1) == []
 
 
-def test_manifest_mixed_fleet_appenders_and_compactor(spark, tmp_path):
+@pytest.mark.parametrize(
+    "lock_fs", [True, False], ids=["publish-lock", "two-phase-only"]
+)
+def test_manifest_mixed_fleet_appenders_and_compactor(
+    spark, tmp_path, monkeypatch, lock_fs
+):
     """The exact fleet scenario the r8 verdict named as routine at
     100 TB: appenders and a compactor colliding on one relation. Two
     appender threads (three O(delta) linked appends each) race one
@@ -453,9 +458,15 @@ def test_manifest_mixed_fleet_appenders_and_compactor(spark, tmp_path):
     keep=5 (writers + headroom per the retention-under-concurrency
     rule). Every appended row must survive every compaction — a
     compaction is rebaseable because its write re-reads the live tree
-    on each attempt."""
+    on each attempt. Parameterized over BOTH publish paths (r10): the
+    exclusive-create publish lock, and the two-phase-only fallback a
+    plain object store gets."""
     import threading
 
+    if not lock_fs:
+        monkeypatch.setattr(
+            M, "_publish_lock_supported", lambda fs, hp, d: False
+        )
     dest = str(tmp_path / "rel")
     M.manifest_append(spark, dest, spark.range(0, 10), keep=5)
     errors = []
