@@ -519,8 +519,8 @@ def manifest_commit(
                 if attempt >= retries:
                     raise CommitConflict(
                         f"manifest_commit: version {next_v} of {dest!r} "
-                        f"is claimed by in-flight intents {blocking}; "
-                        "re-read and retry"
+                        f"is claimed by in-flight intents/locks "
+                        f"{blocking}; re-read and retry"
                     )
                 _conflict_backoff(attempt, backoff_s)
                 attempt += 1
