@@ -195,6 +195,10 @@ _CONDITIONAL_CREATE_CAPS = (
     "fs.capability.conditional.create",
     "fs.option.create.conditional.overwrite",
 )
+# the createFile-builder option that makes the create exclusivity
+# server-enforced on capable stores (a PLAIN create there would still
+# be client-side check-then-put — not a lock)
+_CONDITIONAL_CREATE_OPTION = "fs.option.create.conditional.overwrite"
 _lock_support_cache: dict[str, bool] = {}
 # shared reader settle schedule: how long a resolver re-lists before
 # concluding that an anomalous marker state is persistent (kept as a
@@ -211,27 +215,53 @@ def _lock_path(dest: str, version: int) -> str:
     return f"{dest.rstrip('/')}/{_MANIFESTS}/v{version:08d}.__lock"
 
 
-def _publish_lock_supported(fs, hp, dest: str) -> bool:
-    """Whether ``dest``'s filesystem gives a TRUE atomic
-    create-if-absent, making the shared publish lock sound there —
-    scheme allowlist first, then the conditional-create capability
-    probe for object stores that support If-None-Match PUT. Cached per
-    scheme (the answer is a property of the store, not the path)."""
-    scheme = dest.split("://", 1)[0] if "://" in dest else ""
-    hit = _lock_support_cache.get(scheme)
-    if hit is not None:
+def _publish_lock_supported(fs, hp, dest: str):
+    """Whether ``dest``'s filesystem gives a TRUE exclusive create,
+    making the shared publish lock sound there, and HOW: returns
+    ``"create"`` (plain ``create(path, overwrite=False)`` is atomic —
+    the scheme allowlist: local O_EXCL, HDFS namespace create),
+    ``"conditional"`` (the store advertises conditional-create — the
+    lock must go through the createFile BUILDER with the
+    conditional-overwrite option, because a PLAIN create on such
+    stores is still client-side check-then-put), or ``None`` (no
+    sound exclusivity primitive — two-phase protocol only). Cached
+    per (scheme, authority): one account's bucket may sit on an
+    endpoint with conditional PUT while another does not."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(dest)
+    key = (parts.scheme, parts.netloc)
+    hit = _lock_support_cache.get(key)
+    if hit is not None or key in _lock_support_cache:
         return hit
-    ok = scheme in EXCLUSIVE_CREATE_SCHEMES
-    if not ok:
+    mode = "create" if parts.scheme in EXCLUSIVE_CREATE_SCHEMES else None
+    if mode is None:
         for cap in _CONDITIONAL_CREATE_CAPS:
             try:
                 if fs.hasPathCapability(hp(dest), cap):
-                    ok = True
+                    mode = "conditional"
                     break
             except Exception:  # older Hadoop / unknown capability name
                 pass
-    _lock_support_cache[scheme] = ok
-    return ok
+    _lock_support_cache[key] = mode
+    return mode
+
+
+def _exclusive_create(fs, hp, path: str, mode: str) -> None:
+    """Create ``path`` exclusively: plain ``create(overwrite=False)``
+    where that is atomic (mode='create'), or the createFile builder
+    with the conditional-overwrite option where exclusivity is
+    enforced server-side via If-None-Match (mode='conditional' —
+    Hadoop 3.4.1+ S3A). Raises when the path already exists."""
+    if mode == "create":
+        fs.create(hp(path), False).close()
+        return
+    builder = fs.createFile(hp(path)).overwrite(False)
+    # the store advertised the capability, so .must() is understood;
+    # a store that ignored it would silently downgrade to
+    # check-then-put — must(), unlike opt(), makes that a hard error
+    builder = builder.must(_CONDITIONAL_CREATE_OPTION, False)
+    builder.build().close()
 
 
 def _lock_mtime(fs, hp, path: str) -> int | None:
@@ -247,12 +277,14 @@ def _lock_mtime(fs, hp, path: str) -> int | None:
 
 
 def _list_markers(fs, hp, dest: str):
-    """(finals, intents) under ``dest/_manifests`` as
-    {(version, token), ...} sets — ONE listing serves both."""
+    """(finals, intents, locks) under ``dest/_manifests``: finals and
+    intents as {(version, token), ...} sets, locks as {version:
+    modificationTime} (the token-free lock's only identity) — ONE
+    listing serves all three."""
     mdir = hp(f"{dest.rstrip('/')}/{_MANIFESTS}")
-    finals, intents = set(), set()
+    finals, intents, locks = set(), set(), {}
     if not fs.exists(mdir):
-        return finals, intents
+        return finals, intents, locks
     for st in fs.listStatus(mdir):
         name = st.getPath().getName()
         m = _MARKER_RE.match(name)
@@ -262,7 +294,11 @@ def _list_markers(fs, hp, dest: str):
         m = _INTENT_RE.match(name)
         if m:
             intents.add((int(m.group(1)), m.group(2)))
-    return finals, intents
+            continue
+        m = _LOCK_RE.match(name)
+        if m:
+            locks[int(m.group(1))] = st.getModificationTime()
+    return finals, intents, locks
 
 
 def _fs(spark, path: str):
@@ -430,7 +466,11 @@ def manifest_commit(
     concurrency, ``retries > 0`` enforces ``keep >= 2`` (r10, ADVICE
     r9: undersized retention under contention can retire the final a
     slow rival's verify needed to see, or the tree its rebase is
-    scanning).
+    scanning). Note for ERASURE-shaped rewrites: the bump means the
+    pre-erasure tree survives as version N-1 until the next commit or
+    vacuum — hard-erasure flows must (and `pipeline.forget_keys_hard`
+    does) finish with an explicit quiesced ``manifest_vacuum`` rather
+    than relying on commit-path retention.
 
     ``steal_after_s`` overrides the stale-intent/lock steal window
     (default: module ``INTENT_STEAL_S``) — raise it on stores with
@@ -442,7 +482,7 @@ def manifest_commit(
     if retries > 0:
         keep = max(keep, 2)
     steal_s = INTENT_STEAL_S if steal_after_s is None else steal_after_s
-    use_lock = _publish_lock_supported(fs, hp, dest)
+    lock_mode = _publish_lock_supported(fs, hp, dest)
     attempt = 0
     # stale-intent steal bookkeeping: (version, token) → first
     # observation time. A rival intent with no final that persists
@@ -476,19 +516,20 @@ def manifest_commit(
                 blocking.append(tok)
         return blocking
 
-    def _note_and_steal_lock(lock: str, next_v: int) -> bool:
+    def _note_and_steal_lock(next_v: int, mt) -> bool:
         """A rival (or crashed writer) holds the publish lock at
-        ``next_v``: record the observation, steal the lock once it has
-        persisted a full steal window (a LIVE publish holds it for two
-        FS ops), and return True when it still blocks."""
-        mt = _lock_mtime(fs, hp, lock)
+        ``next_v`` with modificationTime ``mt`` (None = not held):
+        record the observation, steal the lock once it has persisted a
+        full steal window (a LIVE publish holds it for two FS ops),
+        and return True when it still blocks."""
         if mt is None:
-            return False  # released between our create-fail and stat
+            return False
         now = _time.monotonic()
         first = seen_locks.setdefault((next_v, mt), now)
         if now - first >= steal_s:
             _verified_delete(
-                fs, hp, lock, "crashed writer's stale publish lock"
+                fs, hp, _lock_path(dest, next_v),
+                "crashed writer's stale publish lock",
             )
             return False
         return True
@@ -497,7 +538,7 @@ def manifest_commit(
         # ONE listing per attempt serves version resolution AND the
         # fail-fast probe (two back-to-back listings could also
         # disagree, sending the writer into a doomed tree write)
-        finals, intents = _list_markers(fs, hp, dest)
+        finals, intents, locks = _list_markers(fs, hp, dest)
         committed = sorted(finals)
         next_v = committed[-1][0] + 1 if committed else 1
         if attempt > 0:
@@ -507,14 +548,15 @@ def manifest_commit(
             # overdue, otherwise conflict without writing a tree. Same
             # for a held publish lock: without this probe a crashed
             # holder would cost one full tree write per retry until
-            # the steal window elapsed.
+            # the steal window elapsed. Both observation clocks start
+            # in PARALLEL (a crash between lock create and final
+            # leaves intent AND lock; serial clocks would double the
+            # unfence time).
             blocking = _note_and_steal(intents, finals, next_v)
-            if not blocking and use_lock:
-                lock_probe = _lock_path(dest, next_v)
-                if fs.exists(hp(lock_probe)) and _note_and_steal_lock(
-                    lock_probe, next_v
-                ):
-                    blocking = ["__lock"]
+            if lock_mode and _note_and_steal_lock(
+                next_v, locks.get(next_v)
+            ):
+                blocking = blocking + ["__lock"]
             if blocking:
                 if attempt >= retries:
                     raise CommitConflict(
@@ -543,9 +585,10 @@ def manifest_commit(
         fs.create(hp(intent), False).close()
         published = False
         lock = _lock_path(dest, next_v)
-        my_lock_mt: int | None = None  # set while this writer holds it
+        lock_held = False
+        my_lock_mt: int | None = None  # identity of OUR lock, if known
         try:
-            finals2, intents2 = _list_markers(fs, hp, dest)
+            finals2, intents2, _ = _list_markers(fs, hp, dest)
             # rivals: any FINAL at or ABOVE the target version (>= not
             # == — r10, ADVICE r9: with undersized retention a slow
             # writer's exact-version rival final can already be retired
@@ -586,11 +629,24 @@ def manifest_commit(
             # survives verify-alone, so a held lock here means a
             # crashed holder (steal after the observation window) — or
             # a mid-steal rival, which the withdraw handles.
-            if use_lock:
+            if lock_mode:
                 try:
-                    fs.create(hp(lock), False).close()
+                    _exclusive_create(fs, hp, lock, lock_mode)
+                    lock_held = True
                 except Exception:
-                    _note_and_steal_lock(lock, next_v)
+                    held_mt = _lock_mtime(fs, hp, lock)
+                    if held_mt is None:
+                        # the lock is NOT there: either a real storage
+                        # fault, or the holder released between our
+                        # create and this stat — one retry
+                        # disambiguates (a second failure with no lock
+                        # present is a fault and propagates un-relabeled,
+                        # like the marker-create guard)
+                        _exclusive_create(fs, hp, lock, lock_mode)
+                        lock_held = True
+                    else:
+                        _note_and_steal_lock(next_v, held_mt)
+                if not lock_held:
                     _verified_delete(
                         fs, hp, intent, "losing commit's intent"
                     )
@@ -608,6 +664,10 @@ def manifest_commit(
                     _conflict_backoff(attempt, backoff_s)
                     attempt += 1
                     continue
+                # identity for the fence / release guards; a transient
+                # stat fault here (None) weakens only the fence's
+                # mtime leg for THIS commit — release stays guaranteed
+                # through lock_held
                 my_lock_mt = _lock_mtime(fs, hp, lock)
             # FENCE (r10): re-list immediately before the final create.
             # A writer paused past the steal window between verify and
@@ -619,12 +679,12 @@ def manifest_commit(
             # duplicate additionally needs the rival to steal BOTH the
             # intent and the held lock (each a full observation window)
             # inside that span.
-            finals3, intents3 = _list_markers(fs, hp, dest)
+            finals3, intents3, locks3 = _list_markers(fs, hp, dest)
             fenced = (
                 (next_v, token) not in intents3
                 or any(v2 >= next_v for v2, _ in finals3)
                 or (my_lock_mt is not None
-                    and _lock_mtime(fs, hp, lock) != my_lock_mt)
+                    and locks3.get(next_v) != my_lock_mt)
             )
             if fenced:
                 if fs.exists(hp(intent)):
@@ -665,9 +725,9 @@ def manifest_commit(
             # The withdraw paths above already deleted the intent; the
             # success path releases everything verified, below.
             if not published:
-                if (
-                    my_lock_mt is not None
-                    and _lock_mtime(fs, hp, lock) == my_lock_mt
+                if lock_held and (
+                    my_lock_mt is None
+                    or _lock_mtime(fs, hp, lock) == my_lock_mt
                 ):
                     fs.delete(hp(lock), False)
                 if fs.exists(hp(intent)):
@@ -679,7 +739,10 @@ def manifest_commit(
         # operators to vacuum when the actual residue was the writer's
         # own intent file) — in every case the commit IS durable.
         try:
-            if my_lock_mt is not None:
+            if lock_held and (
+                my_lock_mt is None
+                or _lock_mtime(fs, hp, lock) == my_lock_mt
+            ):
                 _verified_delete(
                     fs, hp, lock, "own publish lock (post-final)"
                 )
@@ -854,21 +917,18 @@ def manifest_vacuum(
     # the state that leaves intents and orphan trees with no finals;
     # an early empty-committed return here would make the unfence the
     # error messages point to a silent no-op).
-    _, intents = _list_markers(fs, hp, dest)
+    _, intents, locks = _list_markers(fs, hp, dest)
     for v, tok in intents:
         _verified_delete(fs, hp, _intent_path(dest, v, tok), "stale intent")
     # ... and stale publish LOCKS for the same reason: a writer that
     # crashed while holding one fences its version (lock-FS schemes)
     # until the steal window elapses for a retrying rival — quiesced,
-    # every lock present is a crashed holder's residue
-    mdir = hp(f"{dest}/{_MANIFESTS}")
-    if fs.exists(mdir):
-        for st in fs.listStatus(mdir):
-            if _LOCK_RE.match(st.getPath().getName()):
-                _verified_delete(
-                    fs, hp, f"{dest}/{_MANIFESTS}/{st.getPath().getName()}",
-                    "stale publish lock",
-                )
+    # every lock present is a crashed holder's residue (same single
+    # listing serves intents and locks)
+    for v in locks:
+        _verified_delete(
+            fs, hp, _lock_path(dest, v), "stale publish lock"
+        )
     keep_names = {f"v{v:08d}-{tok}" for v, tok in kept}
     tdir = hp(f"{dest}/{_TREES}")
     if fs.exists(tdir):

@@ -939,7 +939,12 @@ def contention_section(spark, n_writers: int) -> str:
         verify_fn()
         total = n_writers * commits_per_writer
         per = sorted(per_commit_backoffs) or [0]
-        p95 = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)]
+        # ceil-based index: int(n*0.95)-1 under-selects at these small
+        # sample sizes (picks the ~88th percentile at n=8) — round UP
+        # so the quoted p95 never understates the tail
+        import math
+
+        p95 = sorted(lat)[min(len(lat) - 1, math.ceil(len(lat) * 0.95) - 1)]
         return (
             f"{workload}: {total / wall:5.2f} commits/s  "
             f"backoffs mean={sum(per) / len(per):4.1f} max={per[-1]:2d}  "
