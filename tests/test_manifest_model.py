@@ -4,11 +4,11 @@ The threaded tests in test_concurrency.py race real Spark writers, but
 the OS scheduler only explores a few interleavings per run. This file
 model-checks the protocol itself: `manifest_commit` runs unmodified
 against a FAKE linearizable in-memory filesystem whose every operation
-is a yield point, and a seeded scheduler drives two concurrent writers
-through hundreds of adversarial interleavings — including indefinite
-pauses at every protocol step (the paused-writer window the r10 fence
-closes) and instant intent/lock steals (steal_after_s=0 makes every
-observation a steal, the most hostile setting possible).
+is a yield point, and a seeded scheduler drives two (plus a smaller
+three-writer sweep) concurrent writers through hundreds of adversarial
+interleavings — including indefinite pauses at every protocol step
+(the paused-writer window the r10 fence closes) and steals of a
+starved writer's live claims.
 
 Two contracts are pinned, per mode (publish-lock and two-phase-only):
 
@@ -267,7 +267,10 @@ class _FakeFS:
             self.dirs.setdefault(path, self._tick())
 
 
-def _run_schedule(monkeypatch, seed: int, lock_mode, steal_after_s: float):
+def _run_schedule(
+    monkeypatch, seed: int, lock_mode, steal_after_s: float,
+    n_writers: int = 2,
+):
     sched = _Sched(seed)
     fake = _FakeFS(sched)
     hp = _FakePath
@@ -301,7 +304,7 @@ def _run_schedule(monkeypatch, seed: int, lock_mode, steal_after_s: float):
         try:
             results[wid] = M.manifest_commit(
                 spark_stub, DEST, lambda t: fake.mkdirs(t),
-                keep=3, retries=500, backoff_s=0.0,
+                keep=n_writers + 1, retries=500, backoff_s=0.0,
                 steal_after_s=steal_after_s,
             )
         except BaseException as exc:  # noqa: BLE001
@@ -309,7 +312,10 @@ def _run_schedule(monkeypatch, seed: int, lock_mode, steal_after_s: float):
         finally:
             sched.finish()
 
-    threads = [threading.Thread(target=writer, args=(i,)) for i in (1, 2)]
+    threads = [
+        threading.Thread(target=writer, args=(i,))
+        for i in range(1, n_writers + 1)
+    ]
     for t in threads:
         t.start()
     sched.drive(threads)
@@ -363,8 +369,10 @@ def _run_schedule(monkeypatch, seed: int, lock_mode, steal_after_s: float):
         # schedule can produce, the duplicate state is UNREACHABLE and
         # both writers land serially, every schedule.
         assert not errors, (seed, errors)
-        assert sorted(results.values()) == [2, 3], (seed, results)
-        assert set(finals) == {1, 2, 3}, (seed, finals)
+        assert sorted(results.values()) == list(
+            range(2, n_writers + 2)
+        ), (seed, results)
+        assert set(finals) == set(range(1, n_writers + 2)), (seed, finals)
         _assert_healthy(finals, residue, trees)
         return
 
@@ -380,7 +388,9 @@ def _run_schedule(monkeypatch, seed: int, lock_mode, steal_after_s: float):
             set(results.values())
         ), (seed, results)  # successes serial, never shared
         _assert_healthy(finals, residue, trees)
-        assert len(results) + len(conflicts) == 2, (seed, results, errors)
+        assert len(results) + len(conflicts) == n_writers, (
+            seed, results, errors,
+        )
         return
     # degraded: must be LOUD somewhere...
     assert dup, (seed, committed_loud)  # retention error implies twins
@@ -420,3 +430,8 @@ def test_protocol_invariants_over_fuzzed_schedules(
     by design."""
     for seed in range(150):
         _run_schedule(monkeypatch, seed, lock_mode, steal)
+    # a smaller three-writer sweep: richer interleavings (two rivals
+    # can be mid-protocol while the third is starved)
+    for seed in range(40):
+        _run_schedule(monkeypatch, 10_000 + seed, lock_mode, steal,
+                      n_writers=3)
