@@ -199,7 +199,9 @@ _CONDITIONAL_CREATE_CAPS = (
 # server-enforced on capable stores (a PLAIN create there would still
 # be client-side check-then-put — not a lock)
 _CONDITIONAL_CREATE_OPTION = "fs.option.create.conditional.overwrite"
-_lock_support_cache: dict[str, bool] = {}
+# probe result per (scheme, authority): "create" | "conditional" | None
+# (None is cached too — absence of support is as stable as support)
+_lock_support_cache: dict[tuple[str, str], str | None] = {}
 # shared reader settle schedule: how long a resolver re-lists before
 # concluding that an anomalous marker state is persistent (kept as a
 # backstop; with two-phase commits finals are never withdrawn, so this
@@ -256,12 +258,51 @@ def _exclusive_create(fs, hp, path: str, mode: str) -> None:
     if mode == "create":
         fs.create(hp(path), False).close()
         return
-    builder = fs.createFile(hp(path)).overwrite(False)
+    # HADOOP-19256 semantics (r11, ADVICE r10): conditional create is
+    # requested by setting the option to TRUE **with overwrite(true)**
+    # — the TRUE option swaps the overwrite path's blind PUT for an
+    # If-None-Match PUT, giving a SERVER-enforced create-if-absent;
+    # overwrite(false) with the option False (the pre-r11 spelling)
+    # explicitly disabled it, silently degrading the "lock" to the
+    # client-side check-then-put the builder path exists to avoid.
+    builder = fs.createFile(hp(path)).overwrite(True)
     # the store advertised the capability, so .must() is understood;
     # a store that ignored it would silently downgrade to
-    # check-then-put — must(), unlike opt(), makes that a hard error
-    builder = builder.must(_CONDITIONAL_CREATE_OPTION, False)
+    # check-then-put — must(), unlike opt(), makes an UNRECOGNIZED
+    # mandatory key a hard error at build() (pinned by the stub-builder
+    # model tests; a store that recognizes-but-ignores the value is
+    # modeled there too — the protocol stays loud, see
+    # tests/test_manifest_model.py's conditional-ignored sweep)
+    builder = builder.must(_CONDITIONAL_CREATE_OPTION, True)
     builder.build().close()
+
+
+def _release_lock_if_mine(fs, hp, lock: str, my_lock_mt) -> str:
+    """Release the token-free publish lock ONLY while provably still
+    ours (r11, ADVICE r10): the lock's mtime is its sole identity, so
+    deleting on anything weaker than a positive match can delete a
+    RIVAL's re-created live lock (my writer paused past the steal
+    window; the rival stole my lock and created its own) — unfencing a
+    concurrent publish. Returns ``"released"``, ``"absent"`` (already
+    gone — stolen, or released by the failure path), or ``"left"``
+    (identity could not be proven: the lock stays for rivals'
+    steal-window takeover or a quiesced vacuum; callers surface it
+    loudly rather than guess).
+
+    A single stat can fault transiently, so an absent reading gets ONE
+    confirming re-stat before being believed: a release-time fault must
+    not silently leave our own lock behind (the pre-r11 behavior), and
+    an acquire-time fault (``my_lock_mt is None``) must not license a
+    blind delete (the other pre-r11 behavior)."""
+    cur = _lock_mtime(fs, hp, lock)
+    if cur is None:
+        cur = _lock_mtime(fs, hp, lock)  # confirming re-stat
+        if cur is None:
+            return "absent"
+    if my_lock_mt is not None and cur == my_lock_mt:
+        _verified_delete(fs, hp, lock, "own publish lock")
+        return "released"
+    return "left"
 
 
 def _lock_mtime(fs, hp, path: str) -> int | None:
@@ -725,11 +766,11 @@ def manifest_commit(
             # The withdraw paths above already deleted the intent; the
             # success path releases everything verified, below.
             if not published:
-                if lock_held and (
-                    my_lock_mt is None
-                    or _lock_mtime(fs, hp, lock) == my_lock_mt
-                ):
-                    fs.delete(hp(lock), False)
+                if lock_held:
+                    try:
+                        _release_lock_if_mine(fs, hp, lock, my_lock_mt)
+                    except IOError:
+                        pass  # best-effort: don't mask the original
                 if fs.exists(hp(intent)):
                     fs.delete(hp(intent), False)
         # lock + intent released only AFTER the final exists: a rival
@@ -739,13 +780,23 @@ def manifest_commit(
         # operators to vacuum when the actual residue was the writer's
         # own intent file) — in every case the commit IS durable.
         try:
-            if lock_held and (
-                my_lock_mt is None
-                or _lock_mtime(fs, hp, lock) == my_lock_mt
-            ):
-                _verified_delete(
-                    fs, hp, lock, "own publish lock (post-final)"
-                )
+            if lock_held:
+                status = _release_lock_if_mine(fs, hp, lock, my_lock_mt)
+                if status == "left":
+                    # r11 (ADVICE r10): a lock we cannot prove ours —
+                    # our identity stat faulted at acquire, or a rival
+                    # stole and re-created it while we were paused — is
+                    # LEFT in place (deleting it blindly could unfence
+                    # the rival's live publish) and surfaced loudly
+                    raise IOError(
+                        f"publish lock {_lock_path(dest, next_v)!r} "
+                        "present at release is not provably this "
+                        "writer's own (identity stat faulted at "
+                        "acquire, or a rival re-created it); LEFT in "
+                        "place — its owner releases it, rivals steal "
+                        "it after the steal window, and quiesced "
+                        "manifest_vacuum clears it"
+                    )
             _verified_delete(fs, hp, intent, "own intent (post-final)")
         except IOError as exc:
             raise IOError(

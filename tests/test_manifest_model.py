@@ -1,16 +1,35 @@
-"""Schedule-fuzzed MODEL test of the manifest commit protocol (r10).
+"""Schedule-fuzzed MODEL test of the manifest commit protocol (r10,
+extended r11).
 
 The threaded tests in test_concurrency.py race real Spark writers, but
 the OS scheduler only explores a few interleavings per run. This file
 model-checks the protocol itself: `manifest_commit` runs unmodified
-against a FAKE linearizable in-memory filesystem whose every operation
-is a yield point, and a seeded scheduler drives two (plus a smaller
-three-writer sweep) concurrent writers through hundreds of adversarial
-interleavings — including indefinite pauses at every protocol step
-(the paused-writer window the r10 fence closes) and steals of a
-starved writer's live claims.
+against a FAKE linearizable in-memory filesystem (tests/model_fs.py)
+whose every operation is a yield point, and a seeded scheduler drives
+two (plus a smaller three-writer sweep) concurrent writers through
+hundreds of adversarial interleavings — including indefinite pauses at
+every protocol step (the paused-writer window the r10 fence closes)
+and steals of a starved writer's live claims.
 
-Two contracts are pinned, per mode (publish-lock and two-phase-only):
+The sweep runs per STORE FIDELITY (r11, VERDICT r10 #2/#3):
+
+- ``publish-lock`` — exclusive-create FS (local O_EXCL / HDFS), lock
+  mode 'create';
+- ``two-phase-only`` — the same FS with the lock disabled;
+- ``conditional-lock-lww`` — a LAST-WRITER-WINS base create (bare S3
+  PUT) whose createFile builder honors the HADOOP-19256 conditional
+  option: lock mode 'conditional' through the real `_exclusive_create`
+  builder path (dead code in every test before r11);
+- ``two-phase-only-lww`` — bare S3: LWW creates, no lock. The
+  two-phase mode claims it never relies on create exclusivity
+  (token-named markers); this sweep VERIFIES that claim instead of
+  assuming it;
+- ``conditional-ignored-lww`` — a store that advertises + accepts the
+  conditional option but silently IGNORES it (the check-then-put
+  downgrade ADVICE r10 warned about): the "lock" degrades to a no-op,
+  and the protocol must stay loud-never-silent on every schedule.
+
+Two contracts are pinned, per mode:
 
 - **never-steal** (window above any pause the schedule can produce) —
   the STRONG contract holds on every schedule: both writers land,
@@ -22,258 +41,40 @@ Two contracts are pinned, per mode (publish-lock and two-phase-only):
   liveness precondition that the window exceed any real pause) — the
   DEGRADED contract holds: most schedules are still clean, and when a
   writer is stolen from inside the one-call fence→final gap the
-  anomaly is LOUD (CommitConflict / IS-COMMITTED retention error /
-  readers refusing the duplicated version) and `manifest_repair` +
-  quiesced vacuum restore the relation mechanically and idempotently.
-  Silent loss — a success that simply vanishes with no signal — is
-  asserted impossible on every schedule.
-
-The fake FS is deliberately minimal but faithful to the subset of the
-Hadoop FileSystem API the protocol uses: linearizable namespace,
-create(path, overwrite=False) raising on existence, listing with
-modification times, recursive delete. Fake mtimes are a monotonic
-counter — strictly coarser identity than the real 30 s steal window
-guarantees, so a model pass here is conservative.
+  anomaly is LOUD (CommitConflict / IS-COMMITTED relabel — including
+  the r11 left-lock release guard / readers refusing the duplicated
+  version) and `manifest_repair` + quiesced vacuum restore the
+  relation mechanically and idempotently. Silent loss — a success or
+  a landed final that simply vanishes with no signal — is asserted
+  impossible on every schedule.
 """
 
 from __future__ import annotations
 
-import random
 import threading
 import types
 
 import pytest
 
 import etl_football_analytics_pipeline_spark.manifest as M
+from model_fs import FakeFS, FakePath, Sched
 
 DEST = "model://rel"
 
 
-class _Handle:
-    def close(self) -> None:
-        pass
-
-
-class _FakePath:
-    def __init__(self, path: str):
-        self.path = path.rstrip("/")
-
-    def getName(self) -> str:
-        return self.path.rsplit("/", 1)[-1]
-
-
-class _FakeStatus:
-    def __init__(self, path: str, mtime: int, is_dir: bool):
-        self._path, self._mtime, self._dir = path, mtime, is_dir
-
-    def getPath(self) -> _FakePath:
-        return _FakePath(self._path)
-
-    def getModificationTime(self) -> int:
-        return self._mtime
-
-    def isDirectory(self) -> bool:
-        return self._dir
-
-
-class _Sched:
-    """Seeded cooperative scheduler: registered threads block at every
-    yield point until the driver grants them exactly one step. A
-    thread the driver never picks is 'paused' arbitrarily long — every
-    pause the real protocol can experience is reachable. ``steps`` is
-    the model's VIRTUAL CLOCK: the protocol's steal windows are
-    measured in granted scheduler steps (``time.monotonic`` is patched
-    to read it), so 'paused past the steal window' means literally
-    'starved by the scheduler for that many steps' — no wall-clock
-    coupling."""
-
-    def __init__(self, seed: int):
-        self.rng = random.Random(seed)
-        self.cv = threading.Condition()
-        self.ready: dict[int, bool] = {}
-        self.go: dict[int, bool] = {}
-        self.steps = 0
-        self.abort = False
-
-    def register(self) -> None:
-        tid = threading.get_ident()
-        with self.cv:
-            self.ready[tid] = False
-            self.go[tid] = False
-            self.cv.notify_all()
-
-    def finish(self) -> None:
-        tid = threading.get_ident()
-        with self.cv:
-            self.ready.pop(tid, None)
-            self.go.pop(tid, None)
-            self.cv.notify_all()
-
-    def yield_point(self) -> None:
-        tid = threading.get_ident()
-        if tid not in self.ready:
-            return  # main thread (seeding / assertions) runs freely
-        with self.cv:
-            if self.abort:
-                return  # failure path: let workers drain freely
-            self.ready[tid] = True
-            self.cv.notify_all()
-            while not self.go.get(tid, True) and not self.abort:
-                self.cv.wait()
-            if tid in self.go:
-                self.go[tid] = False
-                self.ready[tid] = False
-                self.cv.notify_all()  # tell the driver we consumed it
-
-    def drive(self, threads: list[threading.Thread], cap: int = 50_000):
-        """BURSTY scheduling: grant one thread a run of 1–100 steps,
-        then re-choose. This mirrors how real writers interleave (full
-        speed, then a long pause — GC, throttling) and is what makes
-        the model LIVE: under strict per-op alternation every publish
-        span exceeds any steal window that starvation can also reach,
-        so rivals steal each other's live claims forever — a
-        configuration the real protocol excludes by sizing the steal
-        window far above a healthy publish duration. Bursts keep that
-        sizing meaningful while still starving the un-chosen thread
-        past the window whenever the rng deals consecutive bursts to
-        one side."""
-        try:
-            with self.cv:
-                burst_tid, burst_left = None, 0
-                while any(t.is_alive() for t in threads):
-                    waiting = sorted(
-                        t for t, r in self.ready.items() if r
-                    )
-                    if not waiting:
-                        self.cv.wait(timeout=0.05)
-                        continue
-                    if burst_tid not in waiting or burst_left <= 0:
-                        burst_tid = self.rng.choice(waiting)
-                        burst_left = self.rng.randint(1, 100)
-                    self.go[burst_tid] = True
-                    self.cv.notify_all()
-                    # one step = one CONSUMED grant: without this wait
-                    # the driver re-grants the same blocked thread in a
-                    # tight loop, inflating the virtual clock ~burst×
-                    # and collapsing the steal window below one real op
-                    while self.go.get(burst_tid, False) and not self.abort:
-                        self.cv.wait(timeout=0.05)
-                        if not any(t.is_alive() for t in threads):
-                            break
-                    self.steps += 1
-                    burst_left -= 1
-                    assert self.steps < cap, (
-                        "scheduler step cap exceeded (livelock?)"
-                    )
-        except BaseException:
-            with self.cv:
-                self.abort = True  # release every blocked worker
-                self.cv.notify_all()
-            raise
-
-
-class _FakeFS:
-    """Linearizable in-memory namespace; every public op yields to the
-    scheduler first, then executes atomically under one lock."""
-
-    def __init__(self, sched: _Sched):
-        self.sched = sched
-        self.lock = threading.Lock()
-        self.files: dict[str, int] = {}
-        self.dirs: dict[str, int] = {}
-        self.clock = 0
-
-    # -- helpers -------------------------------------------------------
-    def _tick(self) -> int:
-        self.clock += 1
-        return self.clock
-
-    def _exists_locked(self, p: str) -> bool:
-        if p in self.files or p in self.dirs:
-            return True
-        pre = p + "/"
-        return any(k.startswith(pre) for k in self.files) or any(
-            k.startswith(pre) for k in self.dirs
-        )
-
-    def _add_parents(self, p: str) -> None:
-        parts = p.split("/")
-        for i in range(2, len(parts)):
-            d = "/".join(parts[:i])
-            self.dirs.setdefault(d, self._tick())
-
-    # -- the Hadoop FileSystem subset the protocol uses ----------------
-    def exists(self, p: _FakePath) -> bool:
-        self.sched.yield_point()
-        with self.lock:
-            return self._exists_locked(p.path)
-
-    def listStatus(self, p: _FakePath):
-        self.sched.yield_point()
-        with self.lock:
-            pre = p.path + "/"
-            out, seen = [], set()
-            for k, mt in list(self.files.items()) + list(self.dirs.items()):
-                if not k.startswith(pre):
-                    continue
-                child = k[len(pre):].split("/", 1)[0]
-                if child in seen:
-                    continue
-                seen.add(child)
-                full = pre + child
-                is_dir = full in self.dirs or full not in self.files
-                mtime = self.files.get(full, self.dirs.get(full, mt))
-                out.append(_FakeStatus(full, mtime, is_dir))
-            return out
-
-    def create(self, p: _FakePath, overwrite: bool) -> _Handle:
-        self.sched.yield_point()
-        with self.lock:
-            if not overwrite and p.path in self.files:
-                raise IOError(f"already exists: {p.path}")
-            self._add_parents(p.path)
-            self.files[p.path] = self._tick()
-            return _Handle()
-
-    def delete(self, p: _FakePath, recursive: bool) -> bool:
-        self.sched.yield_point()
-        with self.lock:
-            hit = self.files.pop(p.path, None) is not None
-            if p.path in self.dirs:
-                del self.dirs[p.path]
-                hit = True
-            pre = p.path + "/"
-            for k in [k for k in self.files if k.startswith(pre)]:
-                del self.files[k]
-                hit = True
-            for k in [k for k in self.dirs if k.startswith(pre)]:
-                del self.dirs[k]
-                hit = True
-            return hit
-
-    def getFileStatus(self, p: _FakePath) -> _FakeStatus:
-        self.sched.yield_point()
-        with self.lock:
-            if p.path in self.files:
-                return _FakeStatus(p.path, self.files[p.path], False)
-            if p.path in self.dirs:
-                return _FakeStatus(p.path, self.dirs[p.path], True)
-            raise IOError(f"not found: {p.path}")
-
-    def mkdirs(self, path: str) -> None:
-        self.sched.yield_point()
-        with self.lock:
-            self._add_parents(path + "/x")
-            self.dirs.setdefault(path, self._tick())
-
-
 def _run_schedule(
-    monkeypatch, seed: int, lock_mode, steal_after_s: float,
+    monkeypatch, seed: int, mode, steal_after_s: float,
     n_writers: int = 2,
 ):
-    sched = _Sched(seed)
-    fake = _FakeFS(sched)
-    hp = _FakePath
+    lock_mode, lww, ignore_must = mode
+    sched = Sched(seed)
+    fake = FakeFS(
+        sched,
+        lww_create=lww,
+        conditional=(lock_mode == "conditional"),
+        ignore_must=ignore_must,
+    )
+    hp = FakePath
     spark_stub = types.SimpleNamespace(
         catalog=types.SimpleNamespace(refreshByPath=lambda p: None)
     )
@@ -381,19 +182,27 @@ def _run_schedule(
     # window), so a writer can be stolen from INSIDE the one-call
     # fence→final gap. The documented contract then is: NEVER silent —
     # either the run is clean anyway, or the anomaly is loud (a
-    # CommitConflict, an IS-COMMITTED retention error, readers
-    # refusing) and manifest_repair restores the relation mechanically.
-    if not dup and not committed_loud:
-        assert sorted(results.values()) == sorted(
-            set(results.values())
-        ), (seed, results)  # successes serial, never shared
+    # CommitConflict, an IS-COMMITTED relabel, readers refusing) and
+    # manifest_repair restores the relation mechanically.
+    assert sorted(results.values()) == sorted(
+        set(results.values())
+    ), (seed, results)  # successes serial, never shared
+    # every writer is accounted for LOUDLY: a returned version, a
+    # withdraw-conflict, or an IS-COMMITTED relabel (e.g. the r11
+    # left-lock release guard when a rival stole and re-created the
+    # lock during a pause — the commit itself is durable)
+    assert len(results) + len(conflicts) + len(committed_loud) == (
+        n_writers
+    ), (seed, results, errors)
+    if not dup:
         _assert_healthy(finals, residue, trees)
-        assert len(results) + len(conflicts) == n_writers, (
-            seed, results, errors,
+        # no silent loss: the seed, every success, AND every
+        # loud-committed writer each landed exactly one final
+        assert len(finals) == 1 + len(results) + len(committed_loud), (
+            seed, finals, results, committed_loud,
         )
         return
-    # degraded: must be LOUD somewhere...
-    assert dup, (seed, committed_loud)  # retention error implies twins
+    # duplicated version: must be LOUD somewhere...
     # ...readers refuse the duplicated version rather than guess
     v_dup = sorted(dup)[0]
     with pytest.raises(IOError):
@@ -407,13 +216,19 @@ def _run_schedule(
     assert M.manifest_repair(spark_stub, DEST) == []  # idempotent
 
 
-@pytest.mark.parametrize("lock_mode", ["create", None],
-                         ids=["publish-lock", "two-phase-only"])
+MODES = [
+    pytest.param(("create", False, False), id="publish-lock"),
+    pytest.param((None, False, False), id="two-phase-only"),
+    pytest.param(("conditional", True, False), id="conditional-lock-lww"),
+    pytest.param((None, True, False), id="two-phase-only-lww"),
+    pytest.param(("conditional", True, True), id="conditional-ignored-lww"),
+]
+
+
+@pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("steal", [40.0, 1e9],
                          ids=["starved-writer-steal", "never-steal"])
-def test_protocol_invariants_over_fuzzed_schedules(
-    monkeypatch, lock_mode, steal
-):
+def test_protocol_invariants_over_fuzzed_schedules(monkeypatch, mode, steal):
     """Two writers, dozens of seeded adversarial interleavings per
     mode: the serial-history / single-final / no-residue invariants
     must hold under every schedule — including ones that pause a
@@ -429,9 +244,134 @@ def test_protocol_invariants_over_fuzzed_schedules(
     per-op alternation with a window below the publish span livelocks
     by design."""
     for seed in range(150):
-        _run_schedule(monkeypatch, seed, lock_mode, steal)
+        _run_schedule(monkeypatch, seed, mode, steal)
     # a smaller three-writer sweep: richer interleavings (two rivals
     # can be mid-protocol while the third is starved)
     for seed in range(40):
-        _run_schedule(monkeypatch, 10_000 + seed, lock_mode, steal,
+        _run_schedule(monkeypatch, 10_000 + seed, mode, steal,
                       n_writers=3)
+
+
+# ---------------------------------------------------------------------------
+# directed unit tests for the r11 conditional-create + lock-release fixes
+# ---------------------------------------------------------------------------
+
+LOCKP = f"{DEST}/_manifests/v00000001.__lock"
+
+
+def test_conditional_builder_requests_server_side_if_none_match():
+    """_exclusive_create(mode='conditional') must request HADOOP-19256
+    server-enforced create-if-absent: overwrite(True) with the
+    conditional option set to TRUE via must() (ADVICE r10: the pre-r11
+    overwrite(False)+must(option, False) spelling explicitly DISABLED
+    the conditional PUT, silently degrading the lock to client-side
+    check-then-put on exactly the stores that advertise support)."""
+    fake = FakeFS(Sched(0), lww_create=True, conditional=True)
+    M._exclusive_create(fake, FakePath, LOCKP, "conditional")
+    ((path, overwrite_flag, musts),) = fake.builder_calls
+    assert path == LOCKP
+    assert overwrite_flag is True
+    assert musts == {M._CONDITIONAL_CREATE_OPTION: True}
+    # a second conditional create collides SERVER-SIDE even though the
+    # store's plain create is last-writer-wins...
+    with pytest.raises(Exception):
+        M._exclusive_create(fake, FakePath, LOCKP, "conditional")
+    # ...while a plain create on the same store would have silently
+    # succeeded — the builder path is the only thing making the lock a
+    # lock here
+    fake.create(FakePath(LOCKP), False)  # LWW: no error
+
+
+def test_conditional_builder_unknown_must_key_fails_loudly():
+    """On a store that does NOT understand the conditional option, the
+    mandatory (.must, not .opt) key is rejected at build() — a hard
+    error, never a silent downgrade to check-then-put."""
+    fake = FakeFS(Sched(0), lww_create=True, conditional=False)
+    with pytest.raises(IOError, match="unsupported mandatory"):
+        M._exclusive_create(fake, FakePath, LOCKP, "conditional")
+    assert LOCKP not in fake.files
+
+
+def test_publish_lock_probe_cached_per_scheme_and_authority():
+    """The capability probe runs once per (scheme, authority) — and
+    caches None (no support) as firmly as support; exclusive-create
+    schemes short-circuit without probing at all."""
+    M._lock_support_cache.clear()
+    try:
+        fake = FakeFS(Sched(0), conditional=True)
+        assert (
+            M._publish_lock_supported(fake, FakePath, "s3m://bkt-a/rel")
+            == "conditional"
+        )
+        probes = fake.capability_probes
+        assert probes > 0
+        # same authority, different path: served from the cache
+        assert (
+            M._publish_lock_supported(fake, FakePath, "s3m://bkt-a/other")
+            == "conditional"
+        )
+        assert fake.capability_probes == probes
+        # different authority: re-probed (one account's endpoint may
+        # support conditional PUT while another's does not)
+        fake2 = FakeFS(Sched(0), conditional=False)
+        assert (
+            M._publish_lock_supported(fake2, FakePath, "s3m://bkt-b/rel")
+            is None
+        )
+        probes2 = fake2.capability_probes
+        assert (
+            M._publish_lock_supported(fake2, FakePath, "s3m://bkt-b/rel")
+            is None
+        )
+        assert fake2.capability_probes == probes2  # None cached too
+        # allowlisted schemes never probe
+        assert (
+            M._publish_lock_supported(fake2, FakePath, "hdfs://nn/rel")
+            == "create"
+        )
+        assert fake2.capability_probes == probes2
+    finally:
+        M._lock_support_cache.clear()
+
+
+def test_release_lock_identity_guard():
+    """The post-publish lock release deletes the token-free lock ONLY
+    on a positive mtime identity match (ADVICE r10): an unknown own
+    identity or a mismatched mtime leaves the lock in place (it may be
+    a rival's live lock), an absent lock is a no-op."""
+    fake = FakeFS(Sched(0))
+    assert M._release_lock_if_mine(fake, FakePath, LOCKP, 123) == "absent"
+    fake.create(FakePath(LOCKP), False)
+    mt = fake.files[LOCKP]
+    # acquire-time identity fault: NEVER delete blindly
+    assert M._release_lock_if_mine(fake, FakePath, LOCKP, None) == "left"
+    assert LOCKP in fake.files
+    # a rival's re-created lock (different mtime): left for its owner
+    assert M._release_lock_if_mine(fake, FakePath, LOCKP, mt + 99) == "left"
+    assert LOCKP in fake.files
+    # provably ours: released, verified
+    assert M._release_lock_if_mine(fake, FakePath, LOCKP, mt) == "released"
+    assert LOCKP not in fake.files
+
+
+def test_release_lock_transient_stat_fault_confirmed_by_restat():
+    """A transient stat fault at release time must not silently leave
+    the writer's own lock behind (ADVICE r10): one confirming re-stat
+    distinguishes 'really absent' from 'fault'."""
+
+    class FlakyFS(FakeFS):
+        def __init__(self, sched):
+            super().__init__(sched)
+            self.faults = 1
+
+        def getFileStatus(self, p):
+            if self.faults:
+                self.faults -= 1
+                raise IOError("transient stat fault")
+            return super().getFileStatus(p)
+
+    fake = FlakyFS(Sched(0))
+    fake.create(FakePath(LOCKP), False)
+    mt = fake.files[LOCKP]
+    assert M._release_lock_if_mine(fake, FakePath, LOCKP, mt) == "released"
+    assert LOCKP not in fake.files
