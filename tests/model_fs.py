@@ -118,18 +118,27 @@ class Sched:
                 self.ready[tid] = False
                 self.cv.notify_all()  # tell the driver we consumed it
 
-    def drive(self, threads: list[threading.Thread], cap: int = 50_000):
-        """BURSTY scheduling: grant one thread a run of 1–100 steps,
-        then re-choose. This mirrors how real writers interleave (full
-        speed, then a long pause — GC, throttling) and is what makes
-        the model LIVE: under strict per-op alternation every publish
-        span exceeds any steal window that starvation can also reach,
-        so rivals steal each other's live claims forever — a
-        configuration the real protocol excludes by sizing the steal
-        window far above a healthy publish duration. Bursts keep that
-        sizing meaningful while still starving the un-chosen thread
-        past the window whenever the rng deals consecutive bursts to
-        one side."""
+    def drive(
+        self,
+        threads: list[threading.Thread],
+        cap: int = 50_000,
+        burst_max: int = 100,
+    ):
+        """BURSTY scheduling: grant one thread a run of 1–burst_max
+        steps, then re-choose. This mirrors how real writers interleave
+        (full speed, then a long pause — GC, throttling) and is what
+        makes the steal-window models LIVE: under strict per-op
+        alternation every publish span exceeds any steal window that
+        starvation can also reach, so rivals steal each other's live
+        claims forever — a configuration the real protocol excludes by
+        sizing the steal window far above a healthy publish duration.
+        Bursts keep that sizing meaningful while still starving the
+        un-chosen thread past the window whenever the rng deals
+        consecutive bursts to one side. Size ``burst_max`` to the
+        protocol under test: meaningfully SMALLER than one commit's op
+        count, or most schedules degenerate to serial executions (the
+        versioned model uses short bursts for exactly this reason —
+        its whole commit is ~14 ops)."""
         try:
             with self.cv:
                 burst_tid, burst_left = None, 0
@@ -142,7 +151,7 @@ class Sched:
                         continue
                     if burst_tid not in waiting or burst_left <= 0:
                         burst_tid = self.rng.choice(waiting)
-                        burst_left = self.rng.randint(1, 100)
+                        burst_left = self.rng.randint(1, burst_max)
                     self.go[burst_tid] = True
                     self.cv.notify_all()
                     # one step = one CONSUMED grant: without this wait
