@@ -173,12 +173,39 @@ def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_shipdate < DATE '1996-01-01'
         GROUP BY n.n_name
       ) sums
+    ), standings AS (
+      SELECT n.n_name AS k1,
+             COUNT(*) AS mp,
+             SUM(CASE WHEN LOWER(o.o_orderstatus) = 'o' THEN 1 ELSE 0 END) AS w,
+             SUM(CASE WHEN LOWER(o.o_orderstatus) = 'f' THEN 1 ELSE 0 END) AS d,
+             CAST(CAST(SUM(CASE WHEN LOWER(o.o_orderstatus) = 'o'
+                  THEN CAST(o.o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS gf,
+             CAST(CAST(SUM(CASE WHEN LOWER(o.o_orderstatus) = 'f'
+                  THEN CAST(o.o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS ga
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE LOWER(o.o_orderstatus) IN ('o', 'f')
+      GROUP BY n.n_name
+    ), league_table AS (
+      SELECT 'league_table' AS part, k1, CAST(NULL AS VARCHAR) AS k2,
+             CAST(RANK() OVER (
+               ORDER BY pts DESC, gd DESC, gf DESC, k1 ASC
+             ) AS BIGINT) AS n1,
+             mp AS n2, pts AS v1, gd AS v2
+      FROM (
+        SELECT k1, mp, gf,
+               CAST(3 * w + d AS DOUBLE) AS pts,
+               ROUND(gf - ga, 2) AS gd
+        FROM standings
+      ) pointed
     )
     SELECT * FROM summary
     UNION ALL SELECT * FROM home_away
     UNION ALL SELECT * FROM recent_form
     UNION ALL SELECT * FROM attack_defense
     UNION ALL SELECT * FROM xg_vs_goals
+    UNION ALL SELECT * FROM league_table
     """,
 )
 def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +248,19 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       over the grouped output, O(groups) rows). Mapped: lineitem
       shipped in 1995 = the season, supplier nation = team,
       quantity = goals, extendedprice/1000 = xG. k1=nation, n1=rows,
-      v1=total goals, v2=performance.
+      v1=total goals, v2=performance;
+    - part='league_table' (r11): `get_league_table` (`scr/ui.py:53-71`)
+      — the STANDINGS, the reference UI's front page. The warehouse
+      stores a precomputed "Rank" column (`scr/Transform.py` orders by
+      Pts, then GD, then GF, all descending) and the UI selects ORDER
+      BY Rank; here the rank is computed engine-side: one conditional
+      aggregate per team (W/D counts, GF/GA sums → Pts = 3·W + D,
+      GD = GF − GA), then RANK() over (Pts desc, GD desc, GF desc,
+      team asc — the alphabetical last-resort tiebreak makes the
+      ordering total, so both engines agree). This is the §2.10 window
+      semantics' real consumer. Mapped: status 'o' orders = wins,
+      'f' = draws, totalprice = goals. k1=team, n1=rank, n2=matches,
+      v1=Pts, v2=GD.
 
     100 TB shape: both dim joins broadcast (nation/customer-slice are
     tiny vs the orders fact — Catalyst picks BroadcastHashJoin), the
@@ -229,7 +268,11 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent-k is a windowed rank over a pruned key subset, not a global
     sort, and the attack/defense post-agg join runs on two
     already-aggregated |nations|-row frames — the join cost is
-    O(groups), never O(fact)."""
+    O(groups), never O(fact). The league table's unpartitioned RANK()
+    window runs on the AGGREGATED standings frame — O(|teams|) rows on
+    one task by construction (every league table on earth is small);
+    the fact-sized work below it is the same partial-agg shape as
+    home_away."""
     from ..functions.cleaning import div0
 
     orders = _t(spark, sf_dir, "orders")
@@ -360,11 +403,44 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v1") - F.col("xg") / F.lit(1000.0), 2).alias("v2"),
         )
     )
+    # league table: one conditional aggregate per team, points/GD
+    # derived over the aggregated frame, rank via an UNPARTITIONED
+    # window — sound because its input is O(|teams|) rows (the
+    # standings), never the fact
+    standings = (
+        filtered.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("k1"))
+        .agg(
+            F.count("*").alias("n2"),
+            F.sum(F.when(is_home, 1).otherwise(0)).alias("w"),
+            F.sum(F.when(~is_home, 1).otherwise(0)).alias("d"),
+            F.sum(F.when(is_home, dec("o_totalprice")).otherwise(F.lit(0)))
+            .cast("decimal(18,2)").cast("double").alias("gf"),
+            F.sum(F.when(~is_home, dec("o_totalprice")).otherwise(F.lit(0)))
+            .cast("decimal(18,2)").cast("double").alias("ga"),
+        )
+        .withColumn("pts", (F.lit(3) * F.col("w") + F.col("d")).cast("double"))
+        .withColumn("gd", F.round(F.col("gf") - F.col("ga"), 2))
+    )
+    w_rank = Window.orderBy(
+        F.desc("pts"), F.desc("gd"), F.desc("gf"), F.asc("k1")
+    )
+    league = standings.select(
+        F.lit("league_table").alias("part"),
+        "k1",
+        F.lit(None).cast("string").alias("k2"),
+        F.rank().over(w_rank).cast("long").alias("n1"),
+        "n2",
+        F.col("pts").alias("v1"),
+        F.col("gd").alias("v2"),
+    )
     return (
         summary.unionByName(home_away)
         .unionByName(recent)
         .unionByName(attack_defense)
         .unionByName(xg)
+        .unionByName(league)
     )
 
 

@@ -198,6 +198,9 @@ def commit_version(
     df: DataFrame, table_dir: str, expected_base: int | None = None
 ) -> int:
     """Write `df` as the next version and atomically publish it.
+    (The protocol itself lives in ``_commit_staged``; this is the
+    DataFrame-shaped entry — ``merge_commit``'s copy-on-write path
+    passes a custom stager through ``_commit_staged`` directly.)
 
     The data write happens entirely in an unpublished directory; the
     commit is one `os.replace` of the pointer file (local) or one
@@ -228,6 +231,24 @@ def commit_version(
     ``vacuum`` — run quiesced — clears it.
     Merge-type commits (`merge_commit`, `delete_commit`) always pin;
     use ``retries`` there to turn the loud conflict into a rebase."""
+    return _commit_staged(
+        lambda target: df.write.mode("overwrite").parquet(target),
+        table_dir,
+        expected_base,
+    )
+
+
+def _commit_staged(
+    write, table_dir: str, expected_base: int | None = None
+) -> int:
+    """The commit protocol behind ``commit_version``, decoupled from
+    the DataFrame: ``write(target_dir)`` materializes the new
+    version's files into the (claimed, unpublished) fixed-name version
+    directory — either a plain full write (``commit_version``) or the
+    copy-on-write merge stager that rewrites only delta-touched files
+    and hard-links the rest (``merge_commit``/``delete_commit``, r11).
+    All claiming/verification/publish semantics are as documented on
+    ``commit_version``."""
     if _is_remote(table_dir):
         import uuid as _uuid
 
@@ -292,7 +313,7 @@ def commit_version(
                 # legacy unpinned writer's — the documented
                 # mixed-writers contract violation, see docstring)
                 fs.delete(hp(target), True)
-            df.write.mode("overwrite").parquet(target)
+            write(target)
             try:
                 # create-if-absent: a writer racing this version number
                 # dies HERE instead of silently replacing the other
@@ -369,7 +390,7 @@ def commit_version(
             )
         target = version_dir(table_dir, next_v)
         shutil.rmtree(target, ignore_errors=True)  # orphan from a crashed attempt
-        df.write.mode("overwrite").parquet(target)
+        write(target)
         if expected_base is not None:
             # defense against an interleaved UNPINNED commit (mixing
             # pinned and legacy writers on one table is a contract
@@ -569,6 +590,86 @@ def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
     return wa, wb
 
 
+def _data_file_names(spark, d: str) -> list[str]:
+    """Names of the data files directly under a version dir (hidden
+    `_SUCCESS`/`.crc` entries skipped) — version dirs are flat by
+    construction, so basenames identify files unambiguously."""
+    from ..utils import _hadoop_fs
+
+    fs, hp = _hadoop_fs(d, spark)
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(hp(d))
+        if not st.isDirectory()
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+
+
+def _cow_stager(
+    spark: SparkSession,
+    table_dir: str,
+    base: int,
+    delta: DataFrame,
+    keys: list[str],
+    rewrite,
+):
+    """A ``_commit_staged`` write callback implementing FILE-LEVEL
+    COPY-ON-WRITE (r11, VERDICT r10 #4): the new version directory is
+    built from (a) a rewrite of ONLY the base files that contain any
+    of ``delta``'s keys — located by joining ``input_file_name()``
+    against the (small, broadcastable) key set — and (b) hard links
+    (local; FS copies on remote schemes, see ``utils._clone_dir``) of
+    every untouched base file. ``rewrite(touched_rows)`` produces the
+    replacement rows for the touched subset (the merge/anti-join of
+    the caller).
+
+    This is what makes a CONTENDED merge O(churn) instead of O(table):
+    the pre-r11 rebase re-read and re-wrote the whole table per retry
+    (SCALE.md's 8-writer sweep: 0.46 commits/s, p95 46 s), where the
+    correct result differs from the base only on the delta's keys. The
+    subset algebra is exact because a delta key present in ANY base
+    file makes that file touched: rows of untouched files can never be
+    shadowed or duplicated by the delta, so
+    ``untouched ∪ rewrite(touched)`` equals ``rewrite(whole table)``
+    for any keyed rewrite (merge-replace, insert-if-absent, anti-join
+    delete). Returns None when a returned-rows schema cannot mix with
+    linked files (caller falls back to the full rewrite).
+
+    File-count note: each CoW commit adds the delta's part files next
+    to the links, so long merge chains grow the file count — compact
+    with a periodic full ``commit_version`` rewrite (the same
+    economics as a table format's add-files commits + OPTIMIZE)."""
+    from pyspark.sql import functions as F
+
+    live_dir = version_dir(table_dir, base)
+    live = read_version(spark, table_dir, base)
+
+    def write(target: str) -> None:
+        from ..utils import _clone_dir
+
+        keyset = delta.select(*keys).distinct()
+        touched = {
+            os.path.basename(r["__cow_file"])
+            for r in live.withColumn("__cow_file", F.input_file_name())
+            .join(F.broadcast(keyset), keys, "left_semi")
+            .select("__cow_file")
+            .distinct()
+            .collect()  # bounded by the base's FILE count, never rows
+        }
+        if touched:
+            aff = spark.read.parquet(
+                *[f"{live_dir}/{name}" for name in sorted(touched)]
+            )
+        else:
+            aff = live.where(F.lit(False))
+        rewrite(aff).write.mode("overwrite").parquet(target)
+        for name in _data_file_names(spark, live_dir):
+            if name not in touched:
+                _clone_dir(spark, f"{live_dir}/{name}", f"{target}/{name}")
+
+    return write
+
+
 def merge_commit(
     spark: SparkSession,
     table_dir: str,
@@ -578,6 +679,7 @@ def merge_commit(
     evolve_schema: bool = False,
     retries: int = 0,
     backoff_s: float = 0.05,
+    file_reuse: bool = True,
 ) -> int:
     """Keyed MERGE of a delta into the versioned table, committed as a
     new snapshot: read the live version, merge (new-wins, or
@@ -604,25 +706,48 @@ def merge_commit(
     NULL there), a delta missing columns leaves them NULL on its own
     rows — while retyping an existing column still raises (silent
     casts corrupt history). Default stays strict: mismatched schemas
-    fail loudly, the right behavior for a production feed."""
+    fail loudly, the right behavior for a production feed.
+
+    ``file_reuse=True`` (r11 default) commits via the file-level
+    COPY-ON-WRITE stager whenever the (aligned) delta carries the
+    exact on-disk schema: only base files containing delta keys are
+    rewritten, the rest are hard-linked into the new version — O(churn)
+    per attempt instead of O(table), which is what makes contended
+    rebases cheap (see ``_cow_stager``). Schema-widening deltas (and
+    ``file_reuse=False``) take the full-rewrite path — which also
+    serves as table compaction after long CoW chains."""
     from ..operators.merge import insert_if_absent, merge_replace
 
     attempt = 0
     while True:
         base = current_version(table_dir)
+        stager = None
         if base is None:
             merged = delta
         else:
             live = read_version(spark, table_dir, base)
             d = delta
+            live_aligned = live
             if evolve_schema:
-                live, d = _align_schemas(live, d)
-            merged = (
-                insert_if_absent(live, d, keys)
-                if insert_only
-                else merge_replace(live, d, keys)
-            )
+                live_aligned, d = _align_schemas(live, d)
+            op = insert_if_absent if insert_only else merge_replace
+            if file_reuse and {
+                f.name: f.dataType for f in d.schema.fields
+            } == {f.name: f.dataType for f in live.schema.fields}:
+                # the rewritten rows will sit NEXT TO linked base
+                # files, so CoW applies only when the (aligned) delta
+                # carries the exact on-disk schema — a widening delta
+                # would commit a mixed-schema dir whose reads resolve
+                # from an arbitrary footer
+                stager = _cow_stager(
+                    spark, table_dir, base, d, keys,
+                    lambda aff, d=d, op=op: op(aff, d, keys),
+                )
+            else:
+                merged = op(live_aligned, d, keys)
         try:
+            if stager is not None:
+                return _commit_staged(stager, table_dir, expected_base=base)
             return commit_version(merged, table_dir, expected_base=base or 0)
         except CommitConflict:
             if attempt >= retries:
@@ -665,6 +790,7 @@ def delete_commit(
     keys: list[str],
     retries: int = 0,
     backoff_s: float = 0.05,
+    file_reuse: bool = True,
 ) -> int:
     """Row-level delete (the GDPR/right-to-be-forgotten primitive),
     committed as a new snapshot: the live version anti-joins the
@@ -685,17 +811,32 @@ def delete_commit(
     commit landing between the live read and the publish must raise
     ``CommitConflict``, not have its rows silently anti-joined away.
     ``retries > 0`` rebases (re-read, re-anti-join, re-commit) — a
-    delete is rebaseable because it is a function of (live, doomed)."""
+    delete is rebaseable because it is a function of (live, doomed).
+
+    ``file_reuse=True`` (r11 default) rewrites ONLY the base files
+    containing doomed keys and hard-links the rest (``_cow_stager``) —
+    O(churn) per attempt. Hard-erasure semantics are preserved: the
+    doomed rows' files are exactly the rewritten (never linked) ones,
+    so once ``vacuum`` retires the old version dir their inodes' last
+    links are gone — `forget_keys_hard`'s rows-nowhere-on-disk
+    contract is unchanged."""
     attempt = 0
     while True:
         v = current_version(table_dir)
         if v is None:
             raise ValueError(f"no committed version under {table_dir}")
-        live = read_version(spark, table_dir, v)
-        survivors = live.join(
-            doomed.select(*keys).distinct(), keys, "left_anti"
-        )
+        doomed_keys = doomed.select(*keys).distinct()
         try:
+            if file_reuse:
+                stager = _cow_stager(
+                    spark, table_dir, v, doomed_keys, keys,
+                    lambda aff, dk=doomed_keys: aff.join(
+                        dk, keys, "left_anti"
+                    ),
+                )
+                return _commit_staged(stager, table_dir, expected_base=v)
+            live = read_version(spark, table_dir, v)
+            survivors = live.join(doomed_keys, keys, "left_anti")
             return commit_version(survivors, table_dir, expected_base=v)
         except CommitConflict:
             if attempt >= retries:

@@ -516,3 +516,142 @@ def test_versioned_warehouse_on_remote_scheme(spark, tmp_path):
     assert markers == ["c00000002", "c00000003"]
     # no pointer file in the remote layout
     assert not _os.path.exists(f"{local}/_LATEST")
+
+
+# ---------------------------------------------------------------------------
+# r11: file-level copy-on-write merge/delete commits
+# ---------------------------------------------------------------------------
+
+
+def _inodes(d):
+    return {
+        f: os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if not f.startswith(("_", "."))
+    }
+
+
+def test_cow_merge_links_untouched_files_and_matches_full_rewrite(
+    spark, table_dir
+):
+    """The CoW stager must (a) produce exactly the rows a full-rewrite
+    merge produces, and (b) HARD-LINK every base file that contains no
+    delta key — zero bytes copied, same inode."""
+    import shutil
+
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        delete_commit,
+    )
+
+    # 4 files with disjoint key ranges, so a small delta touches one
+    base = spark.range(0, 400).selectExpr("id AS k", "'old' AS val")
+    commit_version(base.repartitionByRange(4, "k"), table_dir)
+    inodes_v1 = _inodes(version_dir(table_dir, 1))
+    assert len(inodes_v1) == 4
+
+    # an identical table committed the pre-r11 way, as the oracle
+    twin = table_dir + "-twin"
+    shutil.copytree(table_dir, twin)
+
+    delta = spark.createDataFrame(
+        [(5, "new"), (7, "new"), (999, "new")], "k long, val string"
+    )
+    merge_commit(spark, table_dir, delta, ["k"])
+    merge_commit(spark, twin, delta, ["k"], file_reuse=False)
+    assert _rows(read_latest(spark, table_dir)) == _rows(
+        read_latest(spark, twin)
+    )
+
+    # untouched base files are the SAME inodes in v2; the touched one
+    # (k=5,7 live in the first range file) was rewritten, not linked
+    inodes_v2 = _inodes(version_dir(table_dir, 2))
+    shared = set(inodes_v1.values()) & set(inodes_v2.values())
+    assert len(shared) == 3, (inodes_v1, inodes_v2)
+
+    # delete CoW: same contract
+    doomed = spark.createDataFrame([(250,)], "k long")
+    delete_commit(spark, table_dir, doomed, ["k"])
+    delete_commit(spark, twin, doomed, ["k"], file_reuse=False)
+    assert _rows(read_latest(spark, table_dir)) == _rows(
+        read_latest(spark, twin)
+    )
+    inodes_v3 = _inodes(version_dir(table_dir, 3))
+    assert set(inodes_v2.values()) & set(inodes_v3.values()), "links expected"
+
+
+def test_cow_delete_hard_erasure_after_vacuum(spark, table_dir):
+    """Doomed rows live only in REWRITTEN (never linked) files, so
+    vacuuming the old version drops their inodes' last links — the
+    rows-nowhere-on-disk contract survives CoW."""
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        delete_commit,
+    )
+
+    base = spark.range(0, 100).selectExpr("id AS k", "'x' AS val")
+    commit_version(base.repartitionByRange(4, "k"), table_dir)
+    doomed_files_v1 = set()
+    from pyspark.sql import functions as F
+
+    for r in (
+        read_latest(spark, table_dir)
+        .where("k = 42")
+        .select(F.input_file_name().alias("f"))
+        .collect()
+    ):
+        doomed_files_v1.add(os.path.basename(r["f"]))
+    assert doomed_files_v1
+    delete_commit(
+        spark, table_dir, spark.createDataFrame([(42,)], "k long"), ["k"]
+    )
+    # the doomed rows' file was NOT linked into v2
+    v2_files = set(os.listdir(version_dir(table_dir, 2)))
+    for f in doomed_files_v1:
+        assert f not in v2_files
+    vacuum(table_dir, keep=1)
+    assert not os.path.exists(version_dir(table_dir, 1))
+    assert _rows(read_latest(spark, table_dir).where("k = 42")) == []
+
+
+def test_cow_merge_widening_delta_falls_back_to_full_rewrite(
+    spark, table_dir
+):
+    """A schema-widening delta must NOT mix new-schema files with
+    linked old-schema files: evolution takes the full-rewrite path and
+    every v2 file carries the widened schema."""
+    commit_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .repartition(2),
+        table_dir,
+    )
+    inodes_v1 = set(_inodes(version_dir(table_dir, 1)).values())
+    delta = spark.createDataFrame(
+        [(3, "c", 9.0)], "k long, v string, score double"
+    )
+    merge_commit(spark, table_dir, delta, ["k"], evolve_schema=True)
+    inodes_v2 = set(_inodes(version_dir(table_dir, 2)).values())
+    assert not (inodes_v1 & inodes_v2), "widened commit must not link"
+    # every v2 file individually carries the widened schema
+    for f in os.listdir(version_dir(table_dir, 2)):
+        if f.startswith(("_", ".")):
+            continue
+        cols = set(
+            spark.read.parquet(os.path.join(version_dir(table_dir, 2), f))
+            .columns
+        )
+        assert cols == {"k", "v", "score"}, (f, cols)
+
+
+def test_cow_merge_narrowing_delta_still_links(spark, table_dir):
+    """An evolve_schema delta that merely MISSES columns is widened to
+    the live schema and keeps the CoW path (on-disk schema unchanged)."""
+    base = spark.range(0, 200).selectExpr(
+        "id AS k", "'x' AS v", "CAST(id AS DOUBLE) AS score"
+    )
+    commit_version(base.repartitionByRange(4, "k"), table_dir)
+    inodes_v1 = set(_inodes(version_dir(table_dir, 1)).values())
+    delta = spark.createDataFrame([(5, "y")], "k long, v string")
+    merge_commit(spark, table_dir, delta, ["k"], evolve_schema=True)
+    inodes_v2 = set(_inodes(version_dir(table_dir, 2)).values())
+    assert len(inodes_v1 & inodes_v2) == 3, (inodes_v1, inodes_v2)
+    got = _rows(read_latest(spark, table_dir).where("k = 5"))
+    assert got == [(5, "y", None)]

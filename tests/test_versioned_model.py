@@ -12,7 +12,11 @@ against the shared fake linearizable filesystem (tests/model_fs.py)
 with every FS operation a scheduler yield point; only the data plane
 is faked (a model DataFrame carrying a frozenset of (key, value) rows,
 with `merge_replace` / `insert_if_absent` replaced by their set
-semantics — the protocol under test never looks inside the rows).
+semantics — the protocol under test never looks inside the rows). The
+model runs with ``file_reuse=False``: the r11 copy-on-write stager is
+pure data plane (same `_commit_staged` protocol, different write
+callback) and is correctness-tested on real Spark in
+tests/test_versioned.py.
 
 Each sweep runs under BOTH store fidelities (VERDICT r10 #3):
 exclusive creates (local/HDFS — create(overwrite=False) raises on
@@ -230,7 +234,7 @@ def _run_merge_schedule(monkeypatch, seed: int, lww: bool, n_writers: int):
                     spark_stub, TBL,
                     _FakeDF(frozenset({("seed", 999)}), fake),
                     keys=["k"], insert_only=True,
-                    retries=500, backoff_s=0.0,
+                    retries=500, backoff_s=0.0, file_reuse=False,
                 )
             else:
                 ops[wid] = merge_op(wid)
@@ -238,6 +242,7 @@ def _run_merge_schedule(monkeypatch, seed: int, lww: bool, n_writers: int):
                     spark_stub, TBL,
                     _FakeDF(frozenset({(f"w{wid}", wid)}), fake),
                     keys=["k"], retries=500, backoff_s=0.0,
+                    file_reuse=False,
                 )
         except BaseException as exc:  # noqa: BLE001
             errors.append(exc)
@@ -282,7 +287,7 @@ def _run_merge_delete_schedule(monkeypatch, seed: int, lww: bool):
         try:
             results[1] = V.merge_commit(
                 spark_stub, TBL, _FakeDF(frozenset({("w1", 1)}), fake),
-                keys=["k"], retries=500, backoff_s=0.0,
+                keys=["k"], retries=500, backoff_s=0.0, file_reuse=False,
             )
         except BaseException as exc:  # noqa: BLE001
             errors.append(exc)
@@ -294,7 +299,7 @@ def _run_merge_delete_schedule(monkeypatch, seed: int, lww: bool):
         try:
             results[2] = V.delete_commit(
                 spark_stub, TBL, _FakeDF(frozenset({("seed", 0)}), fake),
-                keys=["k"], retries=500, backoff_s=0.0,
+                keys=["k"], retries=500, backoff_s=0.0, file_reuse=False,
             )
         except BaseException as exc:  # noqa: BLE001
             errors.append(exc)
