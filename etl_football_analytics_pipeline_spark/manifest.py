@@ -780,6 +780,10 @@ def manifest_commit(
         # operators to vacuum when the actual residue was the writer's
         # own intent file) — in every case the commit IS durable.
         try:
+            # intent FIRST: it is token-named, so ownership is never in
+            # doubt — a left-lock refusal below must not also leave the
+            # writer's own intent fencing the next version
+            _verified_delete(fs, hp, intent, "own intent (post-final)")
             if lock_held:
                 status = _release_lock_if_mine(fs, hp, lock, my_lock_mt)
                 if status == "left":
@@ -797,7 +801,6 @@ def manifest_commit(
                         "it after the steal window, and quiesced "
                         "manifest_vacuum clears it"
                     )
-            _verified_delete(fs, hp, intent, "own intent (post-final)")
         except IOError as exc:
             raise IOError(
                 f"manifest_commit: version {next_v} of {dest!r} IS "

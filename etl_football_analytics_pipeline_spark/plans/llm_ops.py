@@ -2,15 +2,27 @@
 extensions; BASELINE.json north star).
 
 Dedup, similarity search, and text analysis over the `documents` /
-`embeddings` tables. Exact variants carry full DuckDB oracles.
-MinHash and SimHash are registered with their PORTABLE hash families
-(md5-derived — see operators.dedup), so they carry full value oracles
-too: DuckDB recomputes signatures, banding, candidates and scores
-bit-for-bit. The remaining probabilistic entries (hyperplane LSH over
-float embeddings, seeded k-means IVF) stay rows-only — their outputs
-depend on float reduction order / iterative clustering no SQL oracle
-can mirror safely — and tests/test_dedup.py / test_similarity.py
-verify them against the exact operators instead.
+`embeddings` tables. EVERY registered entry carries a full DuckDB
+value oracle (all 50 hash-match at sf0.01) — each probabilistic
+family is made portable its own way:
+
+- MinHash / SimHash: PORTABLE md5-derived hash families
+  (operators.dedup) — DuckDB recomputes signatures, banding,
+  candidates and scores bit-for-bit;
+- hyperplane LSH (dedup_embedding_lsh, ann_lsh_topk): the seeded
+  planes are embedded as float64 LITERALS in the oracle SQL
+  (_plane_values), so both engines dot the identical plane values;
+  a sign disagreement would need a dot within ~1e-13 of zero
+  (see _plane_values — ~1e-9 odds across the corpus, green at
+  sf0.001/0.01/0.1);
+- IVF / PQ: the k-means models are PINNED as literal centroids
+  (ivf_model.py), so assignment and scoring replay exactly;
+- scores are ROUND()ed to 4 dp on both sides, absorbing any residual
+  last-ulp reduction-order noise in the exact-cosine stages.
+
+tests/test_dedup.py / test_similarity.py additionally verify the
+probabilistic entries against their exact counterparts (recall
+floors), independent of the oracles.
 """
 
 from __future__ import annotations

@@ -798,18 +798,23 @@ def skew_section(spark, scale: int) -> str:
 
 
 def commits_section(spark, scale: int) -> str:
-    """Commit-machinery scaling (r9): against a 100k×scale-row manifest
-    relation, time (a) `manifest_append` of a FIXED 10k-row delta —
-    the add-files commit whose new tree hard-links the live tree's
-    files, so its wall must track the DELTA, not the table — vs (b)
-    the naive rewrite append (read live ∪ delta → full new tree),
-    whose wall tracks the table and is exactly what (a) exists to
-    avoid. Both asserted row-correct."""
+    """Commit-machinery scaling (r9; +CoW merge r11): against a
+    100k×scale-row relation of ~130B incompressible rows, time
+    (a) `manifest_append` of a FIXED 10k-row delta — the add-files
+    commit whose new tree hard-links the live tree's files, so its
+    wall must track the DELTA, not the table — vs (b) the naive
+    rewrite append (read live ∪ delta → full new tree), whose wall
+    tracks the table and is exactly what (a) exists to avoid; and
+    (c) the versioned `merge_commit` of a FIXED 10k-key UPDATE delta
+    with the r11 copy-on-write stager (rewrite touched files, link the
+    rest) vs (d) the same merge with `file_reuse=False` (the pre-r11
+    full-snapshot rewrite). All four asserted row-correct."""
     import os as _os
     import shutil
     import tempfile
 
     from etl_football_analytics_pipeline_spark import manifest as Mf
+    from etl_football_analytics_pipeline_spark.sources import versioned as Vr
 
     n = 100_000 * scale
 
@@ -848,6 +853,29 @@ def commits_section(spark, scale: int) -> str:
         )
         out.append(f"append_rewrite={time.time() - t0:6.1f}s")
         assert Mf.read_relation(spark, naive).count() == n + 10_000
+        # (c)/(d): keyed UPDATE merge — 10k existing keys get new
+        # payloads. CoW rewrites only the files those keys live in
+        # (repartitionByRange gives the base key-clustered files, the
+        # layout a real warehouse table converges to), the pre-r11
+        # path rewrites the whole snapshot.
+        upd = frame(0, 10_000).withColumn(
+            "payload", F.concat(F.lit("upd-"), F.col("payload"))
+        )
+        files = max(8, 2 * scale)
+        for label, reuse in (("merge_cow", True), ("merge_full", False)):
+            td = f"{root}/{label}"
+            Vr.commit_version(
+                base.repartitionByRange(files, "id"), td
+            )
+            t0 = time.time()
+            Vr.merge_commit(spark, td, upd, ["id"], file_reuse=reuse)
+            out.append(f"{label}={time.time() - t0:6.1f}s")
+            got = Vr.read_latest(spark, td)
+            assert got.count() == n
+            assert (
+                got.filter(F.col("payload").startswith("upd-")).count()
+                == 10_000
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     out.append(f"rows={n}  load={_os.getloadavg()[0]:.1f}")

@@ -655,3 +655,71 @@ def test_cow_merge_narrowing_delta_still_links(spark, table_dir):
     assert len(inodes_v1 & inodes_v2) == 3, (inodes_v1, inodes_v2)
     got = _rows(read_latest(spark, table_dir).where("k = 5"))
     assert got == [(5, "y", None)]
+
+
+def test_cow_refuses_hand_built_partitioned_layout(spark, table_dir):
+    """A version dir with partition SUBDIRECTORIES is not this
+    module's layout — CoW must refuse loudly before rewriting anything
+    (linking around a subdir would silently drop its rows)."""
+    commit_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table_dir
+    )
+    # hand-plant a partition-style subdir inside the live version
+    os.makedirs(os.path.join(version_dir(table_dir, 1), "p=1"))
+    with pytest.raises(ValueError, match="partition subdirectory"):
+        merge_commit(
+            spark, table_dir,
+            spark.createDataFrame([(2, "b")], "k long, v string"), ["k"],
+        )
+
+
+def test_cow_detection_tiers(spark, table_dir, monkeypatch):
+    """Single orderable key on local files → the footer-stats prune
+    decides touched files driver-side (zero Spark detection jobs) and
+    returns exactly the key-range candidates; composite keys fall back
+    to the distributed scan (stats tier never invoked); both produce
+    the same committed rows."""
+    import etl_football_analytics_pipeline_spark.sources.versioned as V
+
+    calls = []
+    orig = V._stats_touched
+
+    def spy(live_dir, files, key, dk):
+        out = orig(live_dir, files, key, dk)
+        calls.append((key, tuple(sorted(dk)), None if out is None else set(out)))
+        return out
+
+    monkeypatch.setattr(V, "_stats_touched", spy)
+
+    base = spark.range(0, 400).selectExpr("id AS k", "'old' AS val")
+    commit_version(base.repartitionByRange(4, "k"), table_dir)
+    delta = spark.createDataFrame([(7, "new"), (999, "new")], "k long, val string")
+    merge_commit(spark, table_dir, delta, ["k"])
+    assert len(calls) == 1
+    key, dk, out = calls[0]
+    assert key == "k" and dk == (7, 999)
+    # k=7 lives in the first range file; 999 is beyond every file's
+    # max → pure insert, touches nothing
+    assert out is not None and len(out) == 1
+    got = _rows(read_latest(spark, table_dir).where("k IN (7, 999)"))
+    assert got == [(7, "new"), (999, "new")]
+
+    # composite key: stats tier skipped, scan detection used, rows exact
+    calls.clear()
+    tbl2 = table_dir + "-2keys"
+    commit_version(
+        spark.createDataFrame(
+            [(1, "a", "x"), (1, "b", "y"), (2, "a", "z")],
+            "k long, s string, val string",
+        ),
+        tbl2,
+    )
+    merge_commit(
+        spark, tbl2,
+        spark.createDataFrame([(1, "b", "Y2")], "k long, s string, val string"),
+        ["k", "s"],
+    )
+    assert calls == []
+    assert _rows(read_latest(spark, tbl2)) == [
+        (1, "a", "x"), (1, "b", "Y2"), (2, "a", "z"),
+    ]
