@@ -119,18 +119,21 @@ def test_merge_commit_rebases_on_race(spark, tmp_path, monkeypatch, scheme):
     )
     delta_b = spark.createDataFrame([(3, "B")], "k int, val string")
     delta_a = spark.createDataFrame([(2, "A2"), (4, "A")], "k int, val string")
-    orig = V.commit_version
+    # the race injects at _commit_staged — the protocol boundary BOTH
+    # commit shapes flow through (commit_version wraps it; the r11 CoW
+    # merge path calls it directly)
+    orig = V._commit_staged
     state = {"fired": False}
 
-    def racy(df, table_dir, expected_base=None):
+    def racy(write, table_dir, expected_base=None):
         if not state["fired"]:
             state["fired"] = True
             # writer B lands a full merge-commit while A is mid-flight
             # (between A's base read and A's publish)
             V.merge_commit(spark, table_dir, delta_b, ["k"])
-        return orig(df, table_dir, expected_base)
+        return orig(write, table_dir, expected_base)
 
-    monkeypatch.setattr(V, "commit_version", racy)
+    monkeypatch.setattr(V, "_commit_staged", racy)
     v = V.merge_commit(spark, td, delta_a, ["k"], retries=3)
     assert v == 3  # v2 was B's; A rebased onto it
     assert _kv(spark, td) == [(1, "a"), (2, "A2"), (3, "B"), (4, "A")]
@@ -146,16 +149,16 @@ def test_merge_commit_race_without_retries_fails_loud(
     td = str(tmp_path / "t")
     V.commit_version(spark.createDataFrame([(1, "a")], "k int, val string"), td)
     delta_b = spark.createDataFrame([(3, "B")], "k int, val string")
-    orig = V.commit_version
+    orig = V._commit_staged
     state = {"fired": False}
 
-    def racy(df, table_dir, expected_base=None):
+    def racy(write, table_dir, expected_base=None):
         if not state["fired"]:
             state["fired"] = True
             V.merge_commit(spark, table_dir, delta_b, ["k"])
-        return orig(df, table_dir, expected_base)
+        return orig(write, table_dir, expected_base)
 
-    monkeypatch.setattr(V, "commit_version", racy)
+    monkeypatch.setattr(V, "_commit_staged", racy)
     delta_a = spark.createDataFrame([(4, "A")], "k int, val string")
     with pytest.raises(CommitConflict):
         V.merge_commit(spark, td, delta_a, ["k"])
@@ -170,16 +173,16 @@ def test_delete_commit_rebases_on_race(spark, tmp_path, monkeypatch):
         spark.createDataFrame([(1, "a"), (2, "b")], "k int, val string"), td
     )
     appended = spark.createDataFrame([(5, "late")], "k int, val string")
-    orig = V.commit_version
+    orig = V._commit_staged
     state = {"fired": False}
 
-    def racy(df, table_dir, expected_base=None):
+    def racy(write, table_dir, expected_base=None):
         if not state["fired"]:
             state["fired"] = True
             V.merge_commit(spark, table_dir, appended, ["k"])
-        return orig(df, table_dir, expected_base)
+        return orig(write, table_dir, expected_base)
 
-    monkeypatch.setattr(V, "commit_version", racy)
+    monkeypatch.setattr(V, "_commit_staged", racy)
     doomed = spark.createDataFrame([(1,)], "k int")
     V.delete_commit(spark, td, doomed, ["k"], retries=3)
     assert _kv(spark, td) == [(2, "b"), (5, "late")]
