@@ -277,6 +277,30 @@ def _exclusive_create(fs, hp, path: str, mode: str) -> None:
     builder.build().close()
 
 
+def _is_not_found(exc: BaseException) -> bool:
+    """Whether a stat exception is a definitive does-not-exist (local
+    FileNotFoundError, Hadoop FileNotFoundException — py4j wraps the
+    Java class name into the message, and the model FS raises
+    IOError('not found: …')) as opposed to a storage/connectivity
+    FAULT, which answers nothing."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    text = str(getattr(exc, "java_exception", "") or "") + str(exc)
+    return "FileNotFoundException" in text or "not found" in text.lower()
+
+
+def _lock_stat(fs, hp, path: str) -> tuple[str, int | None]:
+    """(state, mtime) for the token-free publish lock: ``"present"``
+    with its modificationTime, ``"absent"`` (a DEFINITIVE
+    does-not-exist), or ``"fault"`` (the stat failed for any other
+    reason — an answer was NOT obtained; r11 review: the release path
+    must not read a connectivity fault as 'already released')."""
+    try:
+        return "present", fs.getFileStatus(hp(path)).getModificationTime()
+    except Exception as exc:
+        return ("absent" if _is_not_found(exc) else "fault"), None
+
+
 def _release_lock_if_mine(fs, hp, lock: str, my_lock_mt) -> str:
     """Release the token-free publish lock ONLY while provably still
     ours (r11, ADVICE r10): the lock's mtime is its sole identity, so
@@ -289,16 +313,22 @@ def _release_lock_if_mine(fs, hp, lock: str, my_lock_mt) -> str:
     steal-window takeover or a quiesced vacuum; callers surface it
     loudly rather than guess).
 
-    A single stat can fault transiently, so an absent reading gets ONE
-    confirming re-stat before being believed: a release-time fault must
-    not silently leave our own lock behind (the pre-r11 behavior), and
-    an acquire-time fault (``my_lock_mt is None``) must not license a
-    blind delete (the other pre-r11 behavior)."""
-    cur = _lock_mtime(fs, hp, lock)
-    if cur is None:
-        cur = _lock_mtime(fs, hp, lock)  # confirming re-stat
-        if cur is None:
+    A single stat can fault transiently, so a non-"present" reading
+    gets ONE confirming re-stat before being believed — and the two
+    non-answers are told apart (r11 review): a DEFINITIVE
+    does-not-exist is ``"absent"`` (released/stolen — nothing to do),
+    while a persistent storage FAULT is ``"left"`` (no answer was
+    obtained; reporting 'absent' there would silently strand our own
+    lock, the exact misreport this helper exists to prevent). An
+    acquire-time identity fault (``my_lock_mt is None``) never
+    licenses a blind delete."""
+    state, cur = _lock_stat(fs, hp, lock)
+    if state != "present":
+        state, cur = _lock_stat(fs, hp, lock)  # confirming re-stat
+        if state == "absent":
             return "absent"
+        if state == "fault":
+            return "left"
     if my_lock_mt is not None and cur == my_lock_mt:
         _verified_delete(fs, hp, lock, "own publish lock")
         return "released"

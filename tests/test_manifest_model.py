@@ -375,3 +375,27 @@ def test_release_lock_transient_stat_fault_confirmed_by_restat():
     mt = fake.files[LOCKP]
     assert M._release_lock_if_mine(fake, FakePath, LOCKP, mt) == "released"
     assert LOCKP not in fake.files
+
+
+def test_release_lock_persistent_stat_fault_reports_left_not_absent():
+    """A PERSISTENT stat fault (storage outage — not a definitive
+    does-not-exist) must be reported as 'left' so the post-final path
+    relabels loudly; reading it as 'absent' would silently strand the
+    writer's own lock (r11 review finding)."""
+
+    class OutageFS(FakeFS):
+        def getFileStatus(self, p):
+            raise IOError("connection reset by peer")
+
+    fake = OutageFS(Sched(0))
+    # the lock may or may not exist — the point is no answer was had
+    assert M._release_lock_if_mine(fake, FakePath, LOCKP, 123) == "left"
+
+
+def test_lock_stat_distinguishes_not_found_from_fault():
+    fake = FakeFS(Sched(0))
+    state, mt = M._lock_stat(fake, FakePath, LOCKP)
+    assert (state, mt) == ("absent", None)  # fake raises 'not found: …'
+    fake.create(FakePath(LOCKP), False)
+    state, mt = M._lock_stat(fake, FakePath, LOCKP)
+    assert state == "present" and mt == fake.files[LOCKP]

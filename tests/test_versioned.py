@@ -684,8 +684,8 @@ def test_cow_detection_tiers(spark, table_dir, monkeypatch):
     calls = []
     orig = V._stats_touched
 
-    def spy(live_dir, files, key, dk):
-        out = orig(live_dir, files, key, dk)
+    def spy(live_dir, files, key, dk, has_null):
+        out = orig(live_dir, files, key, dk, has_null)
         calls.append((key, tuple(sorted(dk)), None if out is None else set(out)))
         return out
 
@@ -723,3 +723,65 @@ def test_cow_detection_tiers(spark, table_dir, monkeypatch):
     assert _rows(read_latest(spark, tbl2)) == [
         (1, "a", "x"), (1, "b", "Y2"), (2, "a", "z"),
     ]
+
+
+def test_cow_merge_null_key_replaces_not_duplicates(spark, table_dir):
+    """The merge operators match NULL = NULL (eqNullSafe), so a
+    NULL-keyed delta row REPLACES a NULL-keyed live row — CoW detection
+    must treat the file holding the NULL row as touched, in BOTH
+    detection tiers, or the old row would be linked back in next to
+    the new one (r11 review finding: silent duplication)."""
+    base = spark.createDataFrame(
+        [(None, "old-null"), (1, "a"), (2, "b")], "k long, val string"
+    )
+    commit_version(base.repartition(3), table_dir)
+    delta = spark.createDataFrame([(None, "new-null")], "k long, val string")
+    # stats tier (single bigint key, local files)
+    merge_commit(spark, table_dir, delta, ["k"])
+    got = sorted(
+        (tuple(r) for r in read_latest(spark, table_dir).collect()),
+        key=repr,
+    )
+    assert got == sorted(
+        [(1, "a"), (2, "b"), (None, "new-null")], key=repr
+    ), got
+
+    # scan tier (composite key) — same semantics
+    tbl2 = table_dir + "-scan"
+    commit_version(
+        spark.createDataFrame(
+            [(None, "x", "old"), (1, "y", "keep")], "k long, s string, val string"
+        ).repartition(2),
+        tbl2,
+    )
+    merge_commit(
+        spark, tbl2,
+        spark.createDataFrame([(None, "x", "new")], "k long, s string, val string"),
+        ["k", "s"],
+    )
+    got2 = sorted(
+        (tuple(r) for r in read_latest(spark, tbl2).collect()), key=repr
+    )
+    assert got2 == sorted(
+        [(1, "y", "keep"), (None, "x", "new")], key=repr
+    ), got2
+
+
+def test_cow_delete_mismatched_key_type_falls_back_to_scan(spark, table_dir):
+    """A doomed-key frame typed differently from the table (string
+    '42' vs bigint k) must not crash the stats tier with an uncaught
+    TypeError — it falls back to the scan join, which casts implicitly
+    (the pre-r11 behavior)."""
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        delete_commit,
+    )
+
+    commit_version(
+        spark.range(0, 100).selectExpr("id AS k", "'x' AS val")
+        .repartitionByRange(4, "k"),
+        table_dir,
+    )
+    doomed = spark.createDataFrame([("42",)], "k string")
+    delete_commit(spark, table_dir, doomed, ["k"])
+    assert _rows(read_latest(spark, table_dir).where("k = 42")) == []
+    assert read_latest(spark, table_dir).count() == 99
