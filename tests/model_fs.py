@@ -217,6 +217,7 @@ class FakeCreateBuilder:
             and self.musts.get(_CONDITIONAL_CREATE_OPTION) is True
         )
         fs.sched.yield_point()
+        fs._op()
         with fs.lock:
             if honored:
                 if self.p.path in fs.files:
@@ -234,13 +235,30 @@ class FakeCreateBuilder:
             return _Handle()
 
 
+class InjectedCrash(Exception):
+    """A modeled PROCESS DEATH: once a thread's op budget is
+    exhausted, every FS operation it attempts raises this — including
+    the cleanup in its ``finally`` blocks, which is exactly what dying
+    mid-protocol means (a real crash never runs cleanup; in-process we
+    model that as cleanup that fails too). Deliberately NOT an
+    IOError: the protocols' narrow ``except IOError`` guards must not
+    swallow a death."""
+
+
 class FakeFS:
     """Linearizable in-memory namespace; every public op yields to the
     scheduler first, then executes atomically under one lock. See the
     module docstring for the `lww_create` / `conditional` /
     `ignore_must` fidelity switches. ``tables`` maps directory paths
     to opaque row payloads for the versioned-table model (written by
-    the fake DataFrame writer, purged by recursive deletes)."""
+    the fake DataFrame writer, purged by recursive deletes).
+
+    CRASH INJECTION (r11): ``crash_after(n)`` arms the CALLING thread
+    to die on its (n+1)-th subsequent FS op — that op and every later
+    one raise ``InjectedCrash``. ``op_count`` tallies per-thread ops
+    so a counting run can measure a protocol's op span first;
+    ``disarm()`` clears all budgets (the post-crash assertions run
+    from the same thread)."""
 
     def __init__(
         self,
@@ -270,6 +288,24 @@ class FakeFS:
         )
         self.builder_calls: list[tuple] = []
         self.capability_probes = 0
+        self.crash_budget: dict[int, int] = {}
+        self.op_count: dict[int, int] = {}
+
+    # -- crash injection ----------------------------------------------
+    def crash_after(self, n: int) -> None:
+        self.crash_budget[threading.get_ident()] = n
+
+    def disarm(self) -> None:
+        self.crash_budget.clear()
+
+    def _op(self) -> None:
+        tid = threading.get_ident()
+        self.op_count[tid] = self.op_count.get(tid, 0) + 1
+        b = self.crash_budget.get(tid)
+        if b is not None:
+            if b <= 0:
+                raise InjectedCrash("process died mid-protocol")
+            self.crash_budget[tid] = b - 1
 
     # -- helpers -------------------------------------------------------
     def _tick(self) -> int:
@@ -293,11 +329,13 @@ class FakeFS:
     # -- the Hadoop FileSystem subset the protocols use ----------------
     def exists(self, p: FakePath) -> bool:
         self.sched.yield_point()
+        self._op()
         with self.lock:
             return self._exists_locked(p.path)
 
     def listStatus(self, p: FakePath):
         self.sched.yield_point()
+        self._op()
         with self.lock:
             pre = p.path + "/"
             out, seen = [], set()
@@ -316,6 +354,7 @@ class FakeFS:
 
     def create(self, p: FakePath, overwrite: bool) -> _Handle:
         self.sched.yield_point()
+        self._op()
         with self.lock:
             if (
                 not overwrite
@@ -336,6 +375,7 @@ class FakeFS:
 
     def delete(self, p: FakePath, recursive: bool) -> bool:
         self.sched.yield_point()
+        self._op()
         with self.lock:
             hit = self.files.pop(p.path, None) is not None
             if p.path in self.dirs:
@@ -356,6 +396,7 @@ class FakeFS:
 
     def getFileStatus(self, p: FakePath) -> _FakeStatus:
         self.sched.yield_point()
+        self._op()
         with self.lock:
             if p.path in self.files:
                 return _FakeStatus(p.path, self.files[p.path], False)
@@ -365,6 +406,7 @@ class FakeFS:
 
     def mkdirs(self, path: str) -> None:
         self.sched.yield_point()
+        self._op()
         with self.lock:
             self._add_parents(path + "/x")
             self.dirs.setdefault(path, self._tick())
