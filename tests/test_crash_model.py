@@ -51,14 +51,17 @@ TBL = "model://tbl"
 # ---------------------------------------------------------------- manifest
 
 
-def _manifest_env(monkeypatch):
+def _manifest_env(monkeypatch, lww: bool = False):
     sched = Sched(0)
-    fake = FakeFS(sched)
+    fake = FakeFS(sched, lww_create=lww)
     spark_stub = types.SimpleNamespace(
         catalog=types.SimpleNamespace(refreshByPath=lambda p: None)
     )
     monkeypatch.setattr(M, "_fs", lambda spark, path: (fake, FakePath))
-    monkeypatch.setattr(M, "_publish_lock_supported", lambda *a: "create")
+    monkeypatch.setattr(
+        M, "_publish_lock_supported",
+        lambda *a: None if lww else "create",
+    )
     monkeypatch.setattr(M, "_conflict_backoff", lambda *a, **k: None)
     monkeypatch.setattr(M, "SETTLE_WAITS", (None,))
     import time as _t
@@ -79,20 +82,26 @@ def _manifest_scan(fake):
     return finals, residue
 
 
-def _manifest_op_span(monkeypatch) -> int:
-    sched, fake, spark_stub = _manifest_env(monkeypatch)
+def _manifest_op_span(monkeypatch, lww: bool = False) -> int:
+    # the span depends on the fidelity (the publish lock adds ops on
+    # exclusive-create stores) — measure with the same mode the sweep
+    # will run
+    sched, fake, spark_stub = _manifest_env(monkeypatch, lww)
     tid = threading.get_ident()
     before = fake.op_count.get(tid, 0)
     M.manifest_commit(spark_stub, DEST, lambda t: fake.mkdirs(t), keep=5)
     return fake.op_count[tid] - before
 
 
-def test_manifest_commit_crash_at_every_op(monkeypatch):
-    span = _manifest_op_span(monkeypatch)
+@pytest.mark.parametrize("lww", [False, True],
+                         ids=["exclusive-create", "lww-create"])
+def test_manifest_commit_crash_at_every_op(monkeypatch, lww):
+    span = _manifest_op_span(monkeypatch, lww)
+    monkeypatch.undo()
     assert span >= 8  # sanity: the sweep actually covers the protocol
     for k in range(span):
         monkeypatch.undo()
-        sched, fake, spark_stub = _manifest_env(monkeypatch)
+        sched, fake, spark_stub = _manifest_env(monkeypatch, lww)
         fake.crash_after(k)
         try:
             M.manifest_commit(
@@ -136,15 +145,20 @@ def test_manifest_commit_crash_at_every_op(monkeypatch):
         assert got == top + 1, (k, got, top)
 
 
-def test_manifest_rival_survives_crash_at_every_op(monkeypatch):
+@pytest.mark.parametrize("lww", [False, True],
+                         ids=["exclusive-create", "lww-create"])
+def test_manifest_rival_survives_crash_at_every_op(monkeypatch, lww):
     """Writer A dies at op k while rival B (retries, small virtual
     steal window) runs concurrently: B must LAND on every k — A's
     stale intent/lock is stolen after the window, never fencing the
-    relation forever."""
-    span = _manifest_op_span(monkeypatch)
+    relation forever. Both store fidelities: on LWW (bare S3) creates
+    the publish lock is disabled (no exclusivity primitive), matching
+    the real probe's decision there."""
+    span = _manifest_op_span(monkeypatch, lww)
+    monkeypatch.undo()
     for k in range(span):
         monkeypatch.undo()
-        sched, fake, spark_stub = _manifest_env(monkeypatch)
+        sched, fake, spark_stub = _manifest_env(monkeypatch, lww)
         results: dict[str, int] = {}
         errors: list[BaseException] = []
 
@@ -207,9 +221,9 @@ def test_manifest_rival_survives_crash_at_every_op(monkeypatch):
 # ---------------------------------------------------------------- versioned
 
 
-def _versioned_env(monkeypatch):
+def _versioned_env(monkeypatch, lww: bool = False):
     sched = Sched(0)
-    fake = FakeFS(sched)
+    fake = FakeFS(sched, lww_create=lww)
     monkeypatch.setattr(V, "_remote_fs", lambda td: (fake, FakePath))
     monkeypatch.setattr(V, "_conflict_backoff", lambda *a, **k: None)
     monkeypatch.setattr(merge_mod, "merge_replace", _fake_merge_replace)
@@ -254,14 +268,16 @@ def _versioned_op_span(monkeypatch) -> int:
     return fake.op_count[tid] - before
 
 
-def test_versioned_merge_crash_at_every_op(monkeypatch):
+@pytest.mark.parametrize("lww", [False, True],
+                         ids=["exclusive-create", "lww-create"])
+def test_versioned_merge_crash_at_every_op(monkeypatch, lww):
     span = _versioned_op_span(monkeypatch)
     assert span >= 8
     seed_rows = frozenset({("seed", 0)})
     merged_rows = frozenset({("seed", 0), ("w", 1)})
     for k in range(span):
         monkeypatch.undo()
-        sched, fake, spark_stub = _versioned_env(monkeypatch)
+        sched, fake, spark_stub = _versioned_env(monkeypatch, lww)
         fake.crash_after(k)
         try:
             V.merge_commit(
