@@ -785,3 +785,93 @@ def test_cow_delete_mismatched_key_type_falls_back_to_scan(spark, table_dir):
     delete_commit(spark, table_dir, doomed, ["k"])
     assert _rows(read_latest(spark, table_dir).where("k = 42")) == []
     assert read_latest(spark, table_dir).count() == 99
+
+
+def test_cow_link_failure_leaves_base_live_and_retry_succeeds(
+    spark, table_dir, monkeypatch
+):
+    """A failure mid-link-loop (e.g. the filesystem dying while
+    cloning untouched files) aborts BEFORE publish: the base version
+    stays live and intact, the claim is released, and a retry on a
+    healed filesystem lands."""
+    import etl_football_analytics_pipeline_spark.sources.versioned as V
+    import etl_football_analytics_pipeline_spark.utils as U
+
+    base = spark.range(0, 400).selectExpr("id AS k", "'old' AS val")
+    commit_version(base.repartitionByRange(4, "k"), table_dir)
+    delta = spark.createDataFrame([(5, "new")], "k long, val string")
+
+    calls = {"n": 0}
+    orig = U._clone_dir
+
+    def dying_clone(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise IOError("filesystem died mid-clone")
+        return orig(spark_, src, dst)
+
+    # versioned binds _clone_dir by late import inside write() — patch
+    # the utils module it imports from
+    monkeypatch.setattr(U, "_clone_dir", dying_clone)
+    with pytest.raises(IOError, match="died mid-clone"):
+        merge_commit(spark, table_dir, delta, ["k"])
+    # base untouched and live; no claim residue blocks the retry
+    assert current_version(table_dir) == 1
+    assert _rows(read_latest(spark, table_dir).where("k = 5")) == [
+        (5, "old")
+    ]
+    monkeypatch.setattr(U, "_clone_dir", orig)
+    assert merge_commit(spark, table_dir, delta, ["k"]) == 2
+    assert _rows(read_latest(spark, table_dir).where("k = 5")) == [
+        (5, "new")
+    ]
+
+
+def test_stats_prune_handles_multi_row_group_files(tmp_path):
+    """Footer-stats pruning walks EVERY row group: a file whose later
+    row group holds the delta key must be touched even when its first
+    group's range misses, NULL detection sees any group's null_count,
+    and an all-NULL row group (no min/max stats) does not disqualify
+    the prune (pinned with pyarrow-written multi-group files — Spark's
+    writer emits one group at these sizes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import etl_football_analytics_pipeline_spark.sources.versioned as V
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"k": list(range(0, 1000))}),
+        os.path.join(d, "part-0.parquet"), row_group_size=100,
+    )
+    pq.write_table(
+        pa.table({"k": list(range(1000, 2000))}),
+        os.path.join(d, "part-1.parquet"), row_group_size=100,
+    )
+    assert (
+        pq.ParquetFile(os.path.join(d, "part-0.parquet"))
+        .metadata.num_row_groups == 10
+    )
+    files = ["part-0.parquet", "part-1.parquet"]
+    # key in file 0's LAST group only
+    assert V._stats_touched(d, files, "k", [950], False) == {"part-0.parquet"}
+    # key in file 1's last group
+    assert V._stats_touched(d, files, "k", [1999], False) == {"part-1.parquet"}
+    # between-group gap: no file touched
+    assert V._stats_touched(d, files, "k", [2500], False) == set()
+    # NULL delta key: only the file with NULLs (in a middle group)
+    pq.write_table(
+        pa.table({"k": list(range(2000, 2100)) + [None] * 5 + list(range(2200, 2300))}),
+        os.path.join(d, "part-2.parquet"), row_group_size=100,
+    )
+    files3 = files + ["part-2.parquet"]
+    assert V._stats_touched(d, files3, "k", [], True) == {"part-2.parquet"}
+    # an ALL-NULL row group lacks min/max: with no NULL delta key it
+    # must be skipped, not disqualify the file/prune
+    pq.write_table(
+        pa.table({"k": [None] * 100 + list(range(3000, 3100))}),
+        os.path.join(d, "part-3.parquet"), row_group_size=100,
+    )
+    files4 = files3 + ["part-3.parquet"]
+    got = V._stats_touched(d, files4, "k", [3050], False)
+    assert got == {"part-3.parquet"}, got
