@@ -885,13 +885,16 @@ def commits_section(spark, scale: int) -> str:
 def contention_section(spark, n_writers: int) -> str:
     """Commit throughput UNDER CONTENTION (r10): N threaded writers
     hammer ONE relation; tests/test_concurrency.py proves safety, this
-    measures cost. Three workloads per N:
+    measures cost. Four workloads per N:
       append  — N manifest_append writers (the rebaseable O(delta)
                 commit), 4 commits each;
       merge   — N versioned merge_commit writers on disjoint keys
-                (pinned-base rebase), 4 commits each;
+                (pinned-base CoW rebase), 4 commits each;
       mix     — (N-1) appenders + 1 compactor on one manifest relation
-                (the fleet scenario), 4 commits each.
+                (the fleet scenario), 4 commits each;
+      gdpr    — (N-1) merge writers + 1 delete_commit forget worker on
+                one versioned table (r11; forget racing live ingest),
+                4 commits each.
     Reported per workload: commits/sec, mean/max BACKOFFS per commit
     (each backoff = one withdrawn attempt → rebase), and p95 commit
     latency. Every row is asserted correct (all rows landed exactly
@@ -1047,6 +1050,45 @@ def contention_section(spark, n_writers: int) -> str:
             assert n == want, (n, want)
 
         out.append(run("mix", mx_write, mx_verify))
+
+        # -- gdpr (r11): (N-1) merge writers + 1 delete writer on one
+        # versioned table — the fleet GDPR scenario: forget requests
+        # racing live ingest, both on the CoW commit path. The deleter
+        # erases one disjoint 25-key slice of the seed per commit; the
+        # mergers add disjoint keys. Exactness: all merged keys present,
+        # all doomed keys absent.
+        td2 = f"{root}/gdpr"
+        Vr.commit_version(
+            spark.range(0, 100).selectExpr("id AS k", "'seed' AS val"), td2
+        )
+
+        def gd_write(idx, i):
+            if idx == 0:  # the forget worker
+                lo = i * 25
+                doomed = spark.range(lo, lo + 25).selectExpr("id AS k")
+                Vr.delete_commit(
+                    spark, td2, doomed, ["k"], retries=40, backoff_s=0.02
+                )
+            else:
+                lo = (idx + 1) * 100_000 + i * 1_000
+                delta = spark.range(lo, lo + 100).selectExpr(
+                    "id AS k", "'w' AS val"
+                )
+                Vr.merge_commit(
+                    spark, td2, delta, ["k"], retries=40, backoff_s=0.02
+                )
+
+        def gd_verify():
+            rows = Vr.read_latest(spark, td2)
+            doomed_n = min(100, commits_per_writer * 25)
+            assert rows.filter(f"k < {doomed_n}").count() == 0
+            want = (100 - doomed_n) + 100 * (
+                (n_writers - 1) * commits_per_writer
+            )
+            n = rows.count()
+            assert n == want, (n, want)
+
+        out.append(run("gdpr", gd_write, gd_verify))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return "  |  ".join(out)
