@@ -834,6 +834,7 @@ def merge_commit(
     retries: int = 0,
     backoff_s: float = 0.05,
     file_reuse: bool = True,
+    auto_compact_files: int | None = None,
 ) -> int:
     """Keyed MERGE of a delta into the versioned table, committed as a
     new snapshot: read the live version, merge (new-wins, or
@@ -868,8 +869,10 @@ def merge_commit(
     rewritten, the rest are hard-linked into the new version — O(churn)
     per attempt instead of O(table), which is what makes contended
     rebases cheap (see ``_cow_stager``). Schema-widening deltas (and
-    ``file_reuse=False``) take the full-rewrite path — which also
-    serves as table compaction after long CoW chains."""
+    ``file_reuse=False``) take the full-rewrite path.
+    ``auto_compact_files`` (opt-in): when the committed version's file
+    count exceeds it, a ``compact_commit`` follows automatically —
+    bounding the file-count growth of long CoW chains."""
     from ..operators.merge import insert_if_absent, merge_replace
 
     attempt = 0
@@ -902,8 +905,71 @@ def merge_commit(
                 merged = op(live_aligned, d, keys)
         try:
             if stager is not None:
-                return _commit_staged(stager, table_dir, expected_base=base)
-            return commit_version(merged, table_dir, expected_base=base or 0)
+                v = _commit_staged(stager, table_dir, expected_base=base)
+            else:
+                v = commit_version(
+                    merged, table_dir, expected_base=base or 0
+                )
+        except CommitConflict:
+            if attempt >= retries:
+                raise
+            _conflict_backoff(attempt, backoff_s)
+            attempt += 1
+            continue
+        if auto_compact_files is not None and len(
+            _data_file_names(spark, version_dir(table_dir, v))
+        ) > auto_compact_files:
+            # opt-in auto-OPTIMIZE: long CoW chains grow one part file
+            # (plus links) per commit; past the threshold, fold the
+            # snapshot back into a compact one. Raced compactions
+            # rebase (a compaction is a function of (live) only).
+            compact_commit(
+                spark, table_dir, retries=retries, backoff_s=backoff_s
+            )
+        return v
+
+
+def compact_commit(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int | None = None,
+    retries: int = 0,
+    backoff_s: float = 0.05,
+) -> int:
+    """OPTIMIZE for the versioned layout (r11): rewrite the LIVE
+    snapshot into ``target_files`` coalesced files as a new version —
+    the explicit compaction that bounds the CoW commits' file-count
+    growth (each CoW merge adds the delta's part files next to the
+    links; a long chain converges on one file per commit plus the
+    original base files). ``target_files`` defaults to the session's
+    default parallelism — the write stays distributed, files land
+    near-uniform via a round-robin repartition (no keyed shuffle: a
+    compaction has no key).
+
+    UNLIKE a user full-replace, a compaction is rebaseable — its
+    output is a function of the live snapshot alone — so ``retries``
+    rebases a raced compaction against the rival's new version instead
+    of failing loud. Old versions retire through ``vacuum`` as usual;
+    hard-linked files shared with prior versions survive until their
+    last referencing version is vacuumed (inode refcounts, not copies).
+
+    The same economics as a table format's add-files + OPTIMIZE pair:
+    cheap O(churn) commits between compactions, one O(table) rewrite
+    when the file count warrants it (``merge_commit``/``delete_commit``
+    can trigger it automatically via ``auto_compact_files``)."""
+    attempt = 0
+    while True:
+        base = current_version(table_dir)
+        if base is None:
+            raise ValueError(f"no committed version under {table_dir}")
+        tf = target_files or max(
+            1, spark.sparkContext.defaultParallelism
+        )
+        live = read_version(spark, table_dir, base)
+        try:
+            return commit_version(
+                live.repartition(tf), table_dir, expected_base=base
+            )
         except CommitConflict:
             if attempt >= retries:
                 raise
@@ -946,6 +1012,7 @@ def delete_commit(
     retries: int = 0,
     backoff_s: float = 0.05,
     file_reuse: bool = True,
+    auto_compact_files: int | None = None,
 ) -> int:
     """Row-level delete (the GDPR/right-to-be-forgotten primitive),
     committed as a new snapshot: the live version anti-joins the
@@ -989,12 +1056,21 @@ def delete_commit(
                         dk, keys, "left_anti"
                     ),
                 )
-                return _commit_staged(stager, table_dir, expected_base=v)
-            live = read_version(spark, table_dir, v)
-            survivors = live.join(doomed_keys, keys, "left_anti")
-            return commit_version(survivors, table_dir, expected_base=v)
+                nv = _commit_staged(stager, table_dir, expected_base=v)
+            else:
+                live = read_version(spark, table_dir, v)
+                survivors = live.join(doomed_keys, keys, "left_anti")
+                nv = commit_version(survivors, table_dir, expected_base=v)
         except CommitConflict:
             if attempt >= retries:
                 raise
             _conflict_backoff(attempt, backoff_s)
             attempt += 1
+            continue
+        if auto_compact_files is not None and len(
+            _data_file_names(spark, version_dir(table_dir, nv))
+        ) > auto_compact_files:
+            compact_commit(
+                spark, table_dir, retries=retries, backoff_s=backoff_s
+            )
+        return nv

@@ -875,3 +875,93 @@ def test_stats_prune_handles_multi_row_group_files(tmp_path):
     files4 = files3 + ["part-3.parquet"]
     got = V._stats_touched(d, files4, "k", [3050], False)
     assert got == {"part-3.parquet"}, got
+
+
+def test_compact_commit_folds_cow_chain(spark, table_dir):
+    """Long CoW chains grow one part file (plus links) per commit;
+    compact_commit folds the live snapshot into ~target_files files as
+    a new version with identical rows — and a raced compaction REBASES
+    (it is a function of the live snapshot alone, unlike a user
+    replace)."""
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        compact_commit,
+    )
+
+    commit_version(
+        spark.range(0, 300).selectExpr("id AS k", "'seed' AS val")
+        .repartitionByRange(3, "k"),
+        table_dir,
+    )
+    for i in range(5):
+        delta = spark.createDataFrame(
+            [(1000 + i, "w")], "k long, val string"
+        )
+        merge_commit(spark, table_dir, delta, ["k"])
+    live_v = current_version(table_dir)
+    files_before = [
+        f for f in os.listdir(version_dir(table_dir, live_v))
+        if not f.startswith(("_", "."))
+    ]
+    assert len(files_before) >= 6  # 3 base + one part per CoW commit
+    v = compact_commit(spark, table_dir, target_files=2)
+    assert v == live_v + 1
+    files_after = [
+        f for f in os.listdir(version_dir(table_dir, v))
+        if not f.startswith(("_", "."))
+    ]
+    assert len(files_after) <= 3, files_after
+    assert read_latest(spark, table_dir).count() == 305
+    assert _rows(read_latest(spark, table_dir).where("k >= 1000")) == [
+        (1000 + i, "w") for i in range(5)
+    ]
+
+    # raced compaction rebases rather than failing loud
+    import etl_football_analytics_pipeline_spark.sources.versioned as V
+
+    orig = V._commit_staged
+    state = {"fired": False}
+
+    def racy(write, td, expected_base=None):
+        if not state["fired"]:
+            state["fired"] = True
+            V.merge_commit(
+                spark, td,
+                spark.createDataFrame([(2000, "late")], "k long, val string"),
+                ["k"],
+            )
+        return orig(write, td, expected_base)
+
+    V._commit_staged = racy
+    try:
+        v2 = compact_commit(spark, table_dir, target_files=2, retries=3)
+    finally:
+        V._commit_staged = orig
+    assert _rows(read_latest(spark, table_dir).where("k = 2000")) == [
+        (2000, "late")
+    ]  # the rival's row survives the rebased compaction
+    assert read_latest(spark, table_dir).count() == 306
+    assert v2 == current_version(table_dir)
+
+
+def test_merge_commit_auto_compact_bounds_file_count(spark, table_dir):
+    """auto_compact_files: once a CoW commit's file count exceeds the
+    threshold, a compaction follows automatically — the file count
+    stays bounded across an arbitrarily long merge chain."""
+    commit_version(
+        spark.range(0, 200).selectExpr("id AS k", "'seed' AS val")
+        .repartitionByRange(2, "k"),
+        table_dir,
+    )
+    for i in range(8):
+        merge_commit(
+            spark, table_dir,
+            spark.createDataFrame([(1000 + i, "w")], "k long, val string"),
+            ["k"], auto_compact_files=5,
+        )
+        live_v = current_version(table_dir)
+        nf = len([
+            f for f in os.listdir(version_dir(table_dir, live_v))
+            if not f.startswith(("_", "."))
+        ])
+        assert nf <= 6, (i, nf)  # threshold+1 transient, then compacted
+    assert read_latest(spark, table_dir).count() == 208
