@@ -965,3 +965,37 @@ def test_merge_commit_auto_compact_bounds_file_count(spark, table_dir):
         ])
         assert nf <= 6, (i, nf)  # threshold+1 transient, then compacted
     assert read_latest(spark, table_dir).count() == 208
+
+
+def test_cow_merge_on_remote_scheme_protocol(spark, tmp_path):
+    """CoW through the REMOTE (file://) marker protocol: the
+    _commit_staged remote branch stages the CoW write into the
+    fixed-name version dir under an intent claim, untouched files
+    hard-link (file:// is link-capable), and results match the
+    full-rewrite twin. Also pins CoW merge IDEMPOTENCE: re-merging the
+    same delta commits a new version with identical rows."""
+    td = "file://" + str(tmp_path / "t")
+    base = spark.range(0, 400).selectExpr("id AS k", "'old' AS val")
+    commit_version(base.repartitionByRange(4, "k"), td)
+    delta = spark.createDataFrame([(5, "new"), (999, "new")], "k long, val string")
+    assert merge_commit(spark, td, delta, ["k"]) == 2
+    want = sorted(
+        [(k, "old") for k in range(400) if k != 5] + [(5, "new"), (999, "new")]
+    )
+    assert _rows(read_latest(spark, td)) == want
+    # links: untouched files share inodes across versions
+    local = str(tmp_path / "t")
+    ino1 = {
+        os.stat(os.path.join(local, "v00001", f)).st_ino
+        for f in os.listdir(os.path.join(local, "v00001"))
+        if not f.startswith(("_", "."))
+    }
+    ino2 = {
+        os.stat(os.path.join(local, "v00002", f)).st_ino
+        for f in os.listdir(os.path.join(local, "v00002"))
+        if not f.startswith(("_", "."))
+    }
+    assert len(ino1 & ino2) == 3, (ino1, ino2)
+    # idempotence: same delta again → new version, identical rows
+    assert merge_commit(spark, td, delta, ["k"]) == 3
+    assert _rows(read_latest(spark, td)) == want
