@@ -1086,12 +1086,32 @@ def connected_components(
     Returns (node, component) — one row per node appearing in pairs.
     """
     # ONE probe job serves both the size test and the driver collect:
-    # take(bound+1) scans partitions incrementally and returns every
-    # row iff the graph fits the driver tier; the distributed tier
-    # pays at most one bounded (driver_bound × 16 B) discarded fetch —
-    # no persist, no separate count job over the pair plan
+    # take(bound+1) scans partitions and returns every row iff the
+    # graph fits the driver tier; the distributed tier pays at most
+    # one bounded (driver_bound × 16 B) discarded fetch — no persist,
+    # no separate count job over the pair plan.
+    # r12 (guide §2.6/§1): take()'s default ramp (1 partition, then
+    # 4× more per job) is the right shape for a tiny LIMIT over a huge
+    # input, but this probe EXPECTS to consume everything below the
+    # bound — the ramp just serializes the same work into 3-4
+    # back-to-back jobs (measured 1.15 s wall of the dedup_clusters
+    # bench entry). Scanning every partition in the first wave does
+    # identical total work in one job; the conf is session-restored so
+    # genuine small-limit sites keep the incremental default.
     pairs = pairs.select(id_a, id_b)
-    rows = pairs.take(driver_bound + 1) if driver_bound > 0 else []
+    rows: list = []
+    if driver_bound > 0:
+        spark = pairs.sparkSession
+        _conf = "spark.sql.limit.initialNumPartitions"
+        _prev = spark.conf.get(_conf, None)
+        try:
+            spark.conf.set(_conf, str(1 << 20))
+            rows = pairs.take(driver_bound + 1)
+        finally:
+            if _prev is None:
+                spark.conf.unset(_conf)
+            else:
+                spark.conf.set(_conf, _prev)
     if driver_bound > 0 and len(rows) <= driver_bound:
         parent: dict[int, int] = {}
 
@@ -1111,8 +1131,21 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         labels = [(n, find(n)) for n in parent]
-        return pairs.sparkSession.createDataFrame(
-            labels or [], "node long, component long"
+        # Arrow-backed createDataFrame (guide §6): the plain list path
+        # parallelizes PICKLED python rows — every downstream task
+        # spins a python worker just to deserialize a few labels
+        # (measured ~7.6 s of executor CPU across 32 tasks on the
+        # bench's dedup_clusters entry). A pandas frame ships as Arrow
+        # batches the JVM parses without python workers.
+        pdf = pd.DataFrame(labels, columns=["node", "component"], dtype="int64")
+        # broadcast hint: this tier's output is bounded by construction
+        # (≤ 2·driver_bound rows ≈ 32 MB worst case at the default
+        # bound), but it is RDD-backed so Catalyst has no stats and a
+        # consumer joining it against a corpus-sized frame would get a
+        # shuffle join of the corpus (guide §3.1). The distributed tier
+        # below stays unhinted — its label count is unbounded.
+        return F.broadcast(
+            pairs.sparkSession.createDataFrame(pdf, "node long, component long")
         )
     # the pair plan feeds both union branches — persist for the edge
     # build only; the eager localCheckpoint materializes the edges, so

@@ -1137,7 +1137,21 @@ def _media_corpus_n(spark: SparkSession, sf_dir: str) -> int:
     their size to a real table's row count keeps the bench rows
     proportional to sf AND lets the static oracle SQL derive the SAME
     size via `(SELECT COUNT(*) FROM documents)` — no sf tag parsing on
-    either side. Parquet footer count: no data pages read."""
+    either side. Parquet footer count: no data pages read (r12: read
+    via pyarrow metadata directly — the previous `.count()` action
+    launched a full Spark job, ~0.1 s of pure scheduling, twice per
+    bench pass; the footer row count is the identical number). Falls
+    back to the Spark count for non-local layouts."""
+    import os as _os
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    if _os.path.isfile(src):
+        import pyarrow.parquet as _pq
+
+        try:
+            return _pq.ParquetFile(src).metadata.num_rows
+        except Exception:  # noqa: BLE001 — unreadable footer → Spark path
+            pass
     from ..sources.registry import load_table
 
     return load_table(spark, sf_dir, "documents").count()

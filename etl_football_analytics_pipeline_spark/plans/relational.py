@@ -977,16 +977,19 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production 100 TB query runs the sketch alone, and persisting
     referee VALUES to dodge it would be benchmark gaming (the referee
     exists to arbitrate the sketch each run)."""
-    # ONE materialization feeds every leg: the suite reads six narrow
-    # lineitem columns seven times (referees, fused sketches, segment
-    # sketches, phll/pcms/mg builds) — an eager localCheckpoint scans
-    # the parquet once and the six aggregate jobs read executor block
-    # storage instead of re-decoding the scan per leg
-    # (ContextCleaner-freed, the repo's materialization discipline).
+    # r12 (guide §1/§5): the former eager localCheckpoint here was
+    # re-measured and REMOVED — it materialized ~87 MB of uncompressed
+    # rows that every one of ~12 leg/broadcast jobs then re-read from
+    # block storage (≈1 GB of memory traffic), plus one serialized
+    # write job up front. Interleaved A/B at sf0.1: checkpoint 3.56 s
+    # vs direct scans 3.44 s (min of 6 each) — the column-pruned
+    # parquet re-scans are at worst free and each leg now decodes ONLY
+    # its own columns. At 100 TB checkpointing the fact table was
+    # never the plan anyway; pushdown-pruned scans are.
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_suppkey", "l_orderkey",
         "l_extendedprice", "l_quantity",
-    ).localCheckpoint(eager=True)
+    )
     key = F.col("l_returnflag").alias("key")
     # Plan shape: no multi-distinct expand anywhere — each exact
     # referee is a two-level aggregate over ONE distinct (key, val)
@@ -1085,7 +1088,7 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100 TB you keep the (<= d x w rows per group) CMS per
     # partition/day and answer point queries by probing it, never by
     # re-scanning the corpus (the bm25/ivf/minhash index discipline).
-    from ..sources.registry import owned_ready, user_cache_dir
+    from ..sources.registry import owned_ready, read_parquet_memo, user_cache_dir
 
     _src = os.path.join(sf_dir, "lineitem.parquet")
     _mtime = int(os.stat(_src).st_mtime) if os.path.exists(_src) else 0
@@ -1099,7 +1102,7 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluation folded into the suite's single job (no eager
     # checkpoint barrier before the union collect)
     est = portable_cms_point(
-        spark.read.parquet(cms_dir),
+        read_parquet_memo(spark, cms_dir),
         CMS_QUERIES, d=CMS_D, w=CMS_W, keys=exact.select("key"),
     )
     cms_exact = (
@@ -1135,7 +1138,7 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not owned_ready(mg_dir):
         misra_gries_topk(qvals, "q", k=16).write.mode("overwrite").parquet(mg_dir)
     mg_pts = misra_gries_point_from_summary(
-        spark, spark.read.parquet(mg_dir), MG_QUERIES
+        spark, read_parquet_memo(spark, mg_dir), MG_QUERIES
     )
     mg_exact = (
         qvals.filter(F.col("q").isin(MG_QUERIES))

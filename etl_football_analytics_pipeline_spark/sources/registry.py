@@ -304,6 +304,35 @@ def scan_ready_path(path: str, parallelism: int) -> str:
     return out
 
 
+# Schema memo for repeat parquet reads (r12, guide §1/§6): Spark's
+# schema inference re-reads footers through the Hadoop FS layer on
+# EVERY DataFrameReader.parquet() call (~0.1 s per call on this host,
+# paid dozens of times per bench pass since every query re-loads its
+# tables). The memo caches ONLY the inferred StructType — metadata,
+# never data or results — keyed by (abs path, mtime_ns, size), the
+# same invalidation discipline as the engine's build-once mirrors: a
+# rewritten file gets a new key. Reads with an explicit schema skip
+# the footer pass entirely and produce the identical DataFrame.
+_SCHEMA_MEMO: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.parquet(path)` with the per-(path, mtime, size)
+    schema memo above. Falls back to plain inference whenever the path
+    cannot be stat'ed (remote schemes) or on any schema-apply error."""
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one registry table; raises if the table name is unknown.
 
@@ -337,11 +366,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # would fail the read. Scoping the set to the genuinely-nanos
         # case is what keeps the common path conf-clean.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = read_parquet_memo(spark, path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    df = spark.read.parquet(path)
+    df = read_parquet_memo(spark, path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -144,6 +144,14 @@ def orderable_columns(df: DataFrame, cols) -> list[str]:
     return [c for c in cols if ok(types[c])]
 
 
+# spread()'s small-input cutoff: frames whose Catalyst size estimate
+# is at or below this are repartitioned to the target width without
+# probing physical partitioning. Well above every bench-scale table,
+# well below anything cluster-scale — a frame this small costs ~nothing
+# to repartition even when it was already wide.
+_SPREAD_SMALL_BYTES = 64 << 20
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least `min_partitions` (default: defaultParallelism)
     input partitions for a CPU-heavy downstream stage.
@@ -153,8 +161,32 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     batches) onto one core. Repartitioning is a shuffle, so this is a
     no-op whenever the input is already at least that wide — at real
     scale inputs arrive in thousands of partitions and nothing moves.
+
+    Probe order (r12, guide §1 — the old `df.rdd.getNumPartitions()`
+    probe forced physical planning of the whole frame, ~0.05-0.2 s of
+    driver time per call, several calls per registered suite):
+    1. root already an explicit repartition (a prior spread) → no-op;
+    2. Catalyst's metadata-only size estimate: small → repartition
+       (cheap even if redundant), known-large → no-op (cluster-scale
+       inputs arrive wide; single giant one-row-group files are the
+       writer's bug and scan_ready_path compacts the sub-GiB cases);
+    3. estimate unavailable (RDD-backed/kernel-derived plans report
+       the sentinel) → the exact physical probe, as before.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if target <= 1 or df.rdd.getNumPartitions() >= target:
+    if target <= 1:
+        return df
+    size = None
+    try:
+        qe = df._jdf.queryExecution()
+        root = qe.logical().getClass().getSimpleName()
+        if root in ("Repartition", "RepartitionByExpression"):
+            return df
+        size = int(qe.optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — any py4j/analysis hiccup → exact probe
+        size = None
+    if size is not None and size < (1 << 60):
+        return df.repartition(target) if size <= _SPREAD_SMALL_BYTES else df
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

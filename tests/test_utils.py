@@ -43,5 +43,16 @@ def test_orderable_columns_excludes_maps_at_any_nesting(spark):
 
 def test_spread_is_noop_when_already_wide(spark):
     df = spark.range(0, 1000, 1, 16)
-    assert spread(df, 8) is df  # no shuffle added
+    # r12: small frames (by Catalyst size estimate) may be repartitioned
+    # to the target WITHOUT the physical width probe — the probe forced
+    # full physical planning per call and cost more driver time than the
+    # tiny redundant shuffle it avoided. The contract is ">= target
+    # partitions", not frame identity.
+    out = spread(df, 8)
+    assert out.rdd.getNumPartitions() >= 8
     assert spread(df, 32).rdd.getNumPartitions() == 32
+    # an explicit prior repartition IS recognized logically: no second
+    # shuffle stacked on top, no physical probe
+    assert spread(out, 8) is out
+    wide = spread(df, 32)
+    assert spread(wide, 32) is wide
