@@ -35,32 +35,47 @@ def _stopword_hits(words: F.Column, stopwords: list[str]) -> F.Column:
     return F.size(F.filter(words, lambda w: w.isin(stopwords)))
 
 
+def language_hit_exprs(words: F.Column) -> dict[str, F.Column]:
+    """Per-language stopword hit-count expressions over a words array —
+    {lang: unaliased Column}, shared by language_id and fused profiles
+    (which compute every text signal in ONE projection over one scan)."""
+    return {lang: _stopword_hits(words, sws) for lang, sws in STOPWORDS.items()}
+
+
+def predicted_lang_expr(hits: dict[str, F.Column]) -> F.Column:
+    """argmax over the per-language hit columns via greatest + chained
+    when (first language in sorted code order wins ties, deterministic);
+    'und' when every count is zero."""
+    langs = sorted(hits)
+    best = F.greatest(*[hits[l] for l in langs])
+    pred = None
+    for l in langs:
+        cond = hits[l] == best
+        pred = F.when(cond, F.lit(l)) if pred is None else pred.when(cond, F.lit(l))
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts over the
     word bag; predicted language = argmax (ties broken by language code
     order, deterministic). Returns (id, per-language hit counts,
     predicted_lang)."""
-    words = _words(text_col)
-    hits = {
-        lang: _stopword_hits(words, sws).alias(f"hits_{lang}")
-        for lang, sws in STOPWORDS.items()
-    }
-    out = df.select(F.col(id_col), *hits.values())
-    # argmax via greatest + chained when (first language in sorted order wins ties)
-    langs = sorted(STOPWORDS)
-    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
-    pred = None
-    for l in langs:
-        cond = F.col(f"hits_{l}") == best
-        pred = F.when(cond, F.lit(l)) if pred is None else pred.when(cond, F.lit(l))
-    return out.withColumn("predicted_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
+    hits = language_hit_exprs(_words(text_col))
+    out = df.select(
+        F.col(id_col), *[c.alias(f"hits_{lang}") for lang, c in hits.items()]
+    )
+    # predicted_lang references the already-projected hit columns, so
+    # each count is computed once per row
+    return out.withColumn(
+        "predicted_lang",
+        predicted_lang_expr({l: F.col(f"hits_{l}") for l in STOPWORDS}),
+    )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Document quality signals: length, word count, mean word length,
-    punctuation ratio, stopword ratio, and a composite score — the
-    standard cheap pre-filters of an LLM data pipeline."""
-    words = _words(text_col)
+def quality_exprs(text_col: str, words: F.Column) -> dict[str, F.Column]:
+    """Quality-signal expressions ({name: unaliased Column}) over a
+    text column and its words array — shared by quality_scores and
+    fused profiles."""
     n_chars = F.length(F.col(text_col))
     n_words = F.size(words)
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"]", ""))
@@ -81,21 +96,27 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
         4,
     )
-    return df.select(
-        F.col(id_col),
-        n_chars.cast("long").alias("n_chars_measured"),
-        n_words.cast("long").alias("n_words"),
-        avg_word_len.alias("avg_word_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
-    )
+    return {
+        "n_chars_measured": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "avg_word_len": avg_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
 
 
-def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Token counting two ways: whitespace tokens and a BPE-ish regex
-    tokenization (letter runs / digit runs / single non-space symbols)
-    — the cheap proxy for LLM token budgeting."""
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document quality signals: length, word count, mean word length,
+    punctuation ratio, stopword ratio, and a composite score — the
+    standard cheap pre-filters of an LLM data pipeline."""
+    exprs = quality_exprs(text_col, _words(text_col))
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in exprs.items()])
+
+
+def token_exprs(text_col: str) -> dict[str, F.Column]:
+    """Token-count expressions ({name: unaliased Column}) — shared by
+    token_counts and fused profiles."""
     stripped = F.trim(F.col(text_col))
     # empty / whitespace-only / NULL text counts 0 tokens: bare
     # size(split(...)) bills empty docs 1 (split('') is ['']) and NULL
@@ -107,11 +128,85 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bpe_ish = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
     )
-    return df.select(
-        F.col(id_col),
-        ws_tokens.cast("long").alias("ws_tokens"),
-        bpe_ish.cast("long").alias("regex_tokens"),
+    return {
+        "ws_tokens": ws_tokens.cast("long"),
+        "regex_tokens": bpe_ish.cast("long"),
+    }
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    tokenization (letter runs / digit runs / single non-space symbols)
+    — the cheap proxy for LLM token budgeting."""
+    exprs = token_exprs(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in exprs.items()])
+
+
+def repetition_exprs(text_col: str, words: F.Column) -> dict[str, F.Column]:
+    """Repetition-signal expressions ({name: unaliased Column}) over a
+    text column and its words array — shared by repetition_signals and
+    fused profiles. All three signals are in-array JVM expressions:
+    zero shuffle, zero joins, one pass.
+
+    top_word_frac (share of the most frequent word) is computed as the
+    longest equal-run of the SORTED non-empty word array divided by its
+    size — identical integers, hence a bit-identical IEEE division, to
+    the former relational form (explode → per-(doc, word) count →
+    max/sum), which cost a (doc, word)-keyed shuffle plus a join back
+    (r12, guide §2.1: removed outright; at 100 TB the shuffle was the
+    whole cost of this operator)."""
+    lines = F.split(F.col(text_col), "\n")
+    g_len = F.greatest(F.size(words) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(words, F.lit(1), g_len),
+        F.slice(words, F.lit(2), g_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    nz = F.filter(words, lambda w: w != "")
+    n_nz = F.size(nz)
+
+    def step(acc: F.Column, w: F.Column) -> F.Column:
+        run = (
+            F.when(acc["prev"].isNotNull() & (w == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            w.alias("prev"),
+        )
+
+    top_n = F.aggregate(
+        F.array_sort(nz),
+        F.struct(
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+    return {
+        "dup_line_frac": (
+            F.when(
+                F.size(lines) > 0,
+                (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+        ),
+        "dup_bigram_frac": (
+            F.when(
+                F.size(grams) > 0,
+                (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+        ),
+        "top_word_frac": (
+            F.when(n_nz > 0, (top_n / n_nz).cast("double")).otherwise(F.lit(0.0))
+        ),
+    }
 
 
 def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -122,50 +217,16 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       line (array ops, no shuffle);
     - dup_bigram_frac: fraction of word bigrams that are repeats
       (zip_with n-grams, no shuffle);
-    - top_word_frac: share of the most frequent word — computed
-      RELATIONALLY (explode → per-(doc, word) count → per-doc max/sum)
-      because an in-array mode() has no vectorized Column form; one
-      hash-partitioned shuffle keyed on (doc, word), partial-agg
-      combined map-side.
+    - top_word_frac: share of the most frequent word — longest equal
+      run in the sorted word array over its size (see repetition_exprs;
+      formerly relational explode + shuffle + join, removed r12).
     All ratios are 0 for empty docs (no NULL propagation into
     downstream filters).
     """
-    lines = F.split(F.col(text_col), "\n")
-    words = _words(text_col)
-    grams = F.expr(
-        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
-        "         slice(__w, 2, greatest(size(__w) - 1, 0)),"
-        "         (a, b) -> concat(a, ' ', b))"
+    exprs = repetition_exprs(text_col, F.col("__w"))
+    return df.withColumn("__w", _words(text_col)).select(
+        F.col(id_col), *[c.alias(n) for n, c in exprs.items()]
     )
-    base = df.withColumn("__w", words).select(
-        F.col(id_col),
-        F.when(
-            F.size(lines) > 0,
-            (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines),
-        )
-        .otherwise(F.lit(0.0))
-        .cast("double")
-        .alias("dup_line_frac"),
-        F.when(
-            F.size(grams) > 0,
-            (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams),
-        )
-        .otherwise(F.lit(0.0))
-        .cast("double")
-        .alias("dup_bigram_frac"),
-    )
-    word_counts = (
-        df.withColumn("__w", words)
-        .select(F.col(id_col), F.explode("__w").alias("__word"))
-        .filter(F.col("__word") != "")
-        .groupBy(id_col, "__word")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .groupBy(id_col)
-        .agg(
-            (F.max("__n") / F.sum("__n")).cast("double").alias("top_word_frac")
-        )
-    )
-    return base.join(word_counts, id_col, "left").na.fill({"top_word_frac": 0.0})
 
 
 def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -239,18 +300,22 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def pii_count_exprs(col: F.Column) -> dict[str, F.Column]:
+    """Per-kind PII hit-count expressions ({n_<kind>: unaliased
+    Column}) — shared by pii_signals and fused profiles."""
+    return {
+        f"n_{name}": F.regexp_count(col, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
 def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document PII hit counts, one column per PII_PATTERNS entry
     (n_email, n_url, ...) — the filter signal: corpora gate or route
     documents on these before redaction. Pure `regexp_count` Column
     expressions, one scan, zero Python."""
-    return df.select(
-        F.col(id_col),
-        *[
-            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
-            for name, pat in PII_PATTERNS.items()
-        ],
-    )
+    exprs = pii_count_exprs(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in exprs.items()])
 
 
 def redact_pii(
@@ -275,12 +340,18 @@ def redact_pii(
                 f"unknown PII kinds {sorted(unknown)}; "
                 f"valid: {sorted(PII_PATTERNS)}"
             )
-    col = F.col(text_col)
+    return df.withColumn(out_col, redacted_expr(F.col(text_col), kinds))
+
+
+def redacted_expr(col: F.Column, kinds: list[str] | None = None) -> F.Column:
+    """The chained-regexp_replace redaction Column over `col` (same
+    deterministic PII_PATTERNS order as redact_pii) — shared by
+    redact_pii and fused profiles."""
     for name, pat in PII_PATTERNS.items():
         if kinds is not None and name not in kinds:
             continue
         col = F.regexp_replace(col, pat, f"<{name.upper()}>")
-    return df.withColumn(out_col, col)
+    return col
 
 
 def strip_common_lines(

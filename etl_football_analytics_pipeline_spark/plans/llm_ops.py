@@ -52,16 +52,7 @@ from ..operators.similarity import (
     lsh_all_pairs_cosine,
     lsh_topk,
 )
-from ..operators.text import (
-    PII_PATTERNS,
-    STOPWORDS,
-    fingerprints,
-    language_id,
-    pii_signals,
-    quality_scores,
-    redact_pii,
-    token_counts,
-)
+from ..operators.text import PII_PATTERNS, STOPWORDS
 from ..sources.registry import load_table
 from .registry import query
 
@@ -1478,29 +1469,47 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       every document; the discriminative behavior (repetitive ≪
       natural text) is pinned in tests/test_text_signals.py.
 
-    All pure Column expressions; the four operator outputs join on
-    doc_id and Catalyst collapses the self-joins of the same scan into
-    one stage per side — at 100 TB this whole profile costs one
-    documents scan plus id-partitioned joins (or zero joins when
-    composed column-wise, which is how production would fuse them; the
-    join form here keeps each operator independently reusable).
+    All pure Column expressions, composed COLUMN-WISE into one
+    projection over ONE documents scan (r12, guide §2.1/§1.3: the
+    former operator-join form — seven doc_id self-joins of the same
+    scan — planned each sub-broadcast-threshold leg as a sequential
+    single-task broadcast-build job, ~9 serialized jobs redoing the
+    heavy regex work per leg; fused, the whole profile is one 22-
+    Exchange → 1-join plan whose regex/array work runs once, spread
+    across all cores). The operators stay independently reusable —
+    they share these exact expression builders
+    (operators.text.*_exprs), so the fused values are the operators'
+    values by construction. Only the compression-ratio leg remains a
+    join: its zlib kernel is an Arrow mapInPandas boundary no Column
+    projection can absorb.
     """
-    docs = _docs(spark, sf_dir)
-    aug = docs.select("doc_id", F.expr(_PII_AUG).alias("aug"))
-    pii = pii_signals(aug, "doc_id", "aug").join(
-        redact_pii(aug, "aug", out_col="__red").select(
-            "doc_id", F.length("__red").cast("long").alias("redacted_len")
-        ),
-        "doc_id",
+    from ..operators.text import (
+        compression_ratio,
+        language_hit_exprs,
+        pii_count_exprs,
+        predicted_lang_expr,
+        quality_exprs,
+        redacted_expr,
+        repetition_exprs,
+        token_exprs,
+        _words as _text_words,
     )
-    from ..operators.text import compression_ratio, repetition_signals
+    from ..operators.dedup import normalized_text
+    from ..utils import spread
 
-    rep = repetition_signals(docs, "doc_id", "text").select(
+    # spread: documents.parquet is one sub-split-size file → a 1-task
+    # scan; the fused projection carries ALL the regex/array CPU, so a
+    # tiny repartition shuffle first lets it run at full width
+    docs = spread(_docs(spark, sf_dir).select("doc_id", "text"))
+    base = docs.select(
         "doc_id",
-        F.round("dup_line_frac", 4).alias("dup_line_frac"),
-        F.round("dup_bigram_frac", 4).alias("dup_bigram_frac"),
-        F.round("top_word_frac", 4).alias("top_word_frac"),
+        "text",
+        _text_words("text").alias("__w"),
+        F.expr(_PII_AUG).alias("__aug"),
     )
+    wcol = F.col("__w")
+    hits = language_hit_exprs(wcol)
+    rep = repetition_exprs("text", wcol)
     # compression-ratio leg, bound-flag contract: the measured zlib
     # ratio (4dp) must sit inside the provable envelope — lower bound
     # the fixed stream overhead (2B header + 4B adler + >=2B deflate)
@@ -1526,14 +1535,30 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cr = compression_ratio(docs, "doc_id", "text").select(
         "doc_id", "cr_bytes", in_bound.alias("cr_in_bound")
     )
-    return (
-        language_id(docs, "doc_id", "text")
-        .join(quality_scores(docs, "doc_id", "text"), "doc_id")
-        .join(token_counts(docs, "doc_id", "text"), "doc_id")
-        .join(fingerprints(docs, "doc_id", "text").select("doc_id", "md5_fingerprint"), "doc_id")
-        .join(pii, "doc_id")
-        .join(rep, "doc_id")
-        .join(cr, "doc_id")
+    prof = base.select(
+        "doc_id",
+        *[c.alias(f"hits_{l}") for l, c in hits.items()],
+        *[c.alias(n) for n, c in quality_exprs("text", wcol).items()],
+        *[c.alias(n) for n, c in token_exprs("text").items()],
+        F.md5(normalized_text("text")).alias("md5_fingerprint"),
+        *[c.alias(n) for n, c in pii_count_exprs(F.col("__aug")).items()],
+        F.length(redacted_expr(F.col("__aug"))).cast("long").alias("redacted_len"),
+        *[F.round(c, 4).alias(n) for n, c in rep.items()],
+    ).withColumn(
+        "predicted_lang",
+        predicted_lang_expr({l: F.col(f"hits_{l}") for l in hits}),
+    )
+    return prof.join(cr, "doc_id").select(
+        "doc_id",
+        *[f"hits_{l}" for l in hits],
+        "predicted_lang",
+        "n_chars_measured", "n_words", "avg_word_len", "punct_ratio",
+        "stopword_ratio", "quality_score",
+        "ws_tokens", "regex_tokens",
+        "md5_fingerprint",
+        "n_email", "n_url", "n_ipv4", "n_phone", "redacted_len",
+        "dup_line_frac", "dup_bigram_frac", "top_word_frac",
+        "cr_bytes", "cr_in_bound",
     )
 
 
@@ -1691,10 +1716,15 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       two-stage per-query top-k, fixed-order term sums so the doubles
       are bit-identical across engines; the oracle recomputes
       idf/tf/dl scoring whole."""
-    docs = _docs(spark, sf_dir)
     from ..operators.dedup import normalized_text, word_ngrams
     from ..operators.text import ngram_lm_score, ngram_lm_train
+    from ..utils import spread
 
+    # r12 (guide §2.6): one spread scan shared by all five parts — the
+    # single-file documents scan otherwise pins each part's map side
+    # (gram explode, LM tokenization, span hashing, line posexplode)
+    # to sequential 1-task AQE stages; every leg reuses this exchange
+    docs = spread(_docs(spark, sf_dir))
     grams = (
         docs.withColumn("__words", F.split(normalized_text("text"), " "))
         .select(F.col("doc_id"), F.explode(word_ngrams("__words", 2)).alias("gram"))
@@ -1986,9 +2016,23 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitespace_token_counts,
     )
 
-    docs = _docs(spark, sf_dir)
+    from ..utils import spread
+
+    # r12 (guide §2.6/§1.3): ONE spread scan shared by every part —
+    # documents is a single sub-split file, so each part's map side
+    # (gram hashing, md5 split keys, classifier features) otherwise
+    # runs as its own sequential 1-task AQE stage; the shared
+    # repartition is one tiny shuffle and every leg reuses the same
+    # exchange at full width
+    docs = spread(_docs(spark, sf_dir))
     sp = deterministic_split(docs, "doc_id")
-    toks = whitespace_token_counts(docs, "doc_id", "text")
+    # materialized once: pack_sequences drives TWO eager actions over
+    # its input (min/max bounds + per-bucket sums) before the main
+    # job, and split/sample re-read it too — without this the
+    # whitespace tokenizer re-runs the corpus regex 4x per call.
+    # (id, n_tokens) only — O(rows x 16 B), the same bounded
+    # materialization discipline as the dedup suites; freed on GC
+    toks = whitespace_token_counts(docs, "doc_id", "text").localCheckpoint()
     split_part = (
         sp.join(toks, "doc_id")
         .groupBy(F.col("split").alias("key"))
