@@ -210,6 +210,7 @@ def pack_sequences(
     tokens_col: str,
     seq_len: int,
     num_partitions: int | None = None,
+    id_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in
     `id_col` order into one virtual token stream, which is cut into
@@ -238,7 +239,19 @@ def pack_sequences(
     sampler's boundaries must not move between them (the same
     dispatch as operators.surrogate.zip_with_index). Returns
     (id, tokens, seq_id, seq_offset) with seq_id = floor(pos/seq_len),
-    seq_offset = pos mod seq_len, pos = tokens before this doc."""
+    seq_offset = pos mod seq_len, pos = tokens before this doc.
+
+    `id_bounds` (r12, guide §1.3/§6): callers that already KNOW the
+    integer id range — e.g. from parquet footer column statistics
+    (sources.registry.parquet_col_bounds), the same metadata pushdown
+    trusts — pass it to skip the min/max aggregation job. The bounds
+    only shape the BUCKETING; the packed positions are provably
+    identical for any contiguous bucketing that covers the ids (the
+    driver prefix sum accumulates per-bucket totals in ascending
+    bucket order, so every document's global stream position is the
+    sum of tokens of all lower-id documents regardless of where the
+    bucket boundaries fall). Bounds merely need to cover the true
+    range; they need not be tight."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -253,7 +266,10 @@ def pack_sequences(
             .localCheckpoint()
         )
         return _pack_bucketed(bucketed, id_col, tokens_col, seq_len)
-    mn, mx = df.agg(F.min(id_col), F.max(id_col)).first()
+    if id_bounds is not None:
+        mn, mx = id_bounds
+    else:
+        mn, mx = df.agg(F.min(id_col), F.max(id_col)).first()
     if mn is None:
         return df.select(
             F.col(id_col),

@@ -1763,7 +1763,9 @@ def text_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     _lm_path = _os2.path.join(_lm_dir, "bigram")
     if not owned_ready(_lm_path):
         ngram_lm_train(docs, "text", n=2).write.mode("overwrite").parquet(_lm_path)
-    lm = spark.read.parquet(_lm_path)
+    from ..sources.registry import read_parquet_memo
+
+    lm = read_parquet_memo(spark, _lm_path)
     lm_part = ngram_lm_score(docs, lm, "doc_id", "text", n=2).select(
         F.lit("lm").alias("part"),
         F.col("doc_id").cast("string").alias("s1"),
@@ -2052,7 +2054,20 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").alias("n1"),
         F.col("containment").alias("v1"),
     )
-    pack_part = pack_sequences(toks, "doc_id", "n_tokens", seq_len=512).select(
+    # r12 (guide §1.3/§6): doc_id bounds from the parquet footer column
+    # stats (no Spark job) — pack_sequences' bucketing is provably
+    # bounds-insensitive (see its docstring), so this removes one of
+    # its two driver actions plus that action's Catalyst pass
+    import os as _osb
+
+    from ..sources.registry import parquet_col_bounds
+
+    _bounds = parquet_col_bounds(
+        _osb.path.join(sf_dir, "documents.parquet"), "doc_id"
+    )
+    pack_part = pack_sequences(
+        toks, "doc_id", "n_tokens", seq_len=512, id_bounds=_bounds
+    ).select(
         F.lit("pack").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("seq_id").alias("n1"),

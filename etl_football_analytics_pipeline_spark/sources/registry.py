@@ -316,6 +316,39 @@ def scan_ready_path(path: str, parallelism: int) -> str:
 _SCHEMA_MEMO: dict[tuple[str, int, int], T.StructType] = {}
 
 
+def parquet_col_bounds(path: str, col: str) -> tuple[int, int] | None:
+    """Exact (min, max) of an integer column from parquet FOOTER
+    statistics — the same metadata predicate pushdown trusts for
+    row-group pruning, read driver-side with no data scan and no Spark
+    job (guide §6). Returns None whenever the stats are unusable (any
+    missing row-group stat, nulls present, non-file path, unreadable
+    footer) so callers fall back to the exact aggregate. Used where a
+    plan needs value BOUNDS (not data): e.g. pack_sequences' fixed-
+    width id bucketing, whose output is provably identical for any
+    bucketing that covers the id range."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isfile(path):
+        return None
+    try:
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(col)
+        if idx is None or md.num_rows == 0:
+            return None
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max or (st.null_count or 0) > 0:
+                return None
+            if not isinstance(st.min, int) or isinstance(st.min, bool):
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        return None if mn is None else (mn, mx)
+    except Exception:  # noqa: BLE001 — stats are an optimization only
+        return None
+
+
 def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
     """`spark.read.parquet(path)` with the per-(path, mtime, size)
     schema memo above. Falls back to plain inference whenever the path
