@@ -178,3 +178,31 @@ def exact_scaled_sum(
     # division is exact; the final cast applies half-up rounding once
     descaled = total / F.lit(10**frac_digits).cast("decimal(19,0)")
     return descaled.cast(f"decimal({precision},{scale})")
+
+
+# SQL-string twins of scaled_long / exact_scaled_sum (r12, guide §7.3:
+# string expressions build in ONE py4j round trip and one analysis
+# pass; the Column forms above cost ~8 JVM calls each on the hottest
+# aggregation paths). Same constants, same trees — the SQL parser
+# produces the identical unresolved expressions, so values and oracle
+# hashes cannot change (the parity gate re-proves it per round).
+
+
+def scaled_long_sql(col_sql: str, frac_digits: int = 2) -> str:
+    """SQL form of ``scaled_long``: round(x·10^f) cast to LONG."""
+    return f"CAST(round(({col_sql}) * {10 ** frac_digits}) AS LONG)"
+
+
+def exact_scaled_sum_sql(
+    scaled_sql: str, frac_digits: int, precision: int = 18, scale: int = 2
+) -> str:
+    """SQL form of ``exact_scaled_sum`` over a scaled-long expression."""
+    mask = (1 << _SUM_SPLIT_BITS) - 1
+    total = (
+        f"CAST(SUM(shiftright({scaled_sql}, {_SUM_SPLIT_BITS})) AS DECIMAL(38,0)) "
+        f"* {1 << _SUM_SPLIT_BITS} + SUM(({scaled_sql}) & {mask})"
+    )
+    return (
+        f"CAST(({total}) / CAST({10 ** frac_digits} AS DECIMAL(19,0)) "
+        f"AS DECIMAL({precision},{scale}))"
+    )

@@ -789,11 +789,21 @@ def manifest_commit(
                     _conflict_backoff(attempt, backoff_s)
                     attempt += 1
                     continue
-                # identity for the fence / release guards; a transient
-                # stat fault here (None) weakens only the fence's
-                # mtime leg for THIS commit — release stays guaranteed
-                # through lock_held
-                my_lock_mt = _lock_mtime(fs, hp, lock)
+                # identity for the fence / release guards. A transient
+                # stat fault (None) here would permanently downgrade
+                # the success-path release to the loud 'left' outcome
+                # (r12, ADVICE r11: one flaky stat turned every such
+                # SUCCESSFUL commit into an exception), so retry the
+                # stat a few times before accepting no-answer: we
+                # created this lock microseconds ago and steals need a
+                # full observation window, so the re-stat can only
+                # read our own lock. The never-blind-delete rule is
+                # untouched — an answer-less acquire still releases
+                # nothing.
+                for _ in range(3):
+                    my_lock_mt = _lock_mtime(fs, hp, lock)
+                    if my_lock_mt is not None:
+                        break
             # FENCE (r10): re-list immediately before the final create.
             # A writer paused past the steal window between verify and
             # here has been stolen from — its intent is gone and/or a

@@ -273,28 +273,38 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task by construction (every league table on earth is small);
     the fact-sized work below it is the same partial-agg shape as
     home_away."""
-    from ..functions.cleaning import div0
-
+    # r12 (guide §7.3): string-expression forms throughout — this body
+    # alone was ~45 Column-API calls (~0.5 s of py4j + per-op analysis
+    # per build); selectExpr/F.expr build the same trees JVM-side in
+    # one round trip per projection. Expressions are verbatim
+    # translations (NULLIF(y,0) is exactly div0's CASE form).
     orders = _t(spark, sf_dir, "orders")
-    filtered = orders.filter(F.lower(F.col("o_orderstatus")).isin("o", "f"))
-    agg = filtered.groupBy(F.year("o_orderdate").cast("long").alias("season_year")).agg(
-        F.countDistinct("o_orderkey").alias("n1"),
-        F.sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double").alias("v1"),
-    )
-    summary = agg.select(
-        F.lit("summary").alias("part"),
-        F.col("season_year").cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        "n1",
-        F.lit(None).cast("long").alias("n2"),
-        "v1",
-        F.round(div0(F.col("v1"), F.col("n1")), 2).alias("v2"),
+    filtered = orders.where("lower(o_orderstatus) IN ('o', 'f')")
+    _money = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+    summary = (
+        filtered.groupBy(F.expr("CAST(year(o_orderdate) AS LONG)").alias("season_year"))
+        .agg(
+            F.expr("count(DISTINCT o_orderkey)").alias("n1"),
+            F.expr(f"CAST({_money} AS DOUBLE)").alias("v1"),
+        )
+        .selectExpr(
+            "'summary' AS part",
+            "CAST(season_year AS STRING) AS k1",
+            "CAST(NULL AS STRING) AS k2",
+            "n1",
+            "CAST(NULL AS LONG) AS n2",
+            "v1",
+            "round(v1 / nullif(n1, 0), 2) AS v2",
+        )
     )
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    status = F.lower(F.col("o_orderstatus"))
-    is_home = status == "o"
+    _home = "lower(o_orderstatus) = 'o'"
+    _home_money = (
+        "CAST(CAST(SUM(CASE WHEN {cond} THEN CAST(o_totalprice AS DECIMAL(18,2)) "
+        "ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE)"
+    )
     # the reference's subquery + conditional-agg shape: dims broadcast
     # into the fact scan, one hash aggregate computes all four legs
     home_away = (
@@ -302,38 +312,37 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("k1"))
         .agg(
-            F.sum(F.when(is_home, 1).otherwise(0)).alias("n1"),
-            F.sum(F.when(~is_home, 1).otherwise(0)).alias("n2"),
-            F.sum(F.when(is_home, dec("o_totalprice")).otherwise(F.lit(0)))
-            .cast("decimal(18,2)").cast("double").alias("v1"),
-            F.sum(F.when(~is_home, dec("o_totalprice")).otherwise(F.lit(0)))
-            .cast("decimal(18,2)").cast("double").alias("v2"),
+            F.expr(f"SUM(CASE WHEN {_home} THEN 1 ELSE 0 END)").alias("n1"),
+            F.expr(f"SUM(CASE WHEN NOT ({_home}) THEN 1 ELSE 0 END)").alias("n2"),
+            F.expr(_home_money.format(cond=_home)).alias("v1"),
+            F.expr(_home_money.format(cond=f"NOT ({_home})")).alias("v2"),
         )
-        .select(
-            F.lit("home_away").alias("part"), "k1",
-            F.lit(None).cast("string").alias("k2"), "n1", "n2", "v1", "v2",
+        .selectExpr(
+            "'home_away' AS part", "k1", "CAST(NULL AS STRING) AS k2",
+            "n1", "n2", "v1", "v2",
         )
     )
 
-    w = Window.partitionBy("c_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
     recent = (
         orders.join(
-            F.broadcast(cust.filter(F.col("c_custkey") <= 20)),
+            F.broadcast(cust.where("c_custkey <= 20")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select(
-            F.lit("recent_form").alias("part"),
-            F.col("c_name").alias("k1"),
-            F.col("o_orderdate").cast("string").alias("k2"),
-            F.col("o_orderkey").alias("n1"),
-            F.col("rn").cast("long").alias("n2"),
-            dec("o_totalprice").cast("double").alias("v1"),
-            F.lit(None).cast("double").alias("v2"),
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY c_custkey "
+            "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn",
+        )
+        .where("rn <= 5")
+        .selectExpr(
+            "'recent_form' AS part",
+            "c_name AS k1",
+            "CAST(o_orderdate AS STRING) AS k2",
+            "o_orderkey AS n1",
+            "CAST(rn AS LONG) AS n2",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v1",
+            "CAST(NULL AS DOUBLE) AS v2",
         )
     )
 
@@ -342,11 +351,8 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge in pandas; here both legs stay lazy DataFrames and the join
     # runs on |nations|-row aggregated frames
     def _leg(status_val: str, n_col: str, v_col: str) -> DataFrame:
-        total = (
-            F.sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double")
-        )
         return (
-            filtered.filter(status == status_val)
+            filtered.where(f"lower(o_orderstatus) = '{status_val}'")
             .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
             .join(
                 F.broadcast(nation),
@@ -354,8 +360,10 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy(F.col("n_name").alias("k1"))
             .agg(
-                F.count("*").alias(n_col),
-                F.round(div0(total, F.count("*")), 2).alias(v_col),
+                F.expr("count(*)").alias(n_col),
+                F.expr(
+                    f"round(CAST({_money} AS DOUBLE) / nullif(count(*), 0), 2)"
+                ).alias(v_col),
             )
         )
 
@@ -367,9 +375,9 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     attack_defense = (
         _leg("o", "n1", "v1")
         .join(F.broadcast(_leg("f", "n2", "v2")), "k1")
-        .select(
-            F.lit("attack_defense").alias("part"), "k1",
-            F.lit(None).cast("string").alias("k2"), "n1", "n2", "v1", "v2",
+        .selectExpr(
+            "'attack_defense' AS part", "k1",
+            "CAST(NULL AS STRING) AS k2", "n1", "n2", "v1", "v2",
         )
     )
 
@@ -384,23 +392,27 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the parquet scan's min/max stats — at 100 TB this is the
     # difference between pruning row groups and decoding every date
     xg = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
-            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        li.where(
+            "l_shipdate >= CAST('1995-01-01' AS DATE) "
+            "AND l_shipdate < CAST('1996-01-01' AS DATE)"
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("k1"))
         .agg(
-            F.count("*").alias("n1"),
-            F.sum(dec("l_quantity")).cast("double").alias("v1"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("xg"),
+            F.expr("count(*)").alias("n1"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("v1"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("xg"),
         )
-        .select(
-            F.lit("xg_vs_goals").alias("part"), "k1",
-            F.lit(None).cast("string").alias("k2"),
-            "n1", F.lit(None).cast("long").alias("n2"), "v1",
-            F.round(F.col("v1") - F.col("xg") / F.lit(1000.0), 2).alias("v2"),
+        .selectExpr(
+            "'xg_vs_goals' AS part", "k1",
+            "CAST(NULL AS STRING) AS k2",
+            "n1", "CAST(NULL AS LONG) AS n2", "v1",
+            "round(v1 - xg / 1000.0D, 2) AS v2",
         )
     )
     # league table: one conditional aggregate per team, points/GD
@@ -412,28 +424,27 @@ def dash_season_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("k1"))
         .agg(
-            F.count("*").alias("n2"),
-            F.sum(F.when(is_home, 1).otherwise(0)).alias("w"),
-            F.sum(F.when(~is_home, 1).otherwise(0)).alias("d"),
-            F.sum(F.when(is_home, dec("o_totalprice")).otherwise(F.lit(0)))
-            .cast("decimal(18,2)").cast("double").alias("gf"),
-            F.sum(F.when(~is_home, dec("o_totalprice")).otherwise(F.lit(0)))
-            .cast("decimal(18,2)").cast("double").alias("ga"),
+            F.expr("count(*)").alias("n2"),
+            F.expr(f"SUM(CASE WHEN {_home} THEN 1 ELSE 0 END)").alias("w"),
+            F.expr(f"SUM(CASE WHEN NOT ({_home}) THEN 1 ELSE 0 END)").alias("d"),
+            F.expr(_home_money.format(cond=_home)).alias("gf"),
+            F.expr(_home_money.format(cond=f"NOT ({_home})")).alias("ga"),
         )
-        .withColumn("pts", (F.lit(3) * F.col("w") + F.col("d")).cast("double"))
-        .withColumn("gd", F.round(F.col("gf") - F.col("ga"), 2))
+        .selectExpr(
+            "*",
+            "CAST(3 * w + d AS DOUBLE) AS pts",
+            "round(gf - ga, 2) AS gd",
+        )
     )
-    w_rank = Window.orderBy(
-        F.desc("pts"), F.desc("gd"), F.desc("gf"), F.asc("k1")
-    )
-    league = standings.select(
-        F.lit("league_table").alias("part"),
+    league = standings.selectExpr(
+        "'league_table' AS part",
         "k1",
-        F.lit(None).cast("string").alias("k2"),
-        F.rank().over(w_rank).cast("long").alias("n1"),
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(rank() OVER (ORDER BY pts DESC, gd DESC, gf DESC, k1 ASC) "
+        "AS LONG) AS n1",
         "n2",
-        F.col("pts").alias("v1"),
-        F.col("gd").alias("v2"),
+        "pts AS v1",
+        "gd AS v2",
     )
     return (
         summary.unionByName(home_away)
@@ -632,13 +643,13 @@ def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch≡stream equivalence pytest argues, driver-checked every
     round."""
     base = rollup_time(_t(spark, sf_dir, "events"))
-    hourly = base.filter(F.col("resolution") == "hour").drop("resolution")
+    hourly = base.where("resolution = 'hour'").drop("resolution")
     dense = gapfill_time(
         hourly, "bucket", ["event_type"], step="1 hour",
         zero_fill=["n_events"], locf_fill=["total_value"],
     )
-    gap = dense.select(
-        F.lit("hour_gapfill").alias("resolution"),
+    gap = dense.selectExpr(
+        "'hour_gapfill' AS resolution",
         "bucket", "event_type", "n_events", "total_value",
     )
     # resolution='hour_zscore': trailing-window anomaly score
@@ -651,10 +662,10 @@ def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     zs = trailing_zscore(
         dense.select("bucket", "event_type", "n_events"),
         "bucket", ["event_type"], "n_events", lookback=24,
-    ).select(
-        F.lit("hour_zscore").alias("resolution"),
+    ).selectExpr(
+        "'hour_zscore' AS resolution",
         "bucket", "event_type", "n_events",
-        F.col("zscore").alias("total_value"),
+        "zscore AS total_value",
     )
     # resolution='decay': time-decayed engagement score per event_type
     # (operators.anomaly.decayed_sum_exact — the deterministic
@@ -665,15 +676,16 @@ def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # continuous-weight form is float-order-dependent.
     from ..operators.anomaly import decayed_sum_exact
 
+    _bucket_t = base.schema["bucket"].dataType.simpleString()
     decay = decayed_sum_exact(
         _t(spark, sf_dir, "events"), ["event_type"], "ts", "value",
         reference_ts="2024-01-31 00:00:00",
-    ).select(
-        F.lit("decay").alias("resolution"),
-        F.col("t_reference").cast(base.schema["bucket"].dataType).alias("bucket"),
+    ).selectExpr(
+        "'decay' AS resolution",
+        f"CAST(t_reference AS {_bucket_t}) AS bucket",
         "event_type",
         "n_events",
-        F.col("decayed_sum").alias("total_value"),
+        "decayed_sum AS total_value",
     )
     # resolution='stream_merge': the TRUE readStream leg (VERDICT r8
     # #2) — the hour tier recomputed over a target that was built by an
@@ -690,10 +702,10 @@ def events_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the cascade this leg doesn't use
     sm = _finest_partials(
         _stream_merged_events(spark, sf_dir), "hour", "ts", "event_type"
-    ).select(
-        F.lit("stream_merge").alias("resolution"),
+    ).selectExpr(
+        "'stream_merge' AS resolution",
         "bucket", "event_type", "n_events",
-        F.col("__v").cast("double").alias("total_value"),
+        "CAST(__v AS double) AS total_value",
     )
     return base.unionByName(gap).unionByName(zs).unionByName(decay).unionByName(sm)
 
@@ -1012,74 +1024,72 @@ def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains a per-key cartesian or a nested-loop join, and the oracle
     states the range legs as the raw BETWEEN predicates the binned
     plan must reproduce."""
+    # r12 (guide §7.3): this suite's plan CONSTRUCTION was ~55% of its
+    # bench time — string-expression forms (selectExpr/where) build
+    # each leg in one py4j round trip instead of one per Column call,
+    # and fused projections replace withColumn chains (measured ~6-11×
+    # cheaper per projection at identical physical plans)
     ev = _t(spark, sf_dir, "events")
-    json_part = ev.filter(F.col("event_id") <= 2000).select(
-        F.lit("json").alias("part"),
+    json_part = ev.where("event_id <= 2000").selectExpr(
+        "'json' AS part",
         "event_id",
         # try_cast: the extracted value is an untyped JSON string —
         # under ANSI mode (Spark 4 default) a plain cast would abort
         # the whole suite on one non-numeric props.k; lenient-parse
         # semantics (malformed -> NULL) match the repo's N1 rule and
         # the oracle's CAST of the same all-numeric corpus
-        F.get_json_object("props", "$.k").try_cast("double").alias("v1"),
-        F.lit(None).cast("timestamp").alias("ts_right"),
+        "try_cast(get_json_object(props, '$.k') AS double) AS v1",
+        "CAST(NULL AS timestamp) AS ts_right",
     )
-    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    left = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
     right = (
-        ev.filter(F.col("event_type") == "view")
-        .select("user_id", "ts", "event_id", "value")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        ev.where("event_type = 'view'")
+        .selectExpr(
+            "user_id", "ts", "value",
+            "row_number() OVER (PARTITION BY user_id, ts "
+            "ORDER BY event_id DESC) AS __rn",
+        )
+        .where("__rn = 1")
         .select("user_id", "ts", "value")
     )
     joined = asof_join(
         left, right, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"]
     )
-    asof_part = joined.select(
-        F.lit("asof").alias("part"),
-        "event_id",
-        F.col("value").alias("v1"),
-        "ts_right",
+    asof_part = joined.selectExpr(
+        "'asof' AS part", "event_id", "value AS v1", "ts_right"
     )
-    in_tol = F.col("ts_right") >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
-    tol_part = joined.select(
-        F.lit("asof_tol").alias("part"),
+    tol_part = joined.selectExpr(
+        "'asof_tol' AS part",
         "event_id",
-        F.when(in_tol, F.col("value")).alias("v1"),
-        F.when(in_tol, F.col("ts_right")).alias("ts_right"),
+        "CASE WHEN ts_right >= ts - INTERVAL 2 HOURS THEN value END AS v1",
+        "CASE WHEN ts_right >= ts - INTERVAL 2 HOURS THEN ts_right END AS ts_right",
     )
     clicks = left
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"),
+    purchases = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id AS p_id",
         "user_id",
-        F.col("ts").alias("p_start"),
-        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
-        F.col("value").alias("p_value"),
+        "ts AS p_start",
+        "ts + INTERVAL 1 HOUR AS p_end",
+        "value AS p_value",
     )
     range_part = range_join(
         clicks, purchases, on=["user_id"], left_start="ts",
         right_start="p_start", right_end="p_end", bin_seconds=3600,
-    ).select(
-        F.lit("range").alias("part"),
-        "event_id",
-        F.col("p_value").alias("v1"),
-        F.col("p_start").alias("ts_right"),
+    ).selectExpr(
+        "'range' AS part", "event_id", "p_value AS v1", "p_start AS ts_right"
     )
-    errors = ev.filter(F.col("event_type") == "error").select(
+    errors = ev.where("event_type = 'error'").selectExpr(
         "user_id",
-        F.col("ts").alias("e_start"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e_end"),
-        F.col("value").alias("e_value"),
+        "ts AS e_start",
+        "ts + INTERVAL 30 MINUTES AS e_end",
+        "value AS e_value",
     )
     overlap_part = range_join(
         purchases, errors, on=["user_id"], left_start="p_start", left_end="p_end",
         right_start="e_start", right_end="e_end", bin_seconds=3600,
-    ).select(
-        F.lit("overlap").alias("part"),
-        F.col("p_id").alias("event_id"),
-        F.col("e_value").alias("v1"),
-        F.col("e_start").alias("ts_right"),
+    ).selectExpr(
+        "'overlap' AS part", "p_id AS event_id", "e_value AS v1",
+        "e_start AS ts_right"
     )
     # part='ssjoin': the stream-stream interval join's BATCH FORM —
     # the SAME function body the watermarked streams execute
@@ -1089,19 +1099,17 @@ def events_enrich_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # purchase within the following hour.
     from ..streaming.join import stream_stream_join
 
-    ss_left = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id")
+    ss_left = ev.where("event_type = 'view'").selectExpr(
+        "user_id", "ts", "event_id AS view_id"
     )
-    ss_right = ev.filter(F.col("event_type") == "purchase").select(
+    ss_right = ev.where("event_type = 'purchase'").select(
         "user_id", "ts", "value"
     )
     ssjoin_part = stream_stream_join(
         ss_left, ss_right, on=["user_id"], within="1 hour"
-    ).select(
-        F.lit("ssjoin").alias("part"),
-        F.col("view_id").alias("event_id"),
-        F.col("value").alias("v1"),
-        F.col("ts_r").alias("ts_right"),
+    ).selectExpr(
+        "'ssjoin' AS part", "view_id AS event_id", "value AS v1",
+        "ts_r AS ts_right"
     )
     return (
         json_part.unionByName(asof_part)

@@ -27,8 +27,10 @@ from ..functions.cleaning import (
     div0,
     encode_season,
     exact_scaled_sum,
+    exact_scaled_sum_sql,
     normalize_str,
     scaled_long,
+    scaled_long_sql,
     strip_tokens,
 )
 from ..operators.sketches import (
@@ -277,6 +279,13 @@ def _mirror_tag(sf_dir: str, *tables: str) -> str:
     return f"{sf_dir.strip('/').replace('/', '_')}_{mtimes}".replace(".", "_")
 
 
+# e4-scaled revenue expression shared by the star/bucketed/bloom legs
+# (SQL twin of scaled_long(price) * (100 - scaled_long(discount)))
+_REVENUE_E4_SQL = (
+    f"{scaled_long_sql('l_extendedprice')} * (100 - {scaled_long_sql('l_discount')})"
+)
+
+
 def bucketed_fact_mirrors(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(orders_table, lineitem_table): bucketed catalog mirrors of the
     two fact tables, hash-clustered into 8 buckets on the order key
@@ -345,15 +354,19 @@ def dpp_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     3/5 of the fact's directories are never opened (plan-asserted in
     tests/test_layout.py). Values match a plain filtered aggregate,
     which is exactly what the oracle computes."""
+    from ..sources.registry import read_parquet_memo
+
     fact_path, dim_path = dpp_mirrors(spark, sf_dir)
-    fact = spark.read.parquet(fact_path)
-    dim = spark.read.parquet(dim_path).filter(F.col("pri_rank") <= 2)
+    fact = read_parquet_memo(spark, fact_path)
+    dim = read_parquet_memo(spark, dim_path).where("pri_rank <= 2")
     return (
         fact.join(F.broadcast(dim.select("o_orderpriority")), "o_orderpriority")
         .groupBy(F.col("o_orderpriority").alias("key"))
         .agg(
-            F.sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double")
-            .alias("revenue")
+            F.expr(
+                "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+                "AS DECIMAL(18,2)) AS DOUBLE)"
+            ).alias("revenue")
         )
     )
 
@@ -406,13 +419,14 @@ def bloom_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         enable_runtime_bloom(spark, application_side_min_bytes=0)
-        revenue_e4 = scaled_long("l_extendedprice") * (
-            F.lit(100) - scaled_long("l_discount")
-        )
         q = (
             li.join(dim, li.l_partkey == dim.p_partkey)
             .groupBy(F.col("p_brand").alias("key"))
-            .agg(exact_scaled_sum(revenue_e4, 4).cast("double").alias("revenue"))
+            .agg(
+                F.expr(
+                    f"CAST({exact_scaled_sum_sql(_REVENUE_E4_SQL, 4)} AS DOUBLE)"
+                ).alias("revenue")
+            )
         )
         op = q._jdf.queryExecution().optimizedPlan().toString()
         if "might_contain" not in op or "bloom_filter_agg" not in op:
@@ -437,14 +451,17 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end (asserted in tests/test_layout.py). The o_orderkey
     residue filter prunes rows without disturbing bucketing."""
     tbl_o, tbl_l = bucketed_fact_mirrors(spark, sf_dir)
-    orders = spark.table(tbl_o).filter(F.col("o_orderkey") % 97 == 0)
+    orders = spark.table(tbl_o).where("o_orderkey % 97 = 0")
     li = spark.table(tbl_l)
-    revenue_e4 = scaled_long("l_extendedprice") * (F.lit(100) - scaled_long("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey")
-        .agg(exact_scaled_sum(revenue_e4, 4).cast("double").alias("revenue"))
-        .select(F.col("o_orderkey").cast("string").alias("key"), "revenue")
+        .agg(
+            F.expr(
+                f"CAST({exact_scaled_sum_sql(_REVENUE_E4_SQL, 4)} AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .selectExpr("CAST(o_orderkey AS STRING) AS key", "revenue")
     )
 
 
@@ -531,24 +548,27 @@ def j6_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
-    revenue_e4 = scaled_long("l_extendedprice") * (F.lit(100) - scaled_long("l_discount"))
     star = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("r_name").alias("key"))
-        .agg(exact_scaled_sum(revenue_e4, 4).cast("double").alias("revenue"))
-        .select(F.lit("star").alias("part"), "key", "revenue")
+        .agg(
+            F.expr(
+                f"CAST({exact_scaled_sum_sql(_REVENUE_E4_SQL, 4)} AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .selectExpr("'star' AS part", "key", "revenue")
     )
-    bucketed = bucketed_order_revenue(spark, sf_dir).select(
-        F.lit("bucketed").alias("part"), "key", "revenue"
+    bucketed = bucketed_order_revenue(spark, sf_dir).selectExpr(
+        "'bucketed' AS part", "key", "revenue"
     )
-    dpp = dpp_priority_revenue(spark, sf_dir).select(
-        F.lit("dpp").alias("part"), "key", "revenue"
+    dpp = dpp_priority_revenue(spark, sf_dir).selectExpr(
+        "'dpp' AS part", "key", "revenue"
     )
-    bloom = bloom_brand_revenue(spark, sf_dir).select(
-        F.lit("bloom").alias("part"), "key", "revenue"
+    bloom = bloom_brand_revenue(spark, sf_dir).selectExpr(
+        "'bloom' AS part", "key", "revenue"
     )
     return star.unionByName(bucketed).unionByName(dpp).unionByName(bloom)
 

@@ -314,6 +314,9 @@ def scan_ready_path(path: str, parallelism: int) -> str:
 # rewritten file gets a new key. Reads with an explicit schema skip
 # the footer pass entirely and produce the identical DataFrame.
 _SCHEMA_MEMO: dict[tuple[str, int, int], T.StructType] = {}
+# analyzed base-table scans, keyed (applicationId, abs path, mtime_ns,
+# size, table name) — see the r12 note in load_table
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 
 def parquet_col_bounds(path: str, col: str) -> tuple[int, int] | None:
@@ -390,8 +393,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registry has {sorted(TABLES)}")
+    # r12 (guide §7.3 — driver-side planning overhead): memoize the
+    # analyzed SCAN per (app, source file identity). Every registered
+    # query re-reads its base tables through here, and each fresh
+    # spark.read costs ~30-60 ms of py4j + analysis plus a pyarrow
+    # footer probe in scan_ready_path — ~100+ calls per bench pass.
+    # Only METADATA (the DataFrame plan) is memoized; execution still
+    # scans parquet on every action. Keyed like manifest._TREE_MEMO:
+    # applicationId (a stopped session's plans never resurrect) and
+    # the source's (path, mtime_ns, size) — a rewritten file is a new
+    # key, so staleness is structurally impossible.
+    src = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(src)
+        memo_key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(src), st.st_mtime_ns, st.st_size, name,
+        )
+    except OSError:
+        memo_key = None
+    if memo_key is not None:
+        hit = _TABLE_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     path = scan_ready_path(
-        f"{sf_dir}/{name}.parquet", spark.sparkContext.defaultParallelism
+        src, spark.sparkContext.defaultParallelism
     )
     if name == "events" and _parquet_ts_unit(path, "ts") == "ns":
         # The conf must STAY set: SQL confs are re-read per task at
@@ -402,10 +428,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = read_parquet_memo(spark, path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if memo_key is not None:
+            _TABLE_MEMO[memo_key] = df
         return df
     df = read_parquet_memo(spark, path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if memo_key is not None:
+        _TABLE_MEMO[memo_key] = df
     return df
 
 

@@ -66,6 +66,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -83,6 +84,17 @@ def _is_remote(table_dir: str) -> bool:
     not because the marker protocol wouldn't work there, but because
     existing local tables already carry `_LATEST` pointers."""
     return "://" in table_dir
+
+
+def _link_capable(table_dir: str) -> bool:
+    """True when ``utils._clone_dir`` can materialize this path's
+    untouched files as hard links (bare local paths and file://) —
+    the precondition for copy-on-write commits being O(churn). On
+    other schemes _clone_dir degrades to a serial driver-side
+    FileUtil.copy of every untouched file's BYTES, which for a large
+    mostly-untouched table is slower than the distributed full
+    rewrite (r12, ADVICE r11) — those take the full-rewrite path."""
+    return "://" not in table_dir or table_dir.startswith("file://")
 
 
 def _remote_fs(table_dir: str):
@@ -888,7 +900,11 @@ def merge_commit(
             if evolve_schema:
                 live_aligned, d = _align_schemas(live, d)
             op = insert_if_absent if insert_only else merge_replace
-            if file_reuse and {
+            # CoW is a win exactly where "link the untouched files"
+            # is a metadata op — see _link_capable; non-link schemes
+            # take the full-rewrite path regardless of file_reuse
+            # (r12, ADVICE r11).
+            if file_reuse and _link_capable(table_dir) and {
                 f.name: f.dataType for f in d.schema.fields
             } == {f.name: f.dataType for f in live.schema.fields}:
                 # the rewritten rows will sit NEXT TO linked base
@@ -923,9 +939,23 @@ def merge_commit(
             # (plus links) per commit; past the threshold, fold the
             # snapshot back into a compact one. Raced compactions
             # rebase (a compaction is a function of (live) only).
-            compact_commit(
-                spark, table_dir, retries=retries, backoff_s=backoff_s
-            )
+            # Version v IS COMMITTED at this point — a failure here is
+            # housekeeping, not a merge failure, so it must never
+            # surface as one (a caller re-running the merge on that
+            # signal would be saved only by idempotence). Best-effort:
+            # warn and return the committed version; the next
+            # over-threshold commit retries the compaction anyway.
+            try:
+                compact_commit(
+                    spark, table_dir, retries=retries, backoff_s=backoff_s
+                )
+            except Exception as exc:  # noqa: BLE001 — post-commit housekeeping
+                warnings.warn(
+                    f"version {v} IS COMMITTED, but auto-compaction "
+                    f"failed and the snapshot keeps its uncompacted "
+                    f"file count: {type(exc).__name__}: {exc}",
+                    stacklevel=2,
+                )
         return v
 
 
@@ -1049,7 +1079,11 @@ def delete_commit(
             raise ValueError(f"no committed version under {table_dir}")
         doomed_keys = doomed.select(*keys).distinct()
         try:
-            if file_reuse:
+            # same link-capability guard as merge_commit: without a
+            # link primitive, CoW's per-file driver copy of the
+            # untouched majority is slower than the distributed full
+            # rewrite
+            if file_reuse and _link_capable(table_dir):
                 stager = _cow_stager(
                     spark, table_dir, v, doomed_keys, keys,
                     lambda aff, dk=doomed_keys: aff.join(
@@ -1070,7 +1104,18 @@ def delete_commit(
         if auto_compact_files is not None and len(
             _data_file_names(spark, version_dir(table_dir, nv))
         ) > auto_compact_files:
-            compact_commit(
-                spark, table_dir, retries=retries, backoff_s=backoff_s
-            )
+            # same post-commit housekeeping contract as merge_commit:
+            # version nv is durable, a compaction failure must not be
+            # reported as a delete failure
+            try:
+                compact_commit(
+                    spark, table_dir, retries=retries, backoff_s=backoff_s
+                )
+            except Exception as exc:  # noqa: BLE001 — post-commit housekeeping
+                warnings.warn(
+                    f"version {nv} IS COMMITTED, but auto-compaction "
+                    f"failed and the snapshot keeps its uncompacted "
+                    f"file count: {type(exc).__name__}: {exc}",
+                    stacklevel=2,
+                )
         return nv

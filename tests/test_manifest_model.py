@@ -399,3 +399,40 @@ def test_lock_stat_distinguishes_not_found_from_fault():
     fake.create(FakePath(LOCKP), False)
     state, mt = M._lock_stat(fake, FakePath, LOCKP)
     assert state == "present" and mt == fake.files[LOCKP]
+
+
+def test_acquire_identity_stat_fault_retries_then_releases(monkeypatch):
+    """r12 (ADVICE r11): a TRANSIENT stat fault on the acquire-time
+    identity read must not permanently downgrade a successful commit's
+    release to the loud 'left' outcome — the acquire re-stats
+    (bounded) until an answer, so the success path proves identity
+    and releases the writer's own lock. The never-blind-delete rule
+    is untouched: a persistently answerless acquire still leaves the
+    lock in place."""
+    sched = Sched(0)
+    lock2 = f"{DEST}/_manifests/v00000002.__lock"
+    faults = {"n": 0}
+
+    class FlakyFS(FakeFS):
+        def getFileStatus(self, p):
+            if p.path == lock2 and faults["n"] < 2:
+                faults["n"] += 1
+                raise IOError("connection reset by peer")
+            return super().getFileStatus(p)
+
+    fake = FlakyFS(sched)
+    hp = FakePath
+    spark_stub = types.SimpleNamespace(
+        catalog=types.SimpleNamespace(refreshByPath=lambda p: None)
+    )
+    monkeypatch.setattr(M, "_fs", lambda spark, path: (fake, hp))
+    monkeypatch.setattr(
+        M, "_publish_lock_supported", lambda fs, hp_, d: "create"
+    )
+    monkeypatch.setattr(M, "_conflict_backoff", lambda *a, **k: None)
+    monkeypatch.setattr(M, "SETTLE_WAITS", (None,))
+    M.manifest_commit(spark_stub, DEST, lambda t: fake.mkdirs(t), keep=3)
+    v = M.manifest_commit(spark_stub, DEST, lambda t: fake.mkdirs(t), keep=3)
+    assert v == 2
+    assert faults["n"] == 2  # the bounded retry was actually exercised
+    assert lock2 not in fake.files  # released (proved ours), not LEFT

@@ -999,3 +999,87 @@ def test_cow_merge_on_remote_scheme_protocol(spark, tmp_path):
     # idempotence: same delta again → new version, identical rows
     assert merge_commit(spark, td, delta, ["k"]) == 3
     assert _rows(read_latest(spark, td)) == want
+
+
+def test_auto_compact_failure_does_not_fail_the_committed_merge(
+    spark, table_dir, monkeypatch
+):
+    """r12 (ADVICE r11): auto-compaction is post-commit housekeeping —
+    a compaction failure (e.g. a raced compact_commit exhausting
+    retries) must surface as a WARNING, never as a merge/delete
+    failure, because the version is already durable and a caller
+    re-running the merge on that signal would double-apply but for
+    idempotence."""
+    import etl_football_analytics_pipeline_spark.sources.versioned as V
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        delete_commit,
+    )
+
+    commit_version(
+        spark.range(0, 50).selectExpr("id AS k", "'seed' AS val")
+        .repartitionByRange(4, "k"),
+        table_dir,
+    )
+
+    def boom(*a, **k):
+        raise V.CommitConflict("raced compaction, retries exhausted")
+
+    monkeypatch.setattr(V, "compact_commit", boom)
+    with pytest.warns(UserWarning, match="IS COMMITTED"):
+        v = merge_commit(
+            spark, table_dir,
+            spark.createDataFrame([(7, "new")], "k long, val string"),
+            ["k"], auto_compact_files=1,
+        )
+    assert v == 2 == current_version(table_dir)
+    assert _rows(read_latest(spark, table_dir).where("k = 7")) == [(7, "new")]
+    with pytest.warns(UserWarning, match="IS COMMITTED"):
+        v3 = delete_commit(
+            spark, table_dir,
+            spark.createDataFrame([(7,)], "k long"),
+            ["k"], auto_compact_files=1,
+        )
+    assert v3 == 3 == current_version(table_dir)
+    assert read_latest(spark, table_dir).where("k = 7").count() == 0
+
+
+def test_cow_skipped_when_not_link_capable(spark, table_dir, monkeypatch):
+    """r12 (ADVICE r11): on schemes where _clone_dir cannot hard-link
+    (no link primitive — untouched files would be FS-copied one at a
+    time from the driver), merge/delete take the distributed
+    full-rewrite path; CoW engages only where links make it O(churn)."""
+    import etl_football_analytics_pipeline_spark.sources.versioned as V
+    from etl_football_analytics_pipeline_spark.sources.versioned import (
+        delete_commit,
+    )
+
+    assert V._link_capable("/bare/path") and V._link_capable("file:///x")
+    assert not V._link_capable("s3a://bucket/t")
+    assert not V._link_capable("hdfs://nn/t")
+    commit_version(
+        spark.range(0, 40).selectExpr("id AS k", "'old' AS val")
+        .repartitionByRange(4, "k"),
+        table_dir,
+    )
+    monkeypatch.setattr(V, "_link_capable", lambda p: False)
+    called = {"n": 0}
+    orig = V._cow_stager
+
+    def spy(*a, **k):
+        called["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(V, "_cow_stager", spy)
+    v = merge_commit(
+        spark, table_dir,
+        spark.createDataFrame([(1, "new")], "k long, val string"), ["k"],
+    )
+    assert called["n"] == 0 and v == 2
+    assert _rows(read_latest(spark, table_dir).where("k <= 1")) == [
+        (0, "old"), (1, "new")
+    ]
+    v3 = delete_commit(
+        spark, table_dir, spark.createDataFrame([(0,)], "k long"), ["k"]
+    )
+    assert called["n"] == 0 and v3 == 3
+    assert read_latest(spark, table_dir).where("k = 0").count() == 0
