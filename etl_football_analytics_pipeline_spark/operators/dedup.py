@@ -252,15 +252,23 @@ def ngram_jaccard_pairs_blas(
     # (expensive) gram lineage is evaluated exactly once.
     pdf = grams_pdf if grams_pdf is not None else gram_hashes(df, id_col, text_col, n).toPandas()
     pdf = pdf[pdf["__gh"].map(len) > 0].reset_index(drop=True)
-    vocab: dict[int, int] = {}
-    for grams in pdf["__gh"]:
-        for g in grams:
-            if g not in vocab:
-                vocab[g] = len(vocab)
     ids = pdf[id_col].to_numpy()
-    mat = np.zeros((len(pdf), len(vocab)), dtype=np.float32)
-    for i, grams in enumerate(pdf["__gh"]):
-        mat[i, [vocab[g] for g in grams]] = 1.0
+    # vectorized incidence build (r12, guide §4 spirit driver-side):
+    # flatten all gram arrays, map to vocab indices with one np.unique,
+    # and scatter with a single fancy-index — the old per-doc dict +
+    # listcomp loops were ~0.35 s of pure Python at sf0.1. Column
+    # ORDER of the vocabulary differs (sorted vs first-seen) but the
+    # matrix is only used for row-space matmuls/sums, which are
+    # permutation-invariant across columns — identical pairs out.
+    if len(pdf):
+        lens = pdf["__gh"].map(len).to_numpy()
+        flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in pdf["__gh"]])
+        uniq, codes = np.unique(flat, return_inverse=True)
+        rows = np.repeat(np.arange(len(pdf)), lens)
+        mat = np.zeros((len(pdf), len(uniq)), dtype=np.float32)
+        mat[rows, codes] = 1.0
+    else:
+        mat = np.zeros((0, 0), dtype=np.float32)
     sizes = mat.sum(axis=1, dtype=np.float32)
     bc = spark.sparkContext.broadcast((ids, mat, sizes))
     id_to_row = {int(v): i for i, v in enumerate(ids)}
@@ -1285,18 +1293,21 @@ def simhash(
             # take segmented per-doc vote sums — no per-doc python loop
             lens = pdf["__h"].map(len).to_numpy()
             if portable:
-                # one digest per unique word, lookup per instance —
-                # same memo discipline as gram_hashes/hash_tokens
-                table: dict = {}
-                for ws in pdf["__h"]:
-                    for w in ws:
-                        if w not in table:
-                            table[w] = int(md5(w.encode()).hexdigest()[:15], 16)
-                flat = np.fromiter(
-                    (table[w] for ws in pdf["__h"] for w in ws),
-                    dtype=np.uint64,
-                    count=int(lens.sum()),
+                # one digest per unique word, and the per-INSTANCE work
+                # stays in C: factorize the flattened words to (codes,
+                # uniques), digest the uniques, gather by code — the
+                # same r12 vectorization as gram_hashes, identical
+                # values to the old per-word dict loop
+                flat_w = np.concatenate(
+                    [np.asarray(ws, dtype=object) for ws in pdf["__h"]]
                 )
+                codes, uniques = pd.factorize(flat_w, sort=False)
+                table = np.fromiter(
+                    (int(md5(u.encode()).hexdigest()[:15], 16) for u in uniques),
+                    dtype=np.uint64,
+                    count=len(uniques),
+                )
+                flat = table[codes]
             else:
                 flat = np.concatenate(
                     [np.asarray(h, dtype=np.int64) for h in pdf["__h"]]

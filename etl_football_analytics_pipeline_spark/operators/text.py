@@ -926,37 +926,45 @@ def _bm25_score(
     in-flight is structural, not coincidental."""
     spark = tfg.sparkSession
     max_terms = max(len(t) for t in queries.values())
-    q_rows = [
-        (qid, i + 1, term)
+    # r12 (guide §7.3): the query dim, the per-term contribution and
+    # the fixed-order slot sum all build as SINGLE SQL strings — the
+    # old createDataFrame + Column-loop forms cost ~0.3 s of driver
+    # py4j/analysis per build, paid by BOTH bm25 call sites. Literals
+    # use repr() doubles (exact shortest round-trip) with the D
+    # suffix, so the parsed trees are bit-identical to the old
+    # F.lit doubles.
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    qvals = ", ".join(
+        f"('{esc(qid)}', {i + 1}, '{esc(term)}')"
         for qid, terms in sorted(queries.items())
         for i, term in enumerate(terms)
-    ]
-    qdf = spark.createDataFrame(q_rows, "query_id string, tidx int, term string")
-    dfreq = tfg.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-
-    avgdl = F.col("__sdl").cast("double") / F.col("__n")
-    idf = F.log(
-        F.lit(1.0) + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
     )
-    contrib = idf * (F.col("__tf") * F.lit(k1 + 1.0)) / (
-        F.col("__tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+    qdf = spark.sql(
+        f"SELECT col1 AS query_id, CAST(col2 AS INT) AS tidx, col3 AS term "
+        f"FROM VALUES {qvals}"
+    )
+    dfreq = tfg.groupBy("term").agg(F.expr("count(1)").alias("__df"))
+
+    contrib_sql = (
+        f"log({1.0!r}D + (__n - __df + {0.5!r}D) / (__df + {0.5!r}D)) "
+        f"* (__tf * {k1 + 1.0!r}D) "
+        f"/ (__tf + {float(k1)!r}D * ({1.0 - b!r}D "
+        f"+ {float(b)!r}D * __dl / (CAST(__sdl AS DOUBLE) / __n)))"
     )
     scored_terms = (
         tfg.join(F.broadcast(qdf), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select("query_id", "__id", "tidx", contrib.alias("__c"))
+        .selectExpr("query_id", "__id", "tidx", f"({contrib_sql}) AS __c")
     )
     # fixed-order sum: pivot each term slot out, add left-to-right
-    slot = [
-        F.coalesce(F.max(F.when(F.col("tidx") == i, F.col("__c"))), F.lit(0.0))
+    score_sql = " + ".join(
+        f"coalesce(max(CASE WHEN tidx = {i} THEN __c END), {0.0!r}D)"
         for i in range(1, max_terms + 1)
-    ]
-    score_expr = slot[0]
-    for s in slot[1:]:
-        score_expr = score_expr + s
-    scores = scored_terms.groupBy("query_id", "__id").agg(score_expr.alias("__score"))
+    )
+    scores = scored_terms.groupBy("query_id", "__id").agg(
+        F.expr(score_sql).alias("__score")
+    )
 
     # salted two-stage per-query top-k (operators/topk.grouped_topk):
     # (__score desc, __id asc) is a total order, so the salted form is
