@@ -92,6 +92,50 @@ def pigeonhole_blocks(
     return [key_without(i) for i in range(parts)]
 
 
+def _hot_block_flags(
+    keyed_sides: Sequence[DataFrame], hot_block_min: int
+) -> DataFrame:
+    """(__bidx, __bkey, __hot=true) for block keys whose total row
+    count across the given sides reaches `hot_block_min` — the keys
+    whose verify-join partition would otherwise hold a quadratic
+    candidate set in ONE task (guide §2.5 skew detection: one
+    map-side-combined aggregate over the key columns, cardinality
+    bounded by the key space, never the pair space)."""
+    cnt = None
+    for side in keyed_sides:
+        part = side.select("__bidx", "__bkey")
+        cnt = part if cnt is None else cnt.unionByName(part)
+    return (
+        cnt.groupBy("__bidx", "__bkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= hot_block_min)
+        .select("__bidx", "__bkey", F.lit(True).alias("__hot"))
+    )
+
+
+def _salt_cols(salt_k: int, id_alias: str):
+    """(probe-side salt, build-side salt array) for hot-key salting:
+    the probe side gets ONE deterministic salt per row (xxhash64 of
+    its id — never rand(), which breaks under task retry, guide
+    §2.5), the build side replicates hot-key rows across all k salts.
+    Cold keys keep salt 0 on both sides: same pair set, no fan-out."""
+    probe = (
+        F.when(F.col("__hot"), F.pmod(F.xxhash64(id_alias), F.lit(salt_k)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("__salt")
+    )
+    # sequence(int, int) yields array<int>, so the exploded build salt
+    # is already the probe salt's int type (explode cannot be nested
+    # under a cast)
+    build = F.explode(
+        F.when(F.col("__hot"), F.sequence(F.lit(0), F.lit(salt_k - 1))).otherwise(
+            F.array(F.lit(0))
+        )
+    ).alias("__salt")
+    return probe, build
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -99,6 +143,8 @@ def fuzzy_pairs(
     max_dist: int = 2,
     blocks: Sequence[Callable[[F.Column], F.Column]] | None = None,
     max_block_size: int | None = None,
+    salt_k: int | None = None,
+    hot_block_min: int = 256,
 ) -> DataFrame:
     """Pairs (id_a < id_b) whose normalized names share a block key
     and sit within Levenshtein `max_dist`.
@@ -109,6 +155,21 @@ def fuzzy_pairs(
     that many names — the skew guard for degenerate keys; exclusion is
     deterministic and part of the operator's contract, so oracles
     reproduce it with GROUP BY/HAVING.
+
+    Hot-key salting (r12, guide §2.5): block sizes are data-dependent,
+    and one degenerate key (a constant prefix region, an empty name)
+    funnels a quadratic candidate set into ONE join task while every
+    other core idles — measured 2 s single-task levenshtein stages on
+    the supplier corpus, where the substring(10,6) pigeonhole key is
+    constant across 999 names. Keys with at least `hot_block_min` rows
+    get a deterministic per-row salt (probe side) and k-way
+    replication (build side) so their verify work spreads across
+    `salt_k` tasks (default: defaultParallelism, capped at 64). The
+    pair set is provably unchanged — each (a, b) candidate meets
+    exactly once, at b's replicated copy of a's salt — and cold keys
+    pay nothing. Salting never changes recall, so it composes with
+    `max_block_size` (drop) rather than replacing it: drop what you
+    can prove irrelevant, salt what you must keep.
     """
     block_fns = list(blocks) if blocks is not None else default_blocks()
     norm = F.lower(F.trim(F.col(name_col)))
@@ -128,11 +189,23 @@ def fuzzy_pairs(
             .select("__bidx", "__bkey")
         )
         keyed = keyed.join(small, ["__bidx", "__bkey"], "left_semi")
+    if salt_k is None:
+        salt_k = max(
+            2, min(64, df.sparkSession.sparkContext.defaultParallelism)
+        )
+    keyed = keyed.join(
+        F.broadcast(_hot_block_flags([keyed], hot_block_min)),
+        ["__bidx", "__bkey"],
+        "left",
+    )
+    probe_salt, build_salt = _salt_cols(salt_k, "__id")
     a = keyed.select(
-        F.col("__id").alias("id_a"), F.col("__name").alias("name_a"), "__bidx", "__bkey"
+        F.col("__id").alias("id_a"), F.col("__name").alias("name_a"),
+        "__bidx", "__bkey", probe_salt,
     )
     b = keyed.select(
-        F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), "__bidx", "__bkey"
+        F.col("__id").alias("id_b"), F.col("__name").alias("name_b"),
+        "__bidx", "__bkey", build_salt,
     )
     # verify BEFORE the distinct: levenshtein is a cheap per-row JVM
     # expression and prunes candidates by orders of magnitude, so the
@@ -140,7 +213,7 @@ def fuzzy_pairs(
     # pattern the simhash/minhash family uses)
     return (
         a.hint("shuffle_hash")
-        .join(b, ["__bidx", "__bkey"])
+        .join(b, ["__bidx", "__bkey", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
@@ -160,6 +233,8 @@ def fuzzy_join(
     blocks: Sequence[Callable[[F.Column], F.Column]] | None = None,
     max_block_size: int | None = None,
     best_match_only: bool = False,
+    salt_k: int | None = None,
+    hot_block_min: int = 256,
 ) -> DataFrame:
     """Cross-table RECORD LINKAGE: rows of `left` matched to rows of
     `right` whose normalized names sit within Levenshtein `max_dist`,
@@ -210,9 +285,23 @@ def fuzzy_join(
         )
         a = a.join(sizes, ["__bidx", "__bkey"], "left_semi")
         b = b.join(sizes, ["__bidx", "__bkey"], "left_semi")
+    # r12 (guide §2.5): the same hot-key salting as fuzzy_pairs — hot
+    # keys are judged on the COMBINED side sizes (the task cost is
+    # |A_key| x |B_key|), the left side carries the deterministic salt,
+    # the right side replicates across the k salts. Same match set.
+    if salt_k is None:
+        salt_k = max(
+            2, min(64, left.sparkSession.sparkContext.defaultParallelism)
+        )
+    hot = F.broadcast(_hot_block_flags([a, b], hot_block_min))
+    a = a.join(hot, ["__bidx", "__bkey"], "left")
+    b = b.join(hot, ["__bidx", "__bkey"], "left")
+    probe_salt, build_salt = _salt_cols(salt_k, "left_id")
+    a = a.select("left_id", "left_name", "__bidx", "__bkey", probe_salt)
+    b = b.select("right_id", "right_name", "__bidx", "__bkey", build_salt)
     matches = (
         a.hint("shuffle_hash")
-        .join(b, ["__bidx", "__bkey"])
+        .join(b, ["__bidx", "__bkey", "__salt"])
         .withColumn("dist", F.levenshtein("left_name", "right_name"))
         .filter(F.col("dist") <= max_dist)
         .select("left_id", "right_id", "left_name", "right_name", "dist")
