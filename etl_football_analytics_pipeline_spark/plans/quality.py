@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import dec
-from ..operators.expectations import expect_report, profile_table, with_violations
+from ..operators.expectations import with_violations
 from ..operators.fuzzy import fuzzy_pairs
 from ..operators.scd import scd2_build, scd2_lookup, table_diff
 from ..sources.registry import load_table
@@ -244,14 +244,32 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       violation set (the triage view) — violation names join in rule
       DEFINITION order on both engines.
 
-    - part='profile': exact column profile (operators.expectations.
-      profile_table) — per column null count, exact distinct count,
-      canonicalized min/max; one aggregate pass (multi-count-distinct
-      via Spark's Expand).
+    - part='profile': exact column profile — per column null count,
+      exact distinct count, canonicalized min/max (the
+      operators.expectations.profile_table statistics; fused here, see
+      below, with equality to the operator composition pinned by
+      tests/test_expectations.py).
 
     The rules deliberately include failing ones; a report full of
     100% pass rates would test nothing.
-    """
+
+    Physical shape (r12, guide §1.2/§2.4 — remove passes before
+    tuning anything else): ONE wide aggregate keyed by the violation
+    combo (≤ 2^|rules| groups) replaces three of the suite's former
+    four lineitem passes. The combo counts ARE the quarantine rows;
+    the report re-derives per-rule violation totals from the ≤16-row
+    combo frame (a rule's violations = the sum of combo counts whose
+    set contains it, n_checked = the sum of all combo counts — exactly
+    expect_report's SUM(CASE) slots, associativity making the two
+    plans value-identical); and the per-column null/min/max slots ride
+    the same pass as combo-level partials re-aggregated on the tiny
+    frame (min of per-combo typed mins = the global typed min). The
+    exact-distinct pass keeps its own explode shape (distinct
+    machinery cannot fold into the combo key), so lineitem is scanned
+    TWICE per run instead of four times. All three derived frames hang
+    off the same combo aggregate, whose scan+partial-agg+exchange
+    subtree is canonically identical across them — ReusedExchange
+    computes it once per collect."""
     li = _t(spark, sf_dir, "lineitem")
     rules = {
         "qty_le_25": F.col("l_quantity") <= 25,
@@ -259,36 +277,120 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag_not_returned": F.col("l_returnflag") != "R",
         "shipped_by_1997": F.year("l_shipdate") <= 1997,
     }
-    report = expect_report(li, rules).select(
-        F.lit("report").alias("part"),
-        F.col("rule").alias("s1"),
-        F.col("n_violations").alias("k1"),
-        F.col("n_checked").alias("k2"),
-        F.col("pass_rate").alias("v1"),
-    )
-    quarantine = (
+    names = list(rules)
+    prof_cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity"]
+    aggs = [F.count(F.lit(1)).alias("__c")]
+    for i, c in enumerate(prof_cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
+            F.min(c).alias(f"__mn_{i}"),
+            F.max(c).alias(f"__mx_{i}"),
+        ]
+    combo = (
         with_violations(li, rules)
-        .filter(F.size("violations") > 0)
         .groupBy(F.array_join("violations", ",").alias("s1"))
-        .agg(F.count(F.lit(1)).alias("k1"))
+        .agg(*aggs)
+    )
+    quarantine = combo.filter(F.col("s1") != "").select(
+        F.lit("quarantine").alias("part"),
+        "s1",
+        F.col("__c").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("double").alias("v1"),
+    )
+    # report: expect_report's slots re-derived from the combo frame.
+    # Rule names never contain ',' (the join delimiter), so membership
+    # of a rule in a combo's split set is exact.
+    rep_row = combo.agg(
+        *[
+            F.sum(
+                F.when(F.array_contains(F.split("s1", ","), n), F.col("__c"))
+                .otherwise(F.lit(0))
+            ).alias(f"__v_{i}")
+            for i, n in enumerate(names)
+        ],
+        F.sum("__c").alias("__n"),
+    )
+    rpairs = F.array(
+        *[
+            F.struct(F.lit(n).alias("rule"), F.col(f"__v_{i}").alias("nv"))
+            for i, n in enumerate(names)
+        ]
+    )
+    report = (
+        rep_row.select(F.explode(rpairs).alias("p"), F.col("__n").alias("n_checked"))
         .select(
-            F.lit("quarantine").alias("part"),
-            "s1",
-            "k1",
-            F.lit(None).cast("long").alias("k2"),
-            F.lit(None).cast("double").alias("v1"),
+            F.lit("report").alias("part"),
+            F.col("p.rule").alias("s1"),
+            F.col("p.nv").alias("k1"),
+            F.col("n_checked").alias("k2"),
+            F.round(
+                (F.col("n_checked") - F.col("p.nv"))
+                / F.col("n_checked").cast("double"),
+                4,
+            ).alias("v1"),
         )
     )
-    profile = profile_table(
-        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity"]
-    ).select(
-        F.lit("profile").alias("part"),
-        F.concat_ws(
-            "|", "column", F.coalesce("min_str", F.lit("")), F.coalesce("max_str", F.lit(""))
-        ).alias("s1"),
-        F.col("n_nulls").alias("k1"),
-        F.col("n_distinct").alias("k2"),
-        F.lit(None).cast("double").alias("v1"),
+    # profile nulls/min/max: re-aggregate the combo partials (typed;
+    # the string canonicalization happens after the final min/max,
+    # exactly as profile_table does it)
+    prow = combo.agg(
+        *[
+            x
+            for i in range(len(prof_cols))
+            for x in (
+                F.sum(f"__nn_{i}").alias(f"__sn_{i}"),
+                F.min(f"__mn_{i}").alias(f"__fmn_{i}"),
+                F.max(f"__mx_{i}").alias(f"__fmx_{i}"),
+            )
+        ]
+    )
+    ppairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__idx"),
+                F.lit(c).alias("column"),
+                F.col(f"__sn_{i}").alias("n_nulls"),
+                F.col(f"__fmn_{i}").cast("string").alias("min_str"),
+                F.col(f"__fmx_{i}").cast("string").alias("max_str"),
+            )
+            for i, c in enumerate(prof_cols)
+        ]
+    )
+    pbase = prow.select(F.explode(ppairs).alias("p")).select("p.*")
+    # exact distinct counts: profile_table's explode shape (map-side
+    # partial dedup; the exchange carries distinct values, not rows)
+    exploded = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__idx"), F.col(c).cast("string").alias("__v")
+                    )
+                    for i, c in enumerate(prof_cols)
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    distinct_counts = (
+        exploded.filter(F.col("__v").isNotNull())
+        .groupBy("__idx", "__v")
+        .agg(F.count(F.lit(1)).alias("__dc"))
+        .groupBy("__idx")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    profile = (
+        pbase.join(F.broadcast(distinct_counts), "__idx", "left")
+        .select(
+            F.lit("profile").alias("part"),
+            F.concat_ws(
+                "|", "column",
+                F.coalesce("min_str", F.lit("")), F.coalesce("max_str", F.lit("")),
+            ).alias("s1"),
+            F.col("n_nulls").alias("k1"),
+            F.coalesce("n_distinct", F.lit(0)).alias("k2"),
+            F.lit(None).cast("double").alias("v1"),
+        )
     )
     return report.unionByName(quarantine).unionByName(profile)
 

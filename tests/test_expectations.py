@@ -95,3 +95,61 @@ def test_profile_table(spark):
     assert got["k"].min_str == "1" and got["k"].max_str == "2"
     assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
     assert got["v"].n_nulls == 1 and got["v"].min_str == "5.0"
+
+
+def test_dq_suite_fusion_matches_operator_composition(spark, sf_dir):
+    """r12: dq_expectations_suite derives report/quarantine/profile
+    from ONE violation-combo aggregate (two lineitem passes instead of
+    four). Pin value-equality against the direct operator composition
+    it replaced."""
+    from etl_football_analytics_pipeline_spark.operators.expectations import (
+        expect_report,
+        profile_table,
+        with_violations,
+    )
+    from etl_football_analytics_pipeline_spark.plans.quality import (
+        dq_expectations_suite,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rules = {
+        "qty_le_25": F.col("l_quantity") <= 25,
+        "discount_le_5pct": F.col("l_discount") <= 0.05,
+        "flag_not_returned": F.col("l_returnflag") != "R",
+        "shipped_by_1997": F.year("l_shipdate") <= 1997,
+    }
+    report = expect_report(li, rules).select(
+        F.lit("report").alias("part"),
+        F.col("rule").alias("s1"),
+        F.col("n_violations").alias("k1"),
+        F.col("n_checked").alias("k2"),
+        F.col("pass_rate").alias("v1"),
+    )
+    quarantine = (
+        with_violations(li, rules)
+        .filter(F.size("violations") > 0)
+        .groupBy(F.array_join("violations", ",").alias("s1"))
+        .agg(F.count(F.lit(1)).alias("k1"))
+        .select(
+            F.lit("quarantine").alias("part"), "s1", "k1",
+            F.lit(None).cast("long").alias("k2"),
+            F.lit(None).cast("double").alias("v1"),
+        )
+    )
+    profile = profile_table(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity"]
+    ).select(
+        F.lit("profile").alias("part"),
+        F.concat_ws(
+            "|", "column",
+            F.coalesce("min_str", F.lit("")), F.coalesce("max_str", F.lit("")),
+        ).alias("s1"),
+        F.col("n_nulls").alias("k1"),
+        F.col("n_distinct").alias("k2"),
+        F.lit(None).cast("double").alias("v1"),
+    )
+    want = report.unionByName(quarantine).unionByName(profile)
+    got = dq_expectations_suite(spark, sf_dir)
+    assert got.schema == want.schema
+    key = lambda r: (r.part, r.s1)  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
