@@ -662,12 +662,23 @@ def strip_duplicated_spans(
     )
 
 
-def _lm_grams(df: DataFrame, text_col: str, n: int, id_col: str | None = None):
+def _lm_grams(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    id_col: str | None = None,
+    keep_empty: bool = False,
+):
     """(context, token) rows for every n-gram of every document —
     the ONE tokenization both ngram_lm_train and ngram_lm_score use
     (BOS padding, lowercase, \\s+ split, NULL text ≡ ''), factored so
     train and score can never drift apart on the gram inventory.
-    With `id_col`, rows carry the doc id as __id."""
+    With `id_col`, rows carry the doc id as __id. With `keep_empty`,
+    a document yielding zero n-grams still emits ONE row (context and
+    token both NULL, via explode_outer) so downstream per-doc
+    aggregates see every document without a join back to the input
+    (r12, guide §2.4 — the join-back was a whole extra exchange plus
+    two sorts at every scale)."""
     bos = " ".join(["<s>"] * (n - 1))
     cols = [F.col(id_col).alias("__id")] if id_col else []
     body = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
@@ -689,9 +700,10 @@ def _lm_grams(df: DataFrame, text_col: str, n: int, id_col: str | None = None):
         F.when(body == "", bos_only).otherwise(full).alias("__t"),
     )
     out_cols = ["__id"] if id_col else []
+    gen = F.explode_outer if keep_empty else F.explode
     return toks.select(
         *out_cols,
-        F.explode(
+        gen(
             F.expr(
                 f"CASE WHEN size(__t) >= {n} THEN "
                 f"transform(sequence(1, size(__t) - {n} + 1),"
@@ -774,6 +786,18 @@ def ngram_lm_score(
     plan-build time; pass an explicit `vocab_size` to skip even
     that). Callers scoring repeatedly should `.cache()` the lm frame
     — three plan branches read it (counts, totals, vocab).
+
+    r12 (guide §2.4): zero-gram documents used to be restored by a
+    LEFT join back to the input frame — a whole extra exchange of the
+    doc ids plus two sorts (the aggregate side's inflated cross-join
+    size estimate forced a SortMergeJoin). `_lm_grams(keep_empty=
+    True)` now emits ONE (NULL, NULL)-gram sentinel row per zero-gram
+    document instead: NULL join keys match nothing, the sentinel's
+    log-prob slot stays NULL, and `count(__lp)` / `avg(__lp)` (both
+    null-skipping) reproduce exactly the old (0, NULL) contract — no
+    join-back at any scale. One row per distinct id (ids are unique
+    in every caller; the old form emitted per-input-row duplicates
+    for duplicate ids, which no caller relied on).
     """
     if vocab_size is None:
         v_col = F.greatest(F.col("__V"), F.lit(1)).cast("double")
@@ -781,37 +805,36 @@ def ngram_lm_score(
     else:
         v_col = F.lit(float(vocab_size))
         v_df = None
-    grams = _lm_grams(df, text_col, n, id_col=id_col)
+    grams = _lm_grams(df, text_col, n, id_col=id_col, keep_empty=True)
     ctx_totals = lm.select("context", "ctx_total").distinct()
     scored = grams.join(
         lm.select("context", "token", "cnt"), ["context", "token"], "left"
     ).join(ctx_totals, "context", "left")
     if v_df is not None:
         scored = scored.crossJoin(F.broadcast(v_df))
+    # real grams always yield a non-NULL log-prob (the smoothed
+    # argument is strictly positive); the sentinel row's slot is NULL,
+    # so the null-skipping aggregates below count exactly the grams
     scored = scored.select(
         "__id",
-        F.log(
-            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
-            / (
-                F.coalesce(F.col("ctx_total"), F.lit(0))
-                + F.lit(float(alpha)) * v_col
-            )
+        F.when(
+            F.col("token").isNotNull(),
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
+                / (
+                    F.coalesce(F.col("ctx_total"), F.lit(0))
+                    + F.lit(float(alpha)) * v_col
+                )
+            ),
         ).alias("__lp"),
     )
-    agg = scored.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_scored"),
+    return scored.groupBy("__id").agg(
+        F.count("__lp").alias("n_scored"),
         F.avg("__lp").alias("lm_logprob"),
-    )
-    # zero-gram docs have no gram rows — restore them with an explicit
-    # (0, NULL) score so absence of evidence is visible, not a drop
-    return (
-        df.select(F.col(id_col).alias("__id"))
-        .join(agg, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
-            "lm_logprob",
-        )
+    ).select(
+        F.col("__id").alias(id_col),
+        "n_scored",
+        "lm_logprob",
     )
 
 
