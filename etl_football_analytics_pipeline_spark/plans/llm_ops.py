@@ -2027,6 +2027,12 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition is one tiny shuffle and every leg reuses the same
     # exchange at full width
     docs = spread(_docs(spark, sf_dir))
+    # r12 (guide §2.4): legs that need ONLY doc_id (split keys, shard
+    # keys) would have Catalyst prune text straight through the shared
+    # spread exchange, giving each its own 1-task doc_id-only scan +
+    # private exchange (three extra sequential AQE stages measured).
+    # They read the toks checkpoint instead — same one-row-per-doc id
+    # domain, already materialized for pack_sequences, zero new scans.
     sp = deterministic_split(docs, "doc_id")
     # materialized once: pack_sequences drives TWO eager actions over
     # its input (min/max bounds + per-bucket sums) before the main
@@ -2035,8 +2041,11 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (id, n_tokens) only — O(rows x 16 B), the same bounded
     # materialization discipline as the dedup suites; freed on GC
     toks = whitespace_token_counts(docs, "doc_id", "text").localCheckpoint()
+    # split accounting straight off the toks checkpoint: the split key
+    # is md5(doc_id), toks holds exactly one row per doc, so the former
+    # sp⋈toks join (and the doc_id-only scan behind it) is a no-op
     split_part = (
-        sp.join(toks, "doc_id")
+        deterministic_split(toks, "doc_id")
         .groupBy(F.col("split").alias("key"))
         .agg(
             F.count(F.lit(1)).alias("n1"),
@@ -2104,7 +2113,7 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import shard_shuffle
 
     shard_part = shard_shuffle(
-        docs.select("doc_id"), "doc_id", seed=7, n_shards=4
+        toks.select("doc_id"), "doc_id", seed=7, n_shards=4
     ).select(
         F.lit("shard").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
