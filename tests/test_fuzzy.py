@@ -176,3 +176,32 @@ def test_fuzzy_join_no_broadcast_of_either_side(spark, sf_dir):
     )
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hot_key_salting_preserves_pair_set(spark):
+    """r12 (guide §2.5): hot block keys get a deterministic salt +
+    build-side replication so the verify join parallelizes. The pair
+    set must be EXACTLY the unsalted one — pin salted vs effectively-
+    unsalted (hot_block_min past the corpus size) on a corpus whose
+    shared prefix makes one degenerate block."""
+    from etl_football_analytics_pipeline_spark.operators.fuzzy import fuzzy_join
+
+    rows = [(i, f"entity-{i:04d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+
+    salted = fuzzy_pairs(df, "id", "name", max_dist=1, salt_k=8, hot_block_min=16)
+    plain = fuzzy_pairs(df, "id", "name", max_dist=1, hot_block_min=10**9)
+    assert sorted(salted.collect(), key=key) == sorted(plain.collect(), key=key)
+
+    right = df.select((F.col("id") + 1000).alias("rid"), F.col("name").alias("rnm"))
+    j_salt = fuzzy_join(
+        df, right, "id", "name", "rid", "rnm",
+        max_dist=1, salt_k=8, hot_block_min=16, best_match_only=True,
+    )
+    j_plain = fuzzy_join(
+        df, right, "id", "name", "rid", "rnm",
+        max_dist=1, hot_block_min=10**9, best_match_only=True,
+    )
+    jkey = lambda r: (r.left_id, r.right_id)  # noqa: E731
+    assert sorted(j_salt.collect(), key=jkey) == sorted(j_plain.collect(), key=jkey)
