@@ -266,10 +266,13 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (min of per-combo typed mins = the global typed min). The
     exact-distinct pass keeps its own explode shape (distinct
     machinery cannot fold into the combo key), so lineitem is scanned
-    TWICE per run instead of four times. All three derived frames hang
-    off the same combo aggregate, whose scan+partial-agg+exchange
-    subtree is canonically identical across them — ReusedExchange
-    computes it once per collect."""
+    TWICE per run instead of four times. The combo frame is
+    localCheckpoint'ed (≤16 rows — the same bounded-materialization
+    discipline as the dedup suites' shared frames, freed on GC): per-
+    branch column pruning would otherwise specialize the aggregate
+    under each consumer and re-scan lineitem three times (measured —
+    canonical-plan reuse does NOT survive pruning), whereas the
+    checkpoint pins exactly one fact-table pass for all three."""
     li = _t(spark, sf_dir, "lineitem")
     rules = {
         "qty_le_25": F.col("l_quantity") <= 25,
@@ -290,6 +293,7 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_violations(li, rules)
         .groupBy(F.array_join("violations", ",").alias("s1"))
         .agg(*aggs)
+        .localCheckpoint()
     )
     quarantine = combo.filter(F.col("s1") != "").select(
         F.lit("quarantine").alias("part"),
