@@ -92,15 +92,21 @@ def pigeonhole_blocks(
     return [key_without(i) for i in range(parts)]
 
 
+# hot-key sets bigger than this stay a broadcast join instead of a
+# literal predicate (plan size bound; the set's cardinality is already
+# bounded by total_rows / hot_block_min)
+_HOT_LITERAL_MAX = 64
+
+
 def _hot_block_flags(
     keyed_sides: Sequence[DataFrame], hot_block_min: int
 ) -> DataFrame:
-    """(__bidx, __bkey, __hot=true) for block keys whose total row
-    count across the given sides reaches `hot_block_min` — the keys
-    whose verify-join partition would otherwise hold a quadratic
-    candidate set in ONE task (guide §2.5 skew detection: one
-    map-side-combined aggregate over the key columns, cardinality
-    bounded by the key space, never the pair space)."""
+    """(__bidx, __bkey) for block keys whose total row count across
+    the given sides reaches `hot_block_min` — the keys whose
+    verify-join partition would otherwise hold a quadratic candidate
+    set in ONE task (guide §2.5 skew detection: one map-side-combined
+    aggregate over the key columns, cardinality bounded by the key
+    space, never the pair space)."""
     cnt = None
     for side in keyed_sides:
         part = side.select("__bidx", "__bkey")
@@ -109,18 +115,53 @@ def _hot_block_flags(
         cnt.groupBy("__bidx", "__bkey")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= hot_block_min)
-        .select("__bidx", "__bkey", F.lit(True).alias("__hot"))
+        .select("__bidx", "__bkey")
     )
 
 
-def _salt_cols(salt_k: int, id_alias: str):
+def _hot_pred(
+    keyed_sides: Sequence[DataFrame], hot_block_min: int
+) -> tuple[F.Column, DataFrame | None]:
+    """(hot-key predicate over (__bidx, __bkey), fallback frame).
+
+    r13 (VERDICT r12): the r12 shape joined a lazily-recomputed hot
+    frame onto `keyed`, which both join sides then consumed — the
+    physical plan re-ran the scan + detection aggregate + broadcast
+    join PER SIDE (after-plan scans 24 → 60) and the overhead exceeded
+    the salvaged skew at bench SF. The detection aggregate now runs
+    exactly ONCE as a tiny eager job; its result (cardinality bounded
+    by total_rows / hot_block_min) is embedded as a literal predicate,
+    so flagging costs ZERO extra scans, joins, or exchanges in the
+    verify plan. Sets larger than `_HOT_LITERAL_MAX` (plan-size bound)
+    return a localCheckpoint'ed frame instead — the caller broadcast-
+    joins it, and the checkpoint pins one detection pass however many
+    sides consume it."""
+    hot = _hot_block_flags(keyed_sides, hot_block_min)
+    rows = hot.take(_HOT_LITERAL_MAX + 1)
+    if len(rows) > _HOT_LITERAL_MAX:
+        frame = hot.select(
+            "__bidx", "__bkey", F.lit(True).alias("__hot")
+        ).localCheckpoint()
+        return F.coalesce(F.col("__hot"), F.lit(False)), frame
+    pred = F.lit(False)
+    for r in rows:
+        pred = pred | (
+            (F.col("__bidx") == F.lit(r["__bidx"]))
+            & (F.col("__bkey") == F.lit(r["__bkey"]))
+        )
+    return pred, None
+
+
+def _salt_cols(salt_k: int, id_alias: str, hot: F.Column):
     """(probe-side salt, build-side salt array) for hot-key salting:
     the probe side gets ONE deterministic salt per row (xxhash64 of
     its id — never rand(), which breaks under task retry, guide
     §2.5), the build side replicates hot-key rows across all k salts.
-    Cold keys keep salt 0 on both sides: same pair set, no fan-out."""
+    Cold keys keep salt 0 on both sides: same pair set, no fan-out.
+    `hot` is the per-row hot-key predicate (a literal set test, or
+    the joined flag column on the large-set fallback path)."""
     probe = (
-        F.when(F.col("__hot"), F.pmod(F.xxhash64(id_alias), F.lit(salt_k)))
+        F.when(hot, F.pmod(F.xxhash64(id_alias), F.lit(salt_k)))
         .otherwise(F.lit(0))
         .cast("int")
         .alias("__salt")
@@ -129,7 +170,7 @@ def _salt_cols(salt_k: int, id_alias: str):
     # is already the probe salt's int type (explode cannot be nested
     # under a cast)
     build = F.explode(
-        F.when(F.col("__hot"), F.sequence(F.lit(0), F.lit(salt_k - 1))).otherwise(
+        F.when(hot, F.sequence(F.lit(0), F.lit(salt_k - 1))).otherwise(
             F.array(F.lit(0))
         )
     ).alias("__salt")
@@ -169,7 +210,14 @@ def fuzzy_pairs(
     exactly once, at b's replicated copy of a's salt — and cold keys
     pay nothing. Salting never changes recall, so it composes with
     `max_block_size` (drop) rather than replacing it: drop what you
-    can prove irrelevant, salt what you must keep.
+    can prove irrelevant, salt what you must keep. Detection is one
+    tiny eager aggregate whose result embeds as a literal predicate
+    (r13 — zero extra scans/joins in the verify plan; hot sets larger
+    than _HOT_LITERAL_MAX fall back to a checkpointed broadcast
+    join). Limitation: the probe-side salt spreads a hot block only
+    across its distinct probe rows — a hot block with ONE probe row
+    still verifies in one task (its pair count is then linear in the
+    block, not quadratic).
     """
     block_fns = list(blocks) if blocks is not None else default_blocks()
     norm = F.lower(F.trim(F.col(name_col)))
@@ -193,12 +241,10 @@ def fuzzy_pairs(
         salt_k = max(
             2, min(64, df.sparkSession.sparkContext.defaultParallelism)
         )
-    keyed = keyed.join(
-        F.broadcast(_hot_block_flags([keyed], hot_block_min)),
-        ["__bidx", "__bkey"],
-        "left",
-    )
-    probe_salt, build_salt = _salt_cols(salt_k, "__id")
+    hot, hot_frame = _hot_pred([keyed], hot_block_min)
+    if hot_frame is not None:
+        keyed = keyed.join(F.broadcast(hot_frame), ["__bidx", "__bkey"], "left")
+    probe_salt, build_salt = _salt_cols(salt_k, "__id", hot)
     a = keyed.select(
         F.col("__id").alias("id_a"), F.col("__name").alias("name_a"),
         "__bidx", "__bkey", probe_salt,
@@ -207,6 +253,19 @@ def fuzzy_pairs(
         F.col("__id").alias("id_b"), F.col("__name").alias("name_b"),
         "__bidx", "__bkey", build_salt,
     )
+    # pin the verify exchange's width with an explicit keyed
+    # repartition (r13): the verify stage's cost is QUADRATIC in block
+    # size (candidate fan-out x levenshtein) while its shuffle BYTES
+    # are linear, so AQE's byte-based partition coalescing collapses
+    # the salted exchange right back into one task at bench scale
+    # (measured: a 1.5 s single-task stage under a 423 KiB shuffle).
+    # REPARTITION_BY_NUM shuffles are exempt from AQE coalescing; the
+    # width derives from parallelism (CPU-bound stage → width follows
+    # cores, not bytes), and the join below reuses this partitioning
+    # (same keys, same width on both sides — no extra exchange).
+    parts = max(salt_k, df.sparkSession.sparkContext.defaultParallelism)
+    a = a.repartition(parts, "__bidx", "__bkey", "__salt")
+    b = b.repartition(parts, "__bidx", "__bkey", "__salt")
     # verify BEFORE the distinct: levenshtein is a cheap per-row JVM
     # expression and prunes candidates by orders of magnitude, so the
     # dedup shuffle carries survivors only (the filter-before-distinct
@@ -293,12 +352,18 @@ def fuzzy_join(
         salt_k = max(
             2, min(64, left.sparkSession.sparkContext.defaultParallelism)
         )
-    hot = F.broadcast(_hot_block_flags([a, b], hot_block_min))
-    a = a.join(hot, ["__bidx", "__bkey"], "left")
-    b = b.join(hot, ["__bidx", "__bkey"], "left")
-    probe_salt, build_salt = _salt_cols(salt_k, "left_id")
+    hot, hot_frame = _hot_pred([a, b], hot_block_min)
+    if hot_frame is not None:
+        a = a.join(F.broadcast(hot_frame), ["__bidx", "__bkey"], "left")
+        b = b.join(F.broadcast(hot_frame), ["__bidx", "__bkey"], "left")
+    probe_salt, build_salt = _salt_cols(salt_k, "left_id", hot)
     a = a.select("left_id", "left_name", "__bidx", "__bkey", probe_salt)
     b = b.select("right_id", "right_name", "__bidx", "__bkey", build_salt)
+    # same AQE-coalescing exemption as fuzzy_pairs: the verify stage
+    # is CPU-bound, so its exchange width follows cores, not bytes
+    parts = max(salt_k, left.sparkSession.sparkContext.defaultParallelism)
+    a = a.repartition(parts, "__bidx", "__bkey", "__salt")
+    b = b.repartition(parts, "__bidx", "__bkey", "__salt")
     matches = (
         a.hint("shuffle_hash")
         .join(b, ["__bidx", "__bkey", "__salt"])

@@ -797,8 +797,17 @@ def ngram_lm_score(
     null-skipping) reproduce exactly the old (0, NULL) contract — no
     join-back at any scale. One row per distinct id (ids are unique
     in every caller; the old form emitted per-input-row duplicates
-    for duplicate ids, which no caller relied on).
+    for duplicate ids, which no caller relied on). NULL-id docs also
+    changed with that form: they now group together and score like
+    any other group (the old equi-join back dropped NULL keys, so
+    they always got (0, NULL)); callers with NULL ids should filter
+    them first. `alpha` must be > 0 — the n_scored = count(__lp)
+    identity relies on every real gram's smoothed probability being
+    strictly positive (alpha = 0 would give unseen grams log(0) =
+    NULL and silently undercount n_scored), so alpha <= 0 raises.
     """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha!r}")
     if vocab_size is None:
         v_col = F.greatest(F.col("__V"), F.lit(1)).cast("double")
         v_df = lm.agg(F.count_distinct("token").alias("__V"))

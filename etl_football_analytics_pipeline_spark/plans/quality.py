@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import dec
-from ..operators.expectations import with_violations
 from ..operators.fuzzy import fuzzy_pairs
 from ..operators.scd import scd2_build, scd2_lookup, table_diff
 from ..sources.registry import load_table
@@ -253,26 +252,30 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rules deliberately include failing ones; a report full of
     100% pass rates would test nothing.
 
-    Physical shape (r12, guide §1.2/§2.4 — remove passes before
-    tuning anything else): ONE wide aggregate keyed by the violation
-    combo (≤ 2^|rules| groups) replaces three of the suite's former
-    four lineitem passes. The combo counts ARE the quarantine rows;
-    the report re-derives per-rule violation totals from the ≤16-row
-    combo frame (a rule's violations = the sum of combo counts whose
-    set contains it, n_checked = the sum of all combo counts — exactly
-    expect_report's SUM(CASE) slots, associativity making the two
-    plans value-identical); and the per-column null/min/max slots ride
-    the same pass as combo-level partials re-aggregated on the tiny
-    frame (min of per-combo typed mins = the global typed min). The
-    exact-distinct pass keeps its own explode shape (distinct
-    machinery cannot fold into the combo key), so lineitem is scanned
-    TWICE per run instead of four times. The combo frame is
-    localCheckpoint'ed (≤16 rows — the same bounded-materialization
-    discipline as the dedup suites' shared frames, freed on GC): per-
-    branch column pruning would otherwise specialize the aggregate
-    under each consumer and re-scan lineitem three times (measured —
-    canonical-plan reuse does NOT survive pruning), whereas the
-    checkpoint pins exactly one fact-table pass for all three."""
+    Physical shape (r13, guide §1.2/§2.4 — remove passes before
+    tuning anything else): ONE wide GLOBAL aggregate over a violation
+    BITMASK projection covers report, quarantine, and the profile's
+    null/min/max slots — per-rule violation counts are SUM(CASE) on
+    the mask bits (bit i set ⟺ rule i violated, the exact
+    `_violation_array` null-as-violation semantics, pinned
+    row-identical to the operator composition by
+    tests/test_expectations.py), per-combo quarantine counts are one
+    COUNT(CASE mask = m) slot per non-empty subset m (≤ 2^|rules|−1
+    slots; a combo's s1 string is a plan-time literal in rule
+    DEFINITION order), and the column profile slots ride the same
+    pass. The single result row unpivots through one literal
+    struct-array explode, so all three parts consume ONE branch —
+    per-branch column pruning (which re-specialized a shared lazy
+    aggregate into three lineitem scans in r12, and which the r12
+    eager localCheckpoint dodged at the cost of a separate
+    build-time job that measured SLOWER than the four-pass form at
+    this SF) never sees more than one consumer. The exact-distinct
+    pass keeps its own explode shape (distinct machinery cannot fold
+    into a global aggregate), so lineitem is scanned TWICE, both
+    scans lazy branches of the one collect-time job — no eager
+    plan-build action at all. Empty-input behavior now matches
+    expect_report exactly (n_checked=0, NULL slots) — the r12 ADVICE
+    divergence is gone."""
     li = _t(spark, sf_dir, "lineitem")
     rules = {
         "qty_le_25": F.col("l_quantity") <= 25,
@@ -282,86 +285,87 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     names = list(rules)
     prof_cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity"]
-    aggs = [F.count(F.lit(1)).alias("__c")]
+    # violation bitmask: bit i ⟺ rule i fails (NULL counts as a
+    # violation — `~coalesce(pred, false)`, the _violation_array
+    # contract; the predicate is never NULL so the mask is exact)
+    mask = None
+    for i, pred in enumerate(rules.values()):
+        bit = F.when(~F.coalesce(pred, F.lit(False)), F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    tagged = li.select(mask.alias("__m"), *prof_cols)
+    # one global aggregate: report slots (sum → NULL on empty input,
+    # matching expect_report), combo counts (count → 0, so empty
+    # combos filter out), profile null/min/max slots (typed min/max,
+    # string canonicalization after, exactly as profile_table)
+    combos = list(range(1, 1 << len(names)))
+    aggs = [
+        F.sum(
+            F.when(F.col("__m").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"__v_{i}")
+        for i in range(len(names))
+    ]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    aggs += [F.count(F.when(F.col("__m") == m, F.lit(1))).alias(f"__q_{m}") for m in combos]
     for i, c in enumerate(prof_cols):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
             F.min(c).alias(f"__mn_{i}"),
             F.max(c).alias(f"__mx_{i}"),
         ]
-    combo = (
-        with_violations(li, rules)
-        .groupBy(F.array_join("violations", ",").alias("s1"))
-        .agg(*aggs)
-        .localCheckpoint()
-    )
-    quarantine = combo.filter(F.col("s1") != "").select(
-        F.lit("quarantine").alias("part"),
-        "s1",
-        F.col("__c").alias("k1"),
-        F.lit(None).cast("long").alias("k2"),
-        F.lit(None).cast("double").alias("v1"),
-    )
-    # report: expect_report's slots re-derived from the combo frame.
-    # Rule names never contain ',' (the join delimiter), so membership
-    # of a rule in a combo's split set is exact.
-    rep_row = combo.agg(
-        *[
-            F.sum(
-                F.when(F.array_contains(F.split("s1", ","), n), F.col("__c"))
-                .otherwise(F.lit(0))
-            ).alias(f"__v_{i}")
-            for i, n in enumerate(names)
-        ],
-        F.sum("__c").alias("__n"),
-    )
-    rpairs = F.array(
-        *[
-            F.struct(F.lit(n).alias("rule"), F.col(f"__v_{i}").alias("nv"))
-            for i, n in enumerate(names)
-        ]
-    )
-    report = (
-        rep_row.select(F.explode(rpairs).alias("p"), F.col("__n").alias("n_checked"))
-        .select(
-            F.lit("report").alias("part"),
-            F.col("p.rule").alias("s1"),
-            F.col("p.nv").alias("k1"),
-            F.col("n_checked").alias("k2"),
-            F.round(
-                (F.col("n_checked") - F.col("p.nv"))
-                / F.col("n_checked").cast("double"),
-                4,
-            ).alias("v1"),
-        )
-    )
-    # profile nulls/min/max: re-aggregate the combo partials (typed;
-    # the string canonicalization happens after the final min/max,
-    # exactly as profile_table does it)
-    prow = combo.agg(
-        *[
-            x
-            for i in range(len(prof_cols))
-            for x in (
-                F.sum(f"__nn_{i}").alias(f"__sn_{i}"),
-                F.min(f"__mn_{i}").alias(f"__fmn_{i}"),
-                F.max(f"__mx_{i}").alias(f"__fmx_{i}"),
-            )
-        ]
-    )
-    ppairs = F.array(
-        *[
+    row = tagged.agg(*aggs)
+    # unpivot the one result row through a single literal struct-array
+    # explode — report, quarantine, and profile rows all come out of
+    # THIS one branch, so the aggregate has exactly one consumer
+    n_checked = F.col("__n")
+    entries = []
+    for i, nm in enumerate(names):
+        entries.append(
             F.struct(
-                F.lit(i).alias("__idx"),
-                F.lit(c).alias("column"),
-                F.col(f"__sn_{i}").alias("n_nulls"),
-                F.col(f"__fmn_{i}").cast("string").alias("min_str"),
-                F.col(f"__fmx_{i}").cast("string").alias("max_str"),
+                F.lit("report").alias("part"),
+                F.lit(nm).alias("s1"),
+                F.col(f"__v_{i}").alias("k1"),
+                n_checked.alias("k2"),
+                F.round(
+                    (n_checked - F.col(f"__v_{i}")) / n_checked.cast("double"), 4
+                ).alias("v1"),
+                F.lit(None).cast("int").alias("__idx"),
             )
-            for i, c in enumerate(prof_cols)
-        ]
+        )
+    for m in combos:
+        # rule names never contain ',' — the combo string is exactly
+        # array_join(violations, ',') in rule DEFINITION order
+        s1 = ",".join(nm for i, nm in enumerate(names) if (m >> i) & 1)
+        entries.append(
+            F.struct(
+                F.lit("quarantine").alias("part"),
+                F.lit(s1).alias("s1"),
+                F.col(f"__q_{m}").alias("k1"),
+                F.lit(None).cast("long").alias("k2"),
+                F.lit(None).cast("double").alias("v1"),
+                F.lit(None).cast("int").alias("__idx"),
+            )
+        )
+    for i, c in enumerate(prof_cols):
+        entries.append(
+            F.struct(
+                F.lit("profile").alias("part"),
+                F.concat_ws(
+                    "|",
+                    F.lit(c),
+                    F.coalesce(F.col(f"__mn_{i}").cast("string"), F.lit("")),
+                    F.coalesce(F.col(f"__mx_{i}").cast("string"), F.lit("")),
+                ).alias("s1"),
+                F.col(f"__nn_{i}").alias("k1"),
+                F.lit(None).cast("long").alias("k2"),
+                F.lit(None).cast("double").alias("v1"),
+                F.lit(i).alias("__idx"),
+            )
+        )
+    base = (
+        row.select(F.explode(F.array(*entries)).alias("p"))
+        .select("p.*")
+        .filter((F.col("part") != "quarantine") | (F.col("k1") > 0))
     )
-    pbase = prow.select(F.explode(ppairs).alias("p")).select("p.*")
     # exact distinct counts: profile_table's explode shape (map-side
     # partial dedup; the exchange carries distinct values, not rows)
     exploded = li.select(
@@ -383,20 +387,17 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__idx")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
-    profile = (
-        pbase.join(F.broadcast(distinct_counts), "__idx", "left")
-        .select(
-            F.lit("profile").alias("part"),
-            F.concat_ws(
-                "|", "column",
-                F.coalesce("min_str", F.lit("")), F.coalesce("max_str", F.lit("")),
-            ).alias("s1"),
-            F.col("n_nulls").alias("k1"),
-            F.coalesce("n_distinct", F.lit(0)).alias("k2"),
-            F.lit(None).cast("double").alias("v1"),
+    return base.join(F.broadcast(distinct_counts), "__idx", "left").select(
+        "part",
+        "s1",
+        "k1",
+        F.when(
+            F.col("part") == "profile", F.coalesce(F.col("n_distinct"), F.lit(0))
         )
+        .otherwise(F.col("k2"))
+        .alias("k2"),
+        "v1",
     )
-    return report.unionByName(quarantine).unionByName(profile)
 
 
 @query(

@@ -167,11 +167,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     driver time per call, several calls per registered suite):
     1. root already an explicit repartition (a prior spread) → no-op;
     2. Catalyst's metadata-only size estimate: small → repartition
-       (cheap even if redundant), known-large → no-op (cluster-scale
-       inputs arrive wide; single giant one-row-group files are the
-       writer's bug and scan_ready_path compacts the sub-GiB cases);
-    3. estimate unavailable (RDD-backed/kernel-derived plans report
-       the sentinel) → the exact physical probe, as before.
+       (cheap even if redundant);
+    3. estimate large or unavailable (RDD-backed/kernel-derived plans
+       report the sentinel) → the exact physical probe, as before.
+       r13 (VERDICT r12 #5): a large estimate no longer early-returns
+       — a GiB-scale single-file relation or a coalesced intermediate
+       above the small cutoff must not keep a CPU-heavy stage narrow,
+       so known-large frames pay the exact probe and are widened when
+       actually narrow.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if target <= 1:
@@ -185,8 +188,8 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         size = int(qe.optimizedPlan().stats().sizeInBytes())
     except Exception:  # noqa: BLE001 — any py4j/analysis hiccup → exact probe
         size = None
-    if size is not None and size < (1 << 60):
-        return df.repartition(target) if size <= _SPREAD_SMALL_BYTES else df
+    if size is not None and size < (1 << 60) and size <= _SPREAD_SMALL_BYTES:
+        return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -56,3 +56,17 @@ def test_spread_is_noop_when_already_wide(spark):
     assert spread(out, 8) is out
     wide = spread(df, 32)
     assert spread(wide, 32) is wide
+
+
+def test_spread_widens_large_estimate_narrow_frame(spark):
+    """r13 (VERDICT r12 #5): a frame whose Catalyst size estimate
+    exceeds the small cutoff must still be widened when it is
+    physically narrow — the large-estimate path falls through to the
+    exact probe instead of returning early."""
+    # 10M longs => Catalyst row-stats estimate ~80 MB (above the 64 MB
+    # small cutoff), but physically ONE partition
+    big = spark.range(0, 10_000_000, 1, 1).filter(F.col("id") >= 0)
+    est = int(big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est > (64 << 20)  # the premise: Catalyst thinks it is large
+    assert big.rdd.getNumPartitions() == 1
+    assert spread(big, 8).rdd.getNumPartitions() >= 8
