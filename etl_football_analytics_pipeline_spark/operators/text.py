@@ -373,27 +373,26 @@ def strip_common_lines(
     md5 (byte-exact lines only; pair with functions.cleaning normalize
     for whitespace-insensitive matching).
 
-    Scale shape: three keyed shuffles, all hash-partitioned — explode
-    to (line_hash) → count DISTINCT docs per line (map-side partial
-    agg collapses within-doc repeats first), anti-join lines against
-    the over-threshold set (left_anti on the hash — no broadcast that
-    grows with the corpus), and one groupBy(doc) to reassemble. The
-    common-line set is typically tiny relative to the corpus, but the
-    plan never assumes it.
+    Scale shape (r13, guide §2.4 — the former distinct → groupBy →
+    anti-join form re-evaluated the corpus explode on BOTH sides of
+    the anti join and paid two more exchanges): two keyed shuffles,
+    both hash-partitioned — explode to (line_hash), per-line document
+    frequency as a WINDOW over one __lh partitioning (distinct-doc
+    count via the max(dense_rank ordered by __id) identity, the same
+    single-shuffle pattern duplicated_spans uses), filter to surviving
+    lines, and one groupBy(doc) to reassemble. The common-line set is
+    typically tiny relative to the corpus, but the plan never assumes
+    it.
     """
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__idx", "__line"),
     ).withColumn("__lh", F.md5(F.col("__line")))
-    common = (
-        lines.select("__lh", "__id")
-        .distinct()  # within-doc repeats count once toward document frequency
-        .groupBy("__lh")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") > max_df)
-        .select("__lh")
-    )
-    kept = lines.join(common, "__lh", "left_anti")
+    # within-doc repeats count once toward document frequency
+    w_lh = W.partitionBy("__lh")
+    kept = lines.withColumn(
+        "__df", F.max(F.dense_rank().over(w_lh.orderBy("__id"))).over(w_lh)
+    ).filter(F.col("__df") <= max_df)
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(

@@ -277,125 +277,90 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     expect_report exactly (n_checked=0, NULL slots) — the r12 ADVICE
     divergence is gone."""
     li = _t(spark, sf_dir, "lineitem")
-    rules = {
-        "qty_le_25": F.col("l_quantity") <= 25,
-        "discount_le_5pct": F.col("l_discount") <= 0.05,
-        "flag_not_returned": F.col("l_returnflag") != "R",
-        "shipped_by_1997": F.year("l_shipdate") <= 1997,
-    }
-    names = list(rules)
+    names = [n for n, _ in _DQ_RULES]
     prof_cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity"]
+    # everything below is string-expression form (r13, guide §1 — the
+    # Column-API twin measured ~1.0 s of driver analysis per build);
+    # value-equality to the operator composition stays pinned by
+    # tests/test_expectations.py.
     # violation bitmask: bit i ⟺ rule i fails (NULL counts as a
-    # violation — `~coalesce(pred, false)`, the _violation_array
+    # violation — `NOT coalesce(pred, false)`, the _violation_array
     # contract; the predicate is never NULL so the mask is exact)
-    mask = None
-    for i, pred in enumerate(rules.values()):
-        bit = F.when(~F.coalesce(pred, F.lit(False)), F.lit(1 << i)).otherwise(F.lit(0))
-        mask = bit if mask is None else mask + bit
-    tagged = li.select(mask.alias("__m"), *prof_cols)
+    mask = " + ".join(
+        f"(CASE WHEN NOT COALESCE({sql}, false) THEN {1 << i} ELSE 0 END)"
+        for i, (_, sql) in enumerate(_DQ_RULES)
+    )
+    tagged = li.selectExpr(f"{mask} AS __m", *prof_cols)
     # one global aggregate: report slots (sum → NULL on empty input,
     # matching expect_report), combo counts (count → 0, so empty
     # combos filter out), profile null/min/max slots (typed min/max,
     # string canonicalization after, exactly as profile_table)
     combos = list(range(1, 1 << len(names)))
     aggs = [
-        F.sum(
-            F.when(F.col("__m").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(0))
-        ).alias(f"__v_{i}")
+        f"SUM(CASE WHEN (__m & {1 << i}) != 0 THEN 1 ELSE 0 END) AS __v_{i}"
         for i in range(len(names))
     ]
-    aggs.append(F.count(F.lit(1)).alias("__n"))
-    aggs += [F.count(F.when(F.col("__m") == m, F.lit(1))).alias(f"__q_{m}") for m in combos]
+    aggs.append("COUNT(1) AS __n")
+    aggs += [f"COUNT(CASE WHEN __m = {m} THEN 1 END) AS __q_{m}" for m in combos]
     for i, c in enumerate(prof_cols):
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
-            F.min(c).alias(f"__mn_{i}"),
-            F.max(c).alias(f"__mx_{i}"),
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS __nn_{i}",
+            f"MIN({c}) AS __mn_{i}",
+            f"MAX({c}) AS __mx_{i}",
         ]
-    row = tagged.agg(*aggs)
+    row = tagged.selectExpr(*aggs)
     # unpivot the one result row through a single literal struct-array
     # explode — report, quarantine, and profile rows all come out of
     # THIS one branch, so the aggregate has exactly one consumer
-    n_checked = F.col("__n")
     entries = []
     for i, nm in enumerate(names):
         entries.append(
-            F.struct(
-                F.lit("report").alias("part"),
-                F.lit(nm).alias("s1"),
-                F.col(f"__v_{i}").alias("k1"),
-                n_checked.alias("k2"),
-                F.round(
-                    (n_checked - F.col(f"__v_{i}")) / n_checked.cast("double"), 4
-                ).alias("v1"),
-                F.lit(None).cast("int").alias("__idx"),
-            )
+            f"struct('report' AS part, '{nm}' AS s1, __v_{i} AS k1, __n AS k2, "
+            f"round((__n - __v_{i}) / CAST(__n AS double), 4) AS v1, "
+            f"CAST(NULL AS int) AS __idx)"
         )
     for m in combos:
         # rule names never contain ',' — the combo string is exactly
         # array_join(violations, ',') in rule DEFINITION order
         s1 = ",".join(nm for i, nm in enumerate(names) if (m >> i) & 1)
         entries.append(
-            F.struct(
-                F.lit("quarantine").alias("part"),
-                F.lit(s1).alias("s1"),
-                F.col(f"__q_{m}").alias("k1"),
-                F.lit(None).cast("long").alias("k2"),
-                F.lit(None).cast("double").alias("v1"),
-                F.lit(None).cast("int").alias("__idx"),
-            )
+            f"struct('quarantine' AS part, '{s1}' AS s1, __q_{m} AS k1, "
+            f"CAST(NULL AS bigint) AS k2, CAST(NULL AS double) AS v1, "
+            f"CAST(NULL AS int) AS __idx)"
         )
     for i, c in enumerate(prof_cols):
         entries.append(
-            F.struct(
-                F.lit("profile").alias("part"),
-                F.concat_ws(
-                    "|",
-                    F.lit(c),
-                    F.coalesce(F.col(f"__mn_{i}").cast("string"), F.lit("")),
-                    F.coalesce(F.col(f"__mx_{i}").cast("string"), F.lit("")),
-                ).alias("s1"),
-                F.col(f"__nn_{i}").alias("k1"),
-                F.lit(None).cast("long").alias("k2"),
-                F.lit(None).cast("double").alias("v1"),
-                F.lit(i).alias("__idx"),
-            )
+            f"struct('profile' AS part, "
+            f"concat_ws('|', '{c}', COALESCE(CAST(__mn_{i} AS string), ''), "
+            f"COALESCE(CAST(__mx_{i} AS string), '')) AS s1, "
+            f"__nn_{i} AS k1, CAST(NULL AS bigint) AS k2, "
+            f"CAST(NULL AS double) AS v1, {i} AS __idx)"
         )
     base = (
-        row.select(F.explode(F.array(*entries)).alias("p"))
-        .select("p.*")
-        .filter((F.col("part") != "quarantine") | (F.col("k1") > 0))
+        row.selectExpr(f"explode(array({', '.join(entries)})) AS p")
+        .selectExpr("p.*")
+        .filter("part != 'quarantine' OR k1 > 0")
     )
     # exact distinct counts: profile_table's explode shape (map-side
     # partial dedup; the exchange carries distinct values, not rows)
-    exploded = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("__idx"), F.col(c).cast("string").alias("__v")
-                    )
-                    for i, c in enumerate(prof_cols)
-                ]
-            )
-        ).alias("p")
-    ).select("p.*")
+    dstructs = ", ".join(
+        f"struct({i} AS __idx, CAST({c} AS string) AS __v)"
+        for i, c in enumerate(prof_cols)
+    )
     distinct_counts = (
-        exploded.filter(F.col("__v").isNotNull())
+        li.selectExpr(f"explode(array({dstructs})) AS p")
+        .selectExpr("p.*")
+        .filter("__v IS NOT NULL")
         .groupBy("__idx", "__v")
         .agg(F.count(F.lit(1)).alias("__dc"))
         .groupBy("__idx")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
-    return base.join(F.broadcast(distinct_counts), "__idx", "left").select(
+    return base.join(F.broadcast(distinct_counts), "__idx", "left").selectExpr(
         "part",
         "s1",
         "k1",
-        F.when(
-            F.col("part") == "profile", F.coalesce(F.col("n_distinct"), F.lit(0))
-        )
-        .otherwise(F.col("k2"))
-        .alias("k2"),
+        "CASE WHEN part = 'profile' THEN COALESCE(n_distinct, 0L) ELSE k2 END AS k2",
         "v1",
     )
 

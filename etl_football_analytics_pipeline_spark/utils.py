@@ -165,7 +165,11 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Probe order (r12, guide §1 — the old `df.rdd.getNumPartitions()`
     probe forced physical planning of the whole frame, ~0.05-0.2 s of
     driver time per call, several calls per registered suite):
-    1. root already an explicit repartition (a prior spread) → no-op;
+    1. an explicit repartition (a prior spread) at the root OR under
+       partitioning-preserving wrappers (Project/Filter/SubqueryAlias
+       — r13: operators that spread their own input used to stack a
+       second exchange whenever the caller passed an already-spread
+       frame through a projection) → no-op;
     2. Catalyst's metadata-only size estimate: small → repartition
        (cheap even if redundant);
     3. estimate large or unavailable (RDD-backed/kernel-derived plans
@@ -182,9 +186,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     size = None
     try:
         qe = df._jdf.queryExecution()
-        root = qe.logical().getClass().getSimpleName()
-        if root in ("Repartition", "RepartitionByExpression"):
-            return df
+        node = qe.logical()
+        # walk through partitioning-preserving unary wrappers: a prior
+        # spread's Repartition is still load-bearing under a Project
+        # or Filter (narrow ops keep the width), so no second exchange
+        for _ in range(16):
+            root = node.getClass().getSimpleName()
+            if root in ("Repartition", "RepartitionByExpression"):
+                return df
+            if root not in ("Project", "Filter", "SubqueryAlias"):
+                break
+            node = node.child()
         size = int(qe.optimizedPlan().stats().sizeInBytes())
     except Exception:  # noqa: BLE001 — any py4j/analysis hiccup → exact probe
         size = None

@@ -56,6 +56,11 @@ def test_spread_is_noop_when_already_wide(spark):
     assert spread(out, 8) is out
     wide = spread(df, 32)
     assert spread(wide, 32) is wide
+    # r13: the prior-spread recognition walks through partitioning-
+    # preserving wrappers — a projection/filter over a repartition must
+    # not stack a second exchange
+    proj = wide.select((F.col("id") * 2).alias("x")).filter("x >= 0")
+    assert spread(proj, 32) is proj
 
 
 def test_spread_widens_large_estimate_narrow_frame(spark):
