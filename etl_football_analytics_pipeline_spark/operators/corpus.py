@@ -182,6 +182,19 @@ def ngram_containment(
     )
 
 
+def whitespace_token_count_expr(text_col: str) -> F.Column:
+    """The normalized whitespace word-count Column (see
+    whitespace_token_counts) — exposed so composed suites can ride it
+    on a wider projection (e.g. one per-doc metadata checkpoint
+    carrying id/source/n_chars/n_tokens) instead of a separate pass."""
+    norm = normalized_text(text_col)
+    return (
+        F.when(norm.isNull() | (norm == ""), F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+    )
+
+
 def whitespace_token_counts(
     df: DataFrame, id_col: str, text_col: str, out_col: str = "n_tokens"
 ) -> DataFrame:
@@ -194,13 +207,8 @@ def whitespace_token_counts(
     NULL docs -1 (legacy sizeOfNull) — a NEGATIVE count that would
     walk pack_sequences' cumulative token position backwards and
     misassign every later document in the bucket."""
-    norm = normalized_text(text_col)
     return df.select(
-        F.col(id_col),
-        F.when(norm.isNull() | (norm == ""), F.lit(0))
-        .otherwise(F.size(F.split(norm, " ")))
-        .cast("long")
-        .alias(out_col),
+        F.col(id_col), whitespace_token_count_expr(text_col).alias(out_col)
     )
 
 

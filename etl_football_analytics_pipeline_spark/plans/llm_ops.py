@@ -2015,7 +2015,6 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_containment,
         pack_sequences,
         stratified_sample,
-        whitespace_token_counts,
     )
 
     from ..utils import spread
@@ -2034,13 +2033,23 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # They read the toks checkpoint instead — same one-row-per-doc id
     # domain, already materialized for pack_sequences, zero new scans.
     sp = deterministic_split(docs, "doc_id")
-    # materialized once: pack_sequences drives TWO eager actions over
-    # its input (min/max bounds + per-bucket sums) before the main
-    # job, and split/sample re-read it too — without this the
+    # materialized once: pack_sequences drives eager actions over its
+    # input (per-bucket sums) before the main job, and the split /
+    # sample / strat / shard legs re-read it too — without this the
     # whitespace tokenizer re-runs the corpus regex 4x per call.
-    # (id, n_tokens) only — O(rows x 16 B), the same bounded
-    # materialization discipline as the dedup suites; freed on GC
-    toks = whitespace_token_counts(docs, "doc_id", "text").localCheckpoint()
+    # r13 (guide §2.4): widened from (id, n_tokens) to the per-doc
+    # METADATA frame (id, source, n_chars, n_tokens) — still O(rows x
+    # ~32 B), same bounded-materialization discipline — so the sample
+    # and strat legs read the checkpoint instead of their own pruned
+    # 1-task documents scans, and the sample leg's toks join-back
+    # disappears (its n_tokens already rides the frame)
+    from ..operators.corpus import whitespace_token_count_expr
+
+    meta = docs.select(
+        "doc_id", "source", "n_chars",
+        whitespace_token_count_expr("text").alias("n_tokens"),
+    ).localCheckpoint()
+    toks = meta.select("doc_id", "n_tokens")
     # split accounting straight off the toks checkpoint: the split key
     # is md5(doc_id), toks holds exactly one row per doc, so the former
     # sp⋈toks join (and the doc_id-only scan behind it) is a no-op
@@ -2084,9 +2093,8 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample_part = (
         mixture_sample(
-            docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, default_fraction=0.25
+            meta, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, default_fraction=0.25
         )
-        .join(toks, "doc_id")
         .groupBy(F.col("source").alias("key"))
         .agg(
             F.count(F.lit(1)).alias("n1"),
@@ -2094,7 +2102,9 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("sample").alias("part"), "key", "n1", "v1")
     )
-    strat_part = stratified_sample(docs, "doc_id", "source", k=50).select(
+    strat_part = stratified_sample(
+        meta.select("doc_id", "source", "n_chars"), "doc_id", "source", k=50
+    ).select(
         F.lit("strat").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("n_chars").alias("n1"),
