@@ -136,12 +136,17 @@ def _hot_pred(
     return a localCheckpoint'ed frame instead — the caller broadcast-
     joins it, and the checkpoint pins one detection pass however many
     sides consume it."""
-    hot = _hot_block_flags(keyed_sides, hot_block_min)
-    rows = hot.take(_HOT_LITERAL_MAX + 1)
+    # checkpoint BEFORE probing so the detection aggregate runs exactly
+    # once on both paths: the take() reads the materialized frame, and
+    # the large-set fallback hands the same materialization to the
+    # caller's broadcast joins (no second pass over the sides)
+    frame = (
+        _hot_block_flags(keyed_sides, hot_block_min)
+        .select("__bidx", "__bkey", F.lit(True).alias("__hot"))
+        .localCheckpoint()
+    )
+    rows = frame.take(_HOT_LITERAL_MAX + 1)
     if len(rows) > _HOT_LITERAL_MAX:
-        frame = hot.select(
-            "__bidx", "__bkey", F.lit(True).alias("__hot")
-        ).localCheckpoint()
         return F.coalesce(F.col("__hot"), F.lit(False)), frame
     pred = F.lit(False)
     for r in rows:

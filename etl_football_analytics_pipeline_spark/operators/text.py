@@ -373,26 +373,40 @@ def strip_common_lines(
     md5 (byte-exact lines only; pair with functions.cleaning normalize
     for whitespace-insensitive matching).
 
-    Scale shape (r13, guide §2.4 — the former distinct → groupBy →
-    anti-join form re-evaluated the corpus explode on BOTH sides of
-    the anti join and paid two more exchanges): two keyed shuffles,
-    both hash-partitioned — explode to (line_hash), per-line document
-    frequency as a WINDOW over one __lh partitioning (distinct-doc
-    count via the max(dense_rank ordered by __id) identity, the same
-    single-shuffle pattern duplicated_spans uses), filter to surviving
-    lines, and one groupBy(doc) to reassemble. The common-line set is
-    typically tiny relative to the corpus, but the plan never assumes
-    it.
+    Scale shape: three keyed shuffles, all hash-partitioned — explode
+    to (line_hash) → count DISTINCT docs per line (map-side partial
+    agg collapses within-doc repeats first; the aggregate side prunes
+    to 16-byte (hash, id) rows), anti-join lines against the
+    over-threshold set (left_anti on the hash — no broadcast that
+    grows with the corpus), and one groupBy(doc) to reassemble. The
+    common-line set is typically tiny relative to the corpus, but the
+    plan never assumes it.
+
+    r13 note — a single-shuffle WINDOW form (per-line document
+    frequency via max(dense_rank) over a __lh partitioning, the
+    duplicated_spans pattern) was built, measured ~0.2 s faster at
+    bench scale, and REJECTED: boilerplate lines are by definition
+    corpus-wide hot keys (the blank line alone — md5('') — appears in
+    ~every multi-paragraph document), a window partition must hold ALL
+    of a key's payload rows in ONE task, and AQE's skew handling
+    splits joins but never windows (guide §2.5). The anti-join shape
+    keeps the hot-key payload shuffle AQE-splittable; the price is
+    re-evaluating the (column-pruned) explode under the aggregate
+    side.
     """
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__idx", "__line"),
     ).withColumn("__lh", F.md5(F.col("__line")))
-    # within-doc repeats count once toward document frequency
-    w_lh = W.partitionBy("__lh")
-    kept = lines.withColumn(
-        "__df", F.max(F.dense_rank().over(w_lh.orderBy("__id"))).over(w_lh)
-    ).filter(F.col("__df") <= max_df)
+    common = (
+        lines.select("__lh", "__id")
+        .distinct()  # within-doc repeats count once toward document frequency
+        .groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__lh")
+    )
+    kept = lines.join(common, "__lh", "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(

@@ -2015,6 +2015,7 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_containment,
         pack_sequences,
         stratified_sample,
+        whitespace_token_count_expr,
     )
 
     from ..utils import spread
@@ -2043,8 +2044,6 @@ def corpus_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and strat legs read the checkpoint instead of their own pruned
     # 1-task documents scans, and the sample leg's toks join-back
     # disappears (its n_tokens already rides the frame)
-    from ..operators.corpus import whitespace_token_count_expr
-
     meta = docs.select(
         "doc_id", "source", "n_chars",
         whitespace_token_count_expr("text").alias("n_tokens"),

@@ -165,11 +165,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Probe order (r12, guide §1 — the old `df.rdd.getNumPartitions()`
     probe forced physical planning of the whole frame, ~0.05-0.2 s of
     driver time per call, several calls per registered suite):
-    1. an explicit repartition (a prior spread) at the root OR under
-       partitioning-preserving wrappers (Project/Filter/SubqueryAlias
-       — r13: operators that spread their own input used to stack a
-       second exchange whenever the caller passed an already-spread
-       frame through a projection) → no-op;
+    1. an explicit SHUFFLING repartition of >= target width (a prior
+       spread) at the root OR under partitioning-preserving wrappers
+       (Project/Filter/SubqueryAlias — r13: operators that spread
+       their own input used to stack a second exchange whenever the
+       caller passed an already-spread frame through a projection) →
+       no-op; coalesce() (a Repartition node with shuffle=false) and
+       narrower repartitions do NOT satisfy the request and fall
+       through;
     2. Catalyst's metadata-only size estimate: small → repartition
        (cheap even if redundant);
     3. estimate large or unavailable (RDD-backed/kernel-derived plans
@@ -189,11 +192,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         node = qe.logical()
         # walk through partitioning-preserving unary wrappers: a prior
         # spread's Repartition is still load-bearing under a Project
-        # or Filter (narrow ops keep the width), so no second exchange
+        # or Filter (narrow ops keep the width), so no second exchange.
+        # Load-bearing means it actually SHUFFLED to >= target width:
+        # coalesce() is also a Repartition node (shuffle=false), and a
+        # narrower repartition must not satisfy a wider request — both
+        # fall through to the estimate/probe path instead.
         for _ in range(16):
             root = node.getClass().getSimpleName()
             if root in ("Repartition", "RepartitionByExpression"):
-                return df
+                if bool(node.shuffle()) and int(node.numPartitions()) >= target:
+                    return df
+                break
             if root not in ("Project", "Filter", "SubqueryAlias"):
                 break
             node = node.child()

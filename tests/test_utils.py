@@ -61,6 +61,13 @@ def test_spread_is_noop_when_already_wide(spark):
     # not stack a second exchange
     proj = wide.select((F.col("id") * 2).alias("x")).filter("x >= 0")
     assert spread(proj, 32) is proj
+    # ...but only a SHUFFLING repartition of >= target width counts:
+    # coalesce() is also a Repartition node (shuffle=false) and a
+    # narrower repartition must not satisfy a wider request
+    narrow = df.coalesce(1).select((F.col("id") * 2).alias("x"))
+    assert spread(narrow, 8).rdd.getNumPartitions() >= 8
+    two = df.repartition(2).select((F.col("id") * 2).alias("x"))
+    assert spread(two, 8).rdd.getNumPartitions() >= 8
 
 
 def test_spread_widens_large_estimate_narrow_frame(spark):
